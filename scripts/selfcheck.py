@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle SQL and compare (sorted columns, sorted
+rows, exact values). Usage:
+    python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = float(v)  # normalize numpy
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [c for _, c in sorted(zip(range(len(cols)), cols), key=lambda p: cols[p[0]])], out
+
+
+def approx_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            continue
+        got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
+        try:
+            exp_rel = con.sql(sql)
+            exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            continue
+        bad = [(g, e) for g, e in zip(got, exp)
+               if not all(approx_eq(a, b) for a, b in zip(g, e))]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: {bad[0]}")
+            continue
+        print(f"OK   {name}: {len(got)} rows x {len(got_cols)} cols")
+        n_ok += 1
+    print(f"== {n_ok}/{len(oracles)} queries match ==")
+    return 0 if n_ok == len(oracles) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * All timestamp columns are normalized to an additional `*_ms` BIGINT
+  * epoch-millisecond column on demand — the engine's native time
+  * representation is epoch-ms (see graft.model.Timestamp), matching the
+  * reference's `Timestamp.epochTime` (net-spider/src/NetSpider/Timestamp.hs:58-65).
+  *
+  * Scale posture: these are plain parquet scans; filters and column pruning
+  * push down to the scan (verify with .explain — PushedFilters/ReadSchema).
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
+    // default; read nanos as BIGINT and convert explicitly (epochMs).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Epoch milliseconds of a time column, matching DuckDB's epoch_ms on the
+    * same parquet (the driver's oracle). Handles both real timestamp
+    * columns (µs precision; session tz pinned to UTC) and BIGINT
+    * nanosecond columns produced by nanosAsLong. Integer division — a
+    * double round-trip would lose precision above 2^53 ns. */
+  def epochMs(df: DataFrame, colName: String): org.apache.spark.sql.Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$colName div 1000000")
+      case _ => unix_millis(col(colName).cast(TimestampType))
+    }
+
+  /** Exact money arithmetic for oracle parity: cast to DECIMAL before
+    * summing so Spark and DuckDB agree bit-for-bit regardless of
+    * floating-point association order, then surface as DOUBLE. */
+  def exactSum(c: org.apache.spark.sql.Column, scale: Int = 4): org.apache.spark.sql.Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+}
