@@ -12,22 +12,33 @@ import sys
 import duckdb
 
 
+def norm_val(v):
+    """Normalize value types BEFORE sorting/comparing so a benign type
+    difference between engines (int 1 vs float 1.0, Decimal, numpy
+    scalars, bool-as-int) neither reorders rows nor reports spurious
+    mismatches — only genuine value diffs fail."""
+    import decimal
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return float(v)  # also normalizes numpy floats
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**53 else int(v)
+    return v
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = float(v)  # normalize numpy
-            vals.append(v)
-        out.append(tuple(vals))
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [c for _, c in sorted(zip(range(len(cols)), cols), key=lambda p: cols[p[0]])], out
+    return sorted(cols), out
 
 
-def approx_eq(a, b):
+def exact_eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
@@ -61,7 +72,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             continue
         bad = [(g, e) for g, e in zip(got, exp)
-               if not all(approx_eq(a, b) for a, b in zip(g, e))]
+               if not all(exact_eq(a, b) for a, b in zip(g, e))]
         if bad:
             print(f"FAIL {name}: {len(bad)} mismatched rows; first: {bad[0]}")
             continue

@@ -108,11 +108,15 @@ object SparkEntry {
            |FROM events
            |WHERE epoch_ms(ts) >= $LoMs AND epoch_ms(ts) < $HiMs""".stripMargin,
 
+      // Window orders by ms-truncated epoch_ms(ts) — NOT raw ts — so the
+      // oracle uses the engine's native millisecond ordering even when two
+      // findings of a node differ only in sub-ms digits (ADVICE r01).
       "q02_p2_latest_per_node" ->
         """SELECT user_id, epoch_ms(ts) AS last_ms, event_type AS last_type,
           |       value AS last_value
           |FROM (SELECT *, row_number() OVER
-          |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |        (PARTITION BY user_id
+          |         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
           |      FROM events) WHERE rn = 1""".stripMargin,
 
       "q03_a1_unify_latest" ->

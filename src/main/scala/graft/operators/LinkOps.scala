@@ -82,12 +82,26 @@ object LinkOps {
 
   /** J5 — SeqID relabel (SeqID.hs:42-109): arbitrary node ids → dense
     * 0-based longs, deterministically (ordered by id), with the mapping
-    * returned for reverse lookup. row_number over a global sort — fine
-    * because the distinct-node-id set is orders of magnitude smaller than
-    * the findings table; for GraphX this yields stable VertexIds. */
+    * usable for reverse lookup.
+    *
+    * Scale path (ADVICE r01): a row_number over a global unpartitioned
+    * Window funnels every distinct id through ONE partition — wrong when
+    * the vertex set itself is large (one node per user/device at 100 TB).
+    * Instead: distinct → range-partitioned sort → zipWithIndex, which
+    * assigns globally dense ids with only per-partition counting (one
+    * lightweight job to compute partition offsets), never concentrating
+    * the data on a single task. */
   def seqIds(nodeIds: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    nodeIds.distinct().withColumn("seq_id",
-      row_number().over(Window.orderBy(col(nodeIds.columns.head))).cast("long") - 1)
+    val idCol = nodeIds.columns.head
+    val spark = nodeIds.sparkSession
+    val distinctSorted = nodeIds.distinct().sort(col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      distinctSorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("seq_id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = distinctSorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -15,12 +15,17 @@ import org.apache.spark.sql.types.TimestampType
   * push down to the scan (verify with .explain — PushedFilters/ReadSchema).
   */
 object Tables {
-  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-    // default; read nanos as BIGINT and convert explicitly (epochMs).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Session confs every graft entry point must set at build time.
+    * nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which Spark 4
+    * refuses by default; read nanos as BIGINT and convert explicitly
+    * (epochMs). Set once at SparkSession construction — NOT per-read —
+    * so table loads have no hidden session side effects (ADVICE r01). */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
