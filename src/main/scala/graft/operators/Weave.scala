@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.SnapshotGraph
+
+/** The snapshot computation (the reference's Weaver,
+  * net-spider/src/NetSpider/Weaver.hs) as declarative DataFrame stages.
+  *
+  * Every stage is one shuffle (groupBy/aggregate on the node key or the
+  * swap-insensitive pair key) or a shuffle-free projection; node-summary
+  * joins broadcast the small side. No collect, no driver loops — at 100 TB
+  * the findings table is the only big input, and it is touched exactly
+  * twice (node summary, link samples), both with map-side partial
+  * aggregation.
+  *
+  * Pipeline (Weaver.hs getSnapshot', 156-168):
+  *   retain (policy) → [node summary + boundary] + [explode link samples →
+  *   unify per pair/sub-id → negate against end-node summaries →
+  *   LinkState materialization]
+  */
+sealed trait FoundNodePolicy
+/** Keep only the latest finding per node (Weaver.hs:82-86). */
+case object PolicyOverwrite extends FoundNodePolicy
+/** Keep all findings (Weaver.hs:87); node summary still reports the
+  * latest timestamp/attrs. */
+case object PolicyAppend extends FoundNodePolicy
+
+/** Pluggable link-sample unification strategy (the reference's
+  * `LinkSampleUnifier`, Unify.hs:108; std config Unify.hs:127-149).
+  * Input `samples` columns: subject, target, link_state, epoch_ms,
+  * link_attrs, sample_seq. `nodes` is the snapshot-node summary used by
+  * negation. Output must keep the same sample columns (minus any
+  * strategy-internal ones). */
+trait LinkUnifier {
+  def unify(samples: DataFrame, nodes: DataFrame): DataFrame
+}
+
+/** The standard unifier (`unifyStd`, Unify.hs:169-193):
+  *  1. sub-group samples per swap-insensitive pair by `subId` columns
+  *     (default: none — one physical link per pair, `unifyToOne`);
+  *  2. per sub-group keep the latest sample (default `mergeSamples` =
+  *     latest of both ends' samples concatenated, Unify.hs:153-157);
+  *  3. drop the winner if either end node negates it
+  *     (`defNegatesLinkSample`, Unify.hs:202-217): the end has a
+  *     timestamp, newer than the sample's, and is not the sample's
+  *     observer — i.e. the end was re-observed later and no longer
+  *     reports the link.
+  *
+  * All of it is Catalyst-friendly: one hash aggregation + two broadcast
+  * joins. `subId` defaults to none; pass e.g. Seq(col("link_attrs")("port"))
+  * for multi-link topologies (README.md:582-591 ports example).
+  */
+class StdUnifier(subId: Seq[Column] = Nil, negation: Boolean = true,
+    postMerge: DataFrame => DataFrame = identity)
+    extends LinkUnifier {
+  override def unify(samples: DataFrame, nodes: DataFrame): DataFrame = {
+    val withKeys = samples
+      .withColumn("pair_lo", LinkOps.pairLo(col("subject"), col("target")))
+      .withColumn("pair_hi", LinkOps.pairHi(col("subject"), col("target")))
+    val subNames = subId.indices.map(i => s"__sub$i")
+    val keyed = subNames.zip(subId).foldLeft(withKeys) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    val merged = postMerge(LinkOps.latestPerKey(
+      keyed, Seq("pair_lo", "pair_hi") ++ subNames,
+      Seq("epoch_ms", "sample_seq")))
+    val out =
+      if (!negation) merged
+      else {
+        val summary = broadcast(
+          nodes.select(col("node_id"), col("epoch_ms").as("n_ts")))
+        def negatedBy(endId: Column, nTs: Column): Column =
+          nTs.isNotNull && col("epoch_ms") < nTs && col("subject") =!= endId
+        merged
+          .join(summary.withColumnRenamed("n_ts", "lo_ts")
+              .withColumnRenamed("node_id", "lo_id"),
+            col("pair_lo") === col("lo_id"), "left")
+          .join(summary.withColumnRenamed("n_ts", "hi_ts")
+              .withColumnRenamed("node_id", "hi_id"),
+            col("pair_hi") === col("hi_id"), "left")
+          .filter(!coalesce(negatedBy(col("lo_id"), col("lo_ts")), lit(false)) &&
+                  !coalesce(negatedBy(col("hi_id"), col("hi_ts")), lit(false)))
+          .drop("lo_id", "lo_ts", "hi_id", "hi_ts")
+      }
+    out.drop((Seq("pair_lo", "pair_hi") ++ subNames): _*)
+  }
+}
+
+object Weave {
+
+  /** Policy application (Weaver.hs:77-88): overwrite keeps only each
+    * node's latest finding (deterministic tie-break on finding_seq). */
+  def retainFindings(findings: DataFrame, policy: FoundNodePolicy): DataFrame =
+    policy match {
+      case PolicyAppend => findings
+      case PolicyOverwrite =>
+        LinkOps.latestPerKey(findings, Seq("subject"),
+          Seq("epoch_ms", "finding_seq"))
+    }
+
+  /** Explode retained findings into link samples (Unify.hs:68-78
+    * `toLinkSamples`). sample_seq = (finding_seq, position) packed for a
+    * total deterministic order within equal timestamps. */
+  def linkSamples(retained: DataFrame): DataFrame =
+    retained
+      .select(col("subject"), col("epoch_ms"), col("finding_seq"),
+        posexplode(col("links")).as(Seq("pos", "l")))
+      .select(
+        col("subject"),
+        col("l.target").as("target"),
+        col("l.link_state").as("link_state"),
+        col("epoch_ms"),
+        col("l.link_attrs").as("link_attrs"),
+        (col("finding_seq") * 1000000 + col("pos")).as("sample_seq"))
+
+  /** Snapshot nodes (Weaver.hs:136-151, 125-129): every visited node with
+    * its latest retained finding's ts/attrs; plus explicitly-visited
+    * nodes with no findings (markAsVisited, Weaver.hs:93-96) with null
+    * ts/attrs; plus boundary nodes (targets never visited) flagged
+    * is_on_boundary with null ts/attrs. */
+  def snapshotNodes(retained: DataFrame,
+      extraVisited: Option[DataFrame] = None): DataFrame = {
+    val latest = LinkOps.latestPerKey(retained, Seq("subject"),
+        Seq("epoch_ms", "finding_seq"))
+      .select(col("subject").as("node_id"), col("epoch_ms"),
+        col("node_attrs"))
+    val visitedIds = {
+      val fromFindings = retained.select(col("subject").as("node_id"))
+      extraVisited match {
+        case Some(ev) => fromFindings.union(ev.toDF("node_id")).distinct()
+        case None => fromFindings.distinct()
+      }
+    }
+    val visited = visitedIds
+      .join(latest, Seq("node_id"), "left")
+      .select(col("node_id"), lit(false).as("is_on_boundary"),
+        col("epoch_ms"), col("node_attrs"))
+    val targets = retained
+      .select(explode(col("links.target")).as("node_id")).distinct()
+    val boundary = targets
+      .join(visitedIds, Seq("node_id"), "left_anti")
+      .select(col("node_id"), lit(true).as("is_on_boundary"),
+        lit(null).cast("long").as("epoch_ms"),
+        lit(null).cast("map<string,string>").as("node_attrs"))
+    visited.unionByName(boundary)
+  }
+
+  /** Full snapshot (Weaver.hs getSnapshot', 156-168). */
+  def snapshot(findings: DataFrame,
+      policy: FoundNodePolicy = PolicyOverwrite,
+      unifier: LinkUnifier = new StdUnifier(),
+      extraVisited: Option[DataFrame] = None): SnapshotGraph = {
+    val retained = retainFindings(findings, policy)
+    val nodes = snapshotNodes(retained, extraVisited)
+    val samples = linkSamples(retained)
+    val unified = unifier.unify(samples, nodes)
+    val links = LinkOps.materializeLinks(unified)
+      .select(col("source_node"), col("dest_node"), col("is_directed"),
+        col("epoch_ms"), col("link_attrs"))
+    SnapshotGraph(nodes, links)
+  }
+}

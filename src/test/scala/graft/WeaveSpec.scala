@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators._
+
+/** The reference's shared snapshot corpus re-expressed against the Spark
+  * engine (net-spider/test/SnapshotTestCase.hs:167-666 "basics" — the same
+  * cases the reference runs against BOTH its Weaver and its Gremlin
+  * server, i.e. the engine's defining semantics). */
+class WeaveSpec extends SparkSpec {
+
+  private def fl(target: String, state: String,
+      attrs: Map[String, String] = Map.empty) = FoundLink(target, state, attrs)
+  private def fn(subject: String, at: String, links: Seq[FoundLink],
+      attrs: Map[String, String] = Map.empty, seq: Long = 0) =
+    FoundNode(subject, ts(at), attrs, links, seq)
+
+  private def run(fns: Seq[FoundNode],
+      policy: FoundNodePolicy = PolicyOverwrite,
+      unifier: LinkUnifier = new StdUnifier()) = {
+    val g = Weave.snapshot(Findings.fromSeq(spark, fns), policy, unifier)
+    val nodes = g.nodes.collect().map(r => (
+        r.getString(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None
+        else Some(r.getMap[String, String](3).toMap)))
+      .sortBy(_._1).toSeq
+    val links = g.links.collect().map(r => (
+        r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3),
+        r.getMap[String, String](4).toMap))
+      .sortBy(t => (t._1, t._2, t._5.toSeq.sorted.mkString(","))).toSeq
+    (nodes, links)
+  }
+
+  describe("Weave.snapshot — reference basics corpus") {
+
+    it("one neighbor") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.ToTarget)))))
+      ns shouldBe Seq(
+        ("n1", false, Some(ts("2018-12-01T10:00")), Some(Map.empty[String, String])),
+        ("n2", true, None, None))
+      ls shouldBe Seq(
+        ("n1", "n2", true, ts("2018-12-01T10:00"), Map.empty[String, String]))
+    }
+
+    it("no neighbor") {
+      val (ns, ls) = run(Seq(fn("n1", "2018-12-01T20:00", Nil)))
+      ns.map(_._1) shouldBe Seq("n1")
+      ls shouldBe empty
+    }
+
+    it("mutual neighbors — latest observation wins the pair") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.ToSubject))),
+        fn("n2", "2018-12-01T20:00", Seq(fl("n1", LinkState.ToTarget)))))
+      ns.map(_._1) shouldBe Seq("n1", "n2")
+      ns.map(_._2) shouldBe Seq(false, false)
+      ls shouldBe Seq(
+        ("n2", "n1", true, ts("2018-12-01T20:00"), Map.empty[String, String]))
+    }
+
+    it("multiple findings for a single node — overwrite keeps latest") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T20:00",
+          Seq(fl("n2", LinkState.ToTarget), fl("n3", LinkState.ToSubject)),
+          Map("a" -> "at 20:00"), seq = 0),
+        fn("n1", "2018-12-01T10:00", Nil, Map("a" -> "at 10:00"), seq = 1),
+        fn("n1", "2018-12-01T15:00",
+          Seq(fl("n2", LinkState.ToTarget)), Map("a" -> "at 15:00"), seq = 2)))
+      ns shouldBe Seq(
+        ("n1", false, Some(ts("2018-12-01T20:00")), Some(Map("a" -> "at 20:00"))),
+        ("n2", true, None, None),
+        ("n3", true, None, None))
+      ls shouldBe Seq(
+        ("n1", "n2", true, ts("2018-12-01T20:00"), Map.empty[String, String]),
+        ("n3", "n1", true, ts("2018-12-01T20:00"), Map.empty[String, String]))
+    }
+
+    it("link disappears — newer empty observation negates") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.Bidirectional))),
+        fn("n2", "2018-12-01T20:00", Nil)))
+      ns.map(_._1) shouldBe Seq("n1", "n2")
+      ls shouldBe empty
+    }
+
+    it("link appears — newer link beats older empty observation") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T20:00", Seq(fl("n2", LinkState.Bidirectional))),
+        fn("n2", "2018-12-01T10:00", Nil)))
+      ns.map(_._1) shouldBe Seq("n1", "n2")
+      ls shouldBe Seq(
+        ("n1", "n2", false, ts("2018-12-01T20:00"), Map.empty[String, String]))
+    }
+
+    it("policyOverwrite and link disappear — old finding fully pruned") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2020-03-10T15:00", Seq(fl("n4", LinkState.Bidirectional)), seq = 0),
+        fn("n1", "2020-03-10T14:00",
+          Seq(fl("n2", LinkState.ToTarget), fl("n3", LinkState.Bidirectional)),
+          seq = 1)))
+      ns shouldBe Seq(
+        ("n1", false, Some(ts("2020-03-10T15:00")), Some(Map.empty[String, String])),
+        ("n4", true, None, None))
+      ls shouldBe Seq(
+        ("n1", "n4", false, ts("2020-03-10T15:00"), Map.empty[String, String]))
+    }
+
+    it("policyAppend — links aggregate across time, node ts is latest") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2020-02-18T11:00", Seq(fl("n2", LinkState.ToTarget)), seq = 0),
+        fn("n1", "2020-02-18T10:00", Seq(fl("n3", LinkState.ToSubject)), seq = 1),
+        fn("n1", "2020-02-18T09:00", Seq(fl("n4", LinkState.Bidirectional)), seq = 2)),
+        policy = PolicyAppend)
+      ns.map(n => (n._1, n._3)) shouldBe Seq(
+        ("n1", Some(ts("2020-02-18T11:00"))),
+        ("n2", None), ("n3", None), ("n4", None))
+      ls shouldBe Seq(
+        ("n1", "n2", true, ts("2020-02-18T11:00"), Map.empty[String, String]),
+        ("n1", "n4", false, ts("2020-02-18T09:00"), Map.empty[String, String]),
+        ("n3", "n1", true, ts("2020-02-18T10:00"), Map.empty[String, String]))
+    }
+
+    // Ports sub-ID unifier shared by the two multi-link cases
+    // (TestCommon.hs:100-104 subIdWithAPorts + alignAPortsToLinkDirection):
+    // sub-id = swap-insensitive {(subject, src_port), (target, dst_port)};
+    // after merge, to_subject winners swap ports so attrs are in
+    // (source, destination) orientation.
+    def portsUnifier = new StdUnifier(
+      subId = Seq(
+        least(concat_ws("|", col("subject"), col("link_attrs")("fst")),
+          concat_ws("|", col("target"), col("link_attrs")("snd"))),
+        greatest(concat_ws("|", col("subject"), col("link_attrs")("fst")),
+          concat_ws("|", col("target"), col("link_attrs")("snd")))),
+      postMerge = df => df.withColumn("link_attrs",
+        when(col("link_state") === LinkState.ToSubject,
+          map(lit("fst"), col("link_attrs")("snd"),
+              lit("snd"), col("link_attrs")("fst")))
+          .otherwise(col("link_attrs"))))
+
+    def ports(a: String, b: String) = Map("fst" -> a, "snd" -> b)
+
+    it("multiple links between two nodes — 3 distinct port pairs survive") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T20:00", Seq(
+          fl("n2", LinkState.ToTarget, ports("p4", "p8")),
+          fl("n2", LinkState.ToTarget, ports("p3", "p6")),
+          fl("n2", LinkState.ToTarget, ports("p5", "p10")))),
+        fn("n2", "2018-12-01T10:00", Seq(
+          fl("n1", LinkState.ToSubject, ports("p6", "p3")),
+          fl("n1", LinkState.ToSubject, ports("p10", "p5")),
+          fl("n1", LinkState.ToSubject, ports("p8", "p4"))))),
+        unifier = portsUnifier)
+      ns.map(_._1) shouldBe Seq("n1", "n2")
+      ls.map(l => (l._1, l._2, l._5)) should contain theSameElementsAs Seq(
+        ("n1", "n2", ports("p3", "p6")),
+        ("n1", "n2", ports("p4", "p8")),
+        ("n1", "n2", ports("p5", "p10")))
+      all(ls.map(_._4)) shouldBe ts("2018-12-01T20:00")
+      all(ls.map(_._3)) shouldBe true
+    }
+
+    it("multiple links, some appear, some disappear") {
+      val (ns, ls) = run(Seq(
+        fn("n2", "2018-12-01T20:00", Seq(
+          fl("n1", LinkState.ToSubject, ports("p23", "p13")), // appears
+          fl("n1", LinkState.ToSubject, ports("p22", "p12")))), // stays
+        fn("n1", "2018-12-01T10:00", Seq(
+          fl("n2", LinkState.ToTarget, ports("p11", "p21")), // disappears
+          fl("n2", LinkState.ToTarget, ports("p12", "p22"))))), // stays
+        unifier = portsUnifier)
+      ns.map(n => (n._1, n._3)) shouldBe Seq(
+        ("n1", Some(ts("2018-12-01T10:00"))),
+        ("n2", Some(ts("2018-12-01T20:00"))))
+      ls.map(l => (l._1, l._2, l._4, l._5)) should contain theSameElementsAs Seq(
+        ("n1", "n2", ts("2018-12-01T20:00"), ports("p12", "p22")),
+        ("n1", "n2", ts("2018-12-01T20:00"), ports("p13", "p23")))
+    }
+
+    def diamond(policy: FoundNodePolicy): Unit = {
+      val mk = (sub: String, at: String, targets: Seq[String]) =>
+        fn(sub, at, targets.map(t => fl(t, LinkState.Bidirectional)))
+      val (ns, ls) = run(Seq(
+        mk("n1", "2020-04-23T10:30", Seq("n2", "n3")),
+        mk("n2", "2020-04-23T10:35", Seq("n1", "n4")),
+        mk("n3", "2020-04-23T10:20", Seq("n1", "n4")),
+        mk("n4", "2020-04-23T10:30", Seq("n2", "n3", "n5")),
+        mk("n5", "2020-04-23T11:10", Seq("n4", "n6")),
+        mk("n6", "2020-04-23T10:25", Seq("n5"))), policy = policy)
+      ns.map(_._1) shouldBe Seq("n1", "n2", "n3", "n4", "n5", "n6")
+      all(ns.map(_._2)) shouldBe false
+      val pairs = ls.map(l =>
+        (Seq(l._1, l._2).min, Seq(l._1, l._2).max, l._4)).sorted
+      pairs shouldBe Seq(
+        ("n1", "n2", ts("2020-04-23T10:35")),
+        ("n1", "n3", ts("2020-04-23T10:30")),
+        ("n2", "n4", ts("2020-04-23T10:35")),
+        ("n3", "n4", ts("2020-04-23T10:30")),
+        ("n4", "n5", ts("2020-04-23T11:10")),
+        ("n5", "n6", ts("2020-04-23T11:10")))
+      all(ls.map(_._3)) shouldBe false
+    }
+
+    it("diamond topology, policyOverwrite") { diamond(PolicyOverwrite) }
+    it("diamond topology, policyAppend") { diamond(PolicyAppend) }
+  }
+}
