@@ -97,6 +97,107 @@ object SparkEntry {
       val ids = samples.select(col("subject").as("node_id"))
         .union(samples.select(col("target").as("node_id")))
       LinkOps.seqIds(ids)
+    }),
+
+    // P4 — full unification WITH negation (defNegatesLinkSample,
+    // Unify.hs:202-217) through the real Weave.snapshot pipeline.
+    "q09_p4_negation" -> ((s, d) => {
+      import graft.operators.{Weave, PolicyAppend, StdUnifier}
+      Weave.snapshot(EventGraph.findings(s, d), PolicyAppend,
+          new StdUnifier(negation = true))
+        .links.select("source_node", "dest_node", "is_directed", "epoch_ms")
+    }),
+
+    // A1/unifyToMany — sub-ID partitioned unification (Unify.hs:117-124):
+    // latest per (pair, sub_id), no negation.
+    "q10_a1_subid" -> ((s, d) => {
+      import graft.operators.StdUnifier
+      val samples = EventGraph.linkSamples(s, d)
+      val unified = new StdUnifier(subId = Seq(col("sub_id")),
+        negation = false).unify(samples, null)
+      LinkOps.materializeLinks(unified)
+        .select("source_node", "dest_node", "is_directed", "epoch_ms", "sub_id")
+    }),
+
+    // J2/A7 — same-link both-side observation merge (Weaver.hs:166-168
+    // grouping + Unify.hs:178-180 side split; README.md:699-746
+    // SignalStrengths exemplar): per pair, each side's latest ts+value.
+    // One hash aggregation — max over a (ts,seq,value) struct per side.
+    "q11_j2_side_merge" -> ((s, d) => {
+      val sm = EventGraph.linkSamples(s, d)
+        .withColumn("pair_lo", LinkOps.pairLo(col("subject"), col("target")))
+        .withColumn("pair_hi", LinkOps.pairHi(col("subject"), col("target")))
+      sm.groupBy(col("pair_lo"), col("pair_hi"))
+        .agg(
+          max(when(col("subject") === col("pair_lo"),
+            struct(col("epoch_ms"), col("sample_seq"), col("value")))).as("lo"),
+          max(when(col("subject") === col("pair_hi"),
+            struct(col("epoch_ms"), col("sample_seq"), col("value")))).as("hi"))
+        .select(col("pair_lo"), col("pair_hi"),
+          col("lo.epoch_ms").as("lo_ts"), col("lo.value").as("lo_val"),
+          col("hi.epoch_ms").as("hi_ts"), col("hi.value").as("hi_val"))
+    }),
+
+    // Traversal — distributed min-hop BFS (the reference's
+    // repeat(out("finds")) reachability, Spider.hs:284-287).
+    "q12_bfs_reachable" -> ((s, d) => {
+      import s.implicits._
+      val samples = EventGraph.linkSamples(s, d)
+      graft.operators.Bfs.reachable(
+          samples.select(col("subject"), col("target")),
+          Seq("n7").toDF("node_id"))
+        .select(col("node_id"), col("hops").cast("long").as("hops"))
+    }),
+
+    // A9 — degree analytics (Analyze.hs:107-134): in/out degree over the
+    // distinct edge list, full-outer merged per node.
+    "q13_a9_degrees" -> ((s, d) => {
+      val edges = EventGraph.linkSamples(s, d)
+        .select(col("subject"), col("target")).distinct()
+      val outd = edges.groupBy(col("subject").as("node_id"))
+        .agg(count(lit(1)).as("out_deg"))
+      val ind = edges.groupBy(col("target").as("node_id"))
+        .agg(count(lit(1)).as("in_deg"))
+      outd.join(ind, Seq("node_id"), "full_outer")
+        .select(col("node_id"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    }),
+
+    // A11 — DODAG-style graph summary (Analyze.hs:39-92): node count,
+    // edge count, max BFS depth from the root, graph timestamp (A4).
+    "q14_a11_summary" -> ((s, d) => {
+      import s.implicits._
+      val samples = EventGraph.linkSamples(s, d)
+      val edges = samples.select(col("subject"), col("target")).distinct()
+      val nodeNum = samples.select(col("subject").as("n"))
+        .union(samples.select(col("target"))).distinct()
+        .agg(count(lit(1)).as("node_num"))
+      val edgeNum = edges.agg(count(lit(1)).as("edge_num"))
+      val depth = graft.operators.Bfs.reachable(edges, Seq("n7").toDF("node_id"))
+        .agg(max(col("hops")).cast("long").as("depth"))
+      val graphTs = samples.agg(max(col("epoch_ms")).as("graph_ts"))
+      nodeNum.crossJoin(edgeNum).crossJoin(depth).crossJoin(graphTs)
+    }),
+
+    // J3 — two-layer combine (Combined.hs:103-125 combineNodes): latest
+    // observation per node per layer (dio = even seq, dao = odd seq),
+    // full-outer merged; representative ts = newest layer ts.
+    "q15_j3_combine" -> ((s, d) => {
+      val sm = EventGraph.linkSamples(s, d)
+      val merged = sm.groupBy(col("subject").as("node_id"))
+        .agg(
+          max(when(col("sample_seq") % 2 === 0,
+            struct(col("epoch_ms"), col("sample_seq"), col("value")))).as("dio"),
+          max(when(col("sample_seq") % 2 === 1,
+            struct(col("epoch_ms"), col("sample_seq"), col("value")))).as("dao"))
+      merged.select(col("node_id"),
+        col("dio.epoch_ms").as("dio_ts"), col("dio.value").as("dio_val"),
+        col("dao.epoch_ms").as("dao_ts"), col("dao.value").as("dao_val"),
+        when(col("dio.epoch_ms").isNull, col("dao.epoch_ms"))
+          .when(col("dao.epoch_ms").isNull, col("dio.epoch_ms"))
+          .otherwise(greatest(col("dio.epoch_ms"), col("dao.epoch_ms")))
+          .as("combined_ts"))
     })
   )
 
@@ -163,7 +264,130 @@ object SparkEntry {
            |  UNION ALL SELECT target FROM samples))
            |SELECT node_id,
            |       row_number() OVER (ORDER BY node_id) - 1 AS seq_id
-           |FROM ids""".stripMargin
+           |FROM ids""".stripMargin,
+
+      // NOTE sample_seq inside the engine is finding_seq*1e6 (one link per
+      // finding here) — order-isomorphic to event_id, so the oracle's
+      // ORDER BY sample_seq ties break identically.
+      "q09_p4_negation" ->
+        s"""WITH samples AS ($cte),
+           |nodes AS (SELECT subject AS node_id, max(epoch_ms) AS n_ts
+           |          FROM samples GROUP BY 1),
+           |won AS (SELECT *, row_number() OVER (
+           |    PARTITION BY least(subject, target), greatest(subject, target)
+           |    ORDER BY epoch_ms DESC, sample_seq DESC) AS rn FROM samples),
+           |m AS (SELECT * FROM won WHERE rn = 1),
+           |kept AS (SELECT m.* FROM m
+           |  LEFT JOIN nodes lo ON lo.node_id = least(m.subject, m.target)
+           |  LEFT JOIN nodes hi ON hi.node_id = greatest(m.subject, m.target)
+           |  WHERE NOT coalesce(lo.n_ts IS NOT NULL AND m.epoch_ms < lo.n_ts
+           |                     AND m.subject <> lo.node_id, FALSE)
+           |    AND NOT coalesce(hi.n_ts IS NOT NULL AND m.epoch_ms < hi.n_ts
+           |                     AND m.subject <> hi.node_id, FALSE))
+           |SELECT CASE WHEN link_state = 'to_subject' THEN target ELSE subject END AS source_node,
+           |       CASE WHEN link_state = 'to_subject' THEN subject ELSE target END AS dest_node,
+           |       link_state <> 'bidirectional' AS is_directed,
+           |       epoch_ms
+           |FROM kept WHERE link_state <> 'unused'""".stripMargin,
+
+      "q10_a1_subid" ->
+        s"""WITH samples AS ($cte),
+           |won AS (SELECT *, row_number() OVER (
+           |    PARTITION BY least(subject, target), greatest(subject, target), sub_id
+           |    ORDER BY epoch_ms DESC, sample_seq DESC) AS rn FROM samples)
+           |SELECT CASE WHEN link_state = 'to_subject' THEN target ELSE subject END AS source_node,
+           |       CASE WHEN link_state = 'to_subject' THEN subject ELSE target END AS dest_node,
+           |       link_state <> 'bidirectional' AS is_directed,
+           |       epoch_ms, sub_id
+           |FROM won WHERE rn = 1 AND link_state <> 'unused'""".stripMargin,
+
+      // Self-loop pairs (subject = target) contribute the SAME samples to
+      // both sides, as in the reference's samplesFor (Unify.hs:178-180) —
+      // hence two independent side CTEs, not one is_lo boolean split.
+      "q11_j2_side_merge" ->
+        s"""WITH samples AS ($cte),
+           |keyed AS (SELECT least(subject, target) AS pair_lo,
+           |    greatest(subject, target) AS pair_hi, * FROM samples),
+           |pairs AS (SELECT DISTINCT pair_lo, pair_hi FROM keyed),
+           |lo AS (SELECT pair_lo, pair_hi, epoch_ms, value, row_number() OVER (
+           |    PARTITION BY pair_lo, pair_hi
+           |    ORDER BY epoch_ms DESC, sample_seq DESC) AS rn
+           |  FROM keyed WHERE subject = pair_lo),
+           |hi AS (SELECT pair_lo, pair_hi, epoch_ms, value, row_number() OVER (
+           |    PARTITION BY pair_lo, pair_hi
+           |    ORDER BY epoch_ms DESC, sample_seq DESC) AS rn
+           |  FROM keyed WHERE subject = pair_hi)
+           |SELECT p.pair_lo, p.pair_hi,
+           |  l.epoch_ms AS lo_ts, l.value AS lo_val,
+           |  h.epoch_ms AS hi_ts, h.value AS hi_val
+           |FROM pairs p
+           |LEFT JOIN (SELECT * FROM lo WHERE rn = 1) l
+           |  ON l.pair_lo = p.pair_lo AND l.pair_hi = p.pair_hi
+           |LEFT JOIN (SELECT * FROM hi WHERE rn = 1) h
+           |  ON h.pair_lo = p.pair_lo AND h.pair_hi = p.pair_hi""".stripMargin,
+
+      "q12_bfs_reachable" ->
+        s"""WITH RECURSIVE samples AS ($cte),
+           |edges AS (SELECT DISTINCT subject, target FROM samples),
+           |r(node_id, hops) AS (
+           |  SELECT 'n7', 0
+           |  UNION
+           |  SELECT e.target, r.hops + 1 FROM r
+           |  JOIN edges e ON e.subject = r.node_id
+           |  WHERE r.hops < 63)
+           |SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
+           |FROM r GROUP BY 1""".stripMargin,
+
+      "q13_a9_degrees" ->
+        s"""WITH samples AS ($cte),
+           |edges AS (SELECT DISTINCT subject, target FROM samples),
+           |outd AS (SELECT subject AS node_id, count(*) AS out_deg FROM edges GROUP BY 1),
+           |ind AS (SELECT target AS node_id, count(*) AS in_deg FROM edges GROUP BY 1)
+           |SELECT coalesce(o.node_id, i.node_id) AS node_id,
+           |       coalesce(o.out_deg, 0) AS out_deg,
+           |       coalesce(i.in_deg, 0) AS in_deg
+           |FROM outd o FULL OUTER JOIN ind i ON o.node_id = i.node_id""".stripMargin,
+
+      "q14_a11_summary" ->
+        s"""WITH RECURSIVE samples AS ($cte),
+           |edges AS (SELECT DISTINCT subject, target FROM samples),
+           |r(node_id, hops) AS (
+           |  SELECT 'n7', 0
+           |  UNION
+           |  SELECT e.target, r.hops + 1 FROM r
+           |  JOIN edges e ON e.subject = r.node_id
+           |  WHERE r.hops < 63),
+           |dist AS (SELECT node_id, min(hops) AS hops FROM r GROUP BY 1)
+           |SELECT
+           |  (SELECT count(*) FROM (SELECT DISTINCT n FROM (
+           |     SELECT subject AS n FROM samples
+           |     UNION ALL SELECT target FROM samples))) AS node_num,
+           |  (SELECT count(*) FROM edges) AS edge_num,
+           |  (SELECT CAST(max(hops) AS BIGINT) FROM dist) AS depth,
+           |  (SELECT max(epoch_ms) FROM samples) AS graph_ts""".stripMargin,
+
+      "q15_j3_combine" ->
+        s"""WITH samples AS ($cte),
+           |ranked AS (SELECT subject AS node_id, epoch_ms, value,
+           |    sample_seq % 2 AS layer,
+           |    row_number() OVER (PARTITION BY subject, sample_seq % 2
+           |      ORDER BY epoch_ms DESC, sample_seq DESC) AS rn
+           |  FROM samples)
+           |SELECT node_id,
+           |  max(CASE WHEN layer = 0 AND rn = 1 THEN epoch_ms END) AS dio_ts,
+           |  max(CASE WHEN layer = 0 AND rn = 1 THEN value END) AS dio_val,
+           |  max(CASE WHEN layer = 1 AND rn = 1 THEN epoch_ms END) AS dao_ts,
+           |  max(CASE WHEN layer = 1 AND rn = 1 THEN value END) AS dao_val,
+           |  CASE
+           |    WHEN max(CASE WHEN layer = 0 AND rn = 1 THEN epoch_ms END) IS NULL
+           |      THEN max(CASE WHEN layer = 1 AND rn = 1 THEN epoch_ms END)
+           |    WHEN max(CASE WHEN layer = 1 AND rn = 1 THEN epoch_ms END) IS NULL
+           |      THEN max(CASE WHEN layer = 0 AND rn = 1 THEN epoch_ms END)
+           |    ELSE greatest(
+           |      max(CASE WHEN layer = 0 AND rn = 1 THEN epoch_ms END),
+           |      max(CASE WHEN layer = 1 AND rn = 1 THEN epoch_ms END))
+           |  END AS combined_ts
+           |FROM ranked GROUP BY 1""".stripMargin
     )
   }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed min-hop BFS over a directed edge list — the engine's
+  * reachability restriction (the reference's Gremlin
+  * `repeat(out("finds"))` traversal, Spider.hs:284-287) and the base of
+  * DODAG depth analytics (Analyze.hs:136-151).
+  *
+  * Iterative frontier expansion: each round is one join of the (distinct,
+  * persisted) edge list against the current frontier plus an anti-join
+  * against the visited set — all distributed, no driver-side adjacency.
+  * Frontiers are localCheckpointed each round to cut lineage growth (the
+  * classic iterative-Spark trap). Rounds = graph diameter, each round's
+  * shuffle is proportional to the frontier, not the graph.
+  *
+  * At 100 TB the edge list derived from findings is the distilled
+  * adjacency (distinct node pairs), orders of magnitude smaller than the
+  * findings table; it is persisted once and reused across rounds.
+  */
+object Bfs {
+
+  /** Returns (node_id, hops): minimum hop distance from any start node,
+    * following src→dst edges. Starts not present in `edges` still appear
+    * at hops 0 if `includeUnknownStarts`. */
+  def reachable(edges: DataFrame, starts: DataFrame,
+      maxHops: Option[Int] = None): DataFrame = {
+    val e = edges.toDF("src", "dst").distinct().persist()
+    var visited = starts.toDF("node_id").distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var level = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      level += 1
+      if (maxHops.exists(level > _)) done = true
+      else {
+        val next = e
+          .join(frontier, e("src") === frontier("node_id"))
+          .select(col("dst").as("node_id")).distinct()
+          .join(visited, Seq("node_id"), "left_anti")
+          .withColumn("hops", lit(level))
+          .localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else {
+          visited = visited.union(next).localCheckpoint(true)
+          frontier = next
+        }
+      }
+    }
+    e.unpersist()
+    visited
+  }
+}

@@ -61,30 +61,9 @@ object GetSnapshot {
     val edges = retained
       .select(col("subject").as("src"),
         explode(col("links.target")).as("dst"))
-      .distinct()
-      .persist()
-
-    var visited = starts.join(known, Seq("node_id"), "left_semi").persist()
-    var frontier = visited
-    var hops = 0
-    var done = frontier.isEmpty
-    while (!done) {
-      hops += 1
-      if (query.maxHops.exists(hops > _)) done = true
-      else {
-        val next = edges
-          .join(frontier, edges("src") === frontier("node_id"))
-          .select(col("dst").as("node_id")).distinct()
-          .join(visited, Seq("node_id"), "left_anti")
-          .localCheckpoint(eager = true)
-        if (next.isEmpty) done = true
-        else {
-          visited = visited.union(next).localCheckpoint(eager = true)
-          frontier = next
-        }
-      }
-    }
-    edges.unpersist()
+    val visited = Bfs.reachable(edges,
+        starts.join(known, Seq("node_id"), "left_semi"), query.maxHops)
+      .select("node_id")
 
     val reachableFindings = retained
       .join(visited.withColumnRenamed("node_id", "subject"),
