@@ -180,6 +180,78 @@ object SparkEntry {
       nodeNum.crossJoin(edgeNum).crossJoin(depth).crossJoin(graphTs)
     }),
 
+    // ---- Training-data pipeline operators (documents / embeddings) ----
+
+    // Text quality scoring: length/punct/digit/stopword metrics.
+    "q16_text_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select((col("doc_id") +:
+        graft.text.TextOps.qualityColumns(col("text"))): _*)
+    }),
+
+    // Language-ID heuristic: marker-hit argmax with CJK override.
+    "q17_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"),
+        graft.text.TextOps.predictedLang(col("text")).as("predicted"))
+        .withColumn("correct", col("lang") === col("predicted"))
+    }),
+
+    // Token counting: whitespace-ish + BPE-ish regex counts.
+    "q18_token_count" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.text.TextOps.bpeishCount(col("text")).cast("long").as("n_bpeish"))
+    }),
+
+    // Document fingerprinting: normalized md5 + bigint bucket.
+    "q19_fingerprint" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+        graft.text.TextOps.fingerprint(col("text")).as("fp"),
+        graft.text.TextOps.fingerprintBucket(col("text")).as("fp_bucket"))
+    }),
+
+    // Exact dedup over the doubled corpus (self-union shifts ids by
+    // 10000 so every content hash has exactly 2 members).
+    "q20_dedup_exact" -> ((s, d) => {
+      graft.dedup.Dedup.exact(doubledDocs(s, d))
+    }),
+
+    // N-gram Jaccard near-dup pairs (threshold 0.8) on the doubled corpus.
+    "q21_ngram_jaccard" -> ((s, d) => {
+      graft.dedup.Dedup.ngramJaccardPairs(doubledDocs(s, d), k = 3,
+        threshold = 0.8)
+    }),
+
+    // MinHash signatures (16 permutations over 3-gram shingles).
+    "q22_minhash_sig" -> ((s, d) => {
+      graft.dedup.Dedup.minhashSignatures(Tables.documents(s, d))
+    }),
+
+    // MinHash LSH candidate pairs (4 bands × 4 rows) on the doubled corpus.
+    "q23_minhash_lsh" -> ((s, d) => {
+      graft.dedup.Dedup.minhashCandidatePairs(doubledDocs(s, d))
+    }),
+
+    // SimHash 60-bit fingerprints.
+    "q24_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+        graft.dedup.Dedup.simhash(col("text")).as("simhash"))
+    }),
+
+    // Brute-force cosine top-3 neighbors (exact ANN baseline).
+    "q25_ann_topk" -> ((s, d) => {
+      graft.similarity.Similarity.bruteTopK(Tables.embeddings(s, d), k = 3)
+    }),
+
+    // Random-hyperplane LSH bucket candidate pairs (ANN scale path).
+    "q26_ann_lsh" -> ((s, d) => {
+      graft.similarity.Similarity.lshCandidatePairs(Tables.embeddings(s, d))
+    }),
+
     // J3 — two-layer combine (Combined.hs:103-125 combineNodes): latest
     // observation per node per layer (dio = even seq, dao = odd seq),
     // full-outer merged; representative ts = newest layer ts.
@@ -200,6 +272,36 @@ object SparkEntry {
           .as("combined_ts"))
     })
   )
+
+  /** Documents self-unioned with shifted ids — gives the dedup operators
+    * guaranteed true-duplicate pairs on synthetic data. */
+  private def doubledDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+      col("text")))
+  }
+
+  // ---- Oracle SQL fragments generated from the SAME constants as the
+  // Spark operators (graft.text.TextOps / graft.dedup.Dedup) so the two
+  // sides cannot drift. ----
+
+  /** DuckDB: normalized token list. */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private val doubledSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents""".stripMargin
+
+  /** DuckDB: distinct 3-gram shingles per doc (mirrors Dedup.shingles). */
+  private val shinglesSql =
+    s"""SELECT doc_id AS id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len($toksSql) - 3, 0) + 1),
+       |    i -> array_to_string($toksSql[i + 1 : i + 3], ' ')))) AS shingle
+       |FROM docs""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val cte = EventGraph.oracleCte
@@ -365,6 +467,135 @@ object SparkEntry {
            |  (SELECT count(*) FROM edges) AS edge_num,
            |  (SELECT CAST(max(hops) AS BIGINT) FROM dist) AS depth,
            |  (SELECT max(epoch_ms) FROM samples) AS graph_ts""".stripMargin,
+
+      "q16_text_quality" -> {
+        val stops = sqlList(graft.text.TextOps.enStopwords)
+        s"""SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |  round(length(text)::DOUBLE / greatest(len($toksSql), 1), 6) AS avg_token_len,
+           |  round((length(text) - length(regexp_replace(text, '[^a-z0-9A-Z\\s]', '', 'g')))::DOUBLE
+           |        / greatest(length(text), 1), 6) AS punct_ratio,
+           |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+           |        / greatest(length(text), 1), 6) AS digit_ratio,
+           |  round(len(list_filter($toksSql, t -> list_contains($stops, t)))::DOUBLE
+           |        / greatest(len($toksSql), 1), 6) AS stopword_ratio
+           |FROM documents""".stripMargin
+      },
+
+      "q17_langid" -> {
+        val langs = graft.text.TextOps.langMarkers.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (l, ms) =>
+          s"len(list_filter($toksSql, t -> list_contains(${sqlList(ms)}, t))) AS s_$l"
+        }.mkString(",\n  ")
+        val maxExpr = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+        val caseArms = langs.map { case (l, _) =>
+          s"WHEN s_$l = $maxExpr THEN '$l'"
+        }.mkString("\n      ")
+        s"""SELECT doc_id, lang, predicted, lang = predicted AS correct FROM (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |      WHEN $maxExpr = 0 THEN 'und'
+           |      $caseArms
+           |    END AS predicted
+           |  FROM (SELECT doc_id, lang, text, $scoreCols FROM documents))""".stripMargin
+      },
+
+      "q18_token_count" ->
+        s"""SELECT doc_id,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish
+           |FROM documents""".stripMargin,
+
+      "q19_fingerprint" ->
+        s"""SELECT doc_id,
+           |  md5(array_to_string($toksSql, ' ')) AS fp,
+           |  ('0x' || substr(md5(array_to_string($toksSql, ' ')), 1, 8))::BIGINT AS fp_bucket
+           |FROM documents""".stripMargin,
+
+      "q20_dedup_exact" ->
+        s"""WITH docs AS ($doubledSql)
+           |SELECT md5(array_to_string($toksSql, ' ')) AS content_hash,
+           |  min(doc_id) AS rep_id, count(*) AS n_docs
+           |FROM docs GROUP BY 1""".stripMargin,
+
+      "q21_ngram_jaccard" ->
+        s"""WITH docs AS ($doubledSql),
+           |sh AS (SELECT * FROM ($shinglesSql) WHERE shingle <> ''),
+           |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           |  GROUP BY 1, 2)
+           |SELECT id1, id2,
+           |  round(inter::DOUBLE / (s1.sz + s2.sz - inter), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes s1 ON s1.id = id1
+           |JOIN sizes s2 ON s2.id = id2
+           |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 6) >= 0.8""".stripMargin,
+
+      "q22_minhash_sig" -> {
+        import graft.dedup.Dedup.{P, aConst, bConst, numHashes}
+        val sigCols = (0 until numHashes).map(i =>
+          s"min((x * ${aConst(i)} + ${bConst(i)}) % $P) AS sig_$i").mkString(",\n  ")
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |sh AS (SELECT * FROM ($shinglesSql) WHERE shingle <> ''),
+           |hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh)
+           |SELECT id, $sigCols FROM hx GROUP BY id""".stripMargin
+      },
+
+      "q23_minhash_lsh" -> {
+        import graft.dedup.Dedup.{P, aConst, bConst, numHashes, bands}
+        val sigCols = (0 until numHashes).map(i =>
+          s"min((x * ${aConst(i)} + ${bConst(i)}) % $P) AS sig_$i").mkString(",\n  ")
+        val rows = numHashes / bands
+        val bandSelects = (0 until bands).map { b =>
+          val keys = (0 until rows).map(r => s"sig_${b * rows + r}").mkString(", ")
+          s"SELECT id, $b AS band, md5(concat_ws('-', $keys)) AS bucket FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH docs AS ($doubledSql),
+           |sh AS (SELECT * FROM ($shinglesSql) WHERE shingle <> ''),
+           |hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh),
+           |sig AS (SELECT id, $sigCols FROM hx GROUP BY id),
+           |banded AS ($bandSelects)
+           |SELECT DISTINCT a.id AS id1, b.id AS id2
+           |FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id""".stripMargin
+      },
+
+      "q24_simhash" ->
+        s"""SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(0, 60), b ->
+           |    CASE WHEN 2 * len(list_filter(
+           |        list_transform($toksSql, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT),
+           |        h -> (h & (1::BIGINT << b)) != 0)) > len($toksSql)
+           |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+           |FROM documents""".stripMargin,
+
+      "q25_ann_topk" -> {
+        def dotSql(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+        s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |pairs AS (SELECT q.id AS qid, b.id AS nid,
+           |    round(${dotSql("q", "b")} /
+           |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("b", "b")})), 6) AS cos
+           |  FROM base q JOIN base b ON q.id <> b.id)
+           |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+           |WHERE rn <= 3""".stripMargin
+      },
+
+      "q26_ann_lsh" ->
+        s"""WITH b AS (SELECT vec_id AS id,
+           |  CAST(list_sum(list_transform(range(0, 8), p ->
+           |    CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+           |        embedding[i]::DOUBLE *
+           |        (CASE WHEN ('0x' || substr(md5(p::VARCHAR || '-' || (i - 1)::VARCHAR), 32, 1))::BIGINT % 2 = 0
+           |          THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0
+           |      THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+           |  FROM embeddings)
+           |SELECT a.id AS id1, bb.id AS id2, a.bucket
+           |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id""".stripMargin,
 
       "q15_j3_combine" ->
         s"""WITH samples AS ($cte),

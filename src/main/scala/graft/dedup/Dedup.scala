@@ -1,0 +1,125 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), n-gram Jaccard, MinHash+LSH, SimHash. All column-expression
+  * based — the hash arithmetic is md5-derived so the DuckDB oracle states
+  * the identical math.
+  *
+  * Scale notes: exact dedup is one hash aggregation on the content hash;
+  * MinHash banding turns all-pairs comparison into an equi-join on band
+  * buckets (shuffle on bucket key, candidates only); n-gram Jaccard joins
+  * on shingles and is meant for WITHIN-bucket verification at scale (here
+  * also exposed standalone for the gate).
+  */
+object Dedup {
+
+  /** Stable 32-bit integer hash of a string via md5 prefix — identical in
+    * DuckDB as ('0x' || substr(md5(x), 1, 8))::BIGINT. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup: group by content hash of the normalized token stream;
+    * representative = min id. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct word k-gram shingles per doc: (id, shingle). */
+  def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val sh = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(k)), " "))
+    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+      .filter(col("shingle") =!= "")
+  }
+
+  /** N-gram Jaccard near-dup pairs: docs sharing ≥ `threshold` Jaccard
+    * over distinct k-gram shingles. Self-join on shingle → pair intersect
+    * counts → sizes. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, k, idCol, textCol)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash parameters: k permutations (a*x+b) mod P over 32-bit shingle
+    * hashes. Deterministic constants, inlined identically in the oracle. */
+  val P: Long = 2038074743L
+  val numHashes: Int = 16
+  val bands: Int = 4 // × 4 rows per band
+  def aConst(i: Int): Long = ((2654435761L * (i + 1)) % P) | 1L
+  def bConst(i: Int): Long = (40503L * (i + 7)) % P
+
+  /** Per-doc MinHash signature columns sig_0..sig_{k-1}. */
+  def minhashSignatures(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, k, idCol, textCol)
+      .withColumn("x", h32(col("shingle")))
+    val aggs = (0 until numHashes).map(i =>
+      min((col("x") * aConst(i) + bConst(i)) % P).as(s"sig_$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash LSH candidate pairs: band the signature, bucket-join, emit
+    * distinct candidate pairs. The all-pairs O(n²) comparison becomes an
+    * equi-join on (band, bucket) — the scale path for near-dedup. */
+  def minhashCandidatePairs(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = minhashSignatures(docs, k, idCol, textCol)
+    val rows = numHashes / bands
+    val banded = (0 until bands).map { b =>
+      val key = md5(concat_ws("-",
+        (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+      sigs.select(col("id"), lit(b).as("band"), key.as("bucket"))
+    }.reduce(_ unionByName _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash per doc: per-token md5-derived hash, bitwise
+    * majority vote over token occurrences. Pure nested array expressions
+    * (fold over tokens → per-bit counts → sign bits → BIGINT). */
+  def simhash(textCol: Column): Column = {
+    val toks = TextOps.tokens(textCol)
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    // bit masks 2^0..2^59 as an array literal — shiftright/shiftleft take
+    // only literal shift amounts, but bitwiseAND against a mask column
+    // works per-element
+    val pows = array((0 until 60).map(b => lit(1L << b)): _*)
+    val counts = aggregate(hashes,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, pows,
+        (a, pw) => a + when(h.bitwiseAND(pw) =!= 0, 1L).otherwise(0L)))
+    val n = size(toks)
+    aggregate(
+      zip_with(counts, pows,
+        (cnt, pw) => when(cnt * 2 > n, pw).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhash values (bit-count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

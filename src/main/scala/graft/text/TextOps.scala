@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, token counting,
+  * document fingerprinting. All pure column expressions (codegen'd, no
+  * UDFs) so they scan-prune and push down at 100 TB.
+  *
+  * Every expression here has a DuckDB twin in SparkEntry.oracleSql — keep
+  * the arithmetic in lockstep (same regexes, same fold order).
+  */
+object TextOps {
+
+  /** Normalized token array: lowercase, split on non-alphanumeric, empties
+    * dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace-ish token count + a BPE-ish regex token count (letter
+    * runs, digit runs, single punctuation marks). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def bpeishCount(text: Column): Column =
+    size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+
+  /** Quality metrics (length / punctuation / stopword / digit ratios) —
+    * the standard pre-training corpus filters. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+    "with", "as", "by", "at", "it", "this", "that", "be", "are")
+
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val stopHits = size(filter(toks,
+      t => t.isin(enStopwords.map(x => x: Any): _*)))
+    val punct = nChars - length(regexp_replace(text, "[^a-z0-9A-Z\\s]", ""))
+    val digits = nChars - length(regexp_replace(text, "[0-9]", ""))
+    Seq(
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      round(nChars.cast("double") / greatest(nToks, lit(1)), 6).as("avg_token_len"),
+      round(punct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(digits.cast("double") / greatest(nChars, lit(1)), 6).as("digit_ratio"),
+      round(stopHits.cast("double") / greatest(nToks, lit(1)), 6).as("stopword_ratio"))
+  }
+
+  /** Language-ID heuristic: marker-token hit counts per language, CJK
+    * override, argmax with lexicographic tie-break. (An n-gram heuristic,
+    * not a model — the gate checks engine/oracle agreement, and the
+    * operator shape is what a corpus pipeline needs.) */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"))
+
+  def langScores(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+        .as(s"score_$lang")
+    }
+  }
+
+  def predictedLang(text: Column): Column = {
+    val toks = tokens(text)
+    def score(markers: Seq[String]) =
+      size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    // argmax by (score desc, lang asc): fold over sorted languages
+    val best = langs.tail.foldLeft(
+      struct(score(langs.head._2).as("s"), lit(langs.head._1).as("l"))) {
+      case (acc, (lang, markers)) =>
+        val s = score(markers)
+        when(s > acc.getField("s"),
+          struct(s.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(best.getField("s") === 0, lit("und"))
+      .otherwise(best.getField("l"))
+  }
+
+  /** Document fingerprint: md5 of the normalized token stream, plus its
+    * first 8 hex chars as a BIGINT bucket (cheap join/partition key). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(text), " "))
+
+  def fingerprintBucket(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 8), 16, 10).cast("long")
+
+  /** Winnowing-style selected-hash fingerprints: min rolling k-gram hash
+    * per sliding window, deduplicated — the standard plagiarism/near-dup
+    * sketch. Pure nested array expressions (codegen'd). */
+  def winnowing(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val grams = transform(
+      sequence(lit(0), greatest(size(tokens(text)) - k, lit(0))),
+      i => conv(substring(md5(array_join(
+        slice(tokens(text), i + 1, lit(k)), " ")), 1, 15), 16, 10).cast("long"))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(grams) - window, lit(0))),
+      w => array_min(slice(grams, w + 1, lit(window)))))
+  }
+}
