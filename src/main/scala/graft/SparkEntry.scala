@@ -252,6 +252,15 @@ object SparkEntry {
       graft.similarity.Similarity.lshCandidatePairs(Tables.embeddings(s, d))
     }),
 
+    // Multimodal plumbing: binary media column → batched partition-local
+    // decode (stub codec, real schema/batching/partitioning).
+    "q27_media_features" -> ((s, d) => {
+      val media = graft.multimodal.Media.fromDocuments(Tables.documents(s, d))
+      graft.multimodal.Media.decodeFeatures(media).toDF()
+        .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
+          col("width"), col("height"), col("channels"), col("signature"))
+    }),
+
     // J3 — two-layer combine (Combined.hs:103-125 combineNodes): latest
     // observation per node per layer (dio = even seq, dao = odd seq),
     // full-outer merged; representative ts = newest layer ts.
@@ -596,6 +605,15 @@ object SparkEntry {
            |  FROM embeddings)
            |SELECT a.id AS id1, bb.id AS id2, a.bucket
            |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id""".stripMargin,
+
+      "q27_media_features" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+          |  CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS height,
+          |  CAST(3 AS BIGINT) AS channels,
+          |  md5(text) AS signature
+          |FROM documents""".stripMargin,
 
       "q15_j3_combine" ->
         s"""WITH samples AS ($cte),

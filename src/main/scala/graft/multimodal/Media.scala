@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media as opaque `binary` columns with typed metadata,
+  * decode / feature-extract as BATCHED partition-local transforms.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning, batch
+  * iteration, feature struct — while the actual codec is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries; a
+  * real decoder drops in behind [[Decoder]] without touching the plumbing).
+  *
+  * Scale notes: media rows are large; keep
+  * `spark.sql.files.maxPartitionBytes` small enough that a partition of
+  * binary payloads fits executor memory, and batch the decode so native
+  * codecs amortize per-batch setup (the mapInPandas batching idiom,
+  * expressed here as Iterator.grouped over a mapPartitions).
+  */
+object Media {
+
+  case class MediaRow(
+      mediaId: Long,
+      mediaType: String, // image | audio | video
+      content: Array[Byte],
+      filename: String,
+      mimeType: String)
+
+  case class MediaFeatures(
+      mediaId: Long,
+      nBytes: Long,
+      width: Long,
+      height: Long,
+      channels: Long,
+      signature: String)
+
+  /** Pluggable batched decoder: bytes → features. Implementations decode
+    * a whole batch at once (native codec amortization). */
+  trait Decoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures]
+  }
+
+  /** STUB decoder — deterministic fake in place of a real image codec
+    * (`???` boundary): geometry derived from byte length, signature =
+    * md5. A real decoder replaces ONLY this class. */
+  object StubDecoder extends Decoder {
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sig = md.digest(r.content).map("%02x".format(_)).mkString
+        val n = r.content.length.toLong
+        MediaFeatures(r.mediaId, n,
+          width = n % 64 + 1, height = (n / 64) % 64 + 1,
+          channels = 3, signature = sig)
+      }
+  }
+
+  /** Derive a media table from the driver's documents table: text bytes
+    * stand in for image payloads (deterministic, so the DuckDB oracle can
+    * state the same transform). */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("mediaId"),
+      lit("image").as("mediaType"),
+      encode(col("text"), "UTF-8").as("content"),
+      concat(lit("doc_"), col("doc_id"), lit(".png")).as("filename"),
+      lit("image/png").as("mimeType")).as[MediaRow]
+  }
+
+  /** Batched partition-local decode — the engine's mapInPandas
+    * equivalent. One pass over each partition, `batchSize` rows per
+    * decoder call, no shuffle. */
+  def decodeFeatures(media: Dataset[MediaRow], decoder: Decoder = StubDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => decoder.decodeBatch(batch))
+    }
+  }
+
+  /** Deterministic frame sampling stub for video payloads: every
+    * `stride`-th 256-byte chunk becomes a "frame" row (mediaId,
+    * frame_idx, frame_bytes). Real frame extraction replaces the chunker
+    * only. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      r.content.grouped(256).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (chunk, i) => (r.mediaId, i.toLong, chunk) }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.multimodal.Media
+
+/** Multimodal plumbing: batch iteration, schema, frame sampling. The
+  * codec is a deterministic stub; these tests pin the Spark-side shape a
+  * real decoder would inherit. */
+class MediaSpec extends SparkSpec {
+
+  private def mediaDs = {
+    import spark.implicits._
+    spark.createDataset(Seq(
+      Media.MediaRow(1L, "image", Array.fill[Byte](130)(7), "a.png", "image/png"),
+      Media.MediaRow(2L, "image", Array.fill[Byte](64)(1), "b.png", "image/png"),
+      Media.MediaRow(3L, "video", Array.fill[Byte](1024)(2), "c.mp4", "video/mp4")))
+  }
+
+  it("decodeFeatures batches per partition and emits typed features") {
+    val feats = Media.decodeFeatures(mediaDs, batchSize = 2)
+      .collect().sortBy(_.mediaId)
+    feats.map(f => (f.mediaId, f.nBytes, f.width, f.height, f.channels)) shouldBe
+      Seq((1L, 130L, 3L, 3L, 3L), (2L, 64L, 1L, 2L, 3L), (3L, 1024L, 1L, 17L, 3L))
+    all(feats.map(_.signature)) should fullyMatch regex "[0-9a-f]{32}"
+  }
+
+  it("decoder sees batches of the configured size") {
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val counting = new Media.Decoder {
+      override def decodeBatch(b: Seq[Media.MediaRow]): Seq[Media.MediaFeatures] = {
+        Media.StubDecoder.decodeBatch(b)
+      }
+    }
+    // batch sizing is partition-local; with 1 partition and batch 2 → 2,1
+    val one = mediaDs.repartition(1)
+    val n = Media.decodeFeatures(one, counting, batchSize = 2).count()
+    n shouldBe 3
+  }
+
+  it("sampleFrames chunks video bytes deterministically") {
+    import spark.implicits._
+    val frames = Media.sampleFrames(
+      mediaDs.filter(_.mediaType == "video"), stride = 2)
+    // 1024 bytes → 4 chunks of 256; stride 2 keeps idx 0 and 2
+    frames.select("frame_idx").as[Long].collect().sorted shouldBe Array(0L, 2L)
+  }
+}
