@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.FoundNode
+
+/** Structured Streaming ingestion for the findings history table — the
+  * streaming extension SURVEY §2.9 sketches (the reference is batch-only;
+  * its policyOverwrite reducer IS an incremental keyed state update, so
+  * mapGroupsWithState expresses it natively).
+  *
+  * Shapes:
+  *  - [[appendToHistory]]: findings stream → append-only parquet history
+  *    (the S11 "addFoundNode" sink re-expressed as a table append);
+  *  - [[latestPerNode]]: incremental policyOverwrite — keyed state holds
+  *    each node's latest finding; update-mode output re-emits a node only
+  *    when its latest finding changes;
+  *  - [[findingCounts]]: event-time windowed counts with a watermark
+  *    (late findings beyond the watermark are dropped — the streaming
+  *    refinement of the interval predicate P1).
+  */
+object StreamingIngest {
+
+  /** Latest finding per node, maintained incrementally. Emits (subject,
+    * epoch_ms, finding_seq) rows whenever a node's latest advances. */
+  case class NodeLatest(subject: String, epochMs: Long, findingSeq: Long)
+
+  def latestPerNode(findings: Dataset[FoundNode]): Dataset[NodeLatest] = {
+    val spark = findings.sparkSession
+    import spark.implicits._
+    findings
+      .groupByKey(_.subjectNode)
+      .mapGroupsWithState[NodeLatest, NodeLatest](
+        GroupStateTimeout.NoTimeout) {
+        (subject: String, batch: Iterator[FoundNode], state: GroupState[NodeLatest]) =>
+          def newer(a: NodeLatest, b: NodeLatest): NodeLatest =
+            if (b.epochMs > a.epochMs ||
+              (b.epochMs == a.epochMs && b.findingSeq > a.findingSeq)) b else a
+          val incoming = batch.map(f => NodeLatest(subject, f.epochMs, f.findingSeq))
+            .reduceOption(newer)
+          val current = state.getOption
+          val best = (current ++ incoming).reduceOption(newer)
+          best.foreach(state.update)
+          best.getOrElse(NodeLatest(subject, Long.MinValue, 0L))
+      }
+  }
+
+  /** Event-time windowed finding counts per node with watermarking. */
+  def findingCounts(findings: Dataset[FoundNode], windowDur: String,
+      watermark: String): DataFrame = {
+    findings.toDF()
+      .withColumn("event_time", timestamp_millis(col("epochMs")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur),
+        col("subjectNode").as("subject"))
+      .agg(count(lit(1)).as("n_findings"),
+        max(col("epochMs")).as("latest_ms"))
+  }
+
+  /** Append the findings stream to the parquet history table (S11 sink:
+    * get-or-make vertex upserts become a plain append; the nodes view is
+    * derived). Returns the started query. */
+  def appendToHistory(findings: Dataset[FoundNode], tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.model.Findings.toCanonical(findings)
+      .writeStream
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+}

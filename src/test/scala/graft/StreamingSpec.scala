@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.model.FoundNode
+import graft.streaming.StreamingIngest
+
+/** Streaming ingestion: incremental latest-per-node state and windowed
+  * counts driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def fn(subject: String, ms: Long, seq: Long) =
+    FoundNode(subject, ms, Map.empty, Nil, seq)
+
+  it("latestPerNode maintains keyed state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[FoundNode]
+    val q = StreamingIngest.latestPerNode(input.toDS())
+      .writeStream.format("memory").queryName("latest_t1")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(fn("n1", 100, 1), fn("n2", 50, 2))
+      q.processAllAvailable()
+      // older finding for n1 must NOT regress the state
+      input.addData(fn("n1", 80, 3), fn("n2", 200, 4))
+      q.processAllAvailable()
+      val rows = spark.table("latest_t1")
+        .groupBy("subject").agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"epochMs", $"findingSeq")).as("m"))
+        .select($"subject", $"m.epochMs")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      rows shouldBe Seq(("n1", 100L), ("n2", 200L))
+    } finally q.stop()
+  }
+
+  it("findingCounts windows by event time with watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[FoundNode]
+    val q = StreamingIngest.findingCounts(input.toDS(), "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("counts_t1")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(fn("n1", 0, 1), fn("n1", 30000, 2), fn("n1", 65000, 3))
+      q.processAllAvailable()
+      val rows = spark.table("counts_t1")
+        .select($"subject", $"n_findings")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      // window [0,1min): 2 findings; [1min,2min): 1
+      rows should contain allOf (("n1", 2L), ("n1", 1L))
+    } finally q.stop()
+  }
+
+  it("appendToHistory lands stream batches in the parquet history table") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val input = MemoryStream[FoundNode]
+    val q = StreamingIngest.appendToHistory(input.toDS(),
+      s"$dir/table", s"$dir/ckpt")
+    try {
+      input.addData(fn("n1", 100, 1), fn("n2", 50, 2))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/table")
+      got.count() shouldBe 2
+      got.columns.toSet shouldBe
+        Set("subject", "epoch_ms", "finding_seq", "node_attrs", "links")
+    } finally q.stop()
+  }
+}
