@@ -29,9 +29,10 @@ object SparkEntry {
     // (Spider/Internal/Graph.hs:157-172): >= lower, < upper.
     "q01_p1_interval" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      ev.select(col("event_id"), col("user_id"), col("event_type"),
+      // filter on raw ts (pushes to the scan), project epoch_ms after
+      Tables.tsRangeFilter(ev, "ts", LoMs, HiMs)
+        .select(col("event_id"), col("user_id"), col("event_type"),
           Tables.epochMs(ev, "ts").as("epoch_ms"))
-        .filter(col("epoch_ms") >= LoMs && col("epoch_ms") < HiMs)
     }),
 
     // P2/A3 — latest observation per node (policyOverwrite,
@@ -242,9 +243,11 @@ object SparkEntry {
         graft.dedup.Dedup.simhash(col("text")).as("simhash"))
     }),
 
-    // Brute-force cosine top-3 neighbors (exact ANN baseline).
+    // Brute-force cosine top-3 neighbors (exact ANN baseline; query set
+    // capped at id < 500 so the quadratic stage stays bounded per SF).
     "q25_ann_topk" -> ((s, d) => {
-      graft.similarity.Similarity.bruteTopK(Tables.embeddings(s, d), k = 3)
+      graft.similarity.Similarity.bruteTopK(Tables.embeddings(s, d), k = 3,
+        maxQueryId = 500L)
     }),
 
     // Random-hyperplane LSH bucket candidate pairs (ANN scale path).
@@ -580,19 +583,24 @@ object SparkEntry {
            |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
            |FROM documents""".stripMargin,
 
-      "q25_ann_topk" -> {
-        def dotSql(a: String, b: String) =
-          s"list_reduce(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+      // Mirrors the engine exactly: per-vector unit normalization first,
+      // then one fused dot product per pair (same fold order ⇒ identical
+      // doubles before rounding).
+      "q25_ann_topk" ->
         s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |unit AS (SELECT id, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
            |pairs AS (SELECT q.id AS qid, b.id AS nid,
-           |    round(${dotSql("q", "b")} /
-           |      (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("b", "b")})), 6) AS cos
-           |  FROM base q JOIN base b ON q.id <> b.id)
+           |    round(list_reduce(list_transform(range(1, 65),
+           |      i -> q.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
+           |  FROM unit q JOIN unit b ON q.id <> b.id
+           |  WHERE q.id < 500)
            |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
            |  SELECT *, row_number() OVER (
            |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
-           |WHERE rn <= 3""".stripMargin
-      },
+           |WHERE rn <= 3""".stripMargin,
 
       "q26_ann_lsh" ->
         s"""WITH b AS (SELECT vec_id AS id,

@@ -29,14 +29,18 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct word k-gram shingles per doc: (id, shingle). */
+  /** Distinct word k-gram shingles per doc: (id, shingle). Tokenization
+    * is materialized as one projected column first, so the (regex-split)
+    * work happens once per document, not once per sub-expression of the
+    * shingle builder. */
   def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    val tokenized = docs.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("toks"))
     val sh = transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(k)), " "))
-    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+      sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+      i => array_join(slice(col("toks"), i + 1, lit(k)), " "))
+    tokenized.select(col("id"), explode(array_distinct(sh)).as("shingle"))
       .filter(col("shingle") =!= "")
   }
 

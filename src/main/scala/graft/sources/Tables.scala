@@ -49,6 +49,21 @@ object Tables {
       case _ => unix_millis(col(colName).cast(TimestampType))
     }
 
+  /** Interval predicate pushed down on the RAW time column (not the
+    * derived epoch_ms) so it reaches the parquet scan as a pushable
+    * filter — at 100 TB this is row-group/partition pruning vs a full
+    * scan. ms bounds are exact under integer scaling: for BIGINT nanos,
+    * `ts div 1e6 >= lo ⇔ ts >= lo*1e6` and `ts div 1e6 < hi ⇔ ts < hi*1e6`. */
+  def tsRangeFilter(df: DataFrame, colName: String, loMs: Long, hiMs: Long): DataFrame =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.filter(col(colName) >= loMs * 1000000L &&
+          col(colName) < hiMs * 1000000L)
+      case _ =>
+        df.filter(unix_millis(col(colName).cast(TimestampType)) >= loMs &&
+          unix_millis(col(colName).cast(TimestampType)) < hiMs)
+    }
+
   /** Exact money arithmetic for oracle parity: cast to DECIMAL before
     * summing so Spark and DuckDB agree bit-for-bit regardless of
     * floating-point association order, then surface as DOUBLE. */
