@@ -1,0 +1,118 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.model.{FoundLink, FoundNode, Tz}
+import graft.time.TimeParse
+
+/** JSON wire codec matching the reference's aeson format (S8):
+  * snake_case field names (Found.hs:82-89), Timestamp as
+  * string-or-object (Timestamp.hs:76-101), FoundNode/FoundLink docs as
+  * in FoundSpec.hs:28-46, snapshot docs as in SnapshotSpec.hs:20-46.
+  *
+  * Attribute payloads are user-typed in the reference (open typeclass);
+  * the generic engine keeps them as MAP<STRING,STRING>. On read, object
+  * payloads become maps (scalar leaves stringified), scalar payloads
+  * become {"value": ...}, and `[]` (the unit attribute) becomes empty.
+  */
+object Json {
+
+  /** Findings DataFrame → wire-format JSON strings. */
+  def writeFoundNodes(findings: DataFrame): Dataset[String] = {
+    val spark = findings.sparkSession
+    import spark.implicits._
+    findings.select(to_json(struct(
+      col("subject").as("subject_node"),
+      struct(col("epoch_ms").as("epoch_time")).as("found_at"),
+      col("node_attrs"),
+      transform(col("links"), l => struct(
+        l.getField("target").as("target_node"),
+        l.getField("link_state").as("link_state"),
+        l.getField("link_attrs").as("link_attrs"))).as("neighbor_links")
+    ))).as[String]
+  }
+
+  /** Snapshot graph → (nodes JSON, links JSON) wire docs. */
+  def writeSnapshot(graph: graft.model.SnapshotGraph): (Dataset[String], Dataset[String]) = {
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    val nodes = graph.nodes.select(to_json(struct(
+      col("node_id"),
+      col("is_on_boundary"),
+      when(col("epoch_ms").isNotNull,
+        struct(col("epoch_ms").as("epoch_time"))).as("timestamp"),
+      col("node_attrs")))).as[String]
+    val links = graph.links.select(to_json(struct(
+      col("source_node"),
+      col("dest_node"),
+      col("is_directed"),
+      struct(col("epoch_ms").as("epoch_time")).as("timestamp"),
+      col("link_attrs")))).as[String]
+    (nodes, links)
+  }
+
+  // ---- reading (reference-tolerant) ----
+
+  private def attrsOf(n: JsonNode): Map[String, String] =
+    if (n == null || n.isNull || n.isMissingNode) Map.empty
+    else if (n.isObject) {
+      val it = n.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (if (e.getValue.isTextual) e.getValue.asText
+        else e.getValue.toString)
+      }
+      b.result()
+    } else if (n.isArray && n.size() == 0) Map.empty // unit attribute ()
+    else Map("value" -> (if (n.isTextual) n.asText else n.toString))
+
+  /** Timestamp node: object {epoch_time, tz_*} or relaxed-ISO string. */
+  private def tsOf(n: JsonNode): Option[(Long, Option[Tz])] =
+    if (n == null || n.isNull || n.isMissingNode) None
+    else if (n.isObject) {
+      val ms = n.get("epoch_time").asLong()
+      val tz = Option(n.get("tz_offset_min")).map(o =>
+        Tz(o.asInt(),
+          Option(n.get("tz_summer_only")).exists(_.asBoolean()),
+          Option(n.get("tz_name")).map(_.asText()).getOrElse("")))
+      Some((ms, tz))
+    } else if (n.isTextual) TimeParse.parse(n.asText())
+    else if (n.isNumber) Some((n.asLong(), None))
+    else None
+
+  /** Wire-format FoundNode docs → canonical findings DataFrame.
+    * Malformed docs are dropped (count them upstream if needed). */
+  def readFoundNodes(docs: Dataset[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parsed = docs.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.zipWithIndex.flatMap { case (line, i) =>
+        try {
+          val root = mapper.readTree(line)
+          val subject = root.get("subject_node")
+          val subjectStr =
+            if (subject.isTextual) subject.asText else subject.toString
+          tsOf(root.get("found_at")).map { case (ms, tz) =>
+            val links = Option(root.get("neighbor_links")).toSeq
+              .flatMap { arr =>
+                (0 until arr.size()).map { j =>
+                  val l = arr.get(j)
+                  val t = l.get("target_node")
+                  FoundLink(
+                    if (t.isTextual) t.asText else t.toString,
+                    l.get("link_state").asText(),
+                    attrsOf(l.get("link_attrs")))
+                }
+              }
+            FoundNode(subjectStr, ms, attrsOf(root.get("node_attrs")),
+              links, i.toLong, tz)
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+    graft.model.Findings.toCanonical(parsed)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{FoundNodePolicy, Weave}
+import graft.time.Interval
+
+/** Findings history table management (SURVEY §7.1-3) — the Spark-first
+  * replacement for the reference's Gremlin write path (S11
+  * `addFoundNode`, Spider.hs:131-158) and `clearAll` (S12):
+  *
+  *  - storage is an APPEND-ONLY parquet table partitioned by the UTC
+  *    date of `epoch_ms` — the VNode/VFoundNode/edge decomposition is a
+  *    Gremlin storage artifact and is NOT replicated; nodes are a
+  *    derived view;
+  *  - "get-or-make node" upserts disappear: appends are blind (no
+  *    round-trips — the reference's slow-insert problem, CLI.hs:85-88),
+  *    and identity is resolved at read time;
+  *  - interval reads prune partitions via the `day` partition column
+  *    AND push the ms-range filter to the scan.
+  *
+  * At 100 TB: date partitioning bounds every interval query to its
+  * partitions; within a partition, parquet row-group stats on epoch_ms
+  * prune further. Compaction/bucketing by subject is an optional layout
+  * refinement for subject-heavy workloads.
+  */
+object History {
+
+  /** Append findings (canonical schema) to the history table. */
+  def append(findings: DataFrame, tableDir: String): Unit =
+    findings
+      .withColumn("day", to_date(timestamp_millis(col("epoch_ms"))))
+      .write.partitionBy("day").mode(SaveMode.Append).parquet(tableDir)
+
+  /** S12 clearAll. */
+  def clear(spark: SparkSession, tableDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Read findings within an interval; the day partition filter derived
+    * from the ms bounds prunes whole partitions before the scan. */
+  def read(spark: SparkSession, tableDir: String,
+      interval: Interval = Interval.whole): DataFrame = {
+    val df = spark.read.parquet(tableDir)
+    val withMs =
+      if (interval.isWhole) df
+      else {
+        val pruned = (interval.lower.ms, interval.upper.ms) match {
+          case (lo, hi) =>
+            val loD = lo.map(ms => col("day") >=
+              to_date(timestamp_millis(lit(ms))))
+            val hiD = hi.map(ms => col("day") <=
+              to_date(timestamp_millis(lit(ms))))
+            (loD ++ hiD).foldLeft(df)((d, p) => d.filter(p))
+        }
+        pruned.filter(interval.predicate(col("epoch_ms")))
+      }
+    withMs.drop("day")
+  }
+
+  /** Policy-retained view (P2 applied at read). */
+  def readRetained(spark: SparkSession, tableDir: String,
+      interval: Interval, policy: FoundNodePolicy): DataFrame =
+    Weave.retainFindings(read(spark, tableDir, interval), policy)
+
+  /** Derived nodes view: distinct ids observed as subject or target. */
+  def nodesView(findings: DataFrame): DataFrame =
+    findings.select(col("subject").as("node_id"))
+      .union(findings.select(explode(col("links.target")).as("node_id")))
+      .distinct()
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.model.{FoundLink, FoundNode, Findings, LinkState}
+import graft.operators.PolicyOverwrite
+import graft.sources.History
+import graft.time.{Interval, IntervalEnd}
+
+/** History table: append/clear/read with date partitioning and interval
+  * pruning. */
+class HistorySpec extends SparkSpec {
+
+  private def fn(subject: String, at: String, seq: Long) =
+    FoundNode(subject, ts(at), Map.empty,
+      Seq(FoundLink("x", LinkState.ToTarget, Map.empty)), seq)
+
+  it("appends date-partitioned, reads back with interval pruning, clears") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_history").toString + "/t"
+    val findings = Findings.fromSeq(spark, Seq(
+      fn("n1", "2024-01-10T05:00", 0), fn("n1", "2024-01-12T05:00", 1),
+      fn("n2", "2024-02-01T05:00", 2)))
+    History.append(findings, dir)
+    // partition dirs by day exist
+    val days = new java.io.File(dir).list().filter(_.startsWith("day="))
+    days.sorted.toSeq shouldBe
+      Seq("day=2024-01-10", "day=2024-01-12", "day=2024-02-01")
+
+    History.read(spark, dir).count() shouldBe 3
+    val janOnly = History.read(spark, dir, Interval(
+      IntervalEnd(Some(ts("2024-01-01T00:00")), true),
+      IntervalEnd(Some(ts("2024-01-31T23:59")), true)))
+    janOnly.count() shouldBe 2
+    janOnly.columns should not contain "day"
+
+    val retained = History.readRetained(spark, dir, Interval.whole, PolicyOverwrite)
+    retained.count() shouldBe 2 // latest per node
+    History.nodesView(History.read(spark, dir))
+      .collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("n1", "n2", "x")
+
+    // append again (blind, no upserts) then clear
+    History.append(Findings.fromSeq(spark, Seq(fn("n3", "2024-03-01T00:00", 3))), dir)
+    History.read(spark, dir).count() shouldBe 4
+    History.clear(spark, dir)
+    new java.io.File(dir).exists() shouldBe false
+  }
+}
