@@ -43,15 +43,23 @@ object GraphMl {
   }
 
   def write(graph: SnapshotGraph): String = {
-    val nodes = graph.nodes.select(
-      "node_id", "is_on_boundary", "epoch_ms", "node_attrs").collect()
-    val links = graph.links.select(
-      "source_node", "dest_node", "is_directed", "epoch_ms", "link_attrs")
-      .collect()
+    import org.apache.spark.sql.functions.{col, lit}
+    def withTz(df: org.apache.spark.sql.DataFrame) =
+      if (df.columns.contains("tz")) df
+      else df.withColumn("tz", lit(null).cast(graft.model.Findings.tzType))
+    val nodes = withTz(graph.nodes).select(
+      col("node_id"), col("is_on_boundary"), col("epoch_ms"),
+      col("node_attrs"), col("tz")).collect()
+    val links = withTz(graph.links).select(
+      col("source_node"), col("dest_node"), col("is_directed"),
+      col("epoch_ms"), col("link_attrs"), col("tz")).collect()
 
     def attrsOf(r: org.apache.spark.sql.Row, i: Int): Map[String, String] =
       if (r.isNullAt(i)) Map.empty
       else r.getMap[String, String](i).toMap
+
+    val nodeHasTz = nodes.exists(!_.isNullAt(4))
+    val linkHasTz = links.exists(!_.isNullAt(5))
 
     val nodeUserKeys = nodes.flatMap(attrsOf(_, 3).keys).distinct.sorted
     val linkUserKeys = links.flatMap(attrsOf(_, 4).keys).distinct.sorted
@@ -70,10 +78,29 @@ object GraphMl {
     val nTs = defKey("node", "@timestamp", "long")
     val nTsStr = defKey("node", "@timestamp_str", "string")
     val nBound = defKey("node", "@is_on_boundary", "boolean")
+    val nTzKeys = if (nodeHasTz) Some((
+      defKey("node", "@tz_offset_min", "int"),
+      defKey("node", "@tz_summer_only", "boolean"),
+      defKey("node", "@tz_name", "string"))) else None
     val nUser = nodeUserKeys.map(k => k -> defKey("node", k, typeOf("node", k))).toMap
     val eTs = defKey("edge", "@timestamp", "long")
     val eTsStr = defKey("edge", "@timestamp_str", "string")
+    val eTzKeys = if (linkHasTz) Some((
+      defKey("edge", "@tz_offset_min", "int"),
+      defKey("edge", "@tz_summer_only", "boolean"),
+      defKey("edge", "@tz_name", "string"))) else None
     val eUser = linkUserKeys.map(k => k -> defKey("edge", k, typeOf("edge", k))).toMap
+
+    def tzData(sb: StringBuilder, r: org.apache.spark.sql.Row, i: Int,
+        keys: Option[(String, String, String)]): Unit =
+      keys.foreach { case (kOff, kSum, kName) =>
+        if (!r.isNullAt(i)) {
+          val tz = r.getStruct(i)
+          sb ++= s"""    <data key="$kOff">${tz.getInt(0)}</data>\n"""
+          sb ++= s"""    <data key="$kSum">${tz.getBoolean(1)}</data>\n"""
+          sb ++= s"""    <data key="$kName">${esc(tz.getString(2))}</data>\n"""
+        }
+      }
 
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
@@ -90,6 +117,7 @@ object GraphMl {
         sb ++= s"""    <data key="$nTs">${r.getLong(2)}</data>\n"""
         sb ++= s"""    <data key="$nTsStr">${tsStr(r.getLong(2))}</data>\n"""
       }
+      tzData(sb, r, 4, nTzKeys)
       attrsOf(r, 3).toSeq.sortBy(_._1).foreach { case (k, v) =>
         sb ++= s"""    <data key="${nUser(k)}">${esc(v)}</data>\n"""
       }
@@ -100,6 +128,7 @@ object GraphMl {
       sb ++= s"""  <edge source="${esc(r.getString(0))}" target="${esc(r.getString(1))}" directed="${r.getBoolean(2)}">\n"""
       sb ++= s"""    <data key="$eTs">${r.getLong(3)}</data>\n"""
       sb ++= s"""    <data key="$eTsStr">${tsStr(r.getLong(3))}</data>\n"""
+      tzData(sb, r, 5, eTzKeys)
       attrsOf(r, 4).toSeq.sortBy(_._1).foreach { case (k, v) =>
         sb ++= s"""    <data key="${eUser(k)}">${esc(v)}</data>\n"""
       }

@@ -18,13 +18,18 @@ import graft.time.TimeParse
   */
 object Json {
 
-  /** Findings DataFrame → wire-format JSON strings. */
+  /** Findings DataFrame → wire-format JSON strings (tz fields are
+    * emitted only when present — to_json omits nulls). */
   def writeFoundNodes(findings: DataFrame): Dataset[String] = {
     val spark = findings.sparkSession
     import spark.implicits._
-    findings.select(to_json(struct(
+    val withTz = graft.model.Findings.ensureTz(findings)
+    withTz.select(to_json(struct(
       col("subject").as("subject_node"),
-      struct(col("epoch_ms").as("epoch_time")).as("found_at"),
+      struct(col("epoch_ms").as("epoch_time"),
+        col("tz.offsetMin").as("tz_offset_min"),
+        col("tz.summerOnly").as("tz_summer_only"),
+        col("tz.name").as("tz_name")).as("found_at"),
       col("node_attrs"),
       transform(col("links"), l => struct(
         l.getField("target").as("target_node"),

@@ -108,5 +108,17 @@ object Findings {
       transform(col("neighborLinks"), l => struct(
         l.getField("targetNode").as("target"),
         l.getField("linkState").as("link_state"),
-        l.getField("linkAttrs").as("link_attrs"))).as("links"))
+        l.getField("linkAttrs").as("link_attrs"))).as("links"),
+      col("tz"))
+
+  /** Spark type of the optional timezone struct riding with timestamps
+    * (epoch ordering ignores it — Timestamp.hs:68-69 — but storage,
+    * JSON and GraphML must round-trip it; SURVEY §7.4-6). */
+  val tzType = "struct<offsetMin:int,summerOnly:boolean,name:string>"
+
+  /** Findings DataFrames built outside [[toCanonical]] may lack the tz
+    * column; add a null one so the weave pipeline is schema-stable. */
+  def ensureTz(df: DataFrame): DataFrame =
+    if (df.columns.contains("tz")) df
+    else df.withColumn("tz", lit(null).cast(tzType))
 }

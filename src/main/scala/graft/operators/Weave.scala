@@ -103,28 +103,30 @@ object Weave {
     * `toLinkSamples`). sample_seq = (finding_seq, position) packed for a
     * total deterministic order within equal timestamps. */
   def linkSamples(retained: DataFrame): DataFrame =
-    retained
+    graft.model.Findings.ensureTz(retained)
       .select(col("subject"), col("epoch_ms"), col("finding_seq"),
-        posexplode(col("links")).as(Seq("pos", "l")))
+        col("tz"), posexplode(col("links")).as(Seq("pos", "l")))
       .select(
         col("subject"),
         col("l.target").as("target"),
         col("l.link_state").as("link_state"),
         col("epoch_ms"),
         col("l.link_attrs").as("link_attrs"),
-        (col("finding_seq") * 1000000 + col("pos")).as("sample_seq"))
+        (col("finding_seq") * 1000000 + col("pos")).as("sample_seq"),
+        col("tz"))
 
   /** Snapshot nodes (Weaver.hs:136-151, 125-129): every visited node with
     * its latest retained finding's ts/attrs; plus explicitly-visited
     * nodes with no findings (markAsVisited, Weaver.hs:93-96) with null
     * ts/attrs; plus boundary nodes (targets never visited) flagged
     * is_on_boundary with null ts/attrs. */
-  def snapshotNodes(retained: DataFrame,
+  def snapshotNodes(retained0: DataFrame,
       extraVisited: Option[DataFrame] = None): DataFrame = {
+    val retained = graft.model.Findings.ensureTz(retained0)
     val latest = LinkOps.latestPerKey(retained, Seq("subject"),
         Seq("epoch_ms", "finding_seq"))
       .select(col("subject").as("node_id"), col("epoch_ms"),
-        col("node_attrs"))
+        col("node_attrs"), col("tz"))
     val visitedIds = {
       val fromFindings = retained.select(col("subject").as("node_id"))
       extraVisited match {
@@ -135,14 +137,15 @@ object Weave {
     val visited = visitedIds
       .join(latest, Seq("node_id"), "left")
       .select(col("node_id"), lit(false).as("is_on_boundary"),
-        col("epoch_ms"), col("node_attrs"))
+        col("epoch_ms"), col("node_attrs"), col("tz"))
     val targets = retained
       .select(explode(col("links.target")).as("node_id")).distinct()
     val boundary = targets
       .join(visitedIds, Seq("node_id"), "left_anti")
       .select(col("node_id"), lit(true).as("is_on_boundary"),
         lit(null).cast("long").as("epoch_ms"),
-        lit(null).cast("map<string,string>").as("node_attrs"))
+        lit(null).cast("map<string,string>").as("node_attrs"),
+        lit(null).cast(graft.model.Findings.tzType).as("tz"))
     visited.unionByName(boundary)
   }
 
@@ -155,9 +158,13 @@ object Weave {
     val nodes = snapshotNodes(retained, extraVisited)
     val samples = linkSamples(retained)
     val unified = unifier.unify(samples, nodes)
-    val links = LinkOps.materializeLinks(unified)
-      .select(col("source_node"), col("dest_node"), col("is_directed"),
-        col("epoch_ms"), col("link_attrs"))
+    val materialized = LinkOps.materializeLinks(unified)
+    val links = (if (materialized.columns.contains("tz"))
+        materialized.select(col("source_node"), col("dest_node"),
+          col("is_directed"), col("epoch_ms"), col("link_attrs"), col("tz"))
+      else materialized.select(col("source_node"), col("dest_node"),
+        col("is_directed"), col("epoch_ms"), col("link_attrs"))
+        .withColumn("tz", lit(null).cast(graft.model.Findings.tzType)))
     SnapshotGraph(nodes, links)
   }
 }

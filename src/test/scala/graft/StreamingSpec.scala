@@ -65,7 +65,7 @@ class StreamingSpec extends SparkSpec {
       val got = spark.read.parquet(s"$dir/table")
       got.count() shouldBe 2
       got.columns.toSet shouldBe
-        Set("subject", "epoch_ms", "finding_seq", "node_attrs", "links")
+        Set("subject", "epoch_ms", "finding_seq", "node_attrs", "links", "tz")
     } finally q.stop()
   }
 }
