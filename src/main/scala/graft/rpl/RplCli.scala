@@ -1,26 +1,89 @@
 package graft.rpl
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.query.{GetSnapshot, Query}
+import graft.time.{Interval, IntervalEnd}
+import graft.operators.LinkOps
 
-/** Minimal RPL pipeline CLI mirroring the reference's `net-spider-rpl-cli`
-  * snapshot/cis flow (CLI.hs:65-139): parse logs → DIO+DAO snapshots →
-  * combine → print.
+/** RPL pipeline CLI mirroring the reference's `net-spider-rpl-cli`
+  * snapshot/cis flow (CLI.hs:65-139) and the `net-spider-cli` option
+  * grammar (Snapshot.hs:92-160):
   *
-  * Usage: runMain graft.rpl.RplCli <logPathGlob> <cooja|syslog:YEAR>
-  *        [summary|nodes|links|graphml]
+  *   runMain graft.rpl.RplCli <logPathGlob> <cooja|syslog:YEAR> [mode]
+  *     [-s NODE-ID]... [-f TIMESTAMP] [-t TIMESTAMP] [-d SECONDS]
+  *     [--filter none|latest]
+  *
+  * Timestamps accept the `i`/`x` inclusivity prefixes and `±inf`
+  * (Interval.parseEnd). --duration composes with exactly one bound
+  * (secSince/secUntil inclusivity flip). --filter latest = keep only
+  * each node's latest finding before the query (CLI.hs:236-247).
+  * Modes: summary | nodes | links | graphml.
   */
 object RplCli {
-  def main(args: Array[String]): Unit = {
-    val path = args(0)
-    val head: ContikiNg.LogHead = args(1) match {
+
+  case class Opts(
+      path: String, head: ContikiNg.LogHead, mode: String,
+      startsFrom: Seq[String], from: Option[IntervalEnd],
+      to: Option[IntervalEnd], durationSec: Option[Long],
+      filter: String)
+
+  def parseArgs(args: Array[String]): Either[String, Opts] = {
+    if (args.length < 2) return Left(
+      "usage: RplCli <logPath> <cooja|syslog:YEAR> [mode] [options]")
+    val head = args(1) match {
       case "cooja" => ContikiNg.CoojaHead
-      case s if s.startsWith("syslog:") =>
-        ContikiNg.SyslogHead(s.drop(7).toInt)
-      case other => sys.error(s"unknown log format: $other")
+      case s if s.startsWith("syslog:") => ContikiNg.SyslogHead(s.drop(7).toInt)
+      case other => return Left(s"unknown log format: $other")
     }
-    val mode = if (args.length > 2) args(2) else "summary"
+    var mode = "summary"
+    var starts = Vector.empty[String]
+    var from: Option[IntervalEnd] = None
+    var to: Option[IntervalEnd] = None
+    var dur: Option[Long] = None
+    var filter = "none"
+    var i = 2
+    while (i < args.length) {
+      args(i) match {
+        case "-s" | "--starts-from" => starts :+= args(i + 1); i += 2
+        case "-f" | "--time-from" =>
+          from = Interval.parseEnd(args(i + 1))
+          if (from.isEmpty) return Left(s"bad --time-from: ${args(i + 1)}")
+          i += 2
+        case "-t" | "--time-to" =>
+          to = Interval.parseEnd(args(i + 1))
+          if (to.isEmpty) return Left(s"bad --time-to: ${args(i + 1)}")
+          i += 2
+        case "-d" | "--duration" => dur = Some(args(i + 1).toLong); i += 2
+        case "--filter" => filter = args(i + 1); i += 2
+        case m if !m.startsWith("-") && i == 2 => mode = m; i += 1
+        case other => return Left(s"unknown option: $other")
+      }
+    }
+    // interval assembly rules (Snapshot.hs:73-84)
+    (from, to, dur) match {
+      case (Some(_), Some(_), Some(_)) =>
+        return Left("Specifying all --time-to, --time-from and --duration is not allowed.")
+      case (None, None, Some(_)) =>
+        return Left("Specifying --duration only is not allowed. Specify --time-to or --time-from, too.")
+      case _ => ()
+    }
+    Right(Opts(args(0), head, mode, starts, from, to, dur, filter))
+  }
+
+  def intervalOf(o: Opts): Interval = (o.from, o.to, o.durationSec) match {
+    case (Some(f), None, Some(d)) => Interval.secSince(d, f)
+    case (None, Some(t), Some(d)) => Interval.secUntil(d, t)
+    case (f, t, _) => Interval(
+      f.getOrElse(IntervalEnd(None, inclusive = false)),
+      t.getOrElse(IntervalEnd(None, inclusive = false)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args) match {
+      case Left(err) => System.err.println(err); sys.exit(2)
+      case Right(o) => o
+    }
     val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
@@ -29,14 +92,26 @@ object RplCli {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (dioF, daoF) = ContikiNg.readLogs(spark, path, head)
-    def starts(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("subject")).distinct().collect().map(_.getString(0)).toSeq
-    val dioG = GetSnapshot(spark, dioF, Query(starts(dioF), unifier = Rpl.DioUnifier))
-    val daoG = GetSnapshot(spark, daoF, Query(starts(daoF), unifier = Rpl.daoUnifier))
+    val (dioF0, daoF0) = ContikiNg.readLogs(spark, opts.path, opts.head)
+    // P5 pre-insert filter (CLI.hs:236-247,366-383)
+    def preFilter(df: DataFrame): DataFrame = opts.filter match {
+      case "latest" =>
+        LinkOps.latestPerKey(df, Seq("subject"), Seq("epoch_ms", "finding_seq"))
+      case _ => df
+    }
+    val dioF = preFilter(dioF0)
+    val daoF = preFilter(daoF0)
+    val interval = intervalOf(opts)
+    def starts(df: DataFrame) =
+      if (opts.startsFrom.nonEmpty) opts.startsFrom
+      else df.select(col("subject")).distinct().collect().map(_.getString(0)).toSeq
+    val dioG = GetSnapshot(spark, dioF,
+      Query(starts(dioF), interval, unifier = Rpl.DioUnifier))
+    val daoG = GetSnapshot(spark, daoF,
+      Query(starts(daoF), interval, unifier = Rpl.daoUnifier))
     val combined = Rpl.combineGraphs(dioG, daoG)
 
-    mode match {
+    opts.mode match {
       case "summary" =>
         val s = Rpl.dodagSummary(daoG).collect()(0)
         println(s"""{"node_num":${s.getAs[Long]("node_num")},"edge_num":${s.getAs[Long]("edge_num")},"depth":${s.getAs[Long]("depth")},"root":"${s.getAs[String]("root")}","graph_ts":${s.getAs[Long]("graph_ts")},"combined_nodes":${combined.nodes.count()},"combined_links":${combined.links.count()}}""")
@@ -49,7 +124,7 @@ object RplCli {
           .collect().foreach(r => println(r.getString(0)))
       case "graphml" =>
         println(graft.io.GraphMl.write(combined))
-      case other => sys.error(s"unknown mode: $other")
+      case other => System.err.println(s"unknown mode: $other"); sys.exit(2)
     }
     spark.stop()
   }

@@ -1,0 +1,39 @@
+package graft
+
+import graft.rpl.RplCli
+import graft.time.IntervalEnd
+
+/** CLI option grammar (net-spider-cli Snapshot.hs:92-160 semantics). */
+class RplCliSpec extends SparkSpec {
+
+  private val base = Array("/tmp/x.log", "syslog:2019")
+
+  it("parses starts-from, interval ends, duration, filter") {
+    val o = RplCli.parseArgs(base ++ Array("graphml",
+      "-s", "dio://[fd00::1]", "-s", "dio://[fd00::2]",
+      "-f", "x2019-10-09T12:03:22", "--filter", "latest")).toOption.get
+    o.mode shouldBe "graphml"
+    o.startsFrom shouldBe Seq("dio://[fd00::1]", "dio://[fd00::2]")
+    o.from shouldBe Some(IntervalEnd(Some(1570622602000L), false))
+    o.filter shouldBe "latest"
+  }
+
+  it("rejects the invalid bound/duration combinations") {
+    RplCli.parseArgs(base ++ Array("-f", "2019-01-01T00:00:00",
+      "-t", "2019-01-02T00:00:00", "-d", "60")).isLeft shouldBe true
+    RplCli.parseArgs(base ++ Array("-d", "60")).isLeft shouldBe true
+    RplCli.parseArgs(Array("only-one-arg")).isLeft shouldBe true
+    RplCli.parseArgs(base ++ Array("--nope")).isLeft shouldBe true
+  }
+
+  it("assembles secSince/secUntil with inclusivity flip") {
+    val since = RplCli.parseArgs(base ++
+      Array("-f", "1970-01-01T00:00:01", "-d", "60")).toOption.get
+    RplCli.intervalOf(since) shouldBe graft.time.Interval(
+      IntervalEnd(Some(1000L), true), IntervalEnd(Some(61000L), false))
+    val until = RplCli.parseArgs(base ++
+      Array("-t", "x1970-01-01T00:02:30", "-d", "60")).toOption.get
+    RplCli.intervalOf(until) shouldBe graft.time.Interval(
+      IntervalEnd(Some(90000L), true), IntervalEnd(Some(150000L), false))
+  }
+}
