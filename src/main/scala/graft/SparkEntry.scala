@@ -255,6 +255,21 @@ object SparkEntry {
       graft.similarity.Similarity.lshCandidatePairs(Tables.embeddings(s, d))
     }),
 
+    // Embedding-cosine near-dup pairs on the doubled corpus (self-union
+    // guarantees true duplicate pairs at cos = 1).
+    "q28_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val doubled = emb.unionByName(emb.select(
+        (col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      graft.similarity.Similarity.cosineNearDupPairs(doubled)
+    }),
+
+    // Banded SimHash near-dup pairs on the doubled corpus (pigeonhole
+    // banding → equi-join candidates → hamming verify).
+    "q29_simhash_neardup" -> ((s, d) => {
+      graft.dedup.Dedup.simhashNearDupPairs(doubledDocs(s, d))
+    }),
+
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
     "q27_media_features" -> ((s, d) => {
@@ -613,6 +628,44 @@ object SparkEntry {
            |  FROM embeddings)
            |SELECT a.id AS id1, bb.id AS id2, a.bucket
            |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id""".stripMargin,
+
+      "q28_embed_neardup" ->
+        s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+           |unit AS (SELECT vec_id AS id, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM emb)
+           |SELECT a.id AS id1, b.id AS id2,
+           |  round(list_reduce(list_transform(range(1, 65),
+           |    i -> a.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
+           |FROM unit a JOIN unit b ON a.id < b.id
+           |WHERE round(list_reduce(list_transform(range(1, 65),
+           |    i -> a.u[i] * b.u[i]), (x, y) -> x + y), 6) >= 0.999""".stripMargin,
+
+      "q29_simhash_neardup" -> {
+        val simhashExpr =
+          s"""CAST(list_sum(list_transform(range(0, 60), b ->
+             |    CASE WHEN 2 * len(list_filter(
+             |        list_transform($toksSql, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT),
+             |        h -> (h & (1::BIGINT << b)) != 0)) > len($toksSql)
+             |      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)""".stripMargin
+        s"""WITH docs AS ($doubledSql),
+           |sims AS (SELECT doc_id AS id, $simhashExpr AS sh FROM docs),
+           |banded AS (
+           |  SELECT id, 0 AS band, (sh >> 0) & 32767 AS chunk FROM sims
+           |  UNION ALL SELECT id, 1, (sh >> 15) & 32767 FROM sims
+           |  UNION ALL SELECT id, 2, (sh >> 30) & 32767 FROM sims
+           |  UNION ALL SELECT id, 3, (sh >> 45) & 32767 FROM sims),
+           |cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
+           |SELECT id1, id2, CAST(bit_count(xor(s1.sh, s2.sh)) AS BIGINT) AS hamming
+           |FROM cands
+           |JOIN sims s1 ON s1.id = id1
+           |JOIN sims s2 ON s2.id = id2
+           |WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""".stripMargin
+      },
 
       "q27_media_features" ->
         """SELECT doc_id AS media_id,

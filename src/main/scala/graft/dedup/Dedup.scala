@@ -126,4 +126,27 @@ object Dedup {
 
   /** Hamming distance between two simhash values (bit-count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs at scale: band the 60-bit fingerprint into 4
+    * 15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical
+    * band), equi-join candidates on (band, chunk), verify hamming. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sims = docs.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sh")).persist()
+    val banded = (0 until 4).map(b =>
+      sims.select(col("id"), lit(b).as("band"),
+        shiftright(col("sh"), b * 15).bitwiseAND(lit(0x7fffL)).as("chunk")))
+      .reduce(_ unionByName _)
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    cands
+      .join(sims.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sims.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("hamming", hamming(col("sh1"), col("sh2")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
 }

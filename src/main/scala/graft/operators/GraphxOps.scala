@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.SnapshotGraph
+
+/** GraphX view of a snapshot graph — for iterative graph analytics that
+  * outgrow DataFrame loops (Pregel BFS, connected components). Node ids
+  * are relabeled to dense VertexIds via the SeqID map (J5,
+  * SeqID.hs:42-109) with the reverse lookup retained.
+  *
+  * The DataFrame BFS (graft.operators.Bfs) stays the default for plain
+  * reachability; this view exists for Pregel-shaped algorithms and
+  * matches the reference's FGL conversion (Analyze.hs:100-105).
+  */
+object GraphxOps {
+
+  /** (graph, idMap): idMap columns (node_id STRING, seq_id LONG). */
+  def toGraphx(g: SnapshotGraph): (Graph[String, Boolean], DataFrame) = {
+    val ids = LinkOps.seqIds(
+      g.nodes.select(col("node_id"))
+        .union(g.links.select(col("source_node")))
+        .union(g.links.select(col("dest_node"))))
+      .toDF("node_id", "seq_id")
+    val vertices = ids.select(col("seq_id"), col("node_id"))
+      .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
+    val edges = g.links
+      .join(ids.withColumnRenamed("node_id", "source_node")
+        .withColumnRenamed("seq_id", "src_id"), Seq("source_node"))
+      .join(ids.withColumnRenamed("node_id", "dest_node")
+        .withColumnRenamed("seq_id", "dst_id"), Seq("dest_node"))
+      .select(col("src_id"), col("dst_id"), col("is_directed"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    (Graph(vertices, edges), ids)
+  }
+
+  /** Pregel min-hop BFS from `root` (undirected links traversed both
+    * ways). Returns (node_id, hops) for reached vertices — the GraphX
+    * twin of Bfs.reachable / the reference's spTree depth base
+    * (Analyze.hs:136-151). */
+  def pregelBfs(g: SnapshotGraph, root: String): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val (graph, ids) = toGraphx(g)
+    val rootId = ids.filter(col("node_id") === root)
+      .select("seq_id").collect().headOption.map(_.getLong(0))
+    rootId match {
+      case None => Seq.empty[(String, Long)].toDF("node_id", "hops")
+      case Some(rid) =>
+        val init = graph.mapVertices((id, _) =>
+          if (id == rid) 0.0 else Double.PositiveInfinity)
+        val bfs = init.pregel(Double.PositiveInfinity)(
+          (_, dist, msg) => math.min(dist, msg),
+          triplet => {
+            val out =
+              if (triplet.srcAttr + 1.0 < triplet.dstAttr)
+                Iterator((triplet.dstId, triplet.srcAttr + 1.0))
+              else Iterator.empty
+            val back =
+              if (!triplet.attr && triplet.dstAttr + 1.0 < triplet.srcAttr)
+                Iterator((triplet.srcId, triplet.dstAttr + 1.0))
+              else Iterator.empty
+            out ++ back
+          },
+          math.min)
+        val dists = bfs.vertices
+          .filter { case (_, d) => d.isFinite }
+          .map { case (id, d) => (id, d.toLong) }
+        val distDf = spark.createDataFrame(dists).toDF("seq_id", "hops")
+        distDf.join(ids, Seq("seq_id")).select("node_id", "hops")
+    }
+  }
+
+  /** Connected components over the snapshot (undirected view):
+    * (node_id, component) where component = min node_id in the group's
+    * SeqID order. */
+  def connectedComponents(g: SnapshotGraph): DataFrame = {
+    val spark = g.nodes.sparkSession
+    val (graph, ids) = toGraphx(g)
+    val cc = graph.connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }
+    spark.createDataFrame(cc).toDF("seq_id", "comp_id")
+      .join(ids, Seq("seq_id"))
+      .join(ids.select(col("seq_id").as("comp_id"),
+        col("node_id").as("component")), Seq("comp_id"))
+      .select("node_id", "component")
+  }
+}

@@ -75,6 +75,24 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    * `threshold` (exact baseline; at scale run it WITHIN LSH buckets —
+    * compose with [[lshCandidatePairs]]). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.999,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val unit = base.select(col("id"),
+      transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
+      .persist()
+    unit.select(col("id").as("id1"), col("u").as("u1"))
+      .join(unit.select(col("id").as("id2"), col("u").as("u2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("u1"), col("u2")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH candidate pairs: vectors sharing a hyperplane-sign bucket.
     * Equi-join on the bucket id — the distributed ANN scale path; follow
     * with exact cosine on candidates only. */
