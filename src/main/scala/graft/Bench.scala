@@ -29,7 +29,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val warmup = names.map(run).sum
-    val results = names.map(n => n -> run(n))
+    // two measured passes, min per query — damps the considerable
+    // run-to-run noise of a 32-thread local JVM (GC, JIT recompiles)
+    val pass1 = names.map(n => n -> run(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), run(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

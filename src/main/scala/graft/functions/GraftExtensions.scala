@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration so graft's custom expressions are
+  * callable from SQL:
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *   SELECT vector_dot(a, b) FROM ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      GraftExtensions.vectorDotInfo,
+      GraftExtensions.vectorDotBuilder))
+  }
+}
+
+object GraftExtensions {
+  private[functions] val vectorDotInfo =
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot")
+  private[functions] val vectorDotBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2, "vector_dot requires exactly 2 arguments")
+      VectorDot(children.head, children(1))
+    }
+
+  /** Register into an already-built session (config-based extensions
+    * only apply at build time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftshim.Shim.registerFunction(
+      spark, "vector_dot", vectorDotInfo, vectorDotBuilder)
+}
