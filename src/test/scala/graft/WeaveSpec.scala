@@ -205,5 +205,47 @@ class WeaveSpec extends SparkSpec {
 
     it("diamond topology, policyOverwrite") { diamond(PolicyOverwrite) }
     it("diamond topology, policyAppend") { diamond(PolicyAppend) }
+
+    it("multi-hop chain — per-pair latest wins with its link attributes") {
+      def attr(s: String) = Map("a" -> s)
+      def middle(i: Int, at: String) = fn(s"n$i", at, Seq(
+        fl(s"n${i - 1}", LinkState.ToSubject, attr(s"n$i to prev")),
+        fl(s"n${i + 1}", LinkState.ToTarget, attr(s"n$i to next"))), seq = i)
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T10:00",
+          Seq(fl("n2", LinkState.ToTarget, attr("first"))), seq = 1),
+        middle(2, "2018-12-01T05:00"),
+        middle(3, "2018-12-01T15:00"),
+        middle(4, "2018-12-01T20:00"),
+        fn("n5", "2018-12-01T15:00",
+          Seq(fl("n4", LinkState.ToSubject, attr("last"))), seq = 5)))
+      ns.map(n => (n._1, n._3.get)) shouldBe Seq(
+        ("n1", ts("2018-12-01T10:00")), ("n2", ts("2018-12-01T05:00")),
+        ("n3", ts("2018-12-01T15:00")), ("n4", ts("2018-12-01T20:00")),
+        ("n5", ts("2018-12-01T15:00")))
+      ls.map(l => (l._1, l._2, l._3, l._4, l._5("a"))) shouldBe Seq(
+        ("n1", "n2", true, ts("2018-12-01T10:00"), "first"),
+        ("n2", "n3", true, ts("2018-12-01T15:00"), "n3 to prev"),
+        ("n3", "n4", true, ts("2018-12-01T20:00"), "n4 to prev"),
+        ("n4", "n5", true, ts("2018-12-01T20:00"), "n4 to next"))
+    }
+
+    it("loop network — cycle unifies to three links") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T10:00", Seq(
+          fl("n2", LinkState.ToTarget), fl("n3", LinkState.ToSubject)), seq = 1),
+        fn("n2", "2018-12-01T15:00", Seq(
+          fl("n1", LinkState.ToSubject), fl("n3", LinkState.Bidirectional)), seq = 2),
+        fn("n3", "2018-12-01T10:00", Seq(
+          fl("n1", LinkState.ToTarget), fl("n2", LinkState.Bidirectional)), seq = 3)))
+      ns.map(n => (n._1, n._2, n._3.get)) shouldBe Seq(
+        ("n1", false, ts("2018-12-01T10:00")),
+        ("n2", false, ts("2018-12-01T15:00")),
+        ("n3", false, ts("2018-12-01T10:00")))
+      ls.map(l => (l._1, l._2, l._3, l._4)) shouldBe Seq(
+        ("n1", "n2", true, ts("2018-12-01T15:00")),
+        ("n2", "n3", false, ts("2018-12-01T15:00")),
+        ("n3", "n1", true, ts("2018-12-01T10:00")))
+    }
   }
 }
