@@ -45,19 +45,43 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup pairs: docs sharing ≥ `threshold` Jaccard
-    * over distinct k-gram shingles. Self-join on shingle → pair intersect
-    * counts → sizes. */
+    * over distinct k-gram shingles.
+    *
+    * EXACT result via prefix filtering (the PPJoin family): order each
+    * doc's shingles by global (frequency, shingle) ascending; if
+    * jaccard(A,B) ≥ t then A and B must share a shingle within their
+    * first ⌊(1−t)·|d|⌋+1 rarest shingles — so the candidate join runs
+    * only on RAREST-prefix shingles (hot shingles, the skew source, are
+    * excluded from most prefixes), and candidates are verified with the
+    * true intersection. At 100 TB this is the difference between a
+    * skew-bound quadratic shuffle and a rare-key equi-join. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(docs, k, idCol, textCol)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    // per-doc shingle array sorted by (freq, shingle) ascending
+    val ranked = sh.join(freq, "shingle")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("freq"), col("shingle"))))
+        .as("ranked"))
+      .select(col("id"),
+        col("ranked.shingle").as("shingles"),
+        size(col("ranked")).as("sz"))
+      .persist()
+    val prefix = ranked.select(col("id"), col("sz"),
+      explode(slice(col("shingles"), lit(1),
+        greatest(floor(size(col("shingles")) * (1 - threshold)).cast("int") + 1,
+          lit(1)))).as("shingle"))
+    val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cands
+      .join(ranked.select(col("id").as("id1"), col("shingles").as("s1"),
+        col("sz").as("sz1")), "id1")
+      .join(ranked.select(col("id").as("id2"), col("shingles").as("s2"),
+        col("sz").as("sz2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz1") + col("sz2") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
