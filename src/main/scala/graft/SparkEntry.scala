@@ -16,9 +16,10 @@ import graft.operators.{EventGraph, LinkOps}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * full snapshot-link unification over the events-derived graph. */
+    * the FULL snapshot pipeline (policy retention → pair unification →
+    * negation → materialization) over the events-derived findings. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q03_a1_unify_latest")(spark, "/root/testdata/sf0.001")
+    queries("q09_p4_negation")(spark, "/root/testdata/sf0.001")
 
   /** Interval bounds used by q01 (P1): [2024-01-10, 2024-01-20) UTC. */
   private val LoMs = 1704844800000L
