@@ -65,6 +65,21 @@ object History {
       interval: Interval, policy: FoundNodePolicy): DataFrame =
     Weave.retainFindings(read(spark, tableDir, interval), policy)
 
+  /** Subject-bucketed layout (optional refinement for subject-heavy
+    * workloads — SURVEY §7.4-8): a catalog table bucketed+sorted by
+    * `subject`, so per-node aggregations (policy retention, node
+    * summaries) and subject-keyed joins read pre-partitioned buckets and
+    * skip the shuffle entirely. At 100 TB that deletes the largest
+    * exchange of the snapshot pipeline. */
+  def appendBucketed(findings: DataFrame, tableName: String,
+      numBuckets: Int = 64): Unit =
+    findings.write
+      .bucketBy(numBuckets, "subject")
+      .sortBy("subject")
+      .format("parquet")
+      .mode(SaveMode.Append)
+      .saveAsTable(tableName)
+
   /** Derived nodes view: distinct ids observed as subject or target. */
   def nodesView(findings: DataFrame): DataFrame =
     findings.select(col("subject").as("node_id"))

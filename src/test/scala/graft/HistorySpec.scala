@@ -42,4 +42,20 @@ class HistorySpec extends SparkSpec {
     History.clear(spark, dir)
     new java.io.File(dir).exists() shouldBe false
   }
+
+  it("bucketed layout makes subject aggregation shuffle-free") {
+    val table = "graft_hist_bucketed_t1"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    History.appendBucketed(Findings.fromSeq(spark, Seq(
+      fn("n1", "2024-01-10T05:00", 0), fn("n1", "2024-01-12T05:00", 1),
+      fn("n2", "2024-02-01T05:00", 2))), table, numBuckets = 4)
+    try {
+      val agg = spark.table(table).groupBy("subject")
+        .agg(org.apache.spark.sql.functions.max("epoch_ms"))
+      agg.count() shouldBe 2
+      // the bucketed scan pre-partitions by subject: no Exchange in the plan
+      val plan = agg.queryExecution.executedPlan.toString
+      plan should not include "Exchange hashpartitioning(subject"
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
