@@ -79,20 +79,73 @@ object RplCli {
       t.getOrElse(IntervalEnd(None, inclusive = false)))
   }
 
-  def main(args: Array[String]): Unit = {
-    val opts = parseArgs(args) match {
-      case Left(err) => System.err.println(err); sys.exit(2)
-      case Right(o) => o
-    }
+  private def newSession(): SparkSession = {
     val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
     graft.sources.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
-    val spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
-    val (dioF0, daoF0) = ContikiNg.readLogs(spark, opts.path, opts.head)
+  /** Subcommand dispatch mirroring the reference CLI
+    * (clear | input | snapshot | cis, CLI.hs:65-139). A bare invocation
+    * without a subcommand behaves as `cis` (clear-input-snapshot in one
+    * shot, directly from logs, no store). */
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("clear") =>
+      val spark = newSession()
+      new graft.Spider(spark, args(1)).clearAll()
+      println(s"""{"cleared":"${args(1)}"}""")
+      spark.stop()
+    case Some("input") =>
+      // input <historyDir> <logPath> <format> [--filter latest]
+      val spark = newSession()
+      parseArgs(args.drop(2)) match {
+        case Left(err) => System.err.println(err); sys.exit(2)
+        case Right(o) =>
+          val (dioF, daoF) = ContikiNg.readLogs(spark, o.path, o.head)
+          def pre(df: DataFrame) =
+            if (o.filter == "latest")
+              LinkOps.latestPerKey(df, Seq("subject"),
+                Seq("epoch_ms", "finding_seq"))
+            else df
+          val sp = new graft.Spider(spark, args(1))
+          sp.addFoundNodes(pre(dioF))
+          sp.addFoundNodes(pre(daoF))
+          println(s"""{"ingested_dio":${dioF.count()},"ingested_dao":${daoF.count()}}""")
+      }
+      spark.stop()
+    case Some("snapshot") =>
+      // snapshot <historyDir> [mode] [query opts] — dio/dao split by the
+      // FindingID scheme prefix
+      val spark = newSession()
+      parseArgs(Array("unused", "cooja") ++ args.drop(2)) match {
+        case Left(err) => System.err.println(err); sys.exit(2)
+        case Right(o) =>
+          val all = graft.sources.History.read(spark, args(1),
+            intervalOf(o))
+          val dioF = all.filter(col("subject").startsWith("dio://"))
+          val daoF = all.filter(col("subject").startsWith("dao://"))
+          cis(spark, dioF, daoF,
+            o.copy(from = None, to = None, durationSec = None))
+      }
+      spark.stop()
+    case _ =>
+      val opts = parseArgs(args) match {
+        case Left(err) => System.err.println(err); sys.exit(2)
+        case Right(o) => o
+      }
+      val spark = newSession()
+      val (dioF0, daoF0) = ContikiNg.readLogs(spark, opts.path, opts.head)
+      cis(spark, dioF0, daoF0, opts)
+      spark.stop()
+  }
+
+  private def cis(spark: SparkSession, dioF0: DataFrame, daoF0: DataFrame,
+      opts: Opts): Unit = {
     // P5 pre-insert filter (CLI.hs:236-247,366-383)
     def preFilter(df: DataFrame): DataFrame = opts.filter match {
       case "latest" =>
@@ -126,6 +179,5 @@ object RplCli {
         println(graft.io.GraphMl.write(combined))
       case other => System.err.println(s"unknown mode: $other"); sys.exit(2)
     }
-    spark.stop()
   }
 }
