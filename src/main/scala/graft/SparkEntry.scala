@@ -271,6 +271,12 @@ object SparkEntry {
       graft.dedup.Dedup.simhashNearDupPairs(doubledDocs(s, d))
     }),
 
+    // IVF partition assignment (the inverted-file ANN index side:
+    // deterministic sampled centroids, max-cosine assignment).
+    "q30_ivf_assign" -> ((s, d) => {
+      graft.similarity.Similarity.ivfAssign(Tables.embeddings(s, d))
+    }),
+
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
     "q27_media_features" -> ((s, d) => {
@@ -667,6 +673,22 @@ object SparkEntry {
            |JOIN sims s2 ON s2.id = id2
            |WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""".stripMargin
       },
+
+      "q30_ivf_assign" ->
+        s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |unit AS (SELECT id, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
+           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+           |scored AS (SELECT v.id, c.cid,
+           |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
+           |      (x, y) -> x + y) AS ccos
+           |  FROM unit v CROSS JOIN cent c)
+           |SELECT id, cid AS centroid FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
+           |WHERE rn = 1""".stripMargin,
 
       "q27_media_features" ->
         """SELECT doc_id AS media_id,

@@ -93,6 +93,69 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) partitioning: deterministic sampled centroids
+    * (every `centroidStride`-th vector by id), each vector assigned to
+    * its max-cosine centroid. The index side of IVF-flat ANN: search
+    * probes only the closest `nprobe` centroid lists instead of the
+    * whole collection. Centroids broadcast (small); assignment is one
+    * scan with `centroids.length` fused VectorDots per row. */
+  def ivfAssign(embeddings: DataFrame, centroidStride: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val unit = base.select(col("id"),
+      transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
+      .persist()
+    val centroids = unit.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("u").as("cu"))
+    // argmax over centroids via max_by((cos, -cid) key) — deterministic
+    val scored = unit.join(broadcast(centroids))
+      .select(col("id"), col("u"), col("cid"),
+        dot(col("u"), col("cu")).as("ccos"))
+    scored.groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+        .as("centroid"))
+  }
+
+  /** IVF-flat top-k search: queries probe their `nprobe` closest
+    * centroid lists; exact cosine within the probed lists only. The
+    * approximation is the probe restriction (standard IVF recall/cost
+    * dial); everything inside is exact and deterministic. */
+  def ivfTopK(embeddings: DataFrame, k: Int = 3, nprobe: Int = 2,
+      centroidStride: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxQueryId: Long = Long.MaxValue): DataFrame = {
+    val base = embeddings.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val unit = base.select(col("id"),
+      transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
+      .persist()
+    val centroids = unit.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("u").as("cu"))
+    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
+    val lists = unit.join(assigned, Seq("id"))
+    // per query: its nprobe closest centroids
+    import org.apache.spark.sql.expressions.Window
+    val probes = unit.filter(col("id") < maxQueryId)
+      .select(col("id").as("qid"), col("u").as("qu"))
+      .join(broadcast(centroids))
+      .select(col("qid"), col("qu"), col("cid"),
+        dot(col("qu"), col("cu")).as("ccos"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("ccos"), asc("cid"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("qu"), col("cid").as("centroid"))
+    val scored = probes.join(lists, Seq("centroid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        round(dot(col("qu"), col("u")), 6).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** LSH candidate pairs: vectors sharing a hyperplane-sign bucket.
     * Equi-join on the bucket id — the distributed ANN scale path; follow
     * with exact cosine on candidates only. */

@@ -1,0 +1,45 @@
+package graft
+
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/** ANN paths: IVF search overlaps the exact baseline; LSH buckets are
+  * self-consistent. Runs on the sf0.001 embeddings table. */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+
+  it("ivfTopK returns exact cosines and decent recall vs brute force") {
+    if (!haveData) cancel("testdata missing")
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteTopK(emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, k = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf should not be empty
+    // every IVF hit's cosine equals the exact cosine for that pair
+    ivf.foreach { case (pair, cos) =>
+      brute.get(pair).foreach(_ shouldBe cos)
+    }
+    // probe restriction keeps a reasonable share of the true top-3
+    val recall = ivf.keySet.intersect(brute.keySet).size.toDouble /
+      brute.size
+    recall should be >= 0.2
+  }
+
+  it("lshCandidatePairs puts identical vectors in one bucket") {
+    if (!haveData) cancel("testdata missing")
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val doubled = emb.unionByName(emb.select(
+      (org.apache.spark.sql.functions.col("vec_id") + 10000).as("vec_id"),
+      org.apache.spark.sql.functions.col("embedding")))
+    val pairs = Similarity.lshCandidatePairs(doubled).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    // every (v, v+10000) duplicate pair must be a candidate
+    (0L until n).foreach { i => pairs should contain((i, i + 10000)) }
+  }
+}
