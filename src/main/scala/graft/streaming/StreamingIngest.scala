@@ -46,6 +46,47 @@ object StreamingIngest {
       }
   }
 
+  /** Incrementally-unified snapshot links: the A1 default unifier as
+    * per-pair keyed state. Each pair's state holds its current winning
+    * sample; a batch emits a link row only when the winner CHANGES
+    * (including a change to "no link" when a newer unused observation
+    * wins — emitted with link_state = unused so downstream sinks can
+    * retract). flatMapGroupsWithState because a pair may emit nothing
+    * for a batch. */
+  case class PairState(subject: String, target: String, linkState: String,
+      epochMs: Long, sampleSeq: Long)
+
+  def unifiedLinkUpdates(findings: Dataset[FoundNode]): Dataset[PairState] = {
+    val spark = findings.sparkSession
+    import spark.implicits._
+    val samples = findings.flatMap { f =>
+      f.neighborLinks.zipWithIndex.map { case (l, i) =>
+        PairState(f.subjectNode, l.targetNode, l.linkState, f.epochMs,
+          f.findingSeq * 1000000 + i)
+      }
+    }
+    def newer(a: PairState, b: PairState): PairState =
+      if (b.epochMs > a.epochMs ||
+        (b.epochMs == a.epochMs && b.sampleSeq > a.sampleSeq)) b else a
+    samples
+      .groupByKey(s => {
+        val lo = if (s.subject <= s.target) s.subject else s.target
+        val hi = if (s.subject <= s.target) s.target else s.subject
+        (lo, hi)
+      })
+      .flatMapGroupsWithState[PairState, PairState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_, batch: Iterator[PairState], state: GroupState[PairState]) =>
+          val incoming = batch.reduceOption(newer)
+          val best = (state.getOption ++ incoming).reduceOption(newer)
+          (best, state.getOption) match {
+            case (Some(b), Some(prev)) if b == prev => Iterator.empty
+            case (Some(b), _) => state.update(b); Iterator.single(b)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   /** Event-time windowed finding counts per node with watermarking. */
   def findingCounts(findings: Dataset[FoundNode], windowDur: String,
       watermark: String): DataFrame = {

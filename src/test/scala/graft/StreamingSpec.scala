@@ -52,6 +52,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it("unifiedLinkUpdates emits only winner changes per pair") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.model.FoundLink
+    def fnl(subject: String, ms: Long, seq: Long, target: String, state: String) =
+      FoundNode(subject, ms, Map.empty,
+        Seq(FoundLink(target, state, Map.empty)), seq)
+    val input = MemoryStream[FoundNode]
+    val q = StreamingIngest.unifiedLinkUpdates(input.toDS())
+      .writeStream.format("memory").queryName("unify_t1")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(fnl("n1", 100, 1, "n2", "to_target"))
+      q.processAllAvailable()
+      // an OLDER observation of the same pair must emit nothing new
+      input.addData(fnl("n2", 50, 2, "n1", "to_subject"))
+      q.processAllAvailable()
+      // a NEWER empty-ish (unused) observation wins and is emitted
+      input.addData(fnl("n2", 200, 3, "n1", "unused"))
+      q.processAllAvailable()
+      val rows = spark.table("unify_t1")
+        .select($"subject", $"linkState", $"epochMs")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      rows shouldBe Seq(("n1", "to_target", 100L), ("n2", "unused", 200L))
+    } finally q.stop()
+  }
+
   it("appendToHistory lands stream batches in the parquet history table") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
