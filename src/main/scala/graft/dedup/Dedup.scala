@@ -68,10 +68,15 @@ object Dedup {
         col("ranked.shingle").as("shingles"),
         size(col("ranked")).as("sz"))
       .persist()
+    // prefix length |d| − ⌈t·|d|⌉ + 1, computed with an epsilon guard:
+    // floating-point t·|d| can land a hair above an exact integer
+    // (0.8·40 = 32.000000000000004), and an unguarded ceil/floor then
+    // SHORTENS the prefix by one — silently dropping true pairs.
+    val prefixLen = greatest(
+      col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1,
+      lit(1))
     val prefix = ranked.select(col("id"), col("sz"),
-      explode(slice(col("shingles"), lit(1),
-        greatest(floor(size(col("shingles")) * (1 - threshold)).cast("int") + 1,
-          lit(1)))).as("shingle"))
+      explode(slice(col("shingles"), lit(1), prefixLen)).as("shingle"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
