@@ -87,6 +87,47 @@ object Json {
     else if (n.isNumber) Some((n.asLong(), None))
     else None
 
+  /** Wire-format snapshot node/link docs → snapshot DataFrames
+    * (symmetric with writeSnapshot; SnapshotSpec.hs doc shapes). */
+  def readSnapshot(nodeDocs: Dataset[String],
+      linkDocs: Dataset[String]): graft.model.SnapshotGraph = {
+    val spark = nodeDocs.sparkSession
+    import spark.implicits._
+    val nodes = nodeDocs.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.flatMap { line =>
+        try {
+          val r = mapper.readTree(line)
+          val id = r.get("node_id")
+          Some((
+            if (id.isTextual) id.asText else id.toString,
+            Option(r.get("is_on_boundary")).exists(_.asBoolean()),
+            tsOf(r.get("timestamp")).map(_._1),
+            if (r.get("node_attrs") == null || r.get("node_attrs").isNull) None
+            else Some(attrsOf(r.get("node_attrs")))))
+        } catch { case _: Exception => None }
+      }
+    }.toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs")
+    val links = linkDocs.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.flatMap { line =>
+        try {
+          val r = mapper.readTree(line)
+          def str(f: String) = {
+            val n = r.get(f)
+            if (n.isTextual) n.asText else n.toString
+          }
+          tsOf(r.get("timestamp")).map { case (ms, _) =>
+            (str("source_node"), str("dest_node"),
+              Option(r.get("is_directed")).exists(_.asBoolean()),
+              ms, attrsOf(r.get("link_attrs")))
+          }
+        } catch { case _: Exception => None }
+      }
+    }.toDF("source_node", "dest_node", "is_directed", "epoch_ms", "link_attrs")
+    graft.model.SnapshotGraph(nodes, links)
+  }
+
   /** Wire-format FoundNode docs → canonical findings DataFrame.
     * Malformed docs are dropped (count them upstream if needed). */
   def readFoundNodes(docs: Dataset[String]): DataFrame = {

@@ -59,6 +59,27 @@ class JsonSpec extends SparkSpec {
     got shouldBe Seq(("n1", 1000L), ("n2", 2000L))
   }
 
+  it("round-trips a snapshot through the wire format") {
+    val g = SnapshotGraph(
+      spark.createDataFrame(Seq(
+        ("n1", false, Some(100L), Some(Map("a" -> "b"))),
+        ("n2", true, None, None)))
+        .toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs"),
+      spark.createDataFrame(Seq(
+        ("n1", "n2", true, 100L, Map("p" -> "1"))))
+        .toDF("source_node", "dest_node", "is_directed", "epoch_ms", "link_attrs"))
+    val (nd, ld) = Json.writeSnapshot(g)
+    val back = Json.readSnapshot(nd, ld)
+    back.nodes.collect().map(r => (r.getString(0), r.getBoolean(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq shouldBe
+      Seq(("n1", false, Some(100L)), ("n2", true, None))
+    val l = back.links.collect()(0)
+    (l.getString(0), l.getString(1), l.getBoolean(2), l.getLong(3)) shouldBe
+      ("n1", "n2", true, 100L)
+    l.getMap[String, String](4).toMap shouldBe Map("p" -> "1")
+  }
+
   it("writes snapshot node/link wire docs with nullable timestamp") {
     val g = SnapshotGraph(
       spark.createDataFrame(Seq(
