@@ -271,6 +271,50 @@ object SparkEntry {
       graft.dedup.Dedup.simhashNearDupPairs(doubledDocs(s, d))
     }),
 
+    // Sessionization: split each user's event stream at >30-minute gaps
+    // (the canonical training-pipeline event operator); one summary row
+    // per session.
+    "q31_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("user_id"), col("event_id"),
+        Tables.epochMs(ev0, "ts").as("epoch_ms"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_ms"), col("event_id"))
+      val flagged = ev.withColumn("prev", lag(col("epoch_ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("epoch_ms") - col("prev") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_num", sum(col("new_sess")).over(w))
+      flagged.groupBy(col("user_id"), col("session_num"))
+        .agg(min(col("epoch_ms")).as("session_start"),
+          max(col("epoch_ms")).as("session_end"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // Corpus vocabulary: top-100 tokens by document frequency.
+    "q32_vocab_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.text.TextOps.tokens(col("text"))))
+            .as("token"))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("doc_freq"), asc("token"))))
+        .filter(col("rank") <= 100)
+        .select(col("token"), col("doc_freq"), col("rank").cast("long").as("rank"))
+    }),
+
+    // Per-language corpus statistics.
+    "q33_lang_stats" -> ((s, d) => {
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
     // IVF partition assignment (the inverted-file ANN index side:
     // deterministic sampled centroids, max-cosine assignment).
     "q30_ivf_assign" -> ((s, d) => {
@@ -673,6 +717,36 @@ object SparkEntry {
            |JOIN sims s2 ON s2.id = id2
            |WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""".stripMargin
       },
+
+      "q31_sessionize" ->
+        """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS epoch_ms FROM events),
+          |flagged AS (SELECT *,
+          |    CASE WHEN prev IS NULL OR epoch_ms - prev > 1800000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM (SELECT *, lag(epoch_ms) OVER (
+          |      PARTITION BY user_id ORDER BY epoch_ms, event_id) AS prev FROM ev)),
+          |sess AS (SELECT *, sum(new_sess) OVER (
+          |    PARTITION BY user_id ORDER BY epoch_ms, event_id) AS session_num
+          |  FROM flagged)
+          |SELECT user_id, session_num,
+          |  min(epoch_ms) AS session_start, max(epoch_ms) AS session_end,
+          |  count(*) AS n_events
+          |FROM sess GROUP BY 1, 2""".stripMargin,
+
+      "q32_vocab_topk" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+           |  FROM documents),
+           |freq AS (SELECT token, count(*) AS doc_freq FROM toks
+           |  WHERE token <> '' GROUP BY 1)
+           |SELECT token, doc_freq, CAST(rn AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (
+           |    ORDER BY doc_freq DESC, token ASC) AS rn FROM freq)
+           |WHERE rn <= 100""".stripMargin,
+
+      "q33_lang_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          |FROM documents GROUP BY 1""".stripMargin,
 
       "q30_ivf_assign" ->
         s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
