@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked run output passes through unprefixed — the bench driver parses
+// the single JSON line from stdout, and sbt's default logger would
+// prepend "[info] " to it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
