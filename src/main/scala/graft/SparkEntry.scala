@@ -315,6 +315,15 @@ object SparkEntry {
           max(col("n_chars")).as("max_chars"))
     }),
 
+    // PII-style redaction: emails + long digit runs masked; the whole
+    // transform is hash-checked via md5 of the redacted text.
+    "q34_redact" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextOps.redactionCount(col("text")).cast("long")
+          .as("n_redactions"),
+        md5(graft.text.TextOps.redact(col("text"))).as("redacted_md5"))
+    }),
+
     // IVF partition assignment (the inverted-file ANN index side:
     // deterministic sampled centroids, max-cosine assignment).
     "q30_ivf_assign" -> ((s, d) => {
@@ -747,6 +756,17 @@ object SparkEntry {
           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
           |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q34_redact" -> {
+        import graft.text.TextOps.{emailPattern, digitRunPattern}
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$emailPattern'))
+           |     + len(regexp_extract_all(text, '$digitRunPattern')) AS BIGINT) AS n_redactions,
+           |  md5(regexp_replace(regexp_replace(text,
+           |    '$emailPattern', '<EMAIL>', 'g'),
+           |    '$digitRunPattern', '<NUM>', 'g')) AS redacted_md5
+           |FROM documents""".stripMargin
+      },
 
       "q30_ivf_assign" ->
         s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),

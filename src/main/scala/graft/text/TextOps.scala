@@ -92,6 +92,46 @@ object TextOps {
   def fingerprintBucket(text: Column): Column =
     conv(substring(fingerprint(text), 1, 8), 16, 10).cast("long")
 
+  /** PII-style redaction for corpus cleaning: mask email addresses and
+    * long digit runs (phone/account-number shaped). Patterns stay in the
+    * regex subset shared by Java regex (Spark) and RE2 (DuckDB) so the
+    * oracle states the identical transform. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val digitRunPattern = "[0-9]{6,}"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      digitRunPattern, "<NUM>")
+
+  def redactionCount(text: Column): Column = {
+    // expr() strings pass through the Spark SQL parser, which consumes
+    // one level of backslash escaping — double them for the literal
+    def sqlLit(p: String) = p.replace("\\", "\\\\")
+    size(expr(s"regexp_extract_all(text, '${sqlLit(emailPattern)}', 0)")) +
+      size(expr(s"regexp_extract_all(text, '${sqlLit(digitRunPattern)}', 0)"))
+  }
+
+  /** TF-IDF-style token weighting: per (doc, token) term frequency ×
+    * inverse document frequency. Kept engine-side (ln() differs in the
+    * last ulp across libm implementations, so this is spec-checked, not
+    * oracle-hashed). Returns (doc_id, token, tf, df, tfidf). */
+  def tfidf(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val n = docs.count().toDouble
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, "token")
+      .withColumn("tfidf",
+        col("tf") * log(lit(n) / col("df").cast("double")))
+      .select("doc_id", "token", "tf", "df", "tfidf")
+  }
+
   /** Winnowing-style selected-hash fingerprints: min rolling k-gram hash
     * per sliding window, deduplicated — the standard plagiarism/near-dup
     * sketch. Pure nested array expressions (codegen'd). */

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Engine-side text ops not fully covered by the oracle gate: redaction
+  * on synthetic PII, TF-IDF weighting, winnowing fingerprints. */
+class TextOpsSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*) = {
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  it("redact masks emails and digit runs; count matches") {
+    val docs = docsOf(
+      (1L, "contact bob@example.com or call 5551234567 now"),
+      (2L, "clean text with small 123 number"))
+    val out = docs.select(col("doc_id"),
+      TextOps.redact(col("text")).as("r"),
+      TextOps.redactionCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    out(0)._2 shouldBe "contact <EMAIL> or call <NUM> now"
+    out(0)._3 shouldBe 2
+    out(1)._2 shouldBe "clean text with small 123 number" // 3 digits < 6
+    out(1)._3 shouldBe 0
+  }
+
+  it("tfidf weights rare tokens above common ones") {
+    val docs = docsOf(
+      (1L, "alpha common"), (2L, "beta common"), (3L, "gamma common"))
+    val w = TextOps.tfidf(docs).collect()
+      .map(r => (r.getString(1), r.getDouble(4))).toMap
+    w("common") shouldBe 0.0 +- 1e-12 // in every doc → idf ln(1) = 0
+    w("alpha") should be > 1.0 // ln(3) ≈ 1.0986
+  }
+
+  it("winnowing fingerprints are stable and shared across near-identical docs") {
+    val docs = docsOf(
+      (1L, "a b c d e f g h i j k l m n"),
+      (2L, "a b c d e f g h i j k l m n"), // identical
+      (3L, "totally different words entirely here and there"))
+    val fps = docs.select(col("doc_id"),
+      TextOps.winnowing(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    fps(1L) shouldBe fps(2L)
+    fps(1L).intersect(fps(3L)) shouldBe empty
+  }
+}
