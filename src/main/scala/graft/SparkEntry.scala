@@ -293,17 +293,25 @@ object SparkEntry {
     }),
 
     // Corpus vocabulary: top-100 tokens by document frequency.
+    // Scale note: the top-100 cut is orderBy().limit() — Spark compiles
+    // that to a distributed TakeOrderedAndProject (per-partition top-100,
+    // merged on the driver), NOT a single-partition global window. The
+    // row_number window then runs over the <=100 surviving rows only.
     "q32_vocab_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(graft.text.TextOps.tokens(col("text"))))
             .as("token"))
-      toks.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(desc("doc_freq"), asc("token"))))
-        .filter(col("rank") <= 100)
-        .select(col("token"), col("doc_freq"), col("rank").cast("long").as("rank"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+        .orderBy(desc("doc_freq"), asc("token"))
+        .limit(100)
+      // partitionBy(lit) keeps the partition spec non-empty (no
+      // single-partition WindowExec warning); input is bounded to 100 rows.
+      top.withColumn("rank", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(desc("doc_freq"), asc("token")))
+          .cast("long"))
+        .select(col("token"), col("doc_freq"), col("rank"))
     }),
 
     // Per-language corpus statistics.
@@ -689,19 +697,36 @@ object SparkEntry {
            |SELECT a.id AS id1, bb.id AS id2, a.bucket
            |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id""".stripMargin,
 
+      // Mirrors the engine's banded default: 4 independent 8-plane
+      // hyperplane bands on the RAW vector (global plane index =
+      // band*8 + p, same md5 weight formula as q26), candidates share
+      // (band, bucket), exact cosine verify on candidates only.
       "q28_embed_neardup" ->
         s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
            |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
            |unit AS (SELECT vec_id AS id, list_transform(range(1, 65), i ->
            |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
            |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
-           |  FROM emb)
-           |SELECT a.id AS id1, b.id AS id2,
+           |  FROM emb),
+           |banded AS (SELECT vec_id AS id, band,
+           |  CAST(list_sum(list_transform(range(0, 8), p ->
+           |    CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+           |        embedding[i]::DOUBLE *
+           |        (CASE WHEN ('0x' || substr(md5((band * 8 + p)::VARCHAR || '-' || (i - 1)::VARCHAR), 32, 1))::BIGINT % 2 = 0
+           |          THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0
+           |      THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+           |  FROM emb CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+           |cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+           |SELECT id1, id2,
            |  round(list_reduce(list_transform(range(1, 65),
-           |    i -> a.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
-           |FROM unit a JOIN unit b ON a.id < b.id
+           |    i -> u1.u[i] * u2.u[i]), (x, y) -> x + y), 6) AS cos
+           |FROM cands
+           |JOIN unit u1 ON u1.id = id1
+           |JOIN unit u2 ON u2.id = id2
            |WHERE round(list_reduce(list_transform(range(1, 65),
-           |    i -> a.u[i] * b.u[i]), (x, y) -> x + y), 6) >= 0.999""".stripMargin,
+           |    i -> u1.u[i] * u2.u[i]), (x, y) -> x + y), 6) >= 0.999""".stripMargin,
 
       "q29_simhash_neardup" -> {
         val simhashExpr =
@@ -736,7 +761,7 @@ object SparkEntry {
           |sess AS (SELECT *, sum(new_sess) OVER (
           |    PARTITION BY user_id ORDER BY epoch_ms, event_id) AS session_num
           |  FROM flagged)
-          |SELECT user_id, session_num,
+          |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
           |  min(epoch_ms) AS session_start, max(epoch_ms) AS session_end,
           |  count(*) AS n_events
           |FROM sess GROUP BY 1, 2""".stripMargin,

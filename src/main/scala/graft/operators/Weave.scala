@@ -9,7 +9,8 @@ import graft.model.SnapshotGraph
   *
   * Every stage is one shuffle (groupBy/aggregate on the node key or the
   * swap-insensitive pair key) or a shuffle-free projection; node-summary
-  * joins broadcast the small side. No collect, no driver loops — at 100 TB
+  * joins are plain equi-joins and AQE picks broadcast vs shuffle from the
+  * measured summary size. No collect, no driver loops — at 100 TB
   * the findings table is the only big input, and it is touched exactly
   * twice (node summary, link samples), both with map-side partial
   * aggregation.
@@ -68,8 +69,11 @@ class StdUnifier(subId: Seq[Column] = Nil, negation: Boolean = true,
     val out =
       if (!negation) merged
       else {
-        val summary = broadcast(
-          nodes.select(col("node_id"), col("epoch_ms").as("n_ts")))
+        // No broadcast() hint: the node summary is one row per distinct
+        // node, which at fleet scale is itself huge — let AQE pick
+        // broadcast vs shuffle from the measured size at runtime.
+        val summary =
+          nodes.select(col("node_id"), col("epoch_ms").as("n_ts"))
         def negatedBy(endId: Column, nTs: Column): Column =
           nTs.isNotNull && col("epoch_ms") < nTs && col("subject") =!= endId
         merged

@@ -65,30 +65,65 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (numPlanes sign bits → BIGINT).
     * Each plane is a LITERAL weight vector; the projection is one
-    * codegen'd VectorDot against it. */
-  def lshBucket(vec: Column, numPlanes: Int = 8, dims: Int = 64): Column = {
+    * codegen'd VectorDot against it. `planeOffset` shifts the plane
+    * index space so independent bands draw disjoint hyperplane sets
+    * (band b uses planes [b*numPlanes, (b+1)*numPlanes)). */
+  def lshBucket(vec: Column, numPlanes: Int = 8, dims: Int = 64,
+      planeOffset: Int = 0): Column = {
     val vecD = transform(vec, x => x.cast("double"))
     val planes = (0 until numPlanes).map { p =>
-      val w = array((0 until dims).map(d => lit(planeWeightValue(p, d))): _*)
+      val w = array((0 until dims).map(d =>
+        lit(planeWeightValue(planeOffset + p, d))): _*)
       when(dot(vecD, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     planes.reduce(_ + _)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
-    * `threshold` (exact baseline; at scale run it WITHIN LSH buckets —
-    * compose with [[lshCandidatePairs]]). */
+  /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
+    * `threshold`. The DEFAULT path is banded: candidates are pairs
+    * sharing at least one of `numBands` independent hyperplane-LSH
+    * buckets (an equi-join on (band, bucket) — the plan that survives
+    * 100 TB), then exact cosine verification on candidates only. The
+    * standard LSH OR-construction: at threshold 0.999 (θ ≤ 2.6°) a
+    * pair survives one 8-plane band w.p. ≈ 0.89, and 4 bands give
+    * ≈ 0.9999 recall; exact duplicates share every bucket and are
+    * never lost. The O(n²) all-pairs scan is behind `bruteForce=true`
+    * (exact-recall baseline for bounded inputs only). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.999,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bruteForce: Boolean = false, numBands: Int = 4,
+      planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
     val base = embeddings.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val unit = base.select(col("id"),
       transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
       .persist()
-    unit.select(col("id").as("id1"), col("u").as("u1"))
-      .join(unit.select(col("id").as("id2"), col("u").as("u2")),
-        col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
+    val pairs =
+      if (bruteForce) {
+        unit.select(col("id").as("id1"), col("u").as("u1"))
+          .join(unit.select(col("id").as("id2"), col("u").as("u2")),
+            col("id1") < col("id2"))
+      } else {
+        // Buckets are computed on the RAW vector (hyperplane sign is
+        // scale-invariant) with per-band plane offsets; candidate pairs
+        // share (band, bucket) — an equi-join, never a cross join.
+        val banded = embeddings.select(col(idCol).cast("long").as("id"),
+          explode(array((0 until numBands).map(b =>
+            struct(lit(b).as("band"),
+              lshBucket(col(vecCol), planesPerBand, dims, b * planesPerBand)
+                .as("bucket"))): _*)).as("bb"))
+          .select(col("id"), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+          .distinct()
+          .join(unit.select(col("id").as("id1"), col("u").as("u1")), Seq("id1"))
+          .join(unit.select(col("id").as("id2"), col("u").as("u2")), Seq("id2"))
+      }
+    pairs.select(col("id1"), col("id2"),
         round(dot(col("u1"), col("u2")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }

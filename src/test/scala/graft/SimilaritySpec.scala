@@ -29,6 +29,32 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.2
   }
 
+  it("banded cosineNearDupPairs matches brute force and avoids cross joins") {
+    if (!haveData) cancel("testdata missing")
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val doubled = emb.unionByName(emb.select(
+      (org.apache.spark.sql.functions.col("vec_id") + 10000).as("vec_id"),
+      org.apache.spark.sql.functions.col("embedding")))
+    val banded = Similarity.cosineNearDupPairs(doubled)
+    // the default (banded) plan must not contain an all-pairs join
+    val plan = banded.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    val bandedPairs = banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = Similarity
+      .cosineNearDupPairs(doubled, bruteForce = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates only shrink the pair set...
+    bandedPairs.subsetOf(brutePairs) shouldBe true
+    // ...and every exact duplicate (identical vector → identical buckets)
+    // is guaranteed kept; on this corpus that's the whole answer
+    val n = emb.count()
+    (0L until n).foreach { i => bandedPairs should contain((i, i + 10000)) }
+    bandedPairs shouldBe brutePairs
+  }
+
   it("lshCandidatePairs puts identical vectors in one bucket") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)

@@ -247,5 +247,20 @@ class WeaveSpec extends SparkSpec {
         ("n2", "n3", false, ts("2018-12-01T15:00")),
         ("n3", "n1", true, ts("2018-12-01T10:00")))
     }
+
+    it("negation is an unhinted equi-join (AQE picks the strategy)") {
+      val g = Weave.snapshot(Findings.fromSeq(spark, Seq(
+        fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.ToTarget))),
+        fn("n2", "2018-12-01T20:00", Nil))))
+      // no forced broadcast hint survives into the optimized plan
+      val logical = g.links.queryExecution.optimizedPlan.toString
+      logical should not include "ResolvedHint"
+      // the negation lookup is still a real join in the physical plan
+      val physical = g.links.queryExecution.executedPlan.toString
+      physical should include("Join")
+      // and the negation semantics hold: n2's newer empty re-observation
+      // kills the n1->n2 sample
+      g.links.collect() shouldBe empty
+    }
   }
 }
