@@ -338,6 +338,14 @@ object SparkEntry {
       graft.similarity.Similarity.ivfAssign(Tables.embeddings(s, d))
     }),
 
+    // IVF-flat top-k SEARCH (the other half of q30's index): queries
+    // probe their 2 closest centroid lists, exact cosine within lists
+    // only. Query side capped like q25 so the gate stays bounded.
+    "q35_ivf_topk" -> ((s, d) => {
+      graft.similarity.Similarity.ivfTopK(Tables.embeddings(s, d), k = 3,
+        nprobe = 2, maxQueryId = 500L)
+    }),
+
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
     "q27_media_features" -> ((s, d) => {
@@ -808,6 +816,41 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (
            |    PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
            |WHERE rn = 1""".stripMargin,
+
+      // Extends q30's CTEs: assignment (rn = 1) gives the inverted
+      // lists, probes keep each query's nprobe=2 closest centroids,
+      // exact cosine runs within probed lists only, top-3 per query.
+      "q35_ivf_topk" ->
+        s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |unit AS (SELECT id, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
+           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+           |scored AS (SELECT v.id, c.cid,
+           |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
+           |      (x, y) -> x + y) AS ccos
+           |  FROM unit v CROSS JOIN cent c),
+           |assigned AS (SELECT id, cid AS centroid FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
+           |  WHERE rn = 1),
+           |probes AS (SELECT id AS qid, cid AS centroid FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS cr
+           |    FROM scored WHERE id < 500)
+           |  WHERE cr <= 2),
+           |pairs AS (SELECT p.qid, a.id AS nid,
+           |    round(list_reduce(list_transform(range(1, 65),
+           |      i -> q.u[i] * n.u[i]), (x, y) -> x + y), 6) AS cos
+           |  FROM probes p
+           |  JOIN assigned a ON a.centroid = p.centroid AND a.id <> p.qid
+           |  JOIN unit q ON q.id = p.qid
+           |  JOIN unit n ON n.id = a.id)
+           |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+           |WHERE rn <= 3""".stripMargin,
 
       "q27_media_features" ->
         """SELECT doc_id AS media_id,
