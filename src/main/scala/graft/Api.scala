@@ -42,11 +42,19 @@ class Weaver(spark: SparkSession,
   }
 }
 
-class Spider(spark: SparkSession, historyDir: String) {
+/** Generic over the node-id type `N` like the reference's `Spider n na fla`
+  * (Int-id precedent: net-spider/test/ServerTest/Attributes.hs:105-106).
+  * `Spider(spark, dir)` via the companion keeps the common STRING-id case
+  * inference-friendly; `new Spider[Long](...)` (with an Encoder in scope)
+  * runs the identical pipeline over BIGINT ids. */
+class Spider[N](spark: SparkSession, historyDir: String)(
+    implicit enc: org.apache.spark.sql.Encoder[N]) {
 
   /** Spider.hs addFoundNode — a blind append (no get-or-make round
-    * trips; identity resolves at read). */
-  def addFoundNodes(fns: Seq[FoundNode]): Unit =
+    * trips; identity resolves at read). The Seq overload speaks the
+    * String-id [[FoundNode]] model; other id types append canonical
+    * findings DataFrames directly. */
+  def addFoundNodes(fns: Seq[FoundNode])(implicit ev: N =:= String): Unit =
     History.append(Findings.fromSeq(spark, fns), historyDir)
 
   def addFoundNodes(findings: DataFrame): Unit =
@@ -57,12 +65,19 @@ class Spider(spark: SparkSession, historyDir: String) {
 
   /** Spider.hs getSnapshot: interval filter → policy retention → BFS
     * from startsFrom → weave. */
-  def getSnapshot(query: Query): SnapshotGraph =
+  def getSnapshot(query: Query[N]): SnapshotGraph =
     GetSnapshot(spark, History.read(spark, historyDir, query.interval)
         .drop("day"),
       // interval already applied by the pruned read
       query.copy(interval = Interval.whole))
 
-  def getSnapshotSimple(startsFrom: Seq[String]): SnapshotGraph =
+  def getSnapshotSimple(startsFrom: Seq[N]): SnapshotGraph =
     getSnapshot(Query(startsFrom))
+}
+
+object Spider {
+  /** The common STRING-node-id spider (the reference CLI's shape). */
+  def apply(spark: SparkSession, historyDir: String): Spider[String] =
+    new Spider[String](spark, historyDir)(
+      org.apache.spark.sql.Encoders.STRING)
 }

@@ -8,9 +8,16 @@ import graft.time.Interval
 
 /** The query object (net-spider/src/NetSpider/Query.hs:47-80): start
   * nodes + time interval + retention policy + unifier, plus a maxHops
-  * bound the reference left as a TODO (Spider.hs:254). */
-case class Query(
-    startsFrom: Seq[String],
+  * bound the reference left as a TODO (Spider.hs:254).
+  *
+  * Generic over the node-id type `N`, like the reference's `Query n na la`
+  * (tested there with Int ids, test/ServerTest/Attributes.hs:105-106):
+  * every downstream operator (Weave/Bfs/LinkOps) is schema-agnostic over
+  * the id column's type, so any orderable Spark-encodable id works —
+  * STRING, BIGINT, INT, …  An `Encoder[N]` is required where the start
+  * list becomes a DataFrame (GetSnapshot). */
+case class Query[N](
+    startsFrom: Seq[N],
     interval: Interval = Interval.whole,
     policy: FoundNodePolicy = PolicyOverwrite,
     unifier: LinkUnifier = new StdUnifier(),
@@ -41,14 +48,15 @@ case class Query(
   */
 object GetSnapshot {
 
-  def apply(spark: SparkSession, findings: DataFrame, query: Query): SnapshotGraph = {
+  def apply[N: org.apache.spark.sql.Encoder](
+      spark: SparkSession, findings: DataFrame, query: Query[N]): SnapshotGraph = {
     val filtered =
       if (query.interval.isWhole) findings
       else findings.filter(query.interval.predicate(col("epoch_ms")))
     val retained = Weave.retainFindings(filtered, query.policy)
 
-    import spark.implicits._
-    val starts = query.startsFrom.toDF("node_id").distinct()
+    val starts = spark.createDataset(query.startsFrom)
+      .toDF("node_id").distinct()
 
     // Known nodes: anything present in the graph as subject or target.
     // A start node that is absent contributes nothing (missing start ⇒

@@ -97,7 +97,7 @@ object RplCli {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("clear") =>
       val spark = newSession()
-      new graft.Spider(spark, args(1)).clearAll()
+      graft.Spider(spark, args(1)).clearAll()
       println(s"""{"cleared":"${args(1)}"}""")
       spark.stop()
     case Some("input") =>
@@ -112,7 +112,7 @@ object RplCli {
               LinkOps.latestPerKey(df, Seq("subject"),
                 Seq("epoch_ms", "finding_seq"))
             else df
-          val sp = new graft.Spider(spark, args(1))
+          val sp = graft.Spider(spark, args(1))
           sp.addFoundNodes(pre(dioF))
           sp.addFoundNodes(pre(daoF))
           println(s"""{"ingested_dio":${dioF.count()},"ingested_dao":${daoF.count()}}""")
@@ -158,6 +158,8 @@ object RplCli {
     def starts(df: DataFrame) =
       if (opts.startsFrom.nonEmpty) opts.startsFrom
       else df.select(col("subject")).distinct().collect().map(_.getString(0)).toSeq
+    implicit val stringEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
     val dioG = GetSnapshot(spark, dioF,
       Query(starts(dioF), interval, unifier = Rpl.DioUnifier))
     val daoG = GetSnapshot(spark, daoF,

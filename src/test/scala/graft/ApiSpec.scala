@@ -26,7 +26,7 @@ class ApiSpec extends SparkSpec {
 
   it("Spider appends to history and answers interval queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_spider").toString + "/h"
-    val sp = new Spider(spark, dir)
+    val sp = Spider(spark, dir)
     sp.addFoundNodes(Seq(
       FoundNode("a", ts("2024-01-10T00:00"), Map.empty,
         Seq(fl("b", LinkState.ToTarget)), 0),

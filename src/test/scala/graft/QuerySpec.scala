@@ -6,10 +6,17 @@ import graft.operators._
 import graft.query.{GetSnapshot, Query}
 import graft.time.{Interval, IntervalEnd}
 
+/** Link row for the BIGINT-id cases (top level so Spark finds a TypeTag). */
+case class LLink(target: Long, link_state: String,
+    link_attrs: Map[String, String])
+
 /** Traversal + interval + policy interplay, mirroring the reference's
   * server-only cases (net-spider/test/ServerTest/Snapshot.hs:97-265) and
   * the `traverses` corpus (SnapshotTestCase.hs:811-821). */
 class QuerySpec extends SparkSpec {
+
+  private implicit val stringEnc: org.apache.spark.sql.Encoder[String] =
+    org.apache.spark.sql.Encoders.STRING
 
   private def linkTo(n: String) = FoundLink(n, LinkState.ToTarget, Map.empty)
   private def node(n: String, atMin: String, links: Seq[String], seq: Long = 0) =
@@ -41,7 +48,7 @@ class QuerySpec extends SparkSpec {
   private val bySubject =
     new StdUnifier(subId = Seq(col("subject")), negation = false)
 
-  private def run(fns: Seq[FoundNode], q: Query) = {
+  private def run(fns: Seq[FoundNode], q: Query[String]) = {
     val g = GetSnapshot(spark, Findings.fromSeq(spark, fns), q)
     val nodes = g.nodes.collect()
       .map(r => (r.getString(0), r.getBoolean(1),
@@ -66,7 +73,7 @@ class QuerySpec extends SparkSpec {
     }
     it("empty startsFrom ⇒ empty graph") {
       val (ns, ls) = run(Seq(node("n1", "10", Seq("n2"))),
-        Query(startsFrom = Nil))
+        Query[String](startsFrom = Nil))
       ns shouldBe empty
       ls shouldBe empty
     }
@@ -168,6 +175,57 @@ class QuerySpec extends SparkSpec {
         ("n4", "n2", 28L), ("n4", "n3", 28L))
       ns.map(_._1) shouldBe Seq("n1", "n2", "n3", "n4")
       ns.map(!_._4) shouldBe Seq(false, false, false, false)
+    }
+  }
+
+  describe("Generic node-id types (reference Int-id precedent, " +
+      "ServerTest/Attributes.hs:105-106)") {
+    // The weave/BFS/unify pipeline is schema-agnostic over the id type;
+    // run the traversal corpus with BIGINT ids end to end.
+    def lfn(subject: Long, atMin: Int, targets: Seq[Long], seq: Long = 0) =
+      (subject, ts(f"2018-12-01T01:$atMin%02d"), seq,
+        Map("o" -> "y"),
+        targets.map(t => LLink(t, LinkState.ToTarget, Map.empty)))
+
+    it("BFS + weave + boundary over BIGINT ids") {
+      import spark.implicits._
+      val findings = Seq(
+        lfn(1L, 10, Seq(2L)),
+        lfn(2L, 20, Seq(3L)),
+        lfn(10L, 30, Seq(11L))) // disconnected island
+        .toDF("subject", "epoch_ms", "finding_seq", "node_attrs", "links")
+      // negation off: node 2's newer finding omits 1 and would (correctly)
+      // negate the 1→2 link — the negation case is pinned separately below
+      val g = GetSnapshot(spark, findings, Query(Seq(1L), unifier = noNeg))
+      g.nodes.schema("node_id").dataType shouldBe
+        org.apache.spark.sql.types.LongType
+      val ns = g.nodes.collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.isNullAt(2)))
+        .sortBy(_._1)
+      // 1,2 visited with findings; 3 reached but finding-less ⇒ visited
+      // bare (null ts, reference markAsVisited); island 10/11 unreachable
+      ns shouldBe Seq((1L, false, false), (2L, false, false),
+        (3L, false, true))
+      val ls = g.links.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      ls shouldBe Seq((1L, 2L), (2L, 3L))
+      // with a 1-hop horizon, 3 stays unvisited and surfaces as boundary
+      val bounded = GetSnapshot(spark, findings,
+        Query(Seq(1L), maxHops = Some(1), unifier = noNeg))
+      bounded.nodes.collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1) shouldBe
+        Seq((1L, false), (2L, false), (3L, true))
+    }
+
+    it("negation + latest-per-pair semantics hold for BIGINT ids") {
+      import spark.implicits._
+      val findings = Seq(
+        lfn(1L, 10, Seq(2L), seq = 1),
+        lfn(2L, 20, Nil, seq = 2)) // newer empty re-observation negates
+        .toDF("subject", "epoch_ms", "finding_seq", "node_attrs", "links")
+      val g = GetSnapshot(spark, findings, Query(Seq(1L, 2L)))
+      g.links.collect() shouldBe empty
+      g.nodes.collect().map(_.getLong(0)).sorted shouldBe Seq(1L, 2L)
     }
   }
 

@@ -12,6 +12,9 @@ import graft.rpl._
   * AnalyzeSpec semantics. */
 class RplPipelineSpec extends SparkSpec {
 
+  private implicit val stringEnc: org.apache.spark.sql.Encoder[String] =
+    org.apache.spark.sql.Encoders.STRING
+
   private val fixtureDir = "/root/reference/net-spider-rpl/test/data"
   private def haveFixtures =
     java.nio.file.Files.exists(java.nio.file.Paths.get(fixtureDir))
