@@ -38,21 +38,30 @@ object Json {
     ))).as[String]
   }
 
-  /** Snapshot graph → (nodes JSON, links JSON) wire docs. */
+  /** Snapshot graph → (nodes JSON, links JSON) wire docs. Timestamp
+    * objects carry the tz fields when present (Timestamp.hs:76-101 emits
+    * tz_offset_min/tz_summer_only/tz_name in snapshot docs too; to_json
+    * omits the fields when tz is null, keeping tz-less docs unchanged). */
   def writeSnapshot(graph: graft.model.SnapshotGraph): (Dataset[String], Dataset[String]) = {
     val spark = graph.nodes.sparkSession
     import spark.implicits._
+    def tsStruct(df: DataFrame) =
+      if (df.columns.contains("tz"))
+        struct(col("epoch_ms").as("epoch_time"),
+          col("tz.offsetMin").as("tz_offset_min"),
+          col("tz.summerOnly").as("tz_summer_only"),
+          col("tz.name").as("tz_name"))
+      else struct(col("epoch_ms").as("epoch_time"))
     val nodes = graph.nodes.select(to_json(struct(
       col("node_id"),
       col("is_on_boundary"),
-      when(col("epoch_ms").isNotNull,
-        struct(col("epoch_ms").as("epoch_time"))).as("timestamp"),
+      when(col("epoch_ms").isNotNull, tsStruct(graph.nodes)).as("timestamp"),
       col("node_attrs")))).as[String]
     val links = graph.links.select(to_json(struct(
       col("source_node"),
       col("dest_node"),
       col("is_directed"),
-      struct(col("epoch_ms").as("epoch_time")).as("timestamp"),
+      tsStruct(graph.links).as("timestamp"),
       col("link_attrs")))).as[String]
     (nodes, links)
   }
@@ -99,15 +108,17 @@ object Json {
         try {
           val r = mapper.readTree(line)
           val id = r.get("node_id")
+          val ts = tsOf(r.get("timestamp"))
           Some((
             if (id.isTextual) id.asText else id.toString,
             Option(r.get("is_on_boundary")).exists(_.asBoolean()),
-            tsOf(r.get("timestamp")).map(_._1),
+            ts.map(_._1),
             if (r.get("node_attrs") == null || r.get("node_attrs").isNull) None
-            else Some(attrsOf(r.get("node_attrs")))))
+            else Some(attrsOf(r.get("node_attrs"))),
+            ts.flatMap(_._2)))
         } catch { case _: Exception => None }
       }
-    }.toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs")
+    }.toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs", "tz")
     val links = linkDocs.mapPartitions { it =>
       val mapper = new ObjectMapper()
       it.flatMap { line =>
@@ -117,14 +128,15 @@ object Json {
             val n = r.get(f)
             if (n.isTextual) n.asText else n.toString
           }
-          tsOf(r.get("timestamp")).map { case (ms, _) =>
+          tsOf(r.get("timestamp")).map { case (ms, tz) =>
             (str("source_node"), str("dest_node"),
               Option(r.get("is_directed")).exists(_.asBoolean()),
-              ms, attrsOf(r.get("link_attrs")))
+              ms, attrsOf(r.get("link_attrs")), tz)
           }
         } catch { case _: Exception => None }
       }
-    }.toDF("source_node", "dest_node", "is_directed", "epoch_ms", "link_attrs")
+    }.toDF("source_node", "dest_node", "is_directed", "epoch_ms",
+      "link_attrs", "tz")
     graft.model.SnapshotGraph(nodes, links)
   }
 

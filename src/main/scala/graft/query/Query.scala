@@ -49,14 +49,23 @@ case class Query[N](
 object GetSnapshot {
 
   def apply[N: org.apache.spark.sql.Encoder](
-      spark: SparkSession, findings: DataFrame, query: Query[N]): SnapshotGraph = {
+      spark: SparkSession, findings: DataFrame, query: Query[N]): SnapshotGraph =
+    ofStarts(spark, findings,
+      spark.createDataset(query.startsFrom).toDF("node_id"), query)
+
+  /** Same pipeline with the start set as a DataFrame (one id column) —
+    * the scale path when starts are derived from data rather than a
+    * driver-side list (e.g. "all loaded subjects"): the start set never
+    * materializes on the driver, it stays a semi-join input.
+    * `query.startsFrom` is ignored. */
+  def ofStarts(spark: SparkSession, findings: DataFrame,
+      startsDf: DataFrame, query: Query[_]): SnapshotGraph = {
     val filtered =
       if (query.interval.isWhole) findings
       else findings.filter(query.interval.predicate(col("epoch_ms")))
     val retained = Weave.retainFindings(filtered, query.policy)
 
-    val starts = spark.createDataset(query.startsFrom)
-      .toDF("node_id").distinct()
+    val starts = startsDf.toDF("node_id").distinct()
 
     // Known nodes: anything present in the graph as subject or target.
     // A start node that is absent contributes nothing (missing start ⇒

@@ -144,6 +144,26 @@ object RplCli {
       spark.stop()
   }
 
+  /** The reference's derived start order (CLI.hs:134-136): DAO subjects
+    * sorted by route_num descending (sortDAONodes, CLI.hs:388-389 —
+    * roots, which carry the route table, first; subjects lacking a
+    * route_num last), then DIO subjects. The reference breaks ties by
+    * reversed load order; a distributed engine has no load order, so
+    * ties break by subject ascending (deterministic). BFS results don't
+    * depend on start order — this is the parity-pinned list for
+    * debugging/output purposes. */
+  def sortedStarts(dioF: DataFrame, daoF: DataFrame): Seq[String] = {
+    val dao = daoF
+      .select(col("subject"),
+        col("node_attrs")("dao_route_num").cast("long").as("rn"))
+      .groupBy(col("subject")).agg(max(col("rn")).as("rn"))
+      .orderBy(desc_nulls_last("rn"), asc("subject"))
+      .collect().map(_.getString(0)).toSeq
+    val dio = dioF.select(col("subject")).distinct().orderBy(col("subject"))
+      .collect().map(_.getString(0)).toSeq
+    dao ++ dio
+  }
+
   private def cis(spark: SparkSession, dioF0: DataFrame, daoF0: DataFrame,
       opts: Opts): Unit = {
     // P5 pre-insert filter (CLI.hs:236-247,366-383)
@@ -155,15 +175,22 @@ object RplCli {
     val dioF = preFilter(dioF0)
     val daoF = preFilter(daoF0)
     val interval = intervalOf(opts)
-    def starts(df: DataFrame) =
-      if (opts.startsFrom.nonEmpty) opts.startsFrom
-      else df.select(col("subject")).distinct().collect().map(_.getString(0)).toSeq
-    implicit val stringEnc: org.apache.spark.sql.Encoder[String] =
-      org.apache.spark.sql.Encoders.STRING
-    val dioG = GetSnapshot(spark, dioF,
-      Query(starts(dioF), interval, unifier = Rpl.DioUnifier))
-    val daoG = GetSnapshot(spark, daoF,
-      Query(starts(daoF), interval, unifier = Rpl.daoUnifier))
+    // One combined start set for BOTH layer queries (CLI.hs:129-137:
+    // starts = sortDAONodes dao_nodes ++ dio_nodes). Kept as a DataFrame
+    // semi-join input — never collected to the driver (the loaded node
+    // set is unbounded at scale); BFS is set-based so the reference's
+    // start ORDER (pinned by [[sortedStarts]]) does not change results.
+    val startsDf =
+      if (opts.startsFrom.nonEmpty) {
+        import spark.implicits._
+        opts.startsFrom.toDF("node_id")
+      } else daoF.select(col("subject"))
+        .union(dioF.select(col("subject"))).distinct()
+        .toDF("node_id")
+    val dioG = GetSnapshot.ofStarts(spark, dioF, startsDf,
+      Query[String](Nil, interval, unifier = Rpl.DioUnifier))
+    val daoG = GetSnapshot.ofStarts(spark, daoF, startsDf,
+      Query[String](Nil, interval, unifier = Rpl.daoUnifier))
     val combined = Rpl.combineGraphs(dioG, daoG)
 
     opts.mode match {

@@ -80,6 +80,39 @@ class JsonSpec extends SparkSpec {
     l.getMap[String, String](4).toMap shouldBe Map("p" -> "1")
   }
 
+  it("round-trips snapshot tz through the wire format (Timestamp.hs:76-101)") {
+    import graft.model.Tz
+    val g = SnapshotGraph(
+      spark.createDataFrame(Seq(
+        ("n1", false, Some(100L), Some(Map("a" -> "b")),
+          Some(Tz(540, false, "JST"))),
+        ("n2", true, None, None, None)))
+        .toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs", "tz"),
+      spark.createDataFrame(Seq(
+        ("n1", "n2", true, 100L, Map("p" -> "1"), Some(Tz(-60, true, "X")))))
+        .toDF("source_node", "dest_node", "is_directed", "epoch_ms",
+          "link_attrs", "tz"))
+    val (nd, ld) = Json.writeSnapshot(g)
+    // wire docs carry the tz fields inside the timestamp object
+    val doc = nd.collect().sorted.head
+    doc should include("\"tz_offset_min\":540")
+    doc should include("\"tz_name\":\"JST\"")
+    val back = Json.readSnapshot(nd, ld)
+    val n1 = back.nodes.filter(org.apache.spark.sql.functions
+      .col("node_id") === "n1").collect()(0)
+    val ntz = n1.getStruct(n1.fieldIndex("tz"))
+    (ntz.getInt(0), ntz.getBoolean(1), ntz.getString(2)) shouldBe
+      (540, false, "JST")
+    // tz-less node reads back with null tz
+    val n2 = back.nodes.filter(org.apache.spark.sql.functions
+      .col("node_id") === "n2").collect()(0)
+    n2.isNullAt(n2.fieldIndex("tz")) shouldBe true
+    val l = back.links.collect()(0)
+    val ltz = l.getStruct(l.fieldIndex("tz"))
+    (ltz.getInt(0), ltz.getBoolean(1), ltz.getString(2)) shouldBe
+      (-60, true, "X")
+  }
+
   it("writes snapshot node/link wire docs with nullable timestamp") {
     val g = SnapshotGraph(
       spark.createDataFrame(Seq(

@@ -8,6 +8,19 @@ class RplCliSpec extends SparkSpec {
 
   private val base = Array("/tmp/x.log", "syslog:2019")
 
+  it("derives cis starts DAO-root-first (sortDAONodes, CLI.hs:388-389)") {
+    val fixture = "/root/reference/net-spider-rpl/test/data/syslog_sr_tables.log"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
+      cancel("fixture missing")
+    val (dioF, daoF) = graft.rpl.ContikiNg.readLogs(spark, fixture,
+      graft.rpl.ContikiNg.SyslogHead(2019))
+    // root (route_num 6) first, route-less DAO subject next, DIO last
+    RplCli.sortedStarts(dioF, daoF) shouldBe Seq(
+      "dao://[fd00::222:5566:cc99:62c4]",
+      "dao://[fd00::222:5566:ddee:4fdf]",
+      "dio://[fd00::222:5566:cc99:62c4]")
+  }
+
   it("parses starts-from, interval ends, duration, filter") {
     val o = RplCli.parseArgs(base ++ Array("graphml",
       "-s", "dio://[fd00::1]", "-s", "dio://[fd00::2]",
