@@ -35,6 +35,13 @@ case object PolicyAppend extends FoundNodePolicy
   * strategy-internal ones). */
 trait LinkUnifier {
   def unify(samples: DataFrame, nodes: DataFrame): DataFrame
+  /** The unified samples BEFORE any negation pruning — used by
+    * [[Weave.snapshotWithStats]] to count negation decisions (the
+    * reference's Weaver logs its unification decisions,
+    * Weaver.hs:156-168). Default: negation-free unifiers return the
+    * same frame as [[unify]]. */
+  def unifyRaw(samples: DataFrame, nodes: DataFrame): DataFrame =
+    unify(samples, nodes)
 }
 
 /** The standard unifier (`unifyStd`, Unify.hs:169-193):
@@ -55,6 +62,9 @@ trait LinkUnifier {
 class StdUnifier(subId: Seq[Column] = Nil, negation: Boolean = true,
     postMerge: DataFrame => DataFrame = identity)
     extends LinkUnifier {
+  override def unifyRaw(samples: DataFrame, nodes: DataFrame): DataFrame =
+    new StdUnifier(subId, negation = false, postMerge)
+      .unify(samples, nodes)
   override def unify(samples: DataFrame, nodes: DataFrame): DataFrame = {
     val withKeys = samples
       .withColumn("pair_lo", LinkOps.pairLo(col("subject"), col("target")))
@@ -151,6 +161,58 @@ object Weave {
         lit(null).cast("map<string,string>").as("node_attrs"),
         lit(null).cast(graft.model.Findings.tzType).as("tz"))
     visited.unionByName(boundary)
+  }
+
+  /** Per-snapshot unification decision counters (parity with the
+    * reference Weaver's WriterLoggingM decision log,
+    * Weaver.hs:156-168). */
+  case class WeaveStats(
+      nFindings: Long, nRetained: Long, nSamples: Long,
+      nUnifiedPairs: Long, nNegated: Long, nUnusedDropped: Long,
+      nLinks: Long, nNodes: Long) {
+    /** The reference logs one line per decision; the distributed engine
+      * summarizes the same decisions as counters. */
+    def logLines: Seq[String] = Seq(
+      s"weave: $nFindings findings, $nRetained retained by policy",
+      s"weave: $nSamples link samples -> $nUnifiedPairs unified pairs",
+      s"weave: $nNegated pairs negated by newer end-node observations",
+      s"weave: $nUnusedDropped unused pairs dropped at materialization",
+      s"weave: snapshot has $nNodes nodes, $nLinks links")
+  }
+
+  /** [[snapshot]] plus decision counters, logged at INFO. Counting
+    * forces the intermediate frames, so this is the debugging path —
+    * the plain [[snapshot]] stays single-job lazy. */
+  def snapshotWithStats(findings: DataFrame,
+      policy: FoundNodePolicy = PolicyOverwrite,
+      unifier: LinkUnifier = new StdUnifier(),
+      extraVisited: Option[DataFrame] = None): (SnapshotGraph, WeaveStats) = {
+    val retained = retainFindings(findings, policy).persist()
+    val nodes = snapshotNodes(retained, extraVisited)
+    val samples = linkSamples(retained).persist()
+    val unifiedRaw = unifier.unifyRaw(samples, nodes)
+    val unified = unifier.unify(samples, nodes).persist()
+    val g = snapshot(retained, PolicyAppend /* already retained */,
+      unifier, extraVisited)
+    val nUnifiedRaw = unifiedRaw.count()
+    val nUnified = unified.count()
+    val nLinks = g.links.count()
+    val stats = WeaveStats(
+      nFindings = findings.count(),
+      nRetained = retained.count(),
+      nSamples = samples.count(),
+      nUnifiedPairs = nUnified,
+      nNegated = nUnifiedRaw - nUnified,
+      nUnusedDropped =
+        nUnified - nLinks,
+      nLinks = nLinks,
+      nNodes = g.nodes.count())
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    stats.logLines.foreach(log.info(_))
+    retained.unpersist()
+    samples.unpersist()
+    unified.unpersist()
+    (g, stats)
   }
 
   /** Full snapshot (Weaver.hs getSnapshot', 156-168). */

@@ -285,17 +285,27 @@ object ContikiNg {
     val files = spark.read.option("wholetext", "true").text(path)
       .withColumn("file", input_file_name())
       .as[(String, String)]
-    // finding_seq should be unique ACROSS files for deterministic
-    // tie-breaks: fold a stable 18-bit file-name hash above the 20-bit
-    // per-file block counter (kept narrow so downstream
-    // sample_seq = finding_seq * 1e6 + pos stays within Long).
-    def withFileSeq(f: FoundNode, file: String): FoundNode = {
-      val h = scala.util.hashing.MurmurHash3.stringHash(file).toLong & 0x3ffffL
-      f.copy(findingSeq = (h << 20) | (f.findingSeq & 0xfffffL))
-    }
     val parsed = files.mapPartitions { it =>
       it.map { case (t, file) => (parseText(t, head), file) }
     }.persist()
+    // finding_seq must be unique ACROSS files for deterministic
+    // tie-breaks. The high bits are a DENSE rank of the distinct file
+    // names (collision-free, unlike a hash) over a 30-bit per-file
+    // block counter; bounds are enforced loudly instead of silently
+    // aliasing. Budget: finding_seq must stay < 2^43 so downstream
+    // sample_seq = finding_seq * 1e6 + pos fits in a Long — 13-bit file
+    // rank (8192 files per read) × 30-bit block counter (1G blocks per
+    // file). The file list is a directory listing, driver-bounded.
+    val fileRank = spark.sparkContext.broadcast(
+      parsed.map(_._2).distinct().collect().sorted.zipWithIndex.toMap)
+    def withFileSeq(f: FoundNode, file: String): FoundNode = {
+      val fi = fileRank.value(file).toLong
+      require(fi < (1L << 13),
+        s"readLogs: more than ${1 << 13} files in one read; split the glob")
+      require(f.findingSeq < (1L << 30),
+        s"readLogs: more than ${1 << 30} blocks in $file")
+      f.copy(findingSeq = (fi << 30) | f.findingSeq)
+    }
     val dios = parsed.flatMap { case (r, file) => r.dios.map(withFileSeq(_, file)) }.toDF()
     val daos = parsed.flatMap { case (r, file) => r.daos.map(withFileSeq(_, file)) }.toDF()
     (Findings.toCanonical(dios.as[FoundNode]),

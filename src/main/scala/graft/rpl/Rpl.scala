@@ -143,18 +143,27 @@ object Rpl {
       .join(childDeg, Seq("node_id"), "left")
       .filter(coalesce(col("parent_num"), lit(0L)) === 0)
       .select(col("node_id"), coalesce(col("child_num"), lit(0L)).as("child_num"))
-      .orderBy(desc("child_num"), asc("node_id"))
-      .limit(1000).collect()
-    if (cands.isEmpty) Left("The graph has no node that has no parent.")
-    else if (cands.length == 1) Right(cands(0).getString(0))
-    else {
-      val head = cands.head
-      if (head.getLong(1) > 0 && cands.tail.forall(_.getLong(1) == 0))
-        Right(head.getString(0))
-      else if (head.getLong(1) == 0)
-        Left("The graph contains orphan nodes only.")
-      else Left("The graph contains multiple root candidates.")
-    }
+    // Classification as ONE aggregate over the full candidate set (no
+    // truncating collect — a capped candidate list can misclassify
+    // single-root vs multi-root on large degenerate graphs):
+    //   n = 0            → no parent-less node
+    //   n = 1            → that node is the root
+    //   exactly one candidate with children → it is the root, the rest
+    //                      are orphans (reference getRoot tolerates them)
+    //   none with children → orphans only;  several → ambiguous
+    val r = cands.agg(
+      count(lit(1)).as("n"),
+      count(when(col("child_num") > 0, 1)).as("n_connected"),
+      min(col("node_id")).as("only"),
+      min(when(col("child_num") > 0, col("node_id"))).as("connected_root"))
+      .collect()(0)
+    val n = r.getLong(0)
+    val nConnected = r.getLong(1)
+    if (n == 0) Left("The graph has no node that has no parent.")
+    else if (n == 1) Right(r.getString(2))
+    else if (nConnected == 1) Right(r.getString(3))
+    else if (nConnected == 0) Left("The graph contains orphan nodes only.")
+    else Left("The graph contains multiple root candidates.")
   }
 
   /** A10/A11 — DODAG summary (DODAGAttributes, Analyze.hs:39-92): node

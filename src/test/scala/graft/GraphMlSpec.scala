@@ -36,6 +36,53 @@ class GraphMlSpec extends SparkSpec {
     got should endWith("</graph>\n</graphml>\n")
   }
 
+  it("distributed writer assembles to the exact driver document") {
+    import graft.model.Tz
+    val nodes = spark.createDataFrame(Seq(
+      ("a", false, Some(100L), Some(Map("rank" -> "1")),
+        Some(Tz(540, false, "JST"))),
+      ("b", true, None, None, None),
+      ("c", false, Some(200L), Some(Map("rank" -> "2")), None)))
+      .toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs", "tz")
+    val links = spark.createDataFrame(Seq(
+      ("a", "c", true, 150L, Map("w" -> "0.5"), Option.empty[Tz]),
+      ("c", "b", false, 200L, Map("w" -> "1.5"), Some(Tz(0, false, "UTC")))))
+      .toDF("source_node", "dest_node", "is_directed", "epoch_ms",
+        "link_attrs", "tz")
+    val g = SnapshotGraph(nodes, links)
+    val dir = java.nio.file.Files.createTempDirectory("graphml_dist")
+      .toString
+    GraphMl.writeDistributed(g, dir)
+    val assembled = GraphMl.assembleDistributed(spark, dir)
+    assembled shouldBe GraphMl.write(g)
+    // parses as one well-formed XML document
+    val doc = scala.xml.XML.loadString(assembled)
+    (doc \\ "node").size shouldBe 3
+    (doc \\ "edge").size shouldBe 2
+  }
+
+  it("renders @timestamp_str in the stored zone (showTimestamp parity)") {
+    import graft.model.Tz
+    val nodes = spark.createDataFrame(Seq(
+      ("jst", false, Some(0L), Some(Map.empty[String, String]),
+        Some(Tz(540, false, "JST"))),
+      ("offset", false, Some(0L), Some(Map.empty[String, String]),
+        Some(Tz(-300, false, ""))),
+      ("utc", false, Some(0L), Some(Map.empty[String, String]),
+        Some(Tz(0, false, "UTC"))),
+      ("bare", false, Some(0L), Some(Map.empty[String, String]), None)))
+      .toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs", "tz")
+    val links = spark.createDataFrame(
+      Seq.empty[(String, String, Boolean, Long, Map[String, String])])
+      .toDF("source_node", "dest_node", "is_directed", "epoch_ms", "link_attrs")
+    val got = GraphMl.write(SnapshotGraph(nodes, links))
+    // Timestamp.hs doctests: zone-local time + name / offset / Z suffix
+    got should include(">1970-01-01T09:00:00.000JST<")
+    got should include(">1969-12-31T19:00:00.000-05:00<")
+    got should include(">1970-01-01T00:00:00.000Z<")
+    got should include(">1970-01-01T00:00:00.000<")
+  }
+
   it("infers user attribute types for the key table") {
     val nodes = spark.createDataFrame(Seq(
       ("a", false, Some(1L), Some(Map("rank" -> "128", "name" -> "x"))),

@@ -248,6 +248,27 @@ class WeaveSpec extends SparkSpec {
         ("n3", "n1", true, ts("2018-12-01T10:00")))
     }
 
+    it("snapshotWithStats counts policy/negation/unused decisions " +
+        "(Weaver.hs:156-168 log parity)") {
+      val fns = Seq(
+        fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.ToTarget)), seq = 1),
+        fn("n1", "2018-12-01T09:00", Seq(fl("n2", LinkState.ToTarget)), seq = 2),
+        fn("n2", "2018-12-01T20:00", Nil, seq = 3),
+        fn("n3", "2018-12-01T10:00", Seq(
+          fl("n4", LinkState.ToTarget), fl("n5", LinkState.Unused)), seq = 4))
+      val (g, stats) = Weave.snapshotWithStats(Findings.fromSeq(spark, fns))
+      stats.nFindings shouldBe 4
+      stats.nRetained shouldBe 3 // overwrite drops n1's older finding
+      stats.nSamples shouldBe 3  // n1->n2, n3->n4, n3->n5(unused)
+      stats.nUnifiedPairs shouldBe 2 // n1-n2 negated by n2's newer empty
+      stats.nNegated shouldBe 1
+      stats.nUnusedDropped shouldBe 1 // n3-n5
+      stats.nLinks shouldBe 1 // n3->n4
+      stats.nNodes shouldBe 5
+      g.links.count() shouldBe 1
+      stats.logLines.exists(_.contains("1 pairs negated")) shouldBe true
+    }
+
     it("negation is an unhinted equi-join (AQE picks the strategy)") {
       val g = Weave.snapshot(Findings.fromSeq(spark, Seq(
         fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.ToTarget))),
