@@ -271,6 +271,45 @@ object SparkEntry {
       graft.dedup.Dedup.simhashNearDupPairs(doubledDocs(s, d))
     }),
 
+    // Near-dup CLUSTERING: q23's candidate pairs closed into connected
+    // components (min-label propagation), cluster = min doc id — the
+    // keep-one-per-group step of corpus dedup.
+    "q36_neardup_clusters" -> ((s, d) => {
+      val pairs = graft.dedup.Dedup.minhashCandidatePairs(doubledDocs(s, d))
+      graft.dedup.Dedup.clusterLabels(pairs)
+    }),
+
+    // Canonical text normalization (NFC custom Expression + lower +
+    // whitespace collapse), hash-checked end to end.
+    "q37_normalize" -> ((s, d) => {
+      val norm = graft.text.TextOps.normalizeText(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(norm).as("norm_md5"),
+        length(norm).cast("long").as("n_chars_norm"))
+    }),
+
+    // Train/test contamination: per test doc (doc_id % 100 == 0), how
+    // many train docs share a 3-gram shingle and how many shingles leak.
+    "q38_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.contaminationCounts(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0))
+    }),
+
+    // Deterministic hash-stratified downsampling with per-language rates.
+    "q39_stratified_sample" -> ((s, d) => {
+      graft.pipeline.PipelineOps.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        samplingRatesPpm)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Contiguous sequence packing: per-language token bins of 2048.
+    "q40_seq_packing" -> ((s, d) => {
+      graft.pipeline.PipelineOps.packSequences(Tables.documents(s, d))
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -405,6 +444,34 @@ object SparkEntry {
        |    range(0, greatest(len($toksSql) - 3, 0) + 1),
        |    i -> array_to_string($toksSql[i + 1 : i + 3], ' ')))) AS shingle
        |FROM docs""".stripMargin
+
+  /** q39 per-language keep rates in parts-per-million (the corpus has
+    * de/en/es/fr/zh): the typical quality/volume rebalancing shape —
+    * downsample the over-represented language, keep the rare ones. */
+  private val samplingRatesPpm: Map[String, Long] = Map(
+    "en" -> 500000L, "de" -> 900000L, "es" -> 750000L,
+    "fr" -> 1000000L, "zh" -> 250000L)
+
+  /** DuckDB: MinHash-LSH candidate pairs on the doubled corpus (states
+    * Dedup.minhashCandidatePairs' exact math; shared by q23 and q36). */
+  private def minhashPairsSql: String = {
+    import graft.dedup.Dedup.{P, aConst, bConst, numHashes, bands}
+    val sigCols = (0 until numHashes).map(i =>
+      s"min((x * ${aConst(i)} + ${bConst(i)}) % $P) AS sig_$i").mkString(",\n  ")
+    val rows = numHashes / bands
+    val bandSelects = (0 until bands).map { b =>
+      val keys = (0 until rows).map(r => s"sig_${b * rows + r}").mkString(", ")
+      s"SELECT id, $b AS band, md5(concat_ws('-', $keys)) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS ($doubledSql),
+       |sh AS (SELECT * FROM ($shinglesSql) WHERE shingle <> ''),
+       |hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh),
+       |sig AS (SELECT id, $sigCols FROM hx GROUP BY id),
+       |banded AS ($bandSelects)
+       |SELECT DISTINCT a.id AS id1, b.id AS id2
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val cte = EventGraph.oracleCte
@@ -646,24 +713,19 @@ object SparkEntry {
            |SELECT id, $sigCols FROM hx GROUP BY id""".stripMargin
       },
 
-      "q23_minhash_lsh" -> {
-        import graft.dedup.Dedup.{P, aConst, bConst, numHashes, bands}
-        val sigCols = (0 until numHashes).map(i =>
-          s"min((x * ${aConst(i)} + ${bConst(i)}) % $P) AS sig_$i").mkString(",\n  ")
-        val rows = numHashes / bands
-        val bandSelects = (0 until bands).map { b =>
-          val keys = (0 until rows).map(r => s"sig_${b * rows + r}").mkString(", ")
-          s"SELECT id, $b AS band, md5(concat_ws('-', $keys)) AS bucket FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH docs AS ($doubledSql),
-           |sh AS (SELECT * FROM ($shinglesSql) WHERE shingle <> ''),
-           |hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh),
-           |sig AS (SELECT id, $sigCols FROM hx GROUP BY id),
-           |banded AS ($bandSelects)
-           |SELECT DISTINCT a.id AS id1, b.id AS id2
-           |FROM banded a JOIN banded b
-           |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id""".stripMargin
-      },
+      "q23_minhash_lsh" -> minhashPairsSql,
+
+      // q23's candidate pairs closed transitively (recursive CTE) —
+      // cluster = min id reachable, mirroring the engine's min-label
+      // propagation fixpoint exactly.
+      "q36_neardup_clusters" ->
+        s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+           |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           |SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+           |FROM reach GROUP BY a""".stripMargin,
 
       "q24_simhash" ->
         s"""SELECT doc_id,
@@ -759,6 +821,42 @@ object SparkEntry {
            |JOIN sims s2 ON s2.id = id2
            |WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""".stripMargin
       },
+
+      "q37_normalize" ->
+        """WITH n AS (SELECT doc_id,
+          |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+          |  FROM documents)
+          |SELECT doc_id, md5(norm) AS norm_md5,
+          |  CAST(len(norm) AS BIGINT) AS n_chars_norm FROM n""".stripMargin,
+
+      "q38_contamination" ->
+        s"""WITH trsh AS (SELECT * FROM (
+           |    WITH docs AS (SELECT * FROM documents WHERE doc_id % 100 <> 0)
+           |    $shinglesSql) WHERE shingle <> ''),
+           |tesh AS (SELECT * FROM (
+           |    WITH docs AS (SELECT * FROM documents WHERE doc_id % 100 = 0)
+           |    $shinglesSql) WHERE shingle <> '')
+           |SELECT te.id AS test_id,
+           |  CAST(count(DISTINCT tr.id) AS BIGINT) AS n_contaminating_docs,
+           |  CAST(count(DISTINCT te.shingle) AS BIGINT) AS n_shared_shingles
+           |FROM tesh te JOIN trsh tr ON te.shingle = tr.shingle
+           |GROUP BY 1""".stripMargin,
+
+      "q39_stratified_sample" -> {
+        val cases = samplingRatesPpm.toSeq.sortBy(_._1)
+          .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |    % 1000000 < (CASE lang $cases ELSE 0 END)""".stripMargin
+      },
+
+      "q40_seq_packing" ->
+        s"""WITH t AS (SELECT doc_id, lang,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+           |c AS (SELECT *, CAST(sum(n_tokens) OVER (
+           |    PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+           |SELECT doc_id, lang, n_tokens,
+           |  (cum - n_tokens) // 2048 AS bin FROM c""".stripMargin,
 
       "q31_sessionize" ->
         """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS epoch_ms FROM events),

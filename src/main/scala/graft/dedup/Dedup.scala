@@ -93,6 +93,35 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Train/test CONTAMINATION check: for each test document, how many
+    * train documents share at least one k-gram shingle, and how many
+    * distinct shingles leak. The standard eval-set hygiene pass before
+    * training — a plain equi-join on the shingle key, grouped per test
+    * doc. `maxShingleFreq` (optional) drops shingles appearing in more
+    * than that many train docs before joining: boilerplate shingles are
+    * both meaningless as contamination evidence and the joins's skew
+    * source at 100 TB. */
+  def contaminationCounts(train: DataFrame, test: DataFrame, k: Int = 3,
+      maxShingleFreq: Option[Long] = None,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainSh0 = shingles(train, k, idCol, textCol)
+      .select(col("id").as("train_id"), col("shingle"))
+    val trainSh = maxShingleFreq match {
+      case None => trainSh0
+      case Some(cap) =>
+        val hot = trainSh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("freq"))
+          .filter(col("freq") > cap).select(col("shingle"))
+        trainSh0.join(hot, Seq("shingle"), "left_anti")
+    }
+    val testSh = shingles(test, k, idCol, textCol)
+      .select(col("id").as("test_id"), col("shingle"))
+    testSh.join(trainSh, Seq("shingle"))
+      .groupBy(col("test_id"))
+      .agg(countDistinct(col("train_id")).as("n_contaminating_docs"),
+        countDistinct(col("shingle")).as("n_shared_shingles"))
+  }
+
   /** MinHash parameters: k permutations (a*x+b) mod P over 32-bit shingle
     * hashes. Deterministic constants, inlined identically in the oracle. */
   val P: Long = 2038074743L
@@ -129,6 +158,45 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
+
+  /** Near-duplicate CLUSTERS from candidate pairs: connected components
+    * by iterative min-label propagation, cluster id = min doc id in the
+    * component. This is the corpus-dedup step AFTER pair generation —
+    * pairs only say "these two match"; keeping one doc per group needs
+    * the transitive closure (A~B, B~C ⇒ {A,B,C} one cluster).
+    *
+    * Each round is one equi-join + hash min-aggregation over the PAIR
+    * graph (orders of magnitude smaller than the corpus — only docs with
+    * at least one candidate edge participate); labels are
+    * localCheckpointed per round to cut lineage. Rounds = component
+    * diameter; near-dup components are shallow stars/cliques in
+    * practice. For adversarially long chains the alternating
+    * large-star/small-star variant (same join shape) bounds rounds at
+    * O(log n) — this direct form keeps label = GLOBAL min id, which the
+    * oracle's transitive closure states exactly. */
+  def clusterLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("id"), col("id2").as("nb"))
+      .unionByName(pairs.select(col("id2").as("id"), col("id1").as("nb")))
+      .distinct().persist()
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("nb"), col("cluster")), "nb")
+        .select(col("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .unionByName(viaNeighbors)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") < col("old")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels
   }
 
   /** 60-bit SimHash per doc: per-token md5-derived hash, bitwise

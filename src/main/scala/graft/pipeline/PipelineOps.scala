@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Corpus-shaping operators for training-data pipelines: deterministic
+  * stratified sampling and contiguous sequence packing. Both are pure
+  * column/window plans — no collect, no RNG state: sampling keys off a
+  * content hash so every executor (and the DuckDB oracle) agrees on the
+  * kept set, and packing uses per-stratum partitioned windows so no
+  * single task sees the whole corpus.
+  */
+object PipelineOps {
+
+  /** Stable uniform [0, 1e6) integer draw from an id — md5-derived like
+    * Dedup.h32, so re-runs, retries and the oracle all keep the same
+    * rows (seeded-RNG sampling is not reproducible across partitionings;
+    * hash sampling is). */
+  def hashDraw(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000000L))
+
+  /** Deterministic stratified downsampling: keep a row when its hash
+    * draw falls under its stratum's threshold (parts-per-million).
+    * The rate table broadcasts (strata counts are small by definition);
+    * unknown strata are dropped — pass a rate of 1000000 to keep one
+    * wholesale. */
+  def stratifiedSample(df: DataFrame, ratesPpm: Map[String, Long],
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = ratesPpm.toSeq.toDF(strataCol, "rate_ppm")
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashDraw(col(idCol)) < col("rate_ppm"))
+      .drop("rate_ppm")
+  }
+
+  /** Contiguous sequence packing: assign documents to fixed-capacity
+    * token bins, per stratum, in id order — bin = exclusive-prefix token
+    * count ÷ capacity. The deterministic streaming-concat packing used
+    * when assembling fixed-length training sequences; a per-stratum
+    * PARTITIONED window (running sum), never a global one. Documents
+    * longer than `capacity` span bins by construction (they must be
+    * chunked downstream either way). Returns (id, stratum, n_tokens,
+    * bin). */
+  def packSequences(docs: DataFrame, capacity: Int = 2048,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), col(strataCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / lit(capacity)).cast("long"))
+      .drop("cum")
+  }
+}

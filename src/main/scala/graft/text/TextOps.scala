@@ -92,6 +92,17 @@ object TextOps {
   def fingerprintBucket(text: Column): Column =
     conv(substring(fingerprint(text), 1, 8), 16, 10).cast("long")
 
+  /** Canonical text normalization for corpus cleaning: unicode NFC
+    * (custom codegen'd [[graft.functions.NfcNormalize]] — Spark has no
+    * built-in), lowercase, whitespace runs collapsed to single spaces,
+    * ends trimmed. All stages fuse into one whole-stage-codegen span;
+    * DuckDB states the identical transform with nfc_normalize + lower +
+    * regexp_replace('\\s+', ' ', 'g') + trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.TextExpressions.nfcNormalize(text)),
+      "\\s+", " "))
+
   /** PII-style redaction for corpus cleaning: mask email addresses and
     * long digit runs (phone/account-number shaped). Patterns stay in the
     * regex subset shared by Java regex (Spark) and RE2 (DuckDB) so the

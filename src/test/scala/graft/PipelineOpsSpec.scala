@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.pipeline.PipelineOps
+import graft.text.TextOps
+
+/** Corpus-shaping operators: near-dup clustering, contamination,
+  * normalization, sampling, packing. */
+class PipelineOpsSpec extends SparkSpec {
+
+  it("clusterLabels closes transitively to the min id") {
+    import spark.implicits._
+    // components {1,2,3,4} (chain) and {10,11}; 20-20 self-free
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.clusterLabels(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    got shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L))
+  }
+
+  it("nfcNormalize composes decomposed unicode inside codegen") {
+    import spark.implicits._
+    val decomposed = "éclair" // e + COMBINING ACUTE
+    val composed = "éclair"    // é precomposed
+    val got = Seq(decomposed, composed, "plain").toDF("s")
+      .select(graft.functions.TextExpressions.nfcNormalize(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    got(0) shouldBe composed
+    got(1) shouldBe composed
+    got(2) shouldBe "plain"
+    // full normalization: case + whitespace runs
+    val norm = Seq("  Á  b\t\nC ").toDF("s")
+      .select(TextOps.normalizeText(col("s"))).collect()(0).getString(0)
+    norm shouldBe "á b c"
+  }
+
+  it("contaminationCounts joins shingles; freq cap drops boilerplate") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "the quick brown cat sleeps all day"),
+      (3L, "completely different text entirely here now")).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "the quick brown fox runs away fast"),
+      (200L, "nothing in common with training data")).toDF("doc_id", "text")
+    val got = Dedup.contaminationCounts(train, test).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // test 100 shares "the quick brown" with docs 1 and 2, and
+    // "quick brown fox" with doc 1; test 200 is clean (absent)
+    got.map(_._1) shouldBe Seq(100L)
+    got(0)._2 shouldBe 2 // train docs 1 and 2
+    got(0)._3 shouldBe 2 // shingles "the quick brown", "quick brown fox"
+    // capping at freq 1 drops the shared-by-two "the quick brown"
+    val capped = Dedup.contaminationCounts(train, test,
+      maxShingleFreq = Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    capped shouldBe Seq((100L, 1L, 1L))
+  }
+
+  it("stratifiedSample is deterministic and respects rate 0/1e6") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i < 50) "keep" else "drop"))
+      .toDF("doc_id", "lang")
+    val rates = Map("keep" -> 1000000L, "drop" -> 0L)
+    val got = PipelineOps.stratifiedSample(df, rates).collect()
+    got.map(_.getAs[Long]("doc_id")).sorted shouldBe (0L until 50L)
+    // deterministic: same kept set on re-run
+    PipelineOps.stratifiedSample(df, rates).collect()
+      .map(_.getAs[Long]("doc_id")).sorted shouldBe (0L until 50L)
+  }
+
+  it("packSequences bins per stratum in id order, window partitioned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three"),          // 3 tokens, bin 0
+      (2L, "a", ("x " * 2050).trim),       // 2050 tokens, starts at cum 3
+      (3L, "a", "tail tokens here"),       // after 2053 → bin 1
+      (10L, "b", "other stratum")).toDF("doc_id", "lang", "text")
+    val got = PipelineOps.packSequences(docs, capacity = 2048)
+    val plan = got.queryExecution.executedPlan.toString
+    plan should not include "No Partition Defined"
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    rows shouldBe Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "a", 1L),
+      (10L, "b", 0L))
+  }
+}
