@@ -57,7 +57,9 @@ object Dedup {
     * skew-bound quadratic shuffle and a rare-key equi-join. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, k, idCol, textCol)
+    // persisted: consumed by BOTH the frequency agg and the ranked join —
+    // without it the tokenize+explode (the scan-heavy stage) runs twice
+    val sh = shingles(docs, k, idCol, textCol).persist()
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
     // per-doc shingle array sorted by (freq, shingle) ascending
     val ranked = sh.join(freq, "shingle")
@@ -181,8 +183,16 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check: labels only ever DECREASE, so the label sum
+    // strictly decreases on any change — one cheap aggregate per round
+    // instead of a join against the previous generation.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("cluster"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
+    while (changed) {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("nb"), col("cluster")), "nb")
         .select(col("id"), col("cluster"))
@@ -190,9 +200,9 @@ object Dedup {
         .unionByName(viaNeighbors)
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") < col("old")).count()
+      val s = labelSum(next)
+      changed = s != prevSum
+      prevSum = s
       labels = next
     }
     edges.unpersist()
