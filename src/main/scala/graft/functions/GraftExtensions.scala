@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       GraftExtensions.vectorDotInfo,
       GraftExtensions.vectorDotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      GraftExtensions.nfcInfo,
+      GraftExtensions.nfcBuilder))
   }
 }
 
@@ -28,9 +32,20 @@ object GraftExtensions {
       VectorDot(children.head, children(1))
     }
 
+  private[functions] val nfcInfo =
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize")
+  private[functions] val nfcBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 1, "nfc_normalize requires exactly 1 argument")
+      NfcNormalize(children.head)
+    }
+
   /** Register into an already-built session (config-based extensions
     * only apply at build time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftshim.Shim.registerFunction(
       spark, "vector_dot", vectorDotInfo, vectorDotBuilder)
+    org.apache.spark.sql.graftshim.Shim.registerFunction(
+      spark, "nfc_normalize", nfcInfo, nfcBuilder)
+  }
 }

@@ -99,6 +99,45 @@ object StreamingIngest {
         max(col("epochMs")).as("latest_ms"))
   }
 
+  /** Streaming exact dedup for document ingestion: drop re-observed
+    * content (by normalized-token fingerprint) within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` keys state on the content
+    * hash and EXPIRES it past the watermark — bounded state, unlike a
+    * bare dropDuplicates whose key set grows forever. The streaming twin
+    * of Dedup.exact. Input columns: doc_id, text, epoch_ms. */
+  def dedupDocStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", graft.text.TextOps.fingerprint(col("text")))
+      .withColumn("event_time", timestamp_millis(col("epoch_ms")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-stream DIO⋈DAO combine: the J3 per-node two-layer merge as a
+    * windowed stream-stream inner join — each side watermarked, the join
+    * condition bounding |dio_time − dao_time| ≤ `tolerance` so Spark can
+    * expire join state (an unbounded-time stream-stream join would hold
+    * both streams forever). Emits one row per (node, dio, dao)
+    * co-observation. Input columns on both sides: subject, epoch_ms,
+    * finding_seq. */
+  def combineStreams(dio: DataFrame, dao: DataFrame,
+      watermark: String = "10 minutes",
+      tolerance: String = "5 minutes"): DataFrame = {
+    val l = dio.select(col("subject"),
+        timestamp_millis(col("epoch_ms")).as("dio_time"),
+        col("finding_seq").as("dio_seq"))
+      .withWatermark("dio_time", watermark)
+    val r = dao.select(col("subject").as("dao_subject"),
+        timestamp_millis(col("epoch_ms")).as("dao_time"),
+        col("finding_seq").as("dao_seq"))
+      .withWatermark("dao_time", watermark)
+    l.join(r,
+      col("subject") === col("dao_subject") &&
+        col("dao_time") >= col("dio_time") - expr(s"INTERVAL $tolerance") &&
+        col("dao_time") <= col("dio_time") + expr(s"INTERVAL $tolerance"))
+      .select(col("subject"), col("dio_time"), col("dio_seq"),
+        col("dao_time"), col("dao_seq"))
+  }
+
   /** Append the findings stream to the parquet history table (S11 sink:
     * get-or-make vertex upserts become a plain append; the nodes view is
     * derived). Returns the started query. */

@@ -55,4 +55,11 @@ class ApiSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     got shouldBe 11.0
   }
+
+  it("nfc_normalize is SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val got = spark.sql("SELECT nfc_normalize('éclair') AS n")
+      .collect()(0).getString(0)
+    got shouldBe "éclair"
+  }
 }

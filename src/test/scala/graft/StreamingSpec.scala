@@ -79,6 +79,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it("dedupDocStream drops same-content docs within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamingIngest.dedupDocStream(
+        input.toDF().toDF("doc_id", "text", "epoch_ms"))
+      .writeStream.format("memory").queryName("dedup_t1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "same words here", 1000L),
+        (2L, "Same   WORDS here", 2000L), // same token stream → dup
+        (3L, "different entirely", 3000L))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch inside the watermark
+      input.addData((4L, "same words here", 4000L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t1").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      ids shouldBe Seq(1L, 3L)
+    } finally q.stop()
+  }
+
+  it("combineStreams joins DIO/DAO per node within the time tolerance") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dio = MemoryStream[(String, Long, Long)]
+    val dao = MemoryStream[(String, Long, Long)]
+    val q = StreamingIngest.combineStreams(
+        dio.toDF().toDF("subject", "epoch_ms", "finding_seq"),
+        dao.toDF().toDF("subject", "epoch_ms", "finding_seq"),
+        watermark = "10 minutes", tolerance = "5 minutes")
+      .writeStream.format("memory").queryName("combine_t1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      dio.addData(("n1", 60000L, 1L), ("n2", 60000L, 2L))
+      // n1's DAO within 5 min → joins; n2's DAO 10 min away → dropped
+      dao.addData(("n1", 120000L, 3L), ("n2", 660000L, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("combine_t1").select("subject", "dio_seq", "dao_seq")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      rows shouldBe Seq(("n1", 1L, 3L))
+    } finally q.stop()
+  }
+
   it("appendToHistory lands stream batches in the parquet history table") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
