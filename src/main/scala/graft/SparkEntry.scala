@@ -310,6 +310,47 @@ object SparkEntry {
       graft.pipeline.PipelineOps.packSequences(Tables.documents(s, d))
     }),
 
+    // Star-schema rollup: revenue per region × order priority through
+    // the full dimension chain. The fact-fact join (lineitem⋈orders)
+    // shuffles on the order key; nation/region are broadcast dims;
+    // customer is left to AQE (dim-sized here, fact-sized in other
+    // schemas — a forced hint would be wrong at the design point).
+    "q41_star_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Tables.exactSum(col("l_extendedprice"), 2).as("revenue"))
+    }),
+
+    // Per-language top-10 vocabulary — the PARTITIONED top-k twin of
+    // q32's global cut (rank windows stay within strata).
+    "q42_lang_vocab" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          explode(array_distinct(graft.text.TextOps.tokens(col("text"))))
+            .as("token"))
+      toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(desc("doc_freq"), asc("token"))))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("token"), col("doc_freq"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Exactly-20-docs-per-language deterministic sample.
+    "q43_fixed_sample" -> ((s, d) => {
+      graft.pipeline.PipelineOps.sampleNPerStratum(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")), 20)
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -821,6 +862,34 @@ object SparkEntry {
            |JOIN sims s2 ON s2.id = id2
            |WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""".stripMargin
       },
+
+      "q41_star_rollup" ->
+        """SELECT r_name, o_orderpriority, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q42_lang_vocab" ->
+        s"""WITH toks AS (SELECT lang, doc_id,
+           |    unnest(list_distinct($toksSql)) AS token FROM documents),
+           |freq AS (SELECT lang, token, count(*) AS doc_freq FROM toks
+           |  WHERE token <> '' GROUP BY 1, 2)
+           |SELECT lang, token, doc_freq, CAST(rn AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY doc_freq DESC, token ASC) AS rn FROM freq)
+           |WHERE rn <= 10""".stripMargin,
+
+      "q43_fixed_sample" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |      % 1000000, doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20""".stripMargin,
 
       "q37_normalize" ->
         """WITH n AS (SELECT doc_id,

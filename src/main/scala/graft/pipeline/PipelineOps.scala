@@ -36,6 +36,20 @@ object PipelineOps {
       .drop("rate_ppm")
   }
 
+  /** Deterministic FIXED-SIZE sample per stratum: the n rows with the
+    * smallest hash draws (ties by id) in each stratum — "give me exactly
+    * n docs per language", reproducibly. A per-stratum PARTITIONED
+    * window; rank only sorts within strata, never globally. */
+  def sampleNPerStratum(df: DataFrame, n: Int,
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashDraw(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Contiguous sequence packing: assign documents to fixed-capacity
     * token bins, per stratum, in id order — bin = exclusive-prefix token
     * count ÷ capacity. The deterministic streaming-concat packing used

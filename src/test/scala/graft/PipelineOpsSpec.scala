@@ -71,6 +71,22 @@ class PipelineOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).sorted shouldBe (0L until 50L)
   }
 
+  it("sampleNPerStratum returns exactly n per stratum, deterministically") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = PipelineOps.sampleNPerStratum(df, 7)
+    val plan = got.queryExecution.executedPlan.toString
+    plan should not include "No Partition Defined"
+    val rows = got.collect().map(r => (r.getString(1), r.getLong(0)))
+    rows.count(_._1 == "a") shouldBe 7
+    rows.count(_._1 == "b") shouldBe 7
+    // reproducible across runs
+    PipelineOps.sampleNPerStratum(df, 7).collect()
+      .map(r => (r.getString(1), r.getLong(0))).sorted.toSeq shouldBe
+      rows.sorted.toSeq
+  }
+
   it("packSequences bins per stratum in id order, window partitioned") {
     import spark.implicits._
     val docs = Seq(
