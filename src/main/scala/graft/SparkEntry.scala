@@ -351,6 +351,12 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("lang")), 20)
     }),
 
+    // Int8 quantization audit: per-vector scale, code checksum, max
+    // dequantization error.
+    "q44_quantize" -> ((s, d) => {
+      graft.similarity.Similarity.quantizeInt8Summary(Tables.embeddings(s, d))
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -890,6 +896,23 @@ object SparkEntry {
           |      % 1000000, doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 20""".stripMargin,
+
+      "q44_quantize" ->
+        """WITH base AS (SELECT vec_id AS id,
+          |    list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS v
+          |  FROM embeddings),
+          |a AS (SELECT id, v,
+          |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS amax
+          |  FROM base),
+          |qd AS (SELECT id, v, amax,
+          |    list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS q
+          |  FROM a)
+          |SELECT id, round(amax, 6) AS amax_r,
+          |  CAST(list_sum(list_transform(range(1, 65), i -> q[i] * i)) AS BIGINT)
+          |    AS q_checksum,
+          |  round(list_max(list_transform(range(1, 65),
+          |    i -> abs(q[i] * amax / 127.0 - v[i]))), 6) AS max_abs_err
+          |FROM qd""".stripMargin,
 
       "q37_normalize" ->
         """WITH n AS (SELECT doc_id,

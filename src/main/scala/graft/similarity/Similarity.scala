@@ -191,6 +191,34 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth step
+    * of large-scale ANN (4× smaller than float32, 8× than float64):
+    * scale = amax/127, q_i = round(v_i·127/amax) ∈ [−127, 127]. Emits
+    * per-vector audit scalars rather than the raw int8 array: the scale,
+    * an order-sensitive weighted checksum of the codes, and the max
+    * absolute dequantization error — what a pipeline monitors to decide
+    * whether int8 recall loss is acceptable. All column expressions; the
+    * oracle states the identical arithmetic. */
+  def quantizeInt8Summary(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dims: Int = 64): DataFrame = {
+    val base = embeddings.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val amax = greatest(
+      array_max(transform(col("v"), x => abs(x))), lit(1e-30d))
+    val withA = base.select(col("id"), col("v"), amax.as("amax"))
+    val q = transform(col("v"),
+      x => round(x * lit(127.0d) / col("amax")).cast("long"))
+    val idx = sequence(lit(1L), lit(dims.toLong))
+    withA.select(
+      col("id"),
+      round(col("amax"), 6).as("amax_r"),
+      aggregate(zip_with(q, idx, (a, i) => a * i), lit(0L),
+        (acc, x) => acc + x).as("q_checksum"),
+      round(array_max(zip_with(q, col("v"),
+        (qi, vi) => abs(qi * col("amax") / lit(127.0d) - vi))), 6)
+        .as("max_abs_err"))
+  }
+
   /** LSH candidate pairs: vectors sharing a hyperplane-sign bucket.
     * Equi-join on the bucket id — the distributed ANN scale path; follow
     * with exact cosine on candidates only. */

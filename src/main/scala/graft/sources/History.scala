@@ -65,6 +65,43 @@ object History {
       interval: Interval, policy: FoundNodePolicy): DataFrame =
     Weave.retainFindings(read(spark, tableDir, interval), policy)
 
+  /** Small-file compaction for the append-only history table. Blind
+    * streaming/CLI appends land one parquet file per batch per day;
+    * after N appends an interval read opens N files per partition —
+    * the classic small-file tax (driver listing + per-file open cost
+    * dominate the actual scan at 100 TB). Rewrites each day partition
+    * into `filesPerDay` files via a staging directory + atomic-ish
+    * swap: write staged, move old out, move staged in, delete old —
+    * readers never see a partially-compacted partition directory.
+    * Content is unchanged (byte-for-byte row multiset). */
+  def compact(spark: SparkSession, tableDir: String,
+      filesPerDay: Int = 1): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val days = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(_.getPath)
+    days.foreach { dayPath =>
+      val staged = new org.apache.hadoop.fs.Path(
+        root, s".compact_staging_${dayPath.getName}")
+      spark.read.parquet(dayPath.toString)
+        .repartition(filesPerDay)
+        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      val old = new org.apache.hadoop.fs.Path(
+        root, s".compact_old_${dayPath.getName}")
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(dayPath, old)
+      fs.rename(staged, dayPath)
+      fs.delete(old, true)
+      // drop the _SUCCESS marker so the partition dir holds data only
+      val marker = new org.apache.hadoop.fs.Path(dayPath, "_SUCCESS")
+      if (fs.exists(marker)) fs.delete(marker, false)
+      ()
+    }
+  }
+
   /** Subject-bucketed layout (optional refinement for subject-heavy
     * workloads — SURVEY §7.4-8): a catalog table bucketed+sorted by
     * `subject`, so per-node aggregations (policy retention, node

@@ -43,6 +43,26 @@ class HistorySpec extends SparkSpec {
     new java.io.File(dir).exists() shouldBe false
   }
 
+  it("compact merges small files per day without changing content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // 5 blind appends → 5+ small files in the same day partition
+    (0 until 5).foreach { i =>
+      History.append(Findings.fromSeq(spark,
+        Seq(fn(s"n$i", "2024-01-10T05:00", i.toLong))), dir)
+    }
+    def partFiles() = new java.io.File(s"$dir/day=2024-01-10")
+      .list().count(_.endsWith(".parquet"))
+    partFiles() should be >= 5
+    val before = History.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    History.compact(spark, dir)
+    partFiles() shouldBe 1
+    val after = History.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    after shouldBe before
+    History.clear(spark, dir)
+  }
+
   it("bucketed layout makes subject aggregation shuffle-free") {
     val table = "graft_hist_bucketed_t1"
     spark.sql(s"DROP TABLE IF EXISTS $table")
