@@ -357,6 +357,18 @@ object SparkEntry {
       graft.similarity.Similarity.quantizeInt8Summary(Tables.embeddings(s, d))
     }),
 
+    // Exact per-language length percentiles (corpus length-distribution
+    // monitoring). Spark's percentile and DuckDB's quantile_cont state
+    // the same exact linear-interpolation definition.
+    "q45_length_quantiles" -> ((s, d) => {
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -896,6 +908,14 @@ object SparkEntry {
           |      % 1000000, doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 20""".stripMargin,
+
+      "q45_length_quantiles" ->
+        """SELECT lang,
+          |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+          |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+          |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
+          |  count(*) AS n_docs
+          |FROM documents GROUP BY 1""".stripMargin,
 
       "q44_quantize" ->
         """WITH base AS (SELECT vec_id AS id,

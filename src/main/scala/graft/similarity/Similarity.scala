@@ -191,6 +191,63 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Spherical k-means (Lloyd) refinement of the IVF centroids:
+    * deterministic stride-sampled init (same as [[ivfAssign]]), then
+    * `iters` rounds of assign → per-centroid mean → re-normalize. Each
+    * round is ONE scan (broadcast centroids, fused VectorDot argmax) and
+    * one map-side-partial aggregation over (centroid, dim) — the mean
+    * shuffle carries k×dims partial sums per task, not data. Refined
+    * centroids plug into [[ivfTopK]]'s list/probe structure unchanged.
+    * Spec-checked (iterative FP accumulation is not oracle-hashable):
+    * mean intra-cluster cosine must not decrease across rounds. */
+  def kmeansCentroids(embeddings: DataFrame, centroidStride: Int = 50,
+      iters: Int = 3, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val unit = base.select(col("id"),
+      transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
+      .persist()
+    var centroids = unit.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("u").as("cu"))
+    for (_ <- 0 until iters) {
+      val assigned = unit.join(broadcast(centroids))
+        .select(col("id"), col("u"), col("cid"),
+          dot(col("u"), col("cu")).as("ccos"))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cid"), col("u")),
+          struct(col("ccos"), (-col("cid")).as("nc"))).as("w"))
+        .select(col("w.cid").as("cid"), col("w.u").as("u"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"), col("pm.m").as("mu"))
+      centroids = means.select(col("cid"),
+        transform(col("mu"), x => x / sqrt(dot(col("mu"), col("mu"))))
+          .as("cu"))
+        .localCheckpoint(true)
+    }
+    unit.unpersist()
+    centroids
+  }
+
+  /** Mean best-centroid cosine over the collection — the spherical
+    * k-means objective (higher is tighter clustering). */
+  def meanBestCosine(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val base = embeddings.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val unit = base.select(col("id"),
+      transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
+    unit.join(broadcast(centroids))
+      .select(col("id"), dot(col("u"), col("cu")).as("ccos"))
+      .groupBy(col("id")).agg(max(col("ccos")).as("best"))
+      .agg(avg(col("best"))).collect()(0).getDouble(0)
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth step
     * of large-scale ANN (4× smaller than float32, 8× than float64):
     * scale = amax/127, q_i = round(v_i·127/amax) ∈ [−127, 127]. Emits

@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpec {
     bandedPairs shouldBe brutePairs
   }
 
+  it("kmeansCentroids improves (or holds) the clustering objective") {
+    if (!haveData) cancel("testdata missing")
+    val emb = Tables.embeddings(spark, dir)
+    val init = Similarity.kmeansCentroids(emb, iters = 0)
+    val refined = Similarity.kmeansCentroids(emb, iters = 3)
+    // same cluster count, unit-norm centroids
+    refined.count() shouldBe init.count()
+    val norms = refined.select(
+      org.apache.spark.sql.functions.sqrt(
+        Similarity.dot(org.apache.spark.sql.functions.col("cu"),
+          org.apache.spark.sql.functions.col("cu")))).collect()
+      .map(_.getDouble(0))
+    all(norms) shouldBe 1.0 +- 1e-9
+    // Lloyd never worsens the spherical k-means objective
+    val before = Similarity.meanBestCosine(emb, init)
+    val after = Similarity.meanBestCosine(emb, refined)
+    after should be >= before - 1e-9
+  }
+
   it("lshCandidatePairs puts identical vectors in one bucket") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)
