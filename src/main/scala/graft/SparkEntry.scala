@@ -272,11 +272,12 @@ object SparkEntry {
     }),
 
     // Near-dup CLUSTERING: q23's candidate pairs closed into connected
-    // components (min-label propagation), cluster = min doc id — the
-    // keep-one-per-group step of corpus dedup.
+    // components, cluster = min doc id — the keep-one-per-group step of
+    // corpus dedup. Uses the alternating-star CC (O(log n) rounds,
+    // diameter-independent); clusterLabels is the reference-simple twin.
     "q36_neardup_clusters" -> ((s, d) => {
       val pairs = graft.dedup.Dedup.minhashCandidatePairs(doubledDocs(s, d))
-      graft.dedup.Dedup.clusterLabels(pairs)
+      graft.dedup.Dedup.clusterLabelsStar(pairs)
     }),
 
     // Canonical text normalization (NFC custom Expression + lower +

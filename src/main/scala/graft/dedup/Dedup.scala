@@ -95,6 +95,57 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Connected components via ALTERNATING large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * converges in O(log n) rounds regardless of component DIAMETER,
+    * where plain min-label propagation ([[clusterLabels]]) needs
+    * diameter-many rounds. Same output contract: (id, cluster = min id
+    * in component) for every id appearing in `pairs`. Each round is two
+    * grouped-min aggregations + joins over the (shrinking) edge set.
+    *
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    *
+    * Fixpoint = per-component stars centered on the min id. */
+  def clusterLabelsStar(pairs: DataFrame): DataFrame = {
+    // oriented (u big, v small), self-pairs dropped
+    var e = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    val ids = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+      .localCheckpoint(true)
+    var done = e.isEmpty
+    while (!done) {
+      val sym = e.unionByName(
+        e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(lsMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(col("v").as("a"), col("m"))
+        .unionByName(ssMin.select(col("u").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+        .select(col("a").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      done = next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+    }
+    val pointed = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
+      .select(col("u").as("id"), col("cluster"))
+    val centers = ids.join(pointed, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    pointed.unionByName(centers)
+  }
+
   /** Train/test CONTAMINATION check: for each test document, how many
     * train documents share at least one k-gram shingle, and how many
     * distinct shingles leak. The standard eval-set hygiene pass before

@@ -18,7 +18,7 @@ import graft.model.SnapshotGraph
   */
 object GraphMl {
 
-  private def esc(s: String): String = s.flatMap {
+  private[io] def esc(s: String): String = s.flatMap {
     case '&' => "&amp;"
     case '"' => "&quot;"
     case '<' => "&lt;"
@@ -62,7 +62,7 @@ object GraphMl {
     * from its AttrValue sum, GraphML/Attribute.hs:29-35; the generic map
     * path must infer). A key's final type is the WEAKEST of its values'
     * types (long &lt; double &lt; boolean &lt; string ranks below). */
-  private def valueType(v: String): String =
+  private[io] def valueType(v: String): String =
     if (v.nonEmpty && v.forall(c => c.isDigit || c == '-') &&
       scala.util.Try(v.toLong).isSuccess) "long"
     else if (scala.util.Try(v.toDouble).isSuccess) "double"
@@ -71,7 +71,7 @@ object GraphMl {
 
   /** long/double/boolean if EVERY value agrees, else string — same
     * lattice driver-side and distributed. */
-  private def combineTypes(types: Iterable[String]): String =
+  private[io] def combineTypes(types: Iterable[String]): String =
     if (types.isEmpty) "string"
     else if (types.forall(_ == "long")) "long"
     else if (types.forall(t => t == "long" || t == "double")) "double"
@@ -118,7 +118,7 @@ object GraphMl {
       eTs, eTsStr, eTzKeys, eUser)
   }
 
-  private def attrsOf(r: Row, i: Int): Map[String, String] =
+  private[io] def attrsOf(r: Row, i: Int): Map[String, String] =
     if (r.isNullAt(i)) Map.empty
     else r.getMap[String, String](i).toMap
 
@@ -186,14 +186,14 @@ object GraphMl {
     else df.withColumn("tz", lit(null).cast(graft.model.Findings.tzType))
   }
 
-  private def selectNodes(graph: SnapshotGraph) = {
+  private[io] def selectNodes(graph: SnapshotGraph) = {
     import org.apache.spark.sql.functions.col
     withTz(graph.nodes).select(
       col("node_id"), col("is_on_boundary"), col("epoch_ms"),
       col("node_attrs"), col("tz"))
   }
 
-  private def selectLinks(graph: SnapshotGraph) = {
+  private[io] def selectLinks(graph: SnapshotGraph) = {
     import org.apache.spark.sql.functions.col
     withTz(graph.links).select(
       col("source_node"), col("dest_node"), col("is_directed"),

@@ -83,6 +83,27 @@ class GraphMlSpec extends SparkSpec {
     got should include(">1970-01-01T00:00:00.000<")
   }
 
+  it("GEXF sink writes typed attributes and per-edge directedness") {
+    val nodes = spark.createDataFrame(Seq(
+      ("a", false, Some(100L), Some(Map("rank" -> "128"))),
+      ("b", true, None, None)))
+      .toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs")
+    val links = spark.createDataFrame(Seq(
+      ("a", "b", true, 100L, Map("w" -> "0.5")),
+      ("b", "a", false, 200L, Map("w" -> "1.5"))))
+      .toDF("source_node", "dest_node", "is_directed", "epoch_ms", "link_attrs")
+    val got = graft.io.Gexf.write(SnapshotGraph(nodes, links))
+    val doc = scala.xml.XML.loadString(got)
+    (doc \\ "node").size shouldBe 2
+    (doc \\ "edge").size shouldBe 2
+    (doc \\ "edge").map(e => (e \ "@type").text).sorted shouldBe
+      Seq("directed", "undirected")
+    got should include("""title="rank" type="long"""")
+    got should include("""title="w" type="double"""")
+    // boundary node has no ts attvalue but carries the boundary flag
+    got should include("""<attvalue for="1" value="true"/>""")
+  }
+
   it("infers user attribute types for the key table") {
     val nodes = spark.createDataFrame(Seq(
       ("a", false, Some(1L), Some(Map("rank" -> "128", "name" -> "x"))),

@@ -20,6 +20,28 @@ class PipelineOpsSpec extends SparkSpec {
       (10L, 10L), (11L, 10L))
   }
 
+  it("clusterLabelsStar agrees with min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val n = 40
+      val pairs = (0 until 60).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).toDF("id1", "id2")
+      val simple = Dedup.clusterLabels(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val star = Dedup.clusterLabelsStar(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      star shouldBe simple
+    }
+    // adversarial long chain (diameter 30): star variant must still agree
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.clusterLabelsStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got.map(_._2).distinct shouldBe Seq(0L)
+    got.map(_._1).sorted shouldBe (0L to 30L)
+  }
+
   it("nfcNormalize composes decomposed unicode inside codegen") {
     import spark.implicits._
     val decomposed = "éclair" // e + COMBINING ACUTE

@@ -229,6 +229,21 @@ class QuerySpec extends SparkSpec {
     }
   }
 
+  describe("GetSnapshot.ofStarts (DataFrame start set)") {
+    it("matches the Seq-based path bit for bit") {
+      val fns = intervalFns
+      val q = Query(Seq("n1", "n2"), unifier = noNeg)
+      val viaSeq = GetSnapshot(spark, Findings.fromSeq(spark, fns), q)
+      val viaDf = GetSnapshot.ofStarts(spark, Findings.fromSeq(spark, fns),
+        spark.createDataset(Seq("n1", "n2"))(stringEnc).toDF("node_id"),
+        q.copy(startsFrom = Nil))
+      viaDf.nodes.collect().map(_.toString).sorted.toSeq shouldBe
+        viaSeq.nodes.collect().map(_.toString).sorted.toSeq
+      viaDf.links.collect().map(_.toString).sorted.toSeq shouldBe
+        viaSeq.links.collect().map(_.toString).sorted.toSeq
+    }
+  }
+
   describe("Interval parsing") {
     it("parses i/x prefixes and ±inf") {
       Interval.parseEnd("x2019-10-09T12:03:22") shouldBe
