@@ -138,6 +138,44 @@ object StreamingIngest {
         col("dao_time"), col("dao_seq"))
   }
 
+  /** Continuously-MATERIALIZED snapshot input: each micro-batch folds
+    * its findings into a compact latest-per-finding-per-node parquet
+    * table (PolicyOverwrite applied incrementally), so snapshot queries
+    * read one row per node instead of replaying the whole history. The
+    * table is swapped atomically per batch (staging dir + rename, same
+    * discipline as History.compact) — readers never see a half-written
+    * view. The batch work is one unionByName + latest-per-key hash
+    * aggregation over (existing ∪ new), both map-side partial. */
+  def materializeLatest(findings: Dataset[FoundNode], tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.model.Findings.toCanonical(findings)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val cur = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = cur.getFileSystem(conf)
+        val existing =
+          if (fs.exists(cur)) spark.read.parquet(tableDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema)
+        val merged = graft.operators.Weave.retainFindings(
+          existing.unionByName(batch, allowMissingColumns = true),
+          graft.operators.PolicyOverwrite)
+        val staging = new org.apache.hadoop.fs.Path(tableDir + ".staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        val old = new org.apache.hadoop.fs.Path(tableDir + ".old")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(cur)) fs.rename(cur, old)
+        fs.rename(staging, cur)
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+
   /** Append the findings stream to the parquet history table (S11 sink:
     * get-or-make vertex upserts become a plain append; the nodes view is
     * derived). Returns the started query. */

@@ -123,6 +123,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it("materializeLatest maintains a latest-per-node view across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val input = MemoryStream[FoundNode]
+    val q = StreamingIngest.materializeLatest(input.toDS(),
+      s"$dir/view", s"$dir/ckpt")
+    try {
+      input.addData(fn("n1", 100, 1), fn("n2", 50, 2))
+      q.processAllAvailable()
+      // newer n1 supersedes; older n2 must NOT regress the view
+      input.addData(fn("n1", 300, 3), fn("n2", 20, 4))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/view")
+        .select("subject", "epoch_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      got shouldBe Seq(("n1", 300L), ("n2", 50L))
+    } finally q.stop()
+  }
+
   it("appendToHistory lands stream batches in the parquet history table") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

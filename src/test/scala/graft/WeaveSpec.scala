@@ -248,6 +248,50 @@ class WeaveSpec extends SparkSpec {
         ("n3", "n1", true, ts("2018-12-01T10:00")))
     }
 
+    it("weave invariants hold on seeded random corpora") {
+      // Random findings over a small id space; invariants that must hold
+      // for ANY input (the reference's semantics, not specific fixtures):
+      //  1. every link endpoint appears in the node set;
+      //  2. boundary nodes have null ts and never appear as subjects;
+      //  3. per unordered pair at most one link (default unifyToOne);
+      //  4. negation only removes links (negation-off is a superset).
+      val rnd = new scala.util.Random(7)
+      (0 until 3).foreach { _ =>
+        val states = Seq(LinkState.ToTarget, LinkState.ToSubject,
+          LinkState.Bidirectional, LinkState.Unused)
+        val fns = (0 until 25).map { i =>
+          val subj = s"n${rnd.nextInt(8)}"
+          val links = Seq.fill(rnd.nextInt(3)) {
+            fl(s"n${rnd.nextInt(8)}", states(rnd.nextInt(4)))
+          }.filter(_.targetNode != subj)
+          FoundNode(subj, 1000L + rnd.nextInt(50) * 1000L, Map.empty,
+            links, i.toLong)
+        }
+        val df = Findings.fromSeq(spark, fns)
+        val g = Weave.snapshot(df)
+        val nodeIds = g.nodes.collect().map(_.getString(0)).toSet
+        val links = g.links.collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        links.foreach { case (s, d) =>
+          nodeIds should contain(s)
+          nodeIds should contain(d)
+        }
+        val subjects = fns.map(_.subjectNode).toSet
+        g.nodes.collect().filter(_.getBoolean(1)).foreach { r =>
+          r.isNullAt(2) shouldBe true
+          subjects should not contain r.getString(0)
+        }
+        val pairKeys = links.map { case (s, d) =>
+          if (s <= d) (s, d) else (d, s)
+        }
+        pairKeys.distinct.length shouldBe pairKeys.length
+        val noNegLinks = Weave.snapshot(df,
+            unifier = new StdUnifier(negation = false))
+          .links.collect().map(r => (r.getString(0), r.getString(1))).toSet
+        links.toSet.subsetOf(noNegLinks) shouldBe true
+      }
+    }
+
     it("snapshotWithStats counts policy/negation/unused decisions " +
         "(Weaver.hs:156-168 log parity)") {
       val fns = Seq(
