@@ -370,6 +370,18 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
     }),
 
+    // Bigram coverage: fraction of a doc's distinct bigrams appearing in
+    // ≥2 docs corpus-wide (fluency/OCR-noise signal).
+    "q46_bigram_coverage" -> ((s, d) => {
+      graft.dedup.Dedup.bigramCoverage(Tables.documents(s, d))
+    }),
+
+    // Duplicate-line ratio (C4-style boilerplate filter).
+    "q47_dup_lines" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextOps.dupLineRatio(col("text")).as("dup_line_ratio"))
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -934,6 +946,33 @@ object SparkEntry {
           |  round(list_max(list_transform(range(1, 65),
           |    i -> abs(q[i] * amax / 127.0 - v[i]))), 6) AS max_abs_err
           |FROM qd""".stripMargin,
+
+      "q46_bigram_coverage" -> {
+        val bigramsSql =
+          s"""SELECT doc_id AS id, unnest(list_distinct(list_transform(
+             |    range(0, greatest(len($toksSql) - 2, 0) + 1),
+             |    i -> array_to_string($toksSql[i + 1 : i + 2], ' ')))) AS shingle
+             |FROM docs""".stripMargin
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |sh AS (SELECT * FROM ($bigramsSql) WHERE shingle <> ''),
+           |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+           |per AS (SELECT sh.id, count(*) AS n_bigrams,
+           |    count(CASE WHEN df.df >= 2 THEN 1 END) AS n_covered
+           |  FROM sh JOIN df ON sh.shingle = df.shingle GROUP BY 1)
+           |SELECT id, n_bigrams,
+           |  round(n_covered::DOUBLE / n_bigrams, 6) AS coverage
+           |FROM per""".stripMargin
+      },
+
+      "q47_dup_lines" ->
+        """SELECT doc_id,
+          |  CASE WHEN len(lines) = 0 THEN 0.0
+          |    ELSE round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+          |  END AS dup_line_ratio
+          |FROM (SELECT doc_id,
+          |  list_filter(list_transform(string_split(text, chr(10)),
+          |    l -> trim(l)), l -> l <> '') AS lines
+          |  FROM documents)""".stripMargin,
 
       "q37_normalize" ->
         """WITH n AS (SELECT doc_id,

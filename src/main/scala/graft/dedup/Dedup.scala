@@ -175,6 +175,26 @@ object Dedup {
         countDistinct(col("shingle")).as("n_shared_shingles"))
   }
 
+  /** Per-document BIGRAM COVERAGE — a corpus-level fluency/quality
+    * signal: the fraction of a doc's distinct word bigrams that occur in
+    * at least `minDf` OTHER documents. Low coverage flags gibberish or
+    * heavy OCR noise; high coverage with high dup-line ratio flags
+    * boilerplate. One shingle equi-join against corpus document
+    * frequencies (computed on the same shingle frame — shared scan). */
+  def bigramCoverage(docs: DataFrame, minDf: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, 2, idCol, textCol).persist()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(df, "shingle")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("df") >= minDf, 1)).as("n_covered"))
+    perDoc.select(col("id"),
+      col("n_bigrams"),
+      round(col("n_covered").cast("double") / col("n_bigrams"), 6)
+        .as("coverage"))
+  }
+
   /** MinHash parameters: k permutations (a*x+b) mod P over 32-bit shingle
     * hashes. Deterministic constants, inlined identically in the oracle. */
   val P: Long = 2038074743L

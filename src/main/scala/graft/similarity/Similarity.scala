@@ -276,6 +276,28 @@ object Similarity {
         .as("max_abs_err"))
   }
 
+  /** Write the IVF index LAYOUT: the embedding collection partitioned
+    * on disk by assigned centroid (a parquet partition column). A
+    * probe-restricted search then reads ONLY its probed partitions —
+    * partition PRUNING at the scan, zero I/O for unprobed lists. This
+    * is what makes IVF pay at 100 TB: nprobe/k-of-N partitions touched
+    * per query batch instead of the whole collection. */
+  def writeIvfIndex(embeddings: DataFrame, outDir: String,
+      centroidStride: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
+    embeddings.select(col(idCol).cast("long").as("id"), col(vecCol))
+      .join(assigned, Seq("id"))
+      .write.partitionBy("centroid").mode("overwrite").parquet(outDir)
+  }
+
+  /** Read only the given centroid lists from a [[writeIvfIndex]] layout
+    * (the probe step) — the filter prunes partitions at the scan. */
+  def readIvfLists(spark: org.apache.spark.sql.SparkSession, dir: String,
+      centroids: Seq[Long]): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("centroid").isin(centroids: _*))
+
   /** LSH candidate pairs: vectors sharing a hyperplane-sign bucket.
     * Equi-join on the bucket id — the distributed ANN scale path; follow
     * with exact cosine on candidates only. */

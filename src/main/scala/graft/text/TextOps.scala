@@ -103,6 +103,18 @@ object TextOps {
       lower(graft.functions.TextExpressions.nfcNormalize(text)),
       "\\s+", " "))
 
+  /** Duplicate-line ratio — the C4-style boilerplate/repetition filter:
+    * 1 − distinct non-blank lines ÷ total non-blank lines. High values
+    * flag templated or stuttering documents. Pure column expressions. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    val n = size(lines)
+    when(n === 0, lit(0.0d))
+      .otherwise(round(lit(1.0d) -
+        size(array_distinct(lines)).cast("double") / n, 6))
+  }
+
   /** PII-style redaction for corpus cleaning: mask email addresses and
     * long digit runs (phone/account-number shaped). Patterns stay in the
     * regex subset shared by Java regex (Spark) and RE2 (DuckDB) so the

@@ -74,6 +74,27 @@ class SimilaritySpec extends SparkSpec {
     after should be >= before - 1e-9
   }
 
+  it("IVF index layout prunes unprobed partitions at the scan") {
+    if (!haveData) cancel("testdata missing")
+    val emb = Tables.embeddings(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.writeIvfIndex(emb, out)
+    // partition dirs per centroid on disk
+    val parts = new java.io.File(out).list().filter(_.startsWith("centroid="))
+    parts.length should be >= 2
+    val probed = parts.take(2).map(_.stripPrefix("centroid=").toLong).toSeq
+    val lists = Similarity.readIvfLists(spark, out, probed)
+    // the probe filter reaches the scan as a partition filter
+    val plan = lists.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("centroid")
+    // row counts match the assignment for exactly the probed lists
+    val expected = Similarity.ivfAssign(emb)
+      .filter(org.apache.spark.sql.functions.col("centroid").isin(probed: _*))
+      .count()
+    lists.count() shouldBe expected
+  }
+
   it("lshCandidatePairs puts identical vectors in one bucket") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)
