@@ -409,7 +409,6 @@ object SparkEntry {
     // merged on the driver), NOT a single-partition global window. The
     // row_number window then runs over the <=100 surviving rows only.
     "q32_vocab_topk" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(graft.text.TextOps.tokens(col("text"))))
@@ -417,12 +416,18 @@ object SparkEntry {
       val top = toks.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
         .orderBy(desc("doc_freq"), asc("token"))
         .limit(100)
-      // partitionBy(lit) keeps the partition spec non-empty (no
-      // single-partition WindowExec warning); input is bounded to 100 rows.
-      top.withColumn("rank", row_number().over(
-          Window.partitionBy(lit(0)).orderBy(desc("doc_freq"), asc("token")))
-          .cast("long"))
-        .select(col("token"), col("doc_freq"), col("rank"))
+      // rank the bounded (<=100-row, already-ordered) result via
+      // zipWithIndex — no WindowExec at all. A partitionBy(lit) spec is
+      // constant-folded to EMPTY by the optimizer, so the window route
+      // degenerates to the single-partition warning it tried to avoid.
+      val schema = org.apache.spark.sql.types.StructType(
+        top.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "rank", org.apache.spark.sql.types.LongType, nullable = false))
+      val ranked = s.createDataFrame(
+        top.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+        }, schema)
+      ranked.select(col("token"), col("doc_freq"), col("rank"))
     }),
 
     // Per-language corpus statistics.

@@ -54,9 +54,23 @@ object Dedup {
     * only on RAREST-prefix shingles (hot shingles, the skew source, are
     * excluded from most prefixes), and candidates are verified with the
     * true intersection. At 100 TB this is the difference between a
-    * skew-bound quadratic shuffle and a rare-key equi-join. */
+    * skew-bound quadratic shuffle and a rare-key equi-join.
+    *
+    * Two additional scale guards:
+    *  - the LENGTH filter (jaccard ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|))
+    *    runs inside the candidate join — free candidate reduction before
+    *    any verification work;
+    *  - docs with more than `maxVerifyShingles` shingles are verified by
+    *    a second shingle EQUI-JOIN (intersection = matching-shingle
+    *    count) instead of materialized arrays, so one pathological
+    *    multi-MB document never becomes a multi-MB shuffle row.
+    *
+    * The result is materialized (localCheckpoint) before returning so the
+    * intermediate shingle/ranked caches can be released eagerly — the
+    * pair list is orders of magnitude smaller than the corpus. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxVerifyShingles: Int = 16384): DataFrame = {
     // persisted: consumed by BOTH the frequency agg and the ranked join —
     // without it the tokenize+explode (the scan-heavy stage) runs twice
     val sh = shingles(docs, k, idCol, textCol).persist()
@@ -80,19 +94,42 @@ object Dedup {
     val prefix = ranked.select(col("id"), col("sz"),
       explode(slice(col("shingles"), lit(1), prefixLen)).as("shingle"))
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+        // length filter: |min| ≥ t·|max| is necessary for jaccard ≥ t
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    cands
-      .join(ranked.select(col("id").as("id1"), col("shingles").as("s1"),
-        col("sz").as("sz1")), "id1")
-      .join(ranked.select(col("id").as("id2"), col("shingles").as("s2"),
-        col("sz").as("sz2")), "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+    val sizes = ranked.select(col("id"), col("sz"))
+    val withSz = cands
+      .join(sizes.toDF("id1", "sz1"), "id1")
+      .join(sizes.toDF("id2", "sz2"), "id2")
+    val smallV = withSz
+      .filter(greatest(col("sz1"), col("sz2")) <= maxVerifyShingles)
+      .join(ranked.select(col("id").as("id1"), col("shingles").as("s1")), "id1")
+      .join(ranked.select(col("id").as("id2"), col("shingles").as("s2")), "id2")
+      .select(col("id1"), col("id2"), col("sz1"), col("sz2"),
+        size(array_intersect(col("s1"), col("s2"))).as("inter"))
+    // join-based verify for oversized docs: count matching shingles per
+    // pair — flat rows through the shuffle, never a whole-doc array.
+    // Candidates always share ≥1 prefix shingle, so the inner join
+    // cannot drop a qualifying pair.
+    val largeV = withSz
+      .filter(greatest(col("sz1"), col("sz2")) > maxVerifyShingles)
+      .join(sh.select(col("id").as("id1"), col("shingle")), "id1")
+      .join(sh.select(col("id").as("id2"), col("shingle")),
+        Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).as("inter"))
+    val out = smallV.unionByName(largeV)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz1") + col("sz2") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist()
+    ranked.unpersist()
+    out
   }
 
   /** Connected components via ALTERNATING large-star/small-star rounds
@@ -109,17 +146,33 @@ object Dedup {
     *    (and itself) to that minimum.
     *
     * Fixpoint = per-component stars centered on the min id. */
-  def clusterLabelsStar(pairs: DataFrame): DataFrame = {
+  def clusterLabelsStar(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
     // oriented (u big, v small), self-pairs dropped
-    var e = pairs
+    var e = cut(pairs
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
-    val ids = e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id"))).distinct()
-      .localCheckpoint(true)
-    var done = e.isEmpty
+      .distinct(), checkpointDir)
+    val ids = cut(e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct(), checkpointDir)
+    // Convergence: ONE cheap signature aggregate per round — (count,
+    // sum(hash(u)), sum(hash(v))) — instead of two full except() jobs.
+    // Both frames are distinct sets, so equal counts plus next ⊆ e
+    // implies set equality; the subset check runs ONLY when the
+    // signature says "candidate fixpoint" (normally once, at the end),
+    // guarding against the astronomically-unlikely hash collision.
+    def sig(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(hash(col("u")).cast("long")),
+        sum(hash(col("v")).cast("long"))).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var eSig = sig(e)
+    var done = eSig._1 == 0L
     while (!done) {
       val sym = e.unionByName(
         e.select(col("v").as("u"), col("u").as("v")))
@@ -130,13 +183,15 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = ls.join(ssMin, "u")
+      val next = cut(ls.join(ssMin, "u")
         .select(col("v").as("a"), col("m"))
         .unionByName(ssMin.select(col("u").as("a"), col("m")))
         .filter(col("a") =!= col("m"))
         .select(col("a").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
-      done = next.except(e).isEmpty && e.except(next).isEmpty
+        .distinct(), checkpointDir)
+      val nSig = sig(next)
+      done = nSig == eSig && next.except(e).isEmpty
+      eSig = nSig
       e = next
     }
     val pointed = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
@@ -189,10 +244,15 @@ object Dedup {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("df") >= minDf, 1)).as("n_covered"))
-    perDoc.select(col("id"),
+    // materialize (per-doc scalar rows — tiny next to the corpus) so the
+    // shingle cache can be released instead of accumulating per call
+    val out = perDoc.select(col("id"),
       col("n_bigrams"),
       round(col("n_covered").cast("double") / col("n_bigrams"), 6)
         .as("coverage"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** MinHash parameters: k permutations (a*x+b) mod P over 32-bit shingle
@@ -248,12 +308,14 @@ object Dedup {
     * large-star/small-star variant (same join shape) bounds rounds at
     * O(log n) — this direct form keeps label = GLOBAL min id, which the
     * oracle's transitive closure states exactly. */
-  def clusterLabels(pairs: DataFrame): DataFrame = {
+  def clusterLabels(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
     val edges = pairs.select(col("id1").as("id"), col("id2").as("nb"))
       .unionByName(pairs.select(col("id2").as("id"), col("id1").as("nb")))
       .distinct().persist()
-    var labels = edges.select(col("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var labels = cut(edges.select(col("id")).distinct()
+      .withColumn("cluster", col("id")), checkpointDir)
     // Convergence check: labels only ever DECREASE, so the label sum
     // strictly decreases on any change — one cheap aggregate per round
     // instead of a join against the previous generation.
@@ -267,10 +329,9 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("nb"), col("cluster")), "nb")
         .select(col("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
+      val next = cut(labels.select(col("id"), col("cluster"))
         .unionByName(viaNeighbors)
-        .groupBy("id").agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min(col("cluster")).as("cluster")), checkpointDir)
       val s = labelSum(next)
       changed = s != prevSum
       prevSum = s
@@ -320,11 +381,14 @@ object Dedup {
         col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-    cands
+    val out = cands
       .join(sims.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sims.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("hamming", hamming(col("sh1"), col("sh2")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+      .localCheckpoint(true)
+    sims.unpersist()
+    out
   }
 }

@@ -215,11 +215,26 @@ object GraphMl {
 
     val sb = new StringBuilder
     sb ++= header(kt)
-    nodes.sortBy(_.getString(0)).foreach(r => sb ++= nodeElement(r, kt, 4))
-    links.sortBy(r => (r.getString(0), r.getString(1)))
+    nodes.sortBy(_.getString(0))(utf8Order)
+      .foreach(r => sb ++= nodeElement(r, kt, 4))
+    links.sortBy(r => (r.getString(0), r.getString(1)))(
+        Ordering.Tuple2(utf8Order, utf8Order))
       .foreach(r => sb ++= edgeElement(r, kt, 4 + 1))
     sb ++= footer
     sb.toString
+  }
+
+  /** UTF-8 binary (code-point) string order — the ordering Spark's
+    * range sort applies in [[writeDistributed]] (UTF8String compares
+    * bytes). Java's natural String order compares UTF-16 code units,
+    * which diverges for supplementary-plane characters (e.g. emoji
+    * U+1F600 vs U+FFFD) — sorting the driver path with THIS ordering
+    * keeps `write` byte-identical to `assembleDistributed`. */
+  private[io] val utf8Order: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Distributed GraphML: the SAME document as [[write]], emitted as

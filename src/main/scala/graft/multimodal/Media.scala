@@ -56,6 +56,34 @@ object Media {
       }
   }
 
+  /** REAL image decoder on the JDK's own `javax.imageio` (zero external
+    * dependencies): PNG/JPEG/GIF/BMP payloads decode to their TRUE
+    * geometry — width/height from the decoded image, channels from the
+    * raster band count. Payloads that no installed reader accepts
+    * (corrupt bytes, unsupported codec) yield an explicit
+    * width=height=channels=0 marker row rather than failing the task —
+    * at scale one broken blob must not kill a partition. Drop-in behind
+    * [[Decoder]]: the batching/schema/partition plumbing is shared with
+    * [[StubDecoder]] (which remains the deterministic oracle-gate
+    * stand-in). */
+  object ImageIoDecoder extends Decoder {
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sig = md.digest(r.content).map("%02x".format(_)).mkString
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          MediaFeatures(r.mediaId, r.content.length.toLong, 0L, 0L, 0L, sig)
+        else
+          MediaFeatures(r.mediaId, r.content.length.toLong,
+            img.getWidth.toLong, img.getHeight.toLong,
+            img.getRaster.getNumBands.toLong, sig)
+      }
+  }
+
   /** Derive a media table from the driver's documents table: text bytes
     * stand in for image payloads (deterministic, so the DuckDB oracle can
     * state the same transform). */

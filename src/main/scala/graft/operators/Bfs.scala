@@ -23,12 +23,19 @@ object Bfs {
 
   /** Returns (node_id, hops): minimum hop distance from any start node,
     * following src→dst edges. Starts not present in `edges` still appear
-    * at hops 0 if `includeUnknownStarts`. */
+    * at hops 0 if `includeUnknownStarts`.
+    *
+    * `checkpointDir = Some(dir)` switches the per-round lineage cuts
+    * from executor-local blocks to reliable checkpoints (see
+    * [[graft.util.Checkpoints]]) — required for fault tolerance on
+    * preemptible clusters; the local default is right for local[n]. */
   def reachable(edges: DataFrame, starts: DataFrame,
-      maxHops: Option[Int] = None): DataFrame = {
+      maxHops: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
     val e = edges.toDF("src", "dst").distinct().persist()
-    var visited = starts.toDF("node_id").distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var visited = cut(starts.toDF("node_id").distinct()
+      .withColumn("hops", lit(0)), checkpointDir)
     var frontier = visited
     var level = 0
     var done = frontier.isEmpty
@@ -36,15 +43,14 @@ object Bfs {
       level += 1
       if (maxHops.exists(level > _)) done = true
       else {
-        val next = e
+        val next = cut(e
           .join(frontier, e("src") === frontier("node_id"))
           .select(col("dst").as("node_id")).distinct()
           .join(visited, Seq("node_id"), "left_anti")
-          .withColumn("hops", lit(level))
-          .localCheckpoint(true)
+          .withColumn("hops", lit(level)), checkpointDir)
         if (next.isEmpty) done = true
         else {
-          visited = visited.union(next).localCheckpoint(true)
+          visited = cut(visited.union(next), checkpointDir)
           frontier = next
         }
       }

@@ -62,9 +62,13 @@ trait LinkUnifier {
 class StdUnifier(subId: Seq[Column] = Nil, negation: Boolean = true,
     postMerge: DataFrame => DataFrame = identity)
     extends LinkUnifier {
+  /** Factory used by [[unifyRaw]] to obtain a negation-free twin of THIS
+    * unifier. Subclasses that override [[unify]] must override this too,
+    * or raw counts would be computed with base-class semantics. */
+  protected def copyWithNegation(neg: Boolean): LinkUnifier =
+    new StdUnifier(subId, neg, postMerge)
   override def unifyRaw(samples: DataFrame, nodes: DataFrame): DataFrame =
-    new StdUnifier(subId, negation = false, postMerge)
-      .unify(samples, nodes)
+    copyWithNegation(false).unify(samples, nodes)
   override def unify(samples: DataFrame, nodes: DataFrame): DataFrame = {
     val withKeys = samples
       .withColumn("pair_lo", LinkOps.pairLo(col("subject"), col("target")))
@@ -78,30 +82,133 @@ class StdUnifier(subId: Seq[Column] = Nil, negation: Boolean = true,
       Seq("epoch_ms", "sample_seq")))
     val out =
       if (!negation) merged
-      else {
-        // No broadcast() hint: the node summary is one row per distinct
-        // node, which at fleet scale is itself huge — let AQE pick
-        // broadcast vs shuffle from the measured size at runtime.
-        val summary =
-          nodes.select(col("node_id"), col("epoch_ms").as("n_ts"))
-        def negatedBy(endId: Column, nTs: Column): Column =
-          nTs.isNotNull && col("epoch_ms") < nTs && col("subject") =!= endId
-        merged
-          .join(summary.withColumnRenamed("n_ts", "lo_ts")
-              .withColumnRenamed("node_id", "lo_id"),
-            col("pair_lo") === col("lo_id"), "left")
-          .join(summary.withColumnRenamed("n_ts", "hi_ts")
-              .withColumnRenamed("node_id", "hi_id"),
-            col("pair_hi") === col("hi_id"), "left")
-          .filter(!coalesce(negatedBy(col("lo_id"), col("lo_ts")), lit(false)) &&
-                  !coalesce(negatedBy(col("hi_id"), col("hi_ts")), lit(false)))
-          .drop("lo_id", "lo_ts", "hi_id", "hi_ts")
-      }
+      else Weave.negateAgainstEnds(merged, nodes)
     out.drop((Seq("pair_lo", "pair_hi") ++ subNames): _*)
   }
 }
 
+/** The reference's arbitrary `mergeSamples` escape hatch
+  * (`UnifyStdConfig.mergeSamples`, Unify.hs:135-139; the README
+  * SignalStrengths exemplar, README.md:699-746): the user merge receives
+  * BOTH end nodes' COMPLETE sample lists for each (pair, sub-id) group —
+  * not just the latest winner — and returns the merged sample as a
+  * struct (or null for "no link", the reference's Nothing). This covers
+  * merges [[StdUnifier]] cannot express: averaging an attribute over all
+  * samples, combining both ends' attributes into a new attr type
+  * (fla→sla), quorum rules, etc.
+  *
+  * Spark shape: ONE hash aggregation per (pair, sub-id) collects each
+  * side's samples into an array&lt;struct&gt; — ordered ascending by
+  * (epoch_ms, sample_seq) via a field comparator (`array_sort` with a
+  * lambda: the sample struct carries MAP attr columns, so default struct
+  * ordering is unavailable) — then `merge` is a plain COLUMN expression
+  * over the two arrays (no UDF), and negation reuses the standard
+  * defNegatesLinkSample join. A self-loop sample (subject == target)
+  * lands in BOTH lists, mirroring the reference's `samplesFor` filter.
+  *
+  * The merged struct must keep the sample-frame columns (subject,
+  * target, link_state, epoch_ms, sample_seq — plus link_attrs/tz as
+  * desired; attrs may change type). Scale note: per-group arrays hold
+  * the full sample lists — the price of the reference's semantics —
+  * bounded by per-pair observation count, never corpus size; for
+  * latest-only merges [[StdUnifier]] never materializes lists.
+  */
+class ListMergeUnifier(
+    merge: (Column, Column) => Column,
+    subId: Seq[Column] = Nil,
+    negation: Boolean = true) extends LinkUnifier {
+
+  protected def copyWithNegation(neg: Boolean): LinkUnifier =
+    new ListMergeUnifier(merge, subId, neg)
+
+  override def unifyRaw(samples: DataFrame, nodes: DataFrame): DataFrame =
+    copyWithNegation(false).unify(samples, nodes)
+
+  override def unify(samples: DataFrame, nodes: DataFrame): DataFrame = {
+    val dataCols = samples.columns.toSeq
+    val withKeys = samples
+      .withColumn("pair_lo", LinkOps.pairLo(col("subject"), col("target")))
+      .withColumn("pair_hi", LinkOps.pairHi(col("subject"), col("target")))
+    val subNames = subId.indices.map(i => s"__sub$i")
+    val keyed = subNames.zip(subId).foldLeft(withKeys) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    val payload = struct(dataCols.map(col).toIndexedSeq: _*)
+    // collect_list skips nulls, so `when` without otherwise collects
+    // exactly the side's samples
+    def sideList(cond: Column): Column =
+      collect_list(when(cond,
+        struct(col("epoch_ms").as("o1"), col("sample_seq").as("o2"),
+          payload.as("s"))))
+    def sortedSamples(c: Column): Column = {
+      val cmp = (l: Column, r: Column) =>
+        when(l("o1") < r("o1"), -1).when(l("o1") > r("o1"), 1)
+          .when(l("o2") < r("o2"), -1).when(l("o2") > r("o2"), 1)
+          .otherwise(0)
+      transform(array_sort(c, cmp), x => x("s"))
+    }
+    val grouped = keyed
+      .groupBy((Seq("pair_lo", "pair_hi") ++ subNames).map(col).toIndexedSeq: _*)
+      .agg(sideList(col("subject") === col("pair_lo")).as("__lo"),
+        sideList(col("subject") === col("pair_hi")).as("__hi"))
+      .withColumn("__m",
+        merge(sortedSamples(col("__lo")), sortedSamples(col("__hi"))))
+      .filter(col("__m").isNotNull)
+    val expanded = grouped.select(
+      col("pair_lo") +: col("pair_hi") +: subNames.map(col) :+
+        col("__m.*"): _*)
+    val out =
+      if (!negation) expanded
+      else Weave.negateAgainstEnds(expanded, nodes)
+    out.drop((Seq("pair_lo", "pair_hi") ++ subNames): _*)
+  }
+}
+
+object ListMergeUnifier {
+  /** Latest sample of a side list (lists arrive sorted ascending by
+    * (epoch_ms, sample_seq)); null for an empty side. */
+  def latest(sideList: Column): Column = get(sideList, size(sideList) - 1)
+
+  /** The default mergeSamples (`latestLinkSample (ls ++ rs)`,
+    * Unify.hs:137,153-157 with the engine's deterministic
+    * (epoch_ms, sample_seq) tie-break): latest sample across both
+    * sides. */
+  def latestOfBoth(lo: Column, hi: Column): Column = {
+    val a = latest(lo)
+    val b = latest(hi)
+    when(a.isNull, b).when(b.isNull, a)
+      .when(a("epoch_ms") > b("epoch_ms") ||
+        (a("epoch_ms") === b("epoch_ms") &&
+          a("sample_seq") >= b("sample_seq")), a)
+      .otherwise(b)
+  }
+}
+
 object Weave {
+
+  /** defNegatesLinkSample (Unify.hs:202-217) applied to a unified frame
+    * that still carries its pair_lo/pair_hi key columns: drop a merged
+    * sample when either end node was re-observed LATER than the sample
+    * by someone other than the sample's own observer. No broadcast()
+    * hint: the node summary is one row per distinct node, which at
+    * fleet scale is itself huge — let AQE pick broadcast vs shuffle
+    * from the measured size at runtime. */
+  private[operators] def negateAgainstEnds(merged: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val summary = nodes.select(col("node_id"), col("epoch_ms").as("n_ts"))
+    def negatedBy(endId: Column, nTs: Column): Column =
+      nTs.isNotNull && col("epoch_ms") < nTs && col("subject") =!= endId
+    merged
+      .join(summary.withColumnRenamed("n_ts", "lo_ts")
+          .withColumnRenamed("node_id", "lo_id"),
+        col("pair_lo") === col("lo_id"), "left")
+      .join(summary.withColumnRenamed("n_ts", "hi_ts")
+          .withColumnRenamed("node_id", "hi_id"),
+        col("pair_hi") === col("hi_id"), "left")
+      .filter(!coalesce(negatedBy(col("lo_id"), col("lo_ts")), lit(false)) &&
+              !coalesce(negatedBy(col("hi_id"), col("hi_ts")), lit(false)))
+      .drop("lo_id", "lo_ts", "hi_id", "hi_ts")
+  }
 
   /** Policy application (Weaver.hs:77-88): overwrite keeps only each
     * node's latest finding (deterministic tie-break on finding_seq). */

@@ -63,7 +63,12 @@ object GetSnapshot {
     val filtered =
       if (query.interval.isWhole) findings
       else findings.filter(query.interval.predicate(col("epoch_ms")))
-    val retained = Weave.retainFindings(filtered, query.policy)
+    // persisted: the retained frame feeds FOUR consumers (node summary,
+    // BFS edge list, reachable findings, bare-visited) — without the
+    // persist each consumer re-runs the findings scan + retention
+    // aggregation. Stays cached for the life of the returned (lazy)
+    // SnapshotGraph; MEMORY_AND_DISK, so it spills rather than OOMs.
+    val retained = Weave.retainFindings(filtered, query.policy).persist()
 
     val starts = startsDf.toDF("node_id").distinct()
 

@@ -29,13 +29,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors per query vector (brute force — the
-    * correctness baseline; at scale restrict the query set or use the
-    * LSH path). One pass normalizes vectors to unit length (persisted so
-    * the projection is not re-collapsed into the non-equi join), then
-    * the N×Q join pays a single fused VectorDot per pair. */
+    * correctness baseline). O(Q·N): it plans as a nested-loop join and
+    * does NOT scale in the query count. The guard requires either a
+    * bounded query set (`maxQueryId`) or an explicit
+    * `allowUnboundedQueries = true` opt-in; for unbounded workloads use
+    * [[ivfTopK]] (probe-pruned exact search) or [[lshCandidatePairs]]
+    * (bucketed candidates). One pass normalizes vectors to unit length
+    * (persisted so the projection is not re-collapsed into the non-equi
+    * join), then the N×Q join pays a single fused VectorDot per pair. */
   def bruteTopK(embeddings: DataFrame, k: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxQueryId: Long = Long.MaxValue): DataFrame = {
+      maxQueryId: Long = Long.MaxValue,
+      allowUnboundedQueries: Boolean = false): DataFrame = {
+    require(maxQueryId != Long.MaxValue || allowUnboundedQueries,
+      "bruteTopK is O(queries × collection) — bound the query side with " +
+        "maxQueryId, or pass allowUnboundedQueries=true for a deliberate " +
+        "full all-pairs scan; at scale prefer ivfTopK / lshCandidatePairs")
     val base = embeddings.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val unit = base.select(col("id"),
@@ -47,10 +56,14 @@ object Similarity {
       .select(col("qid"), col("id").as("nid"),
         round(dot(col("qu"), col("u")), 6).as("cos"))
     import org.apache.spark.sql.expressions.Window
-    scored.withColumn("rank", row_number().over(
+    val out = scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cos"), col("rank").cast("long").as("rank"))
+      .select(col("qid"), col("nid"), col("cos"),
+        col("rank").cast("long").as("rank"))
+      .localCheckpoint(true)
+    unit.unpersist()
+    out
   }
 
   /** Deterministic ±1 hyperplane weight for (plane, dim), computed at
@@ -88,7 +101,13 @@ object Similarity {
     * pair survives one 8-plane band w.p. ≈ 0.89, and 4 bands give
     * ≈ 0.9999 recall; exact duplicates share every bucket and are
     * never lost. The O(n²) all-pairs scan is behind `bruteForce=true`
-    * (exact-recall baseline for bounded inputs only). */
+    * (exact-recall baseline for bounded inputs only).
+    *
+    * NOTE (behavior change vs the original all-pairs default): the
+    * banded default trades exact recall (≈0.9999 for non-identical
+    * pairs at the default threshold) for the 100 TB-safe equi-join
+    * plan. Callers needing guaranteed-exhaustive pairs on bounded
+    * inputs must pass `bruteForce = true`. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.999,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bruteForce: Boolean = false, numBands: Int = 4,
@@ -123,9 +142,12 @@ object Similarity {
           .join(unit.select(col("id").as("id1"), col("u").as("u1")), Seq("id1"))
           .join(unit.select(col("id").as("id2"), col("u").as("u2")), Seq("id2"))
       }
-    pairs.select(col("id1"), col("id2"),
+    val out = pairs.select(col("id1"), col("id2"),
         round(dot(col("u1"), col("u2")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+      .localCheckpoint(true)
+    unit.unpersist()
+    out
   }
 
   /** IVF (inverted-file) partitioning: deterministic sampled centroids
@@ -134,22 +156,30 @@ object Similarity {
     * probes only the closest `nprobe` centroid lists instead of the
     * whole collection. Centroids broadcast (small); assignment is one
     * scan with `centroids.length` fused VectorDots per row. */
-  def ivfAssign(embeddings: DataFrame, centroidStride: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Unit-normalized (id, u) projection shared by the ANN operators. */
+  private def unitVectors(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val base = embeddings.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val unit = base.select(col("id"),
+    base.select(col("id"),
       transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
-      .persist()
+  }
+
+  def ivfAssign(embeddings: DataFrame, centroidStride: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val unit = unitVectors(embeddings, idCol, vecCol).persist()
     val centroids = unit.filter(col("id") % centroidStride === 0)
       .select(col("id").as("cid"), col("u").as("cu"))
     // argmax over centroids via max_by((cos, -cid) key) — deterministic
     val scored = unit.join(broadcast(centroids))
       .select(col("id"), col("u"), col("cid"),
         dot(col("u"), col("cu")).as("ccos"))
-    scored.groupBy(col("id"))
+    val out = scored.groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
         .as("centroid"))
+      .localCheckpoint(true)
+    unit.unpersist()
+    out
   }
 
   /** IVF-flat top-k search: queries probe their `nprobe` closest
@@ -160,14 +190,12 @@ object Similarity {
       centroidStride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxQueryId: Long = Long.MaxValue): DataFrame = {
-    val base = embeddings.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val unit = base.select(col("id"),
-      transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
-      .persist()
+    // assignment first (it manages its own cache scope), THEN this
+    // call's own unit persist — never two live caches of the same plan
+    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
+    val unit = unitVectors(embeddings, idCol, vecCol).persist()
     val centroids = unit.filter(col("id") % centroidStride === 0)
       .select(col("id").as("cid"), col("u").as("cu"))
-    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
     val lists = unit.join(assigned, Seq("id"))
     // per query: its nprobe closest centroids
     import org.apache.spark.sql.expressions.Window
@@ -184,11 +212,14 @@ object Similarity {
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
         round(dot(col("qu"), col("u")), 6).as("cos"))
-    scored.withColumn("rank", row_number().over(
+    val out = scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cos"),
         col("rank").cast("long").as("rank"))
+      .localCheckpoint(true)
+    unit.unpersist()
+    out
   }
 
   /** Spherical k-means (Lloyd) refinement of the IVF centroids:
@@ -202,12 +233,9 @@ object Similarity {
     * mean intra-cluster cosine must not decrease across rounds. */
   def kmeansCentroids(embeddings: DataFrame, centroidStride: Int = 50,
       iters: Int = 3, dims: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val base = embeddings.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val unit = base.select(col("id"),
-      transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
-      .persist()
+      vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val unit = unitVectors(embeddings, idCol, vecCol).persist()
     var centroids = unit.filter(col("id") % centroidStride === 0)
       .select(col("id").as("cid"), col("u").as("cu"))
     for (_ <- 0 until iters) {
@@ -225,10 +253,11 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))
         .select(col("cid"), col("pm.m").as("mu"))
-      centroids = means.select(col("cid"),
-        transform(col("mu"), x => x / sqrt(dot(col("mu"), col("mu"))))
-          .as("cu"))
-        .localCheckpoint(true)
+      centroids = graft.util.Checkpoints.cut(
+        means.select(col("cid"),
+          transform(col("mu"), x => x / sqrt(dot(col("mu"), col("mu"))))
+            .as("cu")),
+        checkpointDir)
     }
     unit.unpersist()
     centroids

@@ -73,13 +73,36 @@ object History {
     * into `filesPerDay` files via a staging directory + atomic-ish
     * swap: write staged, move old out, move staged in, delete old —
     * readers never see a partially-compacted partition directory.
-    * Content is unchanged (byte-for-byte row multiset). */
+    * Content is unchanged (byte-for-byte row multiset).
+    *
+    * Crash safety: the two renames are not atomic TOGETHER — a failure
+    * between rename(day, old) and rename(staged, day) leaves the day's
+    * data only under the hidden `.compact_old_*` dir. Each run therefore
+    * RECOVERS first: any orphaned `.compact_old_*` whose `day=` dir is
+    * missing is renamed back before compaction proceeds. Single-writer
+    * assumption: no concurrent append/streaming sink may target the
+    * table during compact — a blind append landing in the day dir
+    * between the renames would be dropped with it. */
   def compact(spark: SparkSession, tableDir: String,
       filesPerDay: Int = 1): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
+    // recover any day partition stranded by a previous crashed compact
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".compact_old_day="))
+      .foreach { s =>
+        val day = new org.apache.hadoop.fs.Path(root,
+          s.getPath.getName.stripPrefix(".compact_old_"))
+        if (!fs.exists(day)) { fs.rename(s.getPath, day); () }
+      }
+    // drop stale staging dirs from crashed runs (their day dir is intact)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".compact_staging_"))
+      .foreach(s => fs.delete(s.getPath, true))
     val days = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
       .map(_.getPath)
@@ -116,6 +139,27 @@ object History {
       .format("parquet")
       .mode(SaveMode.Append)
       .saveAsTable(tableName)
+
+  /** Read the subject-bucketed catalog table written by
+    * [[appendBucketed]], optionally interval-filtered (the ms predicate
+    * still pushes to the scan). The scan reports hash-partitioning on
+    * `subject`, so every subject-keyed aggregation downstream — policy
+    * retention, node summaries, the snapshot pipeline's subject
+    * shuffle — runs with NO Exchange. Feed the result straight into
+    * `GetSnapshot.ofStarts` / [[graft.operators.Weave.snapshot]]. */
+  def readBucketed(spark: SparkSession, tableName: String,
+      interval: Interval = Interval.whole): DataFrame = {
+    val df = spark.table(tableName)
+    if (interval.isWhole) df
+    else df.filter(interval.predicate(col("epoch_ms")))
+  }
+
+  /** Policy-retained view over the bucketed table: the retention
+    * aggregation consumes the bucket partitioning directly —
+    * shuffle-free (asserted by HistorySpec's plan check). */
+  def readBucketedRetained(spark: SparkSession, tableName: String,
+      interval: Interval, policy: FoundNodePolicy): DataFrame =
+    Weave.retainFindings(readBucketed(spark, tableName, interval), policy)
 
   /** Derived nodes view: distinct ids observed as subject or target. */
   def nodesView(findings: DataFrame): DataFrame =

@@ -157,6 +157,13 @@ object StreamingIngest {
         val conf = spark.sparkContext.hadoopConfiguration
         val cur = new org.apache.hadoop.fs.Path(tableDir)
         val fs = cur.getFileSystem(conf)
+        // crash recovery: a driver death between rename(cur, old) and
+        // rename(staging, cur) leaves only the .old dir — without this
+        // restore the next batch would read EMPTY existing state and
+        // silently rebuild the view from one batch (the checkpoint
+        // already marks earlier batches committed).
+        val prev = new org.apache.hadoop.fs.Path(tableDir + ".old")
+        if (!fs.exists(cur) && fs.exists(prev)) { fs.rename(prev, cur); () }
         val existing =
           if (fs.exists(cur)) spark.read.parquet(tableDir)
           else spark.createDataFrame(

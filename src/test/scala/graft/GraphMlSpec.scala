@@ -61,6 +61,34 @@ class GraphMlSpec extends SparkSpec {
     (doc \\ "edge").size shouldBe 2
   }
 
+  it("driver write sorts in UTF-8 byte order — supplementary-plane ids " +
+      "keep distributed parity") {
+    // U+FFFD (EF BF BD) sorts BEFORE U+1F600 (F0 9F 98 80) in UTF-8
+    // bytes but AFTER it in Java's UTF-16 code-unit order (FFFD > D83D):
+    // the driver sort must use the UTF-8 ordering or the two paths
+    // produce differently-ordered documents
+    val repl = "�"
+    val emoji = "😀"
+    val nodes = spark.createDataFrame(Seq(
+      (repl, false, Some(100L), Option.empty[Map[String, String]]),
+      (emoji, false, Some(100L), Option.empty[Map[String, String]]),
+      ("plain", false, Some(100L), Option.empty[Map[String, String]])))
+      .toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs")
+    val links = spark.createDataFrame(Seq(
+      (repl, "plain", true, 100L, Map.empty[String, String]),
+      (emoji, "plain", true, 100L, Map.empty[String, String])))
+      .toDF("source_node", "dest_node", "is_directed", "epoch_ms",
+        "link_attrs")
+    val g = SnapshotGraph(nodes, links)
+    val driverDoc = GraphMl.write(g)
+    // sanity: UTF-8 order puts the replacement char before the emoji
+    driverDoc.indexOf(s"""<node id="$repl">""") should be <
+      driverDoc.indexOf(s"""<node id="$emoji">""")
+    val dir = java.nio.file.Files.createTempDirectory("graphml_supp").toString
+    GraphMl.writeDistributed(g, dir)
+    GraphMl.assembleDistributed(spark, dir) shouldBe driverDoc
+  }
+
   it("renders @timestamp_str in the stored zone (showTimestamp parity)") {
     import graft.model.Tz
     val nodes = spark.createDataFrame(Seq(

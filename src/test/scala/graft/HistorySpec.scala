@@ -63,6 +63,53 @@ class HistorySpec extends SparkSpec {
     History.clear(spark, dir)
   }
 
+  it("compact recovers a day partition stranded by a crashed swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/t"
+    History.append(Findings.fromSeq(spark, Seq(
+      fn("n1", "2024-01-10T05:00", 0), fn("n2", "2024-01-10T06:00", 1))), dir)
+    val before = History.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // simulate a crash between rename(day, old) and rename(staged, day):
+    // the day dir exists ONLY under the hidden .compact_old_ name
+    val root = new java.io.File(dir)
+    val day = new java.io.File(root, "day=2024-01-10")
+    val orphan = new java.io.File(root, ".compact_old_day=2024-01-10")
+    day.renameTo(orphan) shouldBe true
+    // a naive read now loses the whole day; compact must restore it first
+    History.compact(spark, dir)
+    new java.io.File(root, "day=2024-01-10").exists() shouldBe true
+    new java.io.File(root, ".compact_old_day=2024-01-10").exists() shouldBe false
+    History.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq shouldBe before
+    History.clear(spark, dir)
+  }
+
+  it("bucketed read path: policy retention runs with NO Exchange before " +
+      "the subject aggregation") {
+    val table = "graft_hist_bucketed_t2"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    History.appendBucketed(Findings.fromSeq(spark, Seq(
+      fn("n1", "2024-01-10T05:00", 0), fn("n1", "2024-01-12T05:00", 1),
+      fn("n2", "2024-02-01T05:00", 2))), table, numBuckets = 4)
+    try {
+      val retained = History.readBucketedRetained(spark, table,
+        Interval.whole, PolicyOverwrite)
+      retained.count() shouldBe 2 // latest per node
+      retained.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq shouldBe
+        Seq(("n1", ts("2024-01-12T05:00")), ("n2", ts("2024-02-01T05:00")))
+      // the bucketed scan satisfies the aggregation's distribution —
+      // the whole retention plan contains no shuffle at all
+      val plan = retained.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      // an interval read still pushes the ms predicate to the scan
+      val janOnly = History.readBucketed(spark, table, Interval(
+        IntervalEnd(Some(ts("2024-01-01T00:00")), true),
+        IntervalEnd(Some(ts("2024-01-31T23:59")), true)))
+      janOnly.count() shouldBe 2
+      janOnly.queryExecution.executedPlan.toString should include("PushedFilters: [")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   it("bucketed layout makes subject aggregation shuffle-free") {
     val table = "graft_hist_bucketed_t1"
     spark.sql(s"DROP TABLE IF EXISTS $table")

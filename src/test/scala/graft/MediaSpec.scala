@@ -36,6 +36,32 @@ class MediaSpec extends SparkSpec {
     n shouldBe 3
   }
 
+  it("ImageIoDecoder decodes real PNGs to true geometry through the " +
+      "batched path") {
+    import spark.implicits._
+    def png(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rgb = png(7, 5, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgba = png(4, 9, java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+    val rows = spark.createDataset(Seq(
+      Media.MediaRow(1L, "image", rgb, "rgb.png", "image/png"),
+      Media.MediaRow(2L, "image", rgba, "rgba.png", "image/png"),
+      Media.MediaRow(3L, "image", Array.fill[Byte](40)(9), "bad.png",
+        "image/png"))) // not an image: must yield a 0-geometry marker row
+    val feats = Media.decodeFeatures(rows, Media.ImageIoDecoder, batchSize = 2)
+      .collect().sortBy(_.mediaId)
+    feats.map(f => (f.mediaId, f.width, f.height, f.channels)) shouldBe Seq(
+      (1L, 7L, 5L, 3L), (2L, 4L, 9L, 4L), (3L, 0L, 0L, 0L))
+    feats.map(_.nBytes) shouldBe Seq(rgb.length.toLong, rgba.length.toLong, 40L)
+    all(feats.map(_.signature)) should fullyMatch regex "[0-9a-f]{32}"
+  }
+
   it("sampleFrames chunks video bytes deterministically") {
     import spark.implicits._
     val frames = Media.sampleFrames(

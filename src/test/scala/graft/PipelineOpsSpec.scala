@@ -42,6 +42,55 @@ class PipelineOpsSpec extends SparkSpec {
     got.map(_._1).sorted shouldBe (0L to 30L)
   }
 
+  it("iterative ops run with a RELIABLE checkpoint dir (fault-tolerant " +
+      "lineage cuts) and produce identical results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val local = Dedup.clusterLabelsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val reliable = Dedup.clusterLabelsStar(pairs, Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    reliable shouldBe local
+    Dedup.clusterLabels(pairs, Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq shouldBe local
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val starts = Seq("a").toDF("node_id")
+    val bfs = graft.operators.Bfs.reachable(edges, starts,
+        checkpointDir = Some(dir)).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+    bfs shouldBe Seq(("a", 0), ("b", 1), ("c", 2))
+    // reliable checkpoints actually materialized on disk
+    def rddFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(rddFiles).sum
+      else if (f.getName.startsWith("part-")) 1L else 0L
+    rddFiles(new java.io.File(dir)) should be > 0L
+  }
+
+  it("ngramJaccardPairs: join-based verify for oversized docs matches " +
+      "the array path (one pathologically large doc)") {
+    import spark.implicits._
+    // two LARGE near-dup docs (~600 shingles) + two small near-dups +
+    // an unrelated doc; threshold 0.8
+    val big1 = (0 until 600).map(i => s"tok$i").mkString(" ")
+    val big2 = (0 until 600).map(i =>
+      if (i == 17) "changed" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, big1), (2L, big2),
+      (3L, "small common text shared by both docs here"),
+      (4L, "small common text shared by both docs too"),
+      (5L, "entirely unrelated material on another topic")).toDF("doc_id", "text")
+    def pairsWith(cap: Int) =
+      Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8,
+          maxVerifyShingles = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2)).toSeq
+    val arrayPath = pairsWith(Int.MaxValue) // everything via array_intersect
+    val joinPath = pairsWith(100)           // big docs via the equi-join verify
+    arrayPath.map(p => (p._1, p._2)) should contain((1L, 2L))
+    joinPath shouldBe arrayPath
+  }
+
   it("nfcNormalize composes decomposed unicode inside codegen") {
     import spark.implicits._
     val decomposed = "éclair" // e + COMBINING ACUTE

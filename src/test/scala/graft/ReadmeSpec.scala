@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators._
+import graft.query.{GetSnapshot, Query}
+
+/** The reference's README executed as a test (its `test-readme/` tier,
+  * README.md:68 "this README is also a test script") — the two
+  * walkthroughs re-expressed against the Spark engine:
+  *
+  *  1. "basic" (README.md:94-208): two switch findings → snapshot from
+  *     switch1 → the exact node/link/timestamp expectations, plus the
+  *     GraphML rendering step;
+  *  2. "merge-link-attrs" (README.md:615-746): the SignalStrengths
+  *     mergeSamples exemplar — each end observes its own RX signal
+  *     strength; a custom list-valued merge combines BOTH ends'
+  *     attributes into one link whose at_source/at_dest orientation
+  *     follows the latest base sample.
+  */
+class ReadmeSpec extends SparkSpec {
+
+  private def fl(target: String, attrs: Map[String, String] = Map.empty) =
+    FoundLink(target, LinkState.Bidirectional, attrs)
+  private def fn(subject: String, at: String, links: Seq[FoundLink],
+      seq: Long) =
+    FoundNode(subject, ts(at), Map.empty, links, seq)
+
+  it("basic walkthrough — two findings, snapshot from switch1 " +
+      "(README.md:94-208)") {
+    val finding1 = fn("switch1", "2018-08-20T12:53:38",
+      Seq(fl("switch2"), fl("switch3")), seq = 1)
+    val finding2 = fn("switch2", "2018-08-20T13:00:22",
+      Seq(fl("switch4"), fl("switch1")), seq = 2)
+    val findings = Findings.fromSeq(spark, Seq(finding1, finding2))
+    import spark.implicits._
+    val g = GetSnapshot(spark, findings, Query(Seq("switch1")))
+
+    val nodes = g.nodes.collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+    nodes shouldBe Seq(
+      ("switch1", Some(ts("2018-08-20T12:53:38"))),
+      ("switch2", Some(ts("2018-08-20T13:00:22"))),
+      ("switch3", None),
+      ("switch4", None))
+
+    val links = g.links.collect()
+      .map { r =>
+        val (s, d) = (r.getString(0), r.getString(1))
+        (Seq(s, d).min, Seq(s, d).max, r.getLong(3))
+      }.sortBy(t => (t._1, t._2)).toSeq
+    links shouldBe Seq(
+      ("switch1", "switch2", ts("2018-08-20T13:00:22")),
+      ("switch1", "switch3", ts("2018-08-20T12:53:38")),
+      ("switch2", "switch4", ts("2018-08-20T13:00:22")))
+
+    // the README's final step renders the snapshot as GraphML
+    val xml = graft.io.GraphMl.write(g)
+    xml should include("<graphml")
+    Seq("switch1", "switch2", "switch3", "switch4").foreach(sw =>
+      xml should include(s"""<node id="$sw">"""))
+  }
+
+  it("SignalStrengths mergeSamples — both ends' signals on one link " +
+      "(README.md:615-746)") {
+    // switch1 and switch2 each observe their own received signal
+    // strength on the SAME physical link
+    val finding1 = fn("switch1", "2018-09-17T12:57:50",
+      Seq(fl("switch2", Map("rssi" -> "-4.3"))), seq = 1)
+    val finding2 = fn("switch2", "2018-09-17T13:03:08",
+      Seq(fl("switch1", Map("rssi" -> "-5.5"))), seq = 2)
+
+    // the README's `merger`: base = latest sample overall; attach the
+    // lo/hi signals oriented to the base's (source, destination)
+    val merger = (lo: Column, hi: Column) => {
+      val llink = ListMergeUnifier.latest(lo)
+      val rlink = ListMergeUnifier.latest(hi)
+      val base = ListMergeUnifier.latestOfBoth(lo, hi)
+      val fromLo = llink.isNotNull &&
+        base("sample_seq") === llink("sample_seq")
+      val lsignal = llink("link_attrs")("rssi")
+      val rsignal = rlink("link_attrs")("rssi")
+      when(base.isNotNull, struct(
+        base("subject").as("subject"),
+        base("target").as("target"),
+        base("link_state").as("link_state"),
+        base("epoch_ms").as("epoch_ms"),
+        map(lit("at_source"), when(fromLo, lsignal).otherwise(rsignal),
+          lit("at_dest"), when(fromLo, rsignal).otherwise(lsignal))
+          .as("link_attrs"),
+        base("sample_seq").as("sample_seq"),
+        base("tz").as("tz")))
+    }
+
+    val findings = Findings.fromSeq(spark, Seq(finding1, finding2))
+    import spark.implicits._
+    val g = GetSnapshot(spark, findings,
+      Query(Seq("switch1"), unifier = new ListMergeUnifier(merger)))
+
+    val links = g.links.collect()
+    links.length shouldBe 1 // README: length raw_links `shouldBe` 1
+    val l = links.head
+    // linkNodeTuple got_link `shouldBe` ("switch2", "switch1")
+    (l.getString(0), l.getString(1)) shouldBe ("switch2", "switch1")
+    l.getLong(3) shouldBe ts("2018-09-17T13:03:08")
+    // sourceNodeRxSignal / destNodeRxSignal expectations: the signal at
+    // the source (switch2) is -5.5, at the destination (switch1) -4.3
+    val attrs = l.getMap[String, String](4).toMap
+    attrs shouldBe Map("at_source" -> "-5.5", "at_dest" -> "-4.3")
+  }
+}

@@ -14,7 +14,8 @@ class SimilaritySpec extends SparkSpec {
   it("ivfTopK returns exact cosines and decent recall vs brute force") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)
-    val brute = Similarity.bruteTopK(emb, k = 3).collect()
+    val brute = Similarity.bruteTopK(emb, k = 3,
+        allowUnboundedQueries = true).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val ivf = Similarity.ivfTopK(emb, k = 3, nprobe = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -93,6 +94,17 @@ class SimilaritySpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("centroid").isin(probed: _*))
       .count()
     lists.count() shouldBe expected
+  }
+
+  it("bruteTopK refuses an unbounded query side without explicit opt-in") {
+    if (!haveData) cancel("testdata missing")
+    val emb = Tables.embeddings(spark, dir)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteTopK(emb, k = 3) // no maxQueryId, no opt-in
+    }
+    ex.getMessage should include("ivfTopK")
+    // bounded query side needs no opt-in (the q25 gate path)
+    Similarity.bruteTopK(emb, k = 1, maxQueryId = 5).count() should be > 0L
   }
 
   it("lshCandidatePairs puts identical vectors in one bucket") {

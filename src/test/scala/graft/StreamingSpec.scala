@@ -143,6 +143,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it("materializeLatest recovers a view stranded mid-swap (crash between " +
+      "the two renames)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat_rec").toString
+    val input = MemoryStream[FoundNode]
+    val q = StreamingIngest.materializeLatest(input.toDS(),
+      s"$dir/view", s"$dir/ckpt")
+    try {
+      input.addData(fn("n1", 100, 1), fn("n2", 50, 2))
+      q.processAllAvailable()
+      // simulate a crash between rename(cur, old) and rename(staging,
+      // cur): the view exists ONLY under the .old name
+      new java.io.File(s"$dir/view").renameTo(
+        new java.io.File(s"$dir/view.old")) shouldBe true
+      input.addData(fn("n3", 70, 3))
+      q.processAllAvailable()
+      // without recovery the view would hold ONLY n3 — the earlier
+      // batches are checkpoint-committed and never replayed
+      val got = spark.read.parquet(s"$dir/view")
+        .select("subject", "epoch_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      got shouldBe Seq(("n1", 100L), ("n2", 50L), ("n3", 70L))
+    } finally q.stop()
+  }
+
   it("appendToHistory lands stream batches in the parquet history table") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import graft.model._
 import graft.operators._
 
@@ -246,6 +247,89 @@ class WeaveSpec extends SparkSpec {
         ("n1", "n2", true, ts("2018-12-01T15:00")),
         ("n2", "n3", false, ts("2018-12-01T15:00")),
         ("n3", "n1", true, ts("2018-12-01T10:00")))
+    }
+
+    it("list-valued mergeSamples — mean attr over ALL samples of each " +
+        "side (Unify.hs:135-139 escape hatch)") {
+      import org.apache.spark.sql.Column
+      def meanRssi(side: Column): Column =
+        when(F.size(side) > 0, round(
+          aggregate(side, lit(0.0d),
+            (acc, s) => acc + s("link_attrs")("rssi").cast("double")) /
+            F.size(side), 6))
+      val merge = (lo: Column, hi: Column) => {
+        val base = ListMergeUnifier.latestOfBoth(lo, hi)
+        when(base.isNotNull, struct(
+          base("subject").as("subject"),
+          base("target").as("target"),
+          base("link_state").as("link_state"),
+          base("epoch_ms").as("epoch_ms"),
+          map(lit("lo_mean"), meanRssi(lo).cast("string"),
+            lit("hi_mean"), meanRssi(hi).cast("string")).as("link_attrs"),
+          base("sample_seq").as("sample_seq"),
+          base("tz").as("tz")))
+      }
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T10:00",
+          Seq(fl("n2", LinkState.Bidirectional, Map("rssi" -> "-4.0"))), seq = 1),
+        fn("n1", "2018-12-01T11:00",
+          Seq(fl("n2", LinkState.Bidirectional, Map("rssi" -> "-5.0"))), seq = 2),
+        fn("n2", "2018-12-01T12:00",
+          Seq(fl("n1", LinkState.Bidirectional, Map("rssi" -> "-6.5"))), seq = 3)),
+        policy = PolicyAppend,
+        unifier = new ListMergeUnifier(merge))
+      ns.map(_._1) shouldBe Seq("n1", "n2")
+      // base = latest overall (n2's 12:00 observation); the attrs average
+      // EVERY sample of each side — inexpressible with StdUnifier, which
+      // reduces to the latest winner before postMerge sees anything
+      ls shouldBe Seq(("n2", "n1", false, ts("2018-12-01T12:00"),
+        Map("lo_mean" -> "-4.5", "hi_mean" -> "-6.5")))
+    }
+
+    it("list-valued merge returning null drops the link (the reference's " +
+        "Nothing) — a both-ends-must-confirm quorum rule") {
+      import org.apache.spark.sql.Column
+      val merge = (lo: Column, hi: Column) =>
+        when(F.size(lo) > 0 && F.size(hi) > 0,
+          ListMergeUnifier.latestOfBoth(lo, hi))
+      val (ns, ls) = run(Seq(
+        fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.Bidirectional)), seq = 1),
+        fn("n2", "2018-12-01T11:00", Seq(fl("n1", LinkState.Bidirectional)), seq = 2),
+        fn("n3", "2018-12-01T10:00", Seq(fl("n4", LinkState.Bidirectional)), seq = 3)))
+      ls.map(l => (l._1, l._2)).toSet shouldBe
+        Set(("n2", "n1"), ("n3", "n4")) // sanity: default keeps both
+      val (_, confirmed) = run(Seq(
+        fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.Bidirectional)), seq = 1),
+        fn("n2", "2018-12-01T11:00", Seq(fl("n1", LinkState.Bidirectional)), seq = 2),
+        fn("n3", "2018-12-01T10:00", Seq(fl("n4", LinkState.Bidirectional)), seq = 3)),
+        unifier = new ListMergeUnifier(merge))
+      confirmed.map(l => (l._1, l._2)) shouldBe Seq(("n2", "n1"))
+    }
+
+    it("ListMergeUnifier(latestOfBoth) reproduces the StdUnifier " +
+        "snapshot on seeded random corpora") {
+      val rnd = new scala.util.Random(13)
+      val states = Seq(LinkState.ToTarget, LinkState.ToSubject,
+        LinkState.Bidirectional, LinkState.Unused)
+      (0 until 3).foreach { _ =>
+        val fns = (0 until 25).map { i =>
+          val subj = s"n${rnd.nextInt(8)}"
+          val links = Seq.fill(rnd.nextInt(3)) {
+            fl(s"n${rnd.nextInt(8)}", states(rnd.nextInt(4)),
+              Map("a" -> rnd.nextInt(100).toString))
+          }.filter(_.targetNode != subj)
+          FoundNode(subj, 1000L + rnd.nextInt(50) * 1000L, Map.empty,
+            links, i.toLong)
+        }
+        val df = Findings.fromSeq(spark, fns)
+        def linkSet(u: LinkUnifier) = Weave.snapshot(df, unifier = u)
+          .links.collect().map(r => (r.getString(0), r.getString(1),
+            r.getBoolean(2), r.getLong(3),
+            r.getMap[String, String](4).toMap)).toSet
+        linkSet(new ListMergeUnifier(
+          (lo, hi) => ListMergeUnifier.latestOfBoth(lo, hi))) shouldBe
+          linkSet(new StdUnifier())
+      }
     }
 
     it("weave invariants hold on seeded random corpora") {
