@@ -31,9 +31,21 @@ object Dedup {
 
   /** Distinct word k-gram shingles per doc: (id, shingle). Tokenization
     * is materialized as one projected column first, so the (regex-split)
-    * work happens once per document, not once per sub-expression of the
-    * shingle builder. */
+    * work happens once per document; the shingle build itself is the
+    * codegen'd [[graft.functions.WordShingles]] expression (the HOF form
+    * is interpreter-bound — see [[shinglesHof]], kept as the in-engine
+    * parity twin). */
   def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextExpressions.wordShingles(
+          TextOps.tokens(col(textCol)), k)).as("shingle"))
+      .filter(col("shingle") =!= "")
+
+  /** Interpreted HOF twin of [[shingles]] — same math stated with Spark
+    * built-ins only; cross-checked against the codegen expression by
+    * spec. */
+  def shinglesHof(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tokenized = docs.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("toks"))
@@ -121,15 +133,13 @@ object Dedup {
         Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
       .agg(count(lit(1)).as("inter"))
-    val out = smallV.unionByName(largeV)
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
-      .localCheckpoint(true)
-    sh.unpersist()
-    ranked.unpersist()
-    out
+    graft.util.Checkpoints.materialize(
+      smallV.unionByName(largeV)
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard"),
+      unpersistAfter = Seq(sh, ranked))
   }
 
   /** Connected components via ALTERNATING large-star/small-star rounds
@@ -238,21 +248,21 @@ object Dedup {
     * frequencies (computed on the same shingle frame — shared scan). */
   def bigramCoverage(docs: DataFrame, minDf: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, 2, idCol, textCol).persist()
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val perDoc = sh.join(df, "shingle")
-      .groupBy(col("id"))
+    // document frequency via a partition-only window instead of a
+    // groupBy+self-join: the shingle frame is shuffled ONCE (on the
+    // shingle key) and consumed once — no persist to manage, one fewer
+    // exchange, and the per-shingle count needs no ordering
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, 2, idCol, textCol)
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    withDf.groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("df") >= minDf, 1)).as("n_covered"))
-    // materialize (per-doc scalar rows — tiny next to the corpus) so the
-    // shingle cache can be released instead of accumulating per call
-    val out = perDoc.select(col("id"),
-      col("n_bigrams"),
-      round(col("n_covered").cast("double") / col("n_bigrams"), 6)
-        .as("coverage"))
-      .localCheckpoint(true)
-    sh.unpersist()
-    out
+      .select(col("id"),
+        col("n_bigrams"),
+        round(col("n_covered").cast("double") / col("n_bigrams"), 6)
+          .as("coverage"))
   }
 
   /** MinHash parameters: k permutations (a*x+b) mod P over 32-bit shingle
@@ -342,9 +352,18 @@ object Dedup {
   }
 
   /** 60-bit SimHash per doc: per-token md5-derived hash, bitwise
-    * majority vote over token occurrences. Pure nested array expressions
-    * (fold over tokens → per-bit counts → sign bits → BIGINT). */
-  def simhash(textCol: Column): Column = {
+    * majority vote over token occurrences. Runs as the codegen'd
+    * [[graft.functions.SimHash60]] expression — the interpreted
+    * higher-order form ([[simhashHof]]) is ~5× slower at sf0.1 and kept
+    * only as the in-engine parity oracle. */
+  def simhash(textCol: Column): Column =
+    graft.functions.TextExpressions.simhash60(TextOps.tokens(textCol))
+
+  /** Interpreted column-expression twin of [[simhash]] (fold over
+    * tokens → per-bit counts → sign bits → BIGINT): same math stated
+    * with Spark HOFs only; cross-checked against the codegen expression
+    * by spec. */
+  def simhashHof(textCol: Column): Column = {
     val toks = TextOps.tokens(textCol)
     val hashes = transform(toks,
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
@@ -381,14 +400,13 @@ object Dedup {
         col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-    val out = cands
-      .join(sims.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sims.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("hamming", hamming(col("sh1"), col("sh2")).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
-      .localCheckpoint(true)
-    sims.unpersist()
-    out
+    graft.util.Checkpoints.materialize(
+      cands
+        .join(sims.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sims.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+        .withColumn("hamming", hamming(col("sh1"), col("sh2")).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select("id1", "id2", "hamming"),
+      unpersistAfter = Seq(sims))
   }
 }

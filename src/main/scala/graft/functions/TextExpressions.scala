@@ -49,8 +49,152 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Static helper for [[SimHash60]] — one tight JIT-compiled loop per
+  * document, called from generated code. */
+object SimHashUtil {
+  /** 60-bit SimHash over a token array. Bit-for-bit the same math the
+    * DuckDB oracle states per token —
+    * `conv(substring(md5(tok),1,15),16,10)` == the top 60 bits of the
+    * first 8 digest bytes (16 hex nibbles big-endian, last nibble
+    * dropped) — then a per-bit majority vote over token OCCURRENCES
+    * (null elements count toward n but contribute no bits, matching the
+    * null-propagating column form). */
+  def simhash60(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+        h = h >>> 4 // first 15 hex digits
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) != 0L) counts(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** 60-bit SimHash fingerprint as a native Catalyst expression.
+  *
+  * The column-expression form (transform + aggregate + zip_with over a
+  * 60-element count array) is semantically identical but runs in the
+  * HOF INTERPRETER — Spark does not codegen higher-order lambdas — at
+  * roughly 60 array allocations per token. This expression is one
+  * static call per row into a JIT-compiled loop, and it stays inside
+  * whole-stage codegen. Oracle parity is pinned by DedupSpec-style gate
+  * q24/q29 (the DuckDB SQL states the md5 formula the helper
+  * reproduces). */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override val nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash60(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Static helper for [[WordShingles]]. */
+object ShinglesUtil {
+  /** Distinct word k-gram shingles of a token array, first-occurrence
+    * order — the same result as the HOF form
+    * `array_distinct(transform(sequence(0, greatest(n-k, 0)),
+    *   i -> array_join(slice(toks, i+1, k), ' ')))`
+    * including its edge cases: fewer than k tokens yield ONE short
+    * shingle of the available tokens; an empty array yields an empty
+    * string (excluded here — every consumer filters it anyway); null
+    * tokens are skipped by the join. */
+  def shingles(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val m = math.max(n - k, 0) + 1
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) {
+        parts(j - i) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+        j += 1
+      }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      if (sh != null && sh.numBytes() > 0) seen.add(sh)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray().asInstanceOf[Array[Any]])
+  }
+}
+
+/** Distinct word k-gram shingles as a native Catalyst expression.
+  *
+  * The HOF form (sequence → transform → slice → array_join →
+  * array_distinct) is the hot inner loop of EVERY shingle consumer
+  * (n-gram Jaccard, MinHash, LSH banding, contamination, bigram
+  * coverage) and runs in the interpreter — Spark does not codegen
+  * higher-order lambdas, and each token allocates slice/join
+  * intermediates. This is one static call per row into a JIT loop that
+  * also deduplicates in place. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override val nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShinglesUtil.shingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShinglesUtil.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API for [[NfcNormalize]]. */
   def nfcNormalize(c: Column): Column =
     Shim.column(NfcNormalize(Shim.expression(c)))
+
+  /** Column API for [[SimHash60]] (input: array&lt;string&gt; tokens). */
+  def simhash60(tokens: Column): Column =
+    Shim.column(SimHash60(Shim.expression(tokens)))
+
+  /** Column API for [[WordShingles]] (input: array&lt;string&gt; tokens). */
+  def wordShingles(tokens: Column, k: Int): Column =
+    Shim.column(WordShingles(Shim.expression(tokens), k))
 }

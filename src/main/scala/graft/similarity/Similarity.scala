@@ -56,14 +56,13 @@ object Similarity {
       .select(col("qid"), col("id").as("nid"),
         round(dot(col("qu"), col("u")), 6).as("cos"))
     import org.apache.spark.sql.expressions.Window
-    val out = scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cos"),
-        col("rank").cast("long").as("rank"))
-      .localCheckpoint(true)
-    unit.unpersist()
-    out
+    graft.util.Checkpoints.materialize(
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("cos"),
+          col("rank").cast("long").as("rank")),
+      unpersistAfter = Seq(unit))
   }
 
   /** Deterministic ±1 hyperplane weight for (plane, dim), computed at
@@ -142,12 +141,11 @@ object Similarity {
           .join(unit.select(col("id").as("id1"), col("u").as("u1")), Seq("id1"))
           .join(unit.select(col("id").as("id2"), col("u").as("u2")), Seq("id2"))
       }
-    val out = pairs.select(col("id1"), col("id2"),
-        round(dot(col("u1"), col("u2")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
-      .localCheckpoint(true)
-    unit.unpersist()
-    out
+    graft.util.Checkpoints.materialize(
+      pairs.select(col("id1"), col("id2"),
+          round(dot(col("u1"), col("u2")), 6).as("cos"))
+        .filter(col("cos") >= threshold),
+      unpersistAfter = Seq(unit))
   }
 
   /** IVF (inverted-file) partitioning: deterministic sampled centroids
@@ -167,19 +165,20 @@ object Similarity {
 
   def ivfAssign(embeddings: DataFrame, centroidStride: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val unit = unitVectors(embeddings, idCol, vecCol).persist()
+    // pure lazy plan, no cache to manage: the unit projection feeds the
+    // (tiny, broadcast) centroid branch and the scan branch of ONE job;
+    // when a caller (ivfTopK) has the same unit plan persisted, the
+    // cache manager substitutes it at execution time
+    val unit = unitVectors(embeddings, idCol, vecCol)
     val centroids = unit.filter(col("id") % centroidStride === 0)
       .select(col("id").as("cid"), col("u").as("cu"))
     // argmax over centroids via max_by((cos, -cid) key) — deterministic
     val scored = unit.join(broadcast(centroids))
       .select(col("id"), col("u"), col("cid"),
         dot(col("u"), col("cu")).as("ccos"))
-    val out = scored.groupBy(col("id"))
+    scored.groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
         .as("centroid"))
-      .localCheckpoint(true)
-    unit.unpersist()
-    out
   }
 
   /** IVF-flat top-k search: queries probe their `nprobe` closest
@@ -212,14 +211,13 @@ object Similarity {
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
         round(dot(col("qu"), col("u")), 6).as("cos"))
-    val out = scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cos"),
-        col("rank").cast("long").as("rank"))
-      .localCheckpoint(true)
-    unit.unpersist()
-    out
+    graft.util.Checkpoints.materialize(
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("cos"),
+          col("rank").cast("long").as("rank")),
+      unpersistAfter = Seq(unit))
   }
 
   /** Spherical k-means (Lloyd) refinement of the IVF centroids:

@@ -19,6 +19,9 @@ object ExplainAudit {
     graft.sources.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // keep cache-hygiene operators lazy so their FULL plan is printable
+    // (materialized results explain as an opaque existing-RDD scan)
+    spark.conf.set(graft.util.Checkpoints.MaterializeConf, "false")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted

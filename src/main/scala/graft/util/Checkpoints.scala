@@ -19,6 +19,27 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
+  /** Session conf gating [[materialize]]. Operators that must release
+    * their persist()ed intermediates do so by eagerly materializing
+    * their (small) result first; set this to `false` to keep those
+    * operators fully LAZY — plans stay inspectable end-to-end
+    * (ExplainAudit, plan-asserting specs) at the cost of intermediate
+    * caches living until the session clears them. */
+  val MaterializeConf = "spark.graft.materialize"
+
+  /** Eagerly materialize `df` (localCheckpoint) and release the given
+    * upstream caches — the cache-hygiene pattern for operators whose
+    * result is orders of magnitude smaller than their persisted
+    * intermediates. No-op passthrough (caches left live) when
+    * [[MaterializeConf]] is `false`. */
+  def materialize(df: DataFrame,
+      unpersistAfter: Seq[DataFrame] = Nil): DataFrame =
+    if (df.sparkSession.conf.get(MaterializeConf, "true").toBoolean) {
+      val out = df.localCheckpoint(true)
+      unpersistAfter.foreach(_.unpersist())
+      out
+    } else df
+
   @volatile private var configuredDir: Option[String] = None
 
   def cut(df: DataFrame, checkpointDir: Option[String] = None,

@@ -91,6 +91,39 @@ class PipelineOpsSpec extends SparkSpec {
     joinPath shouldBe arrayPath
   }
 
+  it("codegen WordShingles matches the interpreted HOF form, edge cases " +
+      "included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "two words"),          // fewer than k → one short shingle
+      (3L, "one"), (4L, ""), (5L, "   "),
+      (6L, "dup dup dup dup"),    // repeated shingles → distinct
+      (7L, "ünï çødé 漢字 mixed tokens here")).toDF("doc_id", "text")
+    (2 to 4).foreach { k =>
+      val fast = Dedup.shingles(docs, k).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val slow = Dedup.shinglesHof(docs, k).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      fast shouldBe slow
+    }
+  }
+
+  it("codegen SimHash60 matches the interpreted HOF form bit-for-bit") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "", "   ", "über ñandú 漢字 emoji 😀 mixed",
+      "single", "repeat repeat repeat repeat").toDF("text")
+    val got = docs.select(
+      Dedup.simhash(col("text")).as("fast"),
+      Dedup.simhashHof(col("text")).as("slow")).collect()
+    got.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    // distinct inputs produce distinct-ish fingerprints (sanity)
+    got.map(_.getLong(0)).distinct.length should be >= 5
+  }
+
   it("nfcNormalize composes decomposed unicode inside codegen") {
     import spark.implicits._
     val decomposed = "éclair" // e + COMBINING ACUTE

@@ -37,11 +37,21 @@ class SimilaritySpec extends SparkSpec {
     val doubled = emb.unionByName(emb.select(
       (org.apache.spark.sql.functions.col("vec_id") + 10000).as("vec_id"),
       org.apache.spark.sql.functions.col("embedding")))
-    val banded = Similarity.cosineNearDupPairs(doubled)
+    // lazy mode so the FULL plan is inspectable (materialized results
+    // explain as an opaque existing-RDD scan)
+    val lazyPlan =
+      try {
+        spark.conf.set(graft.util.Checkpoints.MaterializeConf, "false")
+        Similarity.cosineNearDupPairs(doubled)
+          .queryExecution.executedPlan.toString
+      } finally {
+        spark.conf.unset(graft.util.Checkpoints.MaterializeConf)
+        spark.sharedState.cacheManager.clearCache() // lazy mode skips unpersist
+      }
     // the default (banded) plan must not contain an all-pairs join
-    val plan = banded.queryExecution.executedPlan.toString
-    plan should not include "CartesianProduct"
-    plan should not include "BroadcastNestedLoopJoin"
+    lazyPlan should not include "CartesianProduct"
+    lazyPlan should not include "BroadcastNestedLoopJoin"
+    val banded = Similarity.cosineNearDupPairs(doubled)
     val bandedPairs = banded.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brutePairs = Similarity
