@@ -382,6 +382,44 @@ object SparkEntry {
         graft.text.TextOps.dupLineRatio(col("text")).as("dup_line_ratio"))
     }),
 
+    // List-valued mergeSamples (UnifyStdConfig.mergeSamples,
+    // Unify.hs:135-139, via ListMergeUnifier): the user merge sees BOTH
+    // ends' COMPLETE sample lists per pair — here it keeps the latest
+    // base sample and adds per-side counts and means over ALL samples,
+    // a merge the latest-only StdUnifier cannot express. One hash
+    // aggregation per pair; the merge itself is a column expression.
+    "q48_list_merge" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      import graft.operators.ListMergeUnifier
+      val merge = (lo: Column, hi: Column) => {
+        val base = ListMergeUnifier.latestOfBoth(lo, hi)
+        // sequential fold in (epoch_ms, sample_seq) ASC order — the
+        // identical FP order the oracle's ordered list_reduce states.
+        // NO rounding: the folds are bit-identical across engines, and
+        // rounding identical doubles can DIVERGE at decimal ties (mean
+        // over 32 samples = exact /2^5 → x.xxxxxx5 exactly; Spark
+        // rounds the shortest-decimal string HALF_UP, DuckDB rounds the
+        // binary value — caught by the sf0.1 cross-scale gate).
+        def meanVal(side: Column): Column = when(size(side) > 0,
+          aggregate(side, lit(0.0d), (a, x) => a + x("value")) /
+            size(side))
+        struct(
+          base("subject").as("subject"),
+          base("target").as("target"),
+          base("link_state").as("link_state"),
+          base("epoch_ms").as("epoch_ms"),
+          base("sample_seq").as("sample_seq"),
+          size(lo).cast("long").as("n_lo"),
+          size(hi).cast("long").as("n_hi"),
+          meanVal(lo).as("lo_mean"),
+          meanVal(hi).as("hi_mean"))
+      }
+      new ListMergeUnifier(merge, negation = false)
+        .unify(EventGraph.linkSamples(s, d), null)
+        .select("subject", "target", "link_state", "epoch_ms",
+          "n_lo", "n_hi", "lo_mean", "hi_mean")
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -978,6 +1016,37 @@ object SparkEntry {
           |  list_filter(list_transform(string_split(text, chr(10)),
           |    l -> trim(l)), l -> l <> '') AS lines
           |  FROM documents)""".stripMargin,
+
+      // Side lists are built with ordered list() + FILTER (the
+      // samplesFor split, Unify.hs:178-180); the mean is an ordered
+      // left-fold list_reduce — same FP sequence as the engine's
+      // aggregate() over the ASC-sorted side arrays (no-init fold ==
+      // 0.0-init fold since 0+x = x). Self-loop samples land in BOTH
+      // side lists on both sides of the compare.
+      "q48_list_merge" ->
+        s"""WITH samples AS ($cte),
+           |keyed AS (SELECT least(subject, target) AS pair_lo,
+           |    greatest(subject, target) AS pair_hi, * FROM samples),
+           |base AS (SELECT *, row_number() OVER (
+           |    PARTITION BY pair_lo, pair_hi
+           |    ORDER BY epoch_ms DESC, sample_seq DESC) AS rn FROM keyed),
+           |agg AS (SELECT pair_lo, pair_hi,
+           |    list(value ORDER BY epoch_ms, sample_seq)
+           |      FILTER (WHERE subject = pair_lo) AS lo_vals,
+           |    list(value ORDER BY epoch_ms, sample_seq)
+           |      FILTER (WHERE subject = pair_hi) AS hi_vals
+           |  FROM keyed GROUP BY 1, 2)
+           |SELECT b.subject, b.target, b.link_state, b.epoch_ms,
+           |  CAST(coalesce(len(a.lo_vals), 0) AS BIGINT) AS n_lo,
+           |  CAST(coalesce(len(a.hi_vals), 0) AS BIGINT) AS n_hi,
+           |  CASE WHEN len(a.lo_vals) > 0 THEN
+           |    list_reduce(a.lo_vals, (x, y) -> x + y) / len(a.lo_vals)
+           |  END AS lo_mean,
+           |  CASE WHEN len(a.hi_vals) > 0 THEN
+           |    list_reduce(a.hi_vals, (x, y) -> x + y) / len(a.hi_vals)
+           |  END AS hi_mean
+           |FROM (SELECT * FROM base WHERE rn = 1) b
+           |JOIN agg a ON a.pair_lo = b.pair_lo AND a.pair_hi = b.pair_hi""".stripMargin,
 
       "q37_normalize" ->
         """WITH n AS (SELECT doc_id,

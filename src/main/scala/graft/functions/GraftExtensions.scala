@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       GraftExtensions.nfcInfo,
       GraftExtensions.nfcBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      GraftExtensions.simhashInfo,
+      GraftExtensions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      GraftExtensions.shinglesInfo,
+      GraftExtensions.shinglesBuilder))
   }
 }
 
@@ -40,6 +48,29 @@ object GraftExtensions {
       NfcNormalize(children.head)
     }
 
+  private[functions] val simhashInfo =
+    new ExpressionInfo(classOf[SimHash60].getName, "simhash60")
+  private[functions] val simhashBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 1, "simhash60 requires exactly 1 argument")
+      SimHash60(children.head)
+    }
+
+  private[functions] val shinglesInfo =
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles")
+  private[functions] val shinglesBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2,
+        "word_shingles requires (tokens, k) arguments")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"word_shingles k must be an integer literal, got $other")
+      }
+      WordShingles(children.head, k)
+    }
+
   /** Register into an already-built session (config-based extensions
     * only apply at build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -47,5 +78,9 @@ object GraftExtensions {
       spark, "vector_dot", vectorDotInfo, vectorDotBuilder)
     org.apache.spark.sql.graftshim.Shim.registerFunction(
       spark, "nfc_normalize", nfcInfo, nfcBuilder)
+    org.apache.spark.sql.graftshim.Shim.registerFunction(
+      spark, "simhash60", simhashInfo, simhashBuilder)
+    org.apache.spark.sql.graftshim.Shim.registerFunction(
+      spark, "word_shingles", shinglesInfo, shinglesBuilder)
   }
 }

@@ -62,4 +62,21 @@ class ApiSpec extends SparkSpec {
       .collect()(0).getString(0)
     got shouldBe "éclair"
   }
+
+  it("simhash60 and word_shingles are SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS s")
+      .collect()(0).getSeq[String](0)
+    sh shouldBe Seq("a b c", "b c a", "c a b")
+    val h = spark.sql(
+      "SELECT simhash60(array('tok1', 'tok2')) AS h")
+      .collect()(0).getLong(0)
+    // matches the column-API result
+    import spark.implicits._
+    val viaCol = Seq("tok1 tok2").toDF("text")
+      .select(graft.dedup.Dedup.simhash(org.apache.spark.sql.functions.col("text")))
+      .collect()(0).getLong(0)
+    h shouldBe viaCol
+  }
 }
