@@ -420,6 +420,16 @@ object SparkEntry {
           "n_lo", "n_hi", "lo_mean", "hi_mean")
     }),
 
+    // Motif analytics: per-node triangle participation over the event
+    // graph (the clustering-coefficient numerator). Ordered-triple
+    // (a<b<c) enumeration — two equi-joins on the canonical edge set,
+    // no cross products; the degree-oriented variant is the hub-skew
+    // hardening (MotifsSpec cross-checks the two).
+    "q49_triangles" -> ((s, d) => {
+      graft.operators.Motifs.triangleCounts(
+        EventGraph.linkSamples(s, d).select("subject", "target"))
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -1047,6 +1057,20 @@ object SparkEntry {
            |  END AS hi_mean
            |FROM (SELECT * FROM base WHERE rn = 1) b
            |JOIN agg a ON a.pair_lo = b.pair_lo AND a.pair_hi = b.pair_hi""".stripMargin,
+
+      "q49_triangles" ->
+        s"""WITH samples AS ($cte),
+           |e AS (SELECT DISTINCT least(subject, target) AS u,
+           |             greatest(subject, target) AS v
+           |      FROM samples WHERE subject <> target),
+           |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+           |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+           |SELECT node_id, count(*) AS n_triangles FROM (
+           |  SELECT a AS node_id FROM t
+           |  UNION ALL SELECT b FROM t
+           |  UNION ALL SELECT c FROM t)
+           |GROUP BY 1""".stripMargin,
 
       "q37_normalize" ->
         """WITH n AS (SELECT doc_id,

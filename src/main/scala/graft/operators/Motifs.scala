@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native motif counting over an undirected edge list — the
+  * graph-analytics companion to [[Bfs]]/[[GraphxOps]] (the reference's
+  * analytics layer stops at degrees/roots, Analyze.hs:136-151; triangle
+  * counting is the canonical next motif and the basis of clustering
+  * coefficients).
+  *
+  * Algorithm: canonicalize each undirected edge to (u &lt; v), then
+  * enumerate each triangle exactly once as an ordered triple
+  * a &lt; b &lt; c via two equi-joins:
+  * (a,b) ⋈ (b,c) ⋈ (a,c). All joins are equi-joins on node ids —
+  * no cross products; Catalyst/AQE picks broadcast vs shuffle per side.
+  *
+  * Scale note: the id-ordered orientation is exact but can skew on hub
+  * nodes (a node with degree d contributes O(d²) candidate wedges). The
+  * standard hardening at 100 TB is DEGREE orientation — point each edge
+  * from its lower-degree endpoint (ties by id), which bounds wedge
+  * fan-out by O(sqrt(|E|)) per node — at the cost of a degree
+  * pre-aggregation; [[trianglesDegreeOriented]] implements it and
+  * produces the identical counts.
+  */
+object Motifs {
+
+  /** Canonical (u < v) distinct undirected edge set; self-loops dropped. */
+  def canonicalEdges(pairs: DataFrame): DataFrame = {
+    val df = pairs.toDF("s", "t")
+    df.select(least(col("s"), col("t")).as("u"),
+        greatest(col("s"), col("t")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Every triangle as an ordered (a < b < c) triple, exactly once. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+  }
+
+  /** Per-node triangle participation counts (only nodes in ≥1 triangle
+    * appear). The clustering-coefficient numerator. */
+  def triangleCounts(pairs: DataFrame): DataFrame =
+    triangles(pairs)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Triangle triples via DEGREE orientation — same multiset of
+    * triangles as [[triangles]] (each emitted once, as an UNORDERED
+    * set {x,y,z} canonicalized back to sorted columns), but wedge
+    * fan-out per node is bounded by the lower-degree endpoint rule:
+    * every edge points low-degree → high-degree (ties by id), so hub
+    * nodes never enumerate their full neighbor square. */
+  def trianglesDegreeOriented(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val deg = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    // orient: src = lower-degree endpoint (ties: lower id)
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst"))
+    // wedge at src: (src→x, src→y); the closing x—y edge is checked
+    // against the CANONICAL (u<v) set — one two-key equi semi-join,
+    // never a disjunctive (nested-loop) condition
+    val wedges = oriented.as("w1")
+      .join(oriented.as("w2"),
+        col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
+      .select(col("w1.src").as("p"), col("w1.dst").as("x"),
+        col("w2.dst").as("y"))
+    wedges
+      .withColumn("u", least(col("x"), col("y")))
+      .withColumn("v", greatest(col("x"), col("y")))
+      .join(e, Seq("u", "v"), "left_semi")
+      .select(array_sort(array(col("p"), col("x"), col("y"))).as("t"))
+      .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
+  }
+}
