@@ -164,9 +164,10 @@ object Dedup {
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct(), checkpointDir)
+      .distinct(), checkpointDir, eager = false)
     val ids = cut(e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id"))).distinct(), checkpointDir)
+      .unionByName(e.select(col("v").as("id"))).distinct(),
+      checkpointDir, eager = false)
     // Convergence: ONE cheap signature aggregate per round — (count,
     // sum(hash(u)), sum(hash(v))) — instead of two full except() jobs.
     // Both frames are distinct sets, so equal counts plus next ⊆ e
@@ -193,12 +194,15 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // LAZY cut: the sig() aggregate right below materializes the
+      // checkpoint and computes the signature in ONE job — an eager cut
+      // would pay a second job per round just to store the same blocks
       val next = cut(ls.join(ssMin, "u")
         .select(col("v").as("a"), col("m"))
         .unionByName(ssMin.select(col("u").as("a"), col("m")))
         .filter(col("a") =!= col("m"))
         .select(col("a").as("u"), col("m").as("v"))
-        .distinct(), checkpointDir)
+        .distinct(), checkpointDir, eager = false)
       val nSig = sig(next)
       done = nSig == eSig && next.except(e).isEmpty
       eSig = nSig
@@ -324,8 +328,9 @@ object Dedup {
     val edges = pairs.select(col("id1").as("id"), col("id2").as("nb"))
       .unionByName(pairs.select(col("id2").as("id"), col("id1").as("nb")))
       .distinct().persist()
+    // lazy cut: the labelSum aggregate below materializes it in one job
     var labels = cut(edges.select(col("id")).distinct()
-      .withColumn("cluster", col("id")), checkpointDir)
+      .withColumn("cluster", col("id")), checkpointDir, eager = false)
     // Convergence check: labels only ever DECREASE, so the label sum
     // strictly decreases on any change — one cheap aggregate per round
     // instead of a join against the previous generation.
@@ -341,7 +346,8 @@ object Dedup {
         .select(col("id"), col("cluster"))
       val next = cut(labels.select(col("id"), col("cluster"))
         .unionByName(viaNeighbors)
-        .groupBy("id").agg(min(col("cluster")).as("cluster")), checkpointDir)
+        .groupBy("id").agg(min(col("cluster")).as("cluster")),
+        checkpointDir, eager = false)
       val s = labelSum(next)
       changed = s != prevSum
       prevSum = s
