@@ -110,6 +110,33 @@ class HistorySpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  it("bucketed history feeds GetSnapshot directly — same snapshot as " +
+      "the plain read path") {
+    val table = "graft_hist_bucketed_t3"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val findings = Findings.fromSeq(spark, Seq(
+      FoundNode("n1", ts("2024-01-10T05:00"), Map.empty,
+        Seq(FoundLink("n2", LinkState.Bidirectional, Map.empty)), 0),
+      FoundNode("n2", ts("2024-01-11T05:00"), Map.empty,
+        Seq(FoundLink("n3", LinkState.ToTarget, Map.empty)), 1),
+      FoundNode("n1", ts("2024-01-12T05:00"), Map.empty,
+        Seq(FoundLink("n2", LinkState.Bidirectional, Map.empty)), 2)))
+    History.appendBucketed(findings, table, numBuckets = 4)
+    try {
+      import spark.implicits._
+      val q = graft.query.Query(Seq("n1"))
+      def graph(df: org.apache.spark.sql.DataFrame) = {
+        val g = graft.query.GetSnapshot(spark, df, q)
+        (g.nodes.collect().map(_.getString(0)).sorted.toSeq,
+          g.links.collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(3))).sorted.toSeq)
+      }
+      val fromBucketed = graph(History.readBucketed(spark, table))
+      fromBucketed shouldBe graph(findings)
+      fromBucketed._1 shouldBe Seq("n1", "n2", "n3")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   it("bucketed layout makes subject aggregation shuffle-free") {
     val table = "graft_hist_bucketed_t1"
     spark.sql(s"DROP TABLE IF EXISTS $table")
