@@ -280,6 +280,13 @@ object SparkEntry {
       graft.dedup.Dedup.clusterLabelsStar(pairs)
     }),
 
+    // End-to-end corpus dedup: LSH candidates → components → keep the
+    // min-id representative; survivors of the doubled corpus.
+    "q50_dedup_corpus" -> ((s, d) => {
+      graft.dedup.Dedup.dedupCorpus(doubledDocs(s, d))
+        .select(col("doc_id"))
+    }),
+
     // Canonical text normalization (NFC custom Expression + lower +
     // whitespace collapse), hash-checked end to end.
     "q37_normalize" -> ((s, d) => {
@@ -851,6 +858,20 @@ object SparkEntry {
            |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS cluster
            |FROM reach GROUP BY a""".stripMargin,
+
+      // Survivors = every doubled-corpus doc EXCEPT non-representative
+      // cluster members (cluster from the same recursive closure as q36).
+      "q50_dedup_corpus" ->
+        s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+           |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |labels AS (SELECT a AS id, least(a, min(b)) AS cluster
+           |  FROM reach GROUP BY a),
+           |corpus AS ($doubledSql)
+           |SELECT doc_id FROM corpus
+           |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
 
       "q24_simhash" ->
         s"""SELECT doc_id,

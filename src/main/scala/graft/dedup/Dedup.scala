@@ -357,6 +357,25 @@ object Dedup {
     labels
   }
 
+  /** END-TO-END near-dup removal — the whole corpus-dedup pipeline as
+    * one call: MinHash-LSH candidate pairs ([[minhashCandidatePairs]],
+    * the bucketed scale path) → connected components
+    * ([[clusterLabelsStar]], O(log n) rounds) → keep each cluster's
+    * min-id representative. Returns the SURVIVING rows of `docs` with
+    * all their columns (docs in no candidate pair survive untouched —
+    * only non-representative cluster members are anti-joined away).
+    * `checkpointDir` flows to the CC rounds for fault-tolerant lineage
+    * cuts on preemptible clusters. */
+  def dedupCorpus(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, k, idCol, textCol)
+    val dropped = clusterLabelsStar(pairs, checkpointDir)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit SimHash per doc: per-token md5-derived hash, bitwise
     * majority vote over token occurrences. Runs as the codegen'd
     * [[graft.functions.SimHash60]] expression — the interpreted
