@@ -64,6 +64,26 @@ class ReadmeSpec extends SparkSpec {
       xml should include(s"""<node id="$sw">"""))
   }
 
+  it("time-interval walkthrough — querying the past excludes newer " +
+      "findings (README.md:441-499)") {
+    // switch1 first saw only switch2; 20 seconds later also switch3
+    val finding1 = fn("switch1", "2018-11-30T00:16:40",
+      Seq(fl("switch2")), seq = 1)
+    val finding2 = fn("switch1", "2018-11-30T00:17:00",
+      Seq(fl("switch2"), fl("switch3")), seq = 2)
+    val findings = Findings.fromSeq(spark, Seq(finding1, finding2))
+    import spark.implicits._
+    // query interval: -inf <= t <= 2018-11-30T00:16:50
+    val g = GetSnapshot(spark, findings, Query(Seq("switch1"),
+      interval = graft.time.Interval(
+        graft.time.IntervalEnd(None, inclusive = true),
+        graft.time.IntervalEnd(Some(ts("2018-11-30T00:16:50")),
+          inclusive = true))))
+    // map linkNodeTuple raw_links `shouldBe` [("switch1", "switch2")]
+    g.links.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("switch1", "switch2"))
+  }
+
   it("SignalStrengths mergeSamples — both ends' signals on one link " +
       "(README.md:615-746)") {
     // switch1 and switch2 each observe their own received signal
