@@ -437,6 +437,14 @@ object SparkEntry {
         EventGraph.linkSamples(s, d).select("subject", "target"))
     }),
 
+    // Local clustering coefficient per node (2T/(d(d-1))) — a single
+    // extra degree aggregation over q49's triangle counts; one double
+    // division, no folds, so the doubles compare exactly.
+    "q51_clustering_coeff" -> ((s, d) => {
+      graft.operators.Motifs.clusteringCoefficients(
+        EventGraph.linkSamples(s, d).select("subject", "target"))
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -1092,6 +1100,28 @@ object SparkEntry {
            |  UNION ALL SELECT b FROM t
            |  UNION ALL SELECT c FROM t)
            |GROUP BY 1""".stripMargin,
+
+      "q51_clustering_coeff" ->
+        s"""WITH samples AS ($cte),
+           |e AS (SELECT DISTINCT least(subject, target) AS u,
+           |             greatest(subject, target) AS v
+           |      FROM samples WHERE subject <> target),
+           |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+           |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |tc AS (SELECT node_id, count(*) AS n_triangles FROM (
+           |    SELECT a AS node_id FROM t
+           |    UNION ALL SELECT b FROM t
+           |    UNION ALL SELECT c FROM t) GROUP BY 1),
+           |deg AS (SELECT node_id, count(*) AS degree FROM (
+           |    SELECT u AS node_id FROM e
+           |    UNION ALL SELECT v FROM e) GROUP BY 1)
+           |SELECT d.node_id, d.degree,
+           |  coalesce(tc.n_triangles, 0) AS n_triangles,
+           |  CASE WHEN d.degree >= 2 THEN
+           |    (2.0 * coalesce(tc.n_triangles, 0)) / (d.degree * (d.degree - 1))
+           |  ELSE 0.0 END AS clustering_coeff
+           |FROM deg d LEFT JOIN tc ON tc.node_id = d.node_id""".stripMargin,
 
       "q37_normalize" ->
         """WITH n AS (SELECT doc_id,

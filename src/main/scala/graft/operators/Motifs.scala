@@ -52,6 +52,24 @@ object Motifs {
       .groupBy(col("node_id"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Per-node LOCAL CLUSTERING COEFFICIENT over the canonical
+    * undirected edge set: 2·T(v) / (deg(v)·(deg(v)−1)); nodes with
+    * degree &lt; 2 get 0. One degree aggregation + the triangle counts,
+    * left-joined — every step an equi-join/hash agg. */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val deg = e.select(col("u").as("node_id"))
+      .unionByName(e.select(col("v").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(pairs), Seq("node_id"), "left")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          lit(2.0d) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0d)).as("clustering_coeff"))
+  }
+
   /** Triangle triples via DEGREE orientation — same multiset of
     * triangles as [[triangles]] (each emitted once, as an UNORDERED
     * set {x,y,z} canonicalized back to sorted columns), but wedge

@@ -154,16 +154,14 @@ object StreamingIngest {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val conf = spark.sparkContext.hadoopConfiguration
         val cur = new org.apache.hadoop.fs.Path(tableDir)
-        val fs = cur.getFileSystem(conf)
+        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // crash recovery: a driver death between rename(cur, old) and
         // rename(staging, cur) leaves only the .old dir — without this
         // restore the next batch would read EMPTY existing state and
         // silently rebuild the view from one batch (the checkpoint
         // already marks earlier batches committed).
-        val prev = new org.apache.hadoop.fs.Path(tableDir + ".old")
-        if (!fs.exists(cur) && fs.exists(prev)) { fs.rename(prev, cur); () }
+        recoverSwap(fs, tableDir)
         val existing =
           if (fs.exists(cur)) spark.read.parquet(tableDir)
           else spark.createDataFrame(
@@ -172,13 +170,76 @@ object StreamingIngest {
         val merged = graft.operators.Weave.retainFindings(
           existing.unionByName(batch, allowMissingColumns = true),
           graft.operators.PolicyOverwrite)
-        val staging = new org.apache.hadoop.fs.Path(tableDir + ".staging")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        val old = new org.apache.hadoop.fs.Path(tableDir + ".old")
-        if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(cur)) fs.rename(cur, old)
-        fs.rename(staging, cur)
-        fs.delete(old, true)
+        stagedSwap(merged, tableDir)
+      }
+      .start()
+
+  /** Swap-dir discipline shared by the materialized views: recover a
+    * table stranded between the two renames of a previous crash, then
+    * atomically-ish swap the staged dir in. Single-writer per dir. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (!fs.exists(cur) && fs.exists(old)) { fs.rename(old, cur); () }
+  }
+
+  private def stagedSwap(df: DataFrame, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
+    fs.rename(staging, cur)
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Continuously-materialized SNAPSHOT GRAPH: each micro-batch folds
+    * its findings into the compact retained state (PolicyOverwrite
+    * applied incrementally — one row per node, like
+    * [[materializeLatest]]) and re-weaves the full snapshot from THAT
+    * state, swapping `dir/retained`, `dir/nodes` and `dir/links`
+    * atomically-ish per batch. Readers always see a complete,
+    * consistent-per-table snapshot without replaying history; the
+    * re-weave cost is bounded by the NODE count, not the findings
+    * history. Unification (incl. negation) uses the given
+    * [[graft.operators.LinkUnifier]]. */
+  def materializeSnapshot(findings: Dataset[FoundNode], dir: String,
+      checkpointDir: String,
+      unifier: graft.operators.LinkUnifier = new graft.operators.StdUnifier())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.model.Findings.toCanonical(findings)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val retainedDir = s"$dir/retained"
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, retainedDir)
+        val cur = new org.apache.hadoop.fs.Path(retainedDir)
+        val existing =
+          if (fs.exists(cur)) spark.read.parquet(retainedDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema)
+        val merged = graft.operators.Weave.retainFindings(
+          existing.unionByName(batch, allowMissingColumns = true),
+          graft.operators.PolicyOverwrite)
+        // the staging write reads the OLD files before any rename, so
+        // deriving merged from `existing` is safe; the snapshot is then
+        // re-woven from the freshly-swapped stable files
+        stagedSwap(merged, retainedDir)
+        val stable = graft.operators.Weave.snapshot(
+          spark.read.parquet(retainedDir),
+          graft.operators.PolicyAppend /* already retained */, unifier)
+        stagedSwap(stable.nodes, s"$dir/nodes")
+        stagedSwap(stable.links, s"$dir/links")
         ()
       }
       .start()

@@ -31,6 +31,21 @@ class MotifsSpec extends SparkSpec {
     triples(Motifs.triangles(messy)) shouldBe Seq(("a", "b", "c"))
   }
 
+  it("clustering coefficients: cliques are 1, paths are 0, hubs between") {
+    import spark.implicits._
+    // K3 {a,b,c} + pendant d on a: deg(a)=3, T(a)=1 → 2/(3·2) = 1/3
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+      .toDF("s", "t")
+    val got = Motifs.clusteringCoefficients(g).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    got shouldBe Seq(
+      ("a", 3L, 1L, 2.0 / 6.0),
+      ("b", 2L, 1L, 1.0),
+      ("c", 2L, 1L, 1.0),
+      ("d", 1L, 0L, 0.0))
+  }
+
   it("degree-oriented enumeration matches the id-ordered one on seeded " +
       "random graphs") {
     import spark.implicits._

@@ -169,6 +169,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it("materializeSnapshot keeps a continuously-fresh snapshot graph — " +
+      "negation retracts a link in a later batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val input = MemoryStream[FoundNode]
+    val q = StreamingIngest.materializeSnapshot(input.toDS(),
+      s"$dir/view", s"$dir/ckpt")
+    def links() = spark.read.parquet(s"$dir/view/links")
+      .select("source_node", "dest_node").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    def nodes() = spark.read.parquet(s"$dir/view/nodes")
+      .select("node_id").collect().map(_.getString(0)).sorted.toSeq
+    try {
+      input.addData(
+        FoundNode("n1", 1000L, Map.empty,
+          Seq(model.FoundLink("n2", model.LinkState.Bidirectional, Map.empty)), 1))
+      q.processAllAvailable()
+      links() shouldBe Seq(("n1", "n2"))
+      nodes() shouldBe Seq("n1", "n2")
+      // n2 re-observed LATER with no links: negation must retract n1—n2
+      input.addData(FoundNode("n2", 2000L, Map.empty, Nil, 2))
+      q.processAllAvailable()
+      links() shouldBe empty
+      nodes() shouldBe Seq("n1", "n2")
+      // a new link appears in a third batch
+      input.addData(
+        FoundNode("n2", 3000L, Map.empty,
+          Seq(model.FoundLink("n3", model.LinkState.ToTarget, Map.empty)), 3))
+      q.processAllAvailable()
+      links() shouldBe Seq(("n2", "n3"))
+      nodes() shouldBe Seq("n1", "n2", "n3")
+    } finally q.stop()
+  }
+
   it("appendToHistory lands stream batches in the parquet history table") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
