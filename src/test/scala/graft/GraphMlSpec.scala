@@ -132,6 +132,29 @@ class GraphMlSpec extends SparkSpec {
     got should include("""<attvalue for="1" value="true"/>""")
   }
 
+  it("distributed GEXF assembles to the exact driver document") {
+    val nodes = spark.createDataFrame(Seq(
+      ("a", false, Some(100L), Some(Map("rank" -> "128"))),
+      ("b", true, None, Option.empty[Map[String, String]]),
+      ("c", false, Some(200L), Some(Map("rank" -> "7")))))
+      .toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs")
+    val links = spark.createDataFrame(Seq(
+      ("a", "b", true, 100L, Map("w" -> "0.5")),
+      ("c", "a", false, 200L, Map("w" -> "1.5")),
+      ("b", "c", true, 150L, Map("w" -> "2"))))
+      .toDF("source_node", "dest_node", "is_directed", "epoch_ms", "link_attrs")
+    val g = SnapshotGraph(nodes, links)
+    val dir = java.nio.file.Files.createTempDirectory("gexf_dist").toString
+    graft.io.Gexf.writeDistributed(g, dir)
+    val assembled = GraphMl.assembleDistributed(spark, dir)
+    assembled shouldBe graft.io.Gexf.write(g)
+    val doc = scala.xml.XML.loadString(assembled)
+    (doc \\ "node").size shouldBe 3
+    (doc \\ "edge").size shouldBe 3
+    // dense sequential edge ids in global (source, dest) order
+    (doc \\ "edge").map(e => (e \ "@id").text) shouldBe Seq("0", "1", "2")
+  }
+
   it("infers user attribute types for the key table") {
     val nodes = spark.createDataFrame(Seq(
       ("a", false, Some(1L), Some(Map("rank" -> "128", "name" -> "x"))),
