@@ -72,6 +72,27 @@ object GraphxOps {
     }
   }
 
+  /** PageRank over the snapshot (GraphX's standard implementation —
+    * undirected links become two directed edges, like the traversal
+    * view everywhere else). Returns (node_id, rank); ranks sum to ≈ the
+    * vertex count. Iterative FP accumulation, so this is a spec-checked
+    * analytic (like k-means), not an oracle-hashed one. */
+  def pageRank(g: SnapshotGraph, numIter: Int = 10,
+      resetProb: Double = 0.15): DataFrame = {
+    val spark = g.nodes.sparkSession
+    val (graph, ids) = toGraphx(g)
+    // undirected edges traversed both ways: add the reverse of each
+    // undirected edge before ranking
+    val expanded = Graph(graph.vertices,
+      graph.edges.flatMap(e =>
+        if (e.attr) Iterator(e)
+        else Iterator(e, Edge(e.dstId, e.srcId, e.attr))))
+    val ranks = expanded.staticPageRank(numIter, resetProb).vertices
+    spark.createDataFrame(ranks).toDF("seq_id", "rank")
+      .join(ids, Seq("seq_id"))
+      .select("node_id", "rank")
+  }
+
   /** Connected components over the snapshot (undirected view):
     * (node_id, component) where component = min node_id in the group's
     * SeqID order. */

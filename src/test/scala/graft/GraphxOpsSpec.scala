@@ -34,6 +34,23 @@ class GraphxOpsSpec extends SparkSpec {
     GraphxOps.pregelBfs(chainGraph, "nope").count() shouldBe 0
   }
 
+  it("pageRank: ranks sum to ~n and the hub outranks the leaves") {
+    // star: hub h linked bidirectionally to 4 leaves (one finding each,
+    // same ts so negation stays out of the way)
+    val star = Weave.snapshot(Findings.fromSeq(spark,
+      (1 to 4).map(i => FoundNode("h", 10L, Map.empty,
+        Seq(FoundLink(s"l$i", LinkState.Bidirectional, Map.empty)),
+        i.toLong))), graft.operators.PolicyAppend)
+    val ranks = GraphxOps.pageRank(star, numIter = 20).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    ranks.keySet shouldBe Set("h", "l1", "l2", "l3", "l4")
+    ranks.values.sum shouldBe 5.0 +- 0.1
+    val hub = ranks("h")
+    (1 to 4).foreach(i => hub should be > ranks(s"l$i"))
+    // leaves are symmetric
+    (2 to 4).foreach(i => ranks(s"l$i") shouldBe ranks("l1") +- 1e-9)
+  }
+
   it("connectedComponents separates the two islands") {
     val comps = GraphxOps.connectedComponents(chainGraph).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
