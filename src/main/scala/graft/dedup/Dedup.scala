@@ -86,9 +86,13 @@ object Dedup {
     // persisted: consumed by BOTH the frequency agg and the ranked join —
     // without it the tokenize+explode (the scan-heavy stage) runs twice
     val sh = shingles(docs, k, idCol, textCol).persist()
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    // global shingle frequency via a partition-only window — one
+    // shuffle on the shingle key instead of a groupBy + join back
+    import org.apache.spark.sql.expressions.Window
+    val withFreq = sh.withColumn("freq",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
     // per-doc shingle array sorted by (freq, shingle) ascending
-    val ranked = sh.join(freq, "shingle")
+    val ranked = withFreq
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("freq"), col("shingle"))))
         .as("ranked"))
