@@ -70,6 +70,49 @@ object Motifs {
           .otherwise(lit(0.0d)).as("clustering_coeff"))
   }
 
+  /** k-CORE: the maximal subgraph in which every node has degree ≥ k —
+    * the standard graph-density filter (community cores, spam/bot
+    * subgraph mining). Iterative peeling: drop nodes with degree &lt; k,
+    * recompute degrees, repeat to the fixpoint. Each round is one
+    * degree hash-aggregation + two semi-joins over the (shrinking)
+    * canonical edge set; the fixpoint test is the edge COUNT (peeling
+    * only removes, so an unchanged count is the fixpoint). Rounds ≤
+    * peel depth; per-round lineage cut (lazy — the count action
+    * materializes it; `checkpointDir` for reliable cuts). Returns the
+    * surviving canonical (u &lt; v) edge set. */
+  def kCoreEdges(pairs: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
+    var e = cut(canonicalEdges(pairs), checkpointDir, eager = false)
+    var n = e.count()
+    var done = n == 0L
+    while (!done) {
+      val deg = e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val next = cut(
+        e.join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")),
+        checkpointDir, eager = false)
+      val m = next.count()
+      done = m == n || m == 0L
+      e = next
+      n = m
+    }
+    e
+  }
+
+  /** Nodes of the k-core (endpoints of the surviving edge set). */
+  def kCoreNodes(pairs: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val e = kCoreEdges(pairs, k, checkpointDir)
+    e.select(col("u").as("node_id"))
+      .unionByName(e.select(col("v").as("node_id")))
+      .distinct()
+  }
+
   /** Triangle triples via DEGREE orientation — same multiset of
     * triangles as [[triangles]] (each emitted once, as an UNORDERED
     * set {x,y,z} canonicalized back to sorted columns), but wedge

@@ -46,6 +46,51 @@ class MotifsSpec extends SparkSpec {
       ("d", 1L, 0L, 0.0))
   }
 
+  it("kCore peels to the maximal min-degree subgraph") {
+    import spark.implicits._
+    // K4 {a,b,c,d} with a tail c—e—f: 3-core = K4 (peeling f removes
+    // e's support transitively)
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("c", "e"), ("e", "f")).toDF("s", "t")
+    Motifs.kCoreNodes(g, 3).collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("a", "b", "c", "d")
+    // 2-core still excludes the dangling path e—f
+    Motifs.kCoreNodes(g, 2).collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("a", "b", "c", "d")
+    // 5-core is empty
+    Motifs.kCoreNodes(g, 5).collect() shouldBe empty
+  }
+
+  it("kCore matches a naive driver-side peeling on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    (0 until 2).foreach { _ =>
+      val n = 18
+      val raw = (0 until 50).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter(p => p._1 != p._2)
+      def naive(k: Int): Set[String] = {
+        var edges = raw.map(p =>
+          if (p._1 < p._2) p else p.swap).distinct
+        var changed = true
+        while (changed) {
+          val deg = edges.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (id, xs) => id -> xs.size }
+          val keep = deg.filter(_._2 >= k).keySet
+          val next = edges.filter(e => keep(e._1) && keep(e._2))
+          changed = next.size != edges.size
+          edges = next
+        }
+        edges.flatMap(e => Seq(e._1, e._2)).toSet
+      }
+      val df = raw.toDF("s", "t")
+      Seq(2, 3).foreach { k =>
+        Motifs.kCoreNodes(df, k).collect().map(_.getString(0)).toSet shouldBe
+          naive(k)
+      }
+    }
+  }
+
   it("degree-oriented enumeration matches the id-ordered one on seeded " +
       "random graphs") {
     import spark.implicits._
