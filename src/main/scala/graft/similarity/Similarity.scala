@@ -325,6 +325,66 @@ object Similarity {
     spark.read.parquet(dir)
       .filter(col("centroid").isin(centroids: _*))
 
+  /** Top-k search THROUGH a [[writeIvfIndex]] on-disk layout: each
+    * query batch probes its `nprobe` closest centroids, the UNION of
+    * probed centroid ids prunes the index scan to those partitions
+    * (zero I/O for unprobed lists — the property that makes IVF pay at
+    * 100 TB), and exact cosine ranks within each query's own probed
+    * lists only. Results match the in-memory [[ivfTopK]] for the same
+    * centroid set (spec-checked): the probe restriction is identical,
+    * only the list storage differs. `queries` columns: (id, vector)
+    * under `idCol`/`vecCol`. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int = 3, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qUnit = unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("u").as("qu")).persist()
+    // the index partitions carry the centroid ids (centroid id = vec id
+    // of the stride-sampled vector, which lives in its own list) — read
+    // the centroid VECTORS back from the index rows themselves, so the
+    // search needs no side-channel centroid table
+    val centroidIds = spark.read.parquet(indexDir)
+      .select(col("centroid")).distinct()
+    val centroidVecs = spark.read.parquet(indexDir)
+      .join(centroidIds.withColumnRenamed("centroid", "cid"),
+        col("id") === col("cid"))
+      .select(col("cid"), transform(col(vecCol), x => x.cast("double"))
+        .as("cv"))
+    val centroidUnit = centroidVecs.select(col("cid"),
+      transform(col("cv"), x => x / sqrt(dot(col("cv"), col("cv"))))
+        .as("cu"))
+    val probes = qUnit
+      .join(broadcast(centroidUnit))
+      .select(col("qid"), col("qu"), col("cid"),
+        dot(col("qu"), col("cu")).as("ccos"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("ccos"), asc("cid"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("qu"), col("cid").as("centroid"))
+    // partition-pruned scan: only the union of probed lists is read
+    // partition-dir inference may read centroid= back as INT; normalize
+    val probedIds = probes.select(col("centroid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = readIvfLists(spark, indexDir, probedIds)
+      .select(col("id"), col("centroid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("id"), col("centroid"),
+        transform(col("v"), x => x / sqrt(dot(col("v"), col("v"))))
+          .as("u"))
+    val scored = probes.join(lists, Seq("centroid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        round(dot(col("qu"), col("u")), 6).as("cos"))
+    graft.util.Checkpoints.materialize(
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("cos"),
+          col("rank").cast("long").as("rank")),
+      unpersistAfter = Seq(qUnit))
+  }
+
   /** LSH candidate pairs: vectors sharing a hyperplane-sign bucket.
     * Equi-join on the bucket id — the distributed ANN scale path; follow
     * with exact cosine on candidates only. */

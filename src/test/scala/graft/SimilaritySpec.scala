@@ -117,6 +117,25 @@ class SimilaritySpec extends SparkSpec {
     Similarity.bruteTopK(emb, k = 1, maxQueryId = 5).count() should be > 0L
   }
 
+  it("searchIvfIndex through the partitioned layout matches the " +
+      "in-memory ivfTopK") {
+    if (!haveData) cancel("testdata missing")
+    val emb = Tables.embeddings(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("ivf_search").toString
+    Similarity.writeIvfIndex(emb, out)
+    import org.apache.spark.sql.functions.col
+    val queries = emb.filter(col("vec_id") < 20)
+    val viaIndex = Similarity.searchIvfIndex(spark, out, queries,
+        k = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    val inMemory = Similarity.ivfTopK(emb, k = 3, nprobe = 2,
+        maxQueryId = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    viaIndex shouldBe inMemory
+  }
+
   it("lshCandidatePairs puts identical vectors in one bucket") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)
