@@ -445,6 +445,32 @@ object SparkEntry {
         EventGraph.linkSamples(s, d).select("subject", "target"))
     }),
 
+    // One Lloyd half-step of k-means as EXACT integer partial sums:
+    // assign every vector to its max-cosine centroid (q30's exact
+    // assignment), int8-quantize (q44's exact rounding), then the
+    // per-(centroid, dim) partial sums + counts — the map-side-combined
+    // shuffle payload of the kmeansCentroids mean step. FP fold order
+    // never appears: sums are integer-exact, so the iterative operator's
+    // core shuffle is oracle-hashable even though its double means are
+    // not.
+    "q52_kmeans_partial" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val assigned = graft.similarity.Similarity.ivfAssign(emb)
+      val base = emb.select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val withQ = base.select(col("id"),
+        transform(col("v"), x => round(x * 127.0d /
+            greatest(array_max(transform(col("v"), y => abs(y))),
+              lit(1e-30d)))
+          .cast("long")).as("q"))
+      withQ.join(assigned, Seq("id"))
+        .select(col("centroid"), posexplode(col("q")).as(Seq("pos", "qv")))
+        .groupBy(col("centroid"), col("pos"))
+        .agg(sum(col("qv")).as("q_sum"), count(lit(1)).as("n_vecs"))
+        .select(col("centroid"), col("pos").cast("long").as("pos"),
+          col("q_sum"), col("n_vecs"))
+    }),
+
     // Sessionization: split each user's event stream at >30-minute gaps
     // (the canonical training-pipeline event operator); one summary row
     // per session.
@@ -1011,6 +1037,38 @@ object SparkEntry {
           |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
           |  count(*) AS n_docs
           |FROM documents GROUP BY 1""".stripMargin,
+
+      // q30's exact assignment + q44's exact quantization feeding
+      // integer partial sums — SUM(BIGINT) is HUGEINT in DuckDB, cast
+      // back (the q31 lesson).
+      "q52_kmeans_partial" ->
+        s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |unit AS (SELECT id, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
+           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+           |scored AS (SELECT v.id, c.cid,
+           |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
+           |      (x, y) -> x + y) AS ccos
+           |  FROM unit v CROSS JOIN cent c),
+           |assign AS (SELECT id, cid AS centroid FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
+           |  WHERE rn = 1),
+           |bq AS (SELECT vec_id AS id,
+           |    list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS v
+           |  FROM embeddings),
+           |qd AS (SELECT id, list_transform(v, x -> CAST(round(x * 127.0 /
+           |    greatest(list_max(list_transform(v, y -> abs(y))), 1e-30))
+           |    AS BIGINT)) AS q
+           |  FROM bq)
+           |SELECT a.centroid, idx.i - 1 AS pos,
+           |  CAST(SUM(qd.q[idx.i]) AS BIGINT) AS q_sum,
+           |  COUNT(*) AS n_vecs
+           |FROM qd JOIN assign a ON a.id = qd.id
+           |CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+           |GROUP BY 1, 2""".stripMargin,
 
       "q44_quantize" ->
         """WITH base AS (SELECT vec_id AS id,
