@@ -385,6 +385,24 @@ object Similarity {
       unpersistAfter = Seq(qUnit))
   }
 
+  /** Recall of an approximate top-k result against the exact one — the
+    * standard ANN quality dial a pipeline monitors when trading nprobe/
+    * bands against cost. Input frames carry (qid, nid[, ...]); output
+    * is one row per query: exact-neighbor count, hits, recall. Overall
+    * recall = sum(n_hit)/sum(n_exact) over this frame. One equi-join +
+    * one hash aggregation. */
+  def topKRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("nid")).distinct()
+      .withColumn("hit", lit(1L))
+    val e = exact.select(col("qid"), col("nid")).distinct()
+    e.join(a, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** LSH candidate pairs: vectors sharing a hyperplane-sign bucket.
     * Equi-join on the bucket id — the distributed ANN scale path; follow
     * with exact cosine on candidates only. */

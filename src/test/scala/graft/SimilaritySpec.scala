@@ -28,6 +28,14 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivf.keySet.intersect(brute.keySet).size.toDouble /
       brute.size
     recall should be >= 0.2
+    // the recall OPERATOR reports the same overall number
+    val ivfDf = Similarity.ivfTopK(emb, k = 3, nprobe = 2)
+    val bruteDf = Similarity.bruteTopK(emb, k = 3,
+      allowUnboundedQueries = true)
+    val per = Similarity.topKRecall(ivfDf, bruteDf).collect()
+    val overall = per.map(_.getLong(2)).sum.toDouble /
+      per.map(_.getLong(1)).sum
+    overall shouldBe recall +- 1e-9
   }
 
   it("banded cosineNearDupPairs matches brute force and avoids cross joins") {

@@ -397,6 +397,25 @@ class WeaveSpec extends SparkSpec {
       stats.logLines.exists(_.contains("1 pairs negated")) shouldBe true
     }
 
+    it("snapshotWithStats dispatches unifyRaw on the ACTUAL unifier — " +
+        "list-merge negation counts stay consistent") {
+      // n1 observes n1-n2; n2 is re-observed later with no links → the
+      // merged sample is negated. The raw (negation-off) count must
+      // come from the ListMergeUnifier itself, not a base-class twin.
+      val merge = (lo: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column) =>
+        ListMergeUnifier.latestOfBoth(lo, hi)
+      val fns = Seq(
+        fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.Bidirectional)), seq = 1),
+        fn("n2", "2018-12-01T20:00", Nil, seq = 2))
+      val (g, stats) = Weave.snapshotWithStats(
+        Findings.fromSeq(spark, fns),
+        unifier = new ListMergeUnifier(merge))
+      stats.nUnifiedPairs shouldBe 0 // killed by negation
+      stats.nNegated shouldBe 1      // raw (negation-off) saw the pair
+      g.links.collect() shouldBe empty
+    }
+
     it("negation is an unhinted equi-join (AQE picks the strategy)") {
       val g = Weave.snapshot(Findings.fromSeq(spark, Seq(
         fn("n1", "2018-12-01T10:00", Seq(fl("n2", LinkState.ToTarget))),
