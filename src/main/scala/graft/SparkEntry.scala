@@ -287,6 +287,15 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // C4-style cross-document boilerplate-line removal: lines occurring
+    // in >= 3 distinct docs are deleted everywhere; cleaned text is
+    // hash-checked (order-preserving rebuild) along with line counts.
+    "q53_boilerplate" -> ((s, d) => {
+      graft.text.TextOps.removeBoilerplate(Tables.documents(s, d), minDf = 3)
+        .select(col("id"), md5(col("clean")).as("clean_md5"),
+          col("n_lines"), col("n_kept"))
+    }),
+
     // Canonical text normalization (NFC custom Expression + lower +
     // whitespace collapse), hash-checked end to end.
     "q37_normalize" -> ((s, d) => {
@@ -1180,6 +1189,28 @@ object SparkEntry {
            |    (2.0 * coalesce(tc.n_triangles, 0)) / (d.degree * (d.degree - 1))
            |  ELSE 0.0 END AS clustering_coeff
            |FROM deg d LEFT JOIN tc ON tc.node_id = d.node_id""".stripMargin,
+
+      // hot list as ONE scalar list value captured by the list_filter
+      // lambda (lambdas cannot hold subqueries); blank lines always
+      // survive, mirroring the engine's anti-join on non-blank trims.
+      "q53_boilerplate" ->
+        """WITH docl AS (SELECT doc_id,
+          |    unnest(list_transform(string_split(text, chr(10)),
+          |      l -> trim(l))) AS nline
+          |  FROM documents),
+          |hot AS (SELECT nline FROM (
+          |    SELECT DISTINCT doc_id, nline FROM docl WHERE nline <> '')
+          |  GROUP BY nline HAVING count(*) >= 3),
+          |hotarr AS (SELECT coalesce(list(nline), []) AS h FROM hot)
+          |SELECT d.doc_id AS id,
+          |  md5(array_to_string(list_filter(string_split(d.text, chr(10)),
+          |    l -> trim(l) = '' OR NOT list_contains(ha.h, trim(l))),
+          |    chr(10))) AS clean_md5,
+          |  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+          |  CAST(len(list_filter(string_split(d.text, chr(10)),
+          |    l -> trim(l) = '' OR NOT list_contains(ha.h, trim(l))))
+          |    AS BIGINT) AS n_kept
+          |FROM documents d CROSS JOIN hotarr ha""".stripMargin,
 
       "q37_normalize" ->
         """WITH n AS (SELECT doc_id,

@@ -115,6 +115,42 @@ object TextOps {
         size(array_distinct(lines)).cast("double") / n, 6))
   }
 
+  /** CROSS-document boilerplate-line removal (the C4 pipeline's "drop
+    * any line occurring in ≥ N documents" step — navigation chrome,
+    * cookie banners, license headers): a line whose trimmed form occurs
+    * in at least `minDf` DISTINCT documents is deleted from every
+    * document; blank lines are never boilerplate. Returns one row per
+    * input document: (id, clean = surviving lines in original order,
+    * n_lines, n_kept).
+    *
+    * Shape: explode lines with position → distinct (doc, line) →
+    * document-frequency hash aggregation → anti-join on the hot set
+    * (small — it IS the boilerplate vocabulary, broadcastable at any
+    * scale) → per-doc ordered rebuild via sort_array(collect_list).
+    * One shuffle per aggregation, no windows, no UDFs. */
+  def removeBoilerplate(docs: org.apache.spark.sql.DataFrame,
+      minDf: Long = 3, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.select(col("id"), trim(col("line")).as("nline"))
+      .filter(col("nline") =!= "").distinct()
+      .groupBy(col("nline")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("nline"))
+    val kept = lines.join(hot, trim(col("line")) === col("nline"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("line")))),
+        x => x("line")), "\n").as("clean"))
+    docs.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean"), lit("")).as("clean"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** PII-style redaction for corpus cleaning: mask email addresses and
     * long digit runs (phone/account-number shaped). Patterns stay in the
     * regex subset shared by Java regex (Spark) and RE2 (DuckDB) so the

@@ -26,6 +26,28 @@ class TextOpsSpec extends SparkSpec {
     out(1)._3 shouldBe 0
   }
 
+  it("removeBoilerplate drops cross-document lines, preserves order " +
+      "and blanks") {
+    import spark.implicits._
+    val banner = "Accept cookies to continue"
+    val docs = Seq(
+      (1L, s"alpha\n$banner\nbeta\n\ngamma"),
+      (2L, s"$banner\ndelta"),
+      (3L, s"  $banner  \nepsilon"), // trims to the same boilerplate
+      (4L, "zeta\neta")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.removeBoilerplate(docs, minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    got shouldBe Seq(
+      (1L, "alpha\nbeta\n\ngamma", 5L, 4L),
+      (2L, "delta", 2L, 1L),
+      (3L, "epsilon", 2L, 1L),
+      (4L, "zeta\neta", 2L, 2L))
+    // below the document-frequency bar nothing is removed
+    graft.text.TextOps.removeBoilerplate(docs, minDf = 4)
+      .select("n_kept").collect().map(_.getLong(0)).sum shouldBe 11L
+  }
+
   it("tfidf weights rare tokens above common ones") {
     val docs = docsOf(
       (1L, "alpha common"), (2L, "beta common"), (3L, "gamma common"))
