@@ -50,6 +50,26 @@ object PipelineOps {
       .drop("__rk")
   }
 
+  /** SALTED equi-join for skewed keys — the manual skew tool for when
+    * AQE's runtime skew-join split cannot apply (e.g. the skewed side
+    * feeds an aggregation in the same stage, or a deterministic plan is
+    * required). The big side scatters each row into one of `salt`
+    * sub-keys via a DETERMINISTIC hash of the whole row (never rand():
+    * task retries must re-scatter identically); the small side
+    * replicates `salt`-fold. A hot key's rows thus spread across `salt`
+    * tasks instead of one straggler. Join result is row-identical to
+    * the unsalted join (spec-checked); cost = `salt`× the small side,
+    * which is broadcast-sized by assumption. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int = 8): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salt)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Contiguous sequence packing: assign documents to fixed-capacity
     * token bins, per stratum, in id order — bin = exclusive-prefix token
     * count ÷ capacity. The deterministic streaming-concat packing used

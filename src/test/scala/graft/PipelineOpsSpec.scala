@@ -191,6 +191,31 @@ class PipelineOpsSpec extends SparkSpec {
       rows.sorted.toSeq
   }
 
+  it("saltedJoin matches the plain join on skewed keys and spreads the " +
+      "hot key") {
+    import spark.implicits._
+    // 900 of 1000 rows share one hot key
+    val big = (0L until 1000L)
+      .map(i => (i, if (i < 900) "hot" else s"k${i % 7}"))
+      .toDF("row_id", "k")
+    val small = Seq(("hot", 1L), ("k1", 2L), ("k3", 3L)).toDF("k", "v")
+    val plain = big.join(small, Seq("k")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    val salted = PipelineOps.saltedJoin(big, small, "k", salt = 8)
+      .select("row_id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    salted shouldBe plain
+    // the hot key's rows actually scatter across several salt buckets
+    val buckets = PipelineOps.saltedJoin(big, small, "k", salt = 8)
+      .filter($"k" === "hot")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.struct($"row_id", $"k")),
+        org.apache.spark.sql.functions.lit(8)))
+      .distinct().count()
+    buckets should be >= 4L
+  }
+
   it("packSequences bins per stratum in id order, window partitioned") {
     import spark.implicits._
     val docs = Seq(
