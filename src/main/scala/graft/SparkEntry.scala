@@ -560,6 +560,19 @@ object SparkEntry {
         nprobe = 2, maxQueryId = 500L)
     }),
 
+    // The SAME search through the ON-DISK partitioned IVF index: write
+    // the centroid-partitioned layout, then probe-restricted search
+    // reads only the probed partitions (PartitionFilters at the scan).
+    // Must equal q35 row-for-row — the oracle IS q35's SQL.
+    "q54_ivf_disk_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+        .toString
+      graft.similarity.Similarity.writeIvfIndex(emb, idx)
+      graft.similarity.Similarity.searchIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 500), k = 3, nprobe = 2)
+    }),
+
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
     "q27_media_features" -> ((s, d) => {
@@ -650,6 +663,39 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val cte = EventGraph.oracleCte
+    // shared by q35 (in-memory IVF) and q54 (same search through the
+    // on-disk partitioned index) — identical semantics, one statement
+    val ivfTopkSql =
+      s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+             |unit AS (SELECT id, list_transform(range(1, 65), i ->
+             |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+             |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+             |  FROM base),
+             |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+             |scored AS (SELECT v.id, c.cid,
+             |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
+             |      (x, y) -> x + y) AS ccos
+             |  FROM unit v CROSS JOIN cent c),
+             |assigned AS (SELECT id, cid AS centroid FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
+             |  WHERE rn = 1),
+             |probes AS (SELECT id AS qid, cid AS centroid FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS cr
+             |    FROM scored WHERE id < 500)
+             |  WHERE cr <= 2),
+             |pairs AS (SELECT p.qid, a.id AS nid,
+             |    round(list_reduce(list_transform(range(1, 65),
+             |      i -> q.u[i] * n.u[i]), (x, y) -> x + y), 6) AS cos
+             |  FROM probes p
+             |  JOIN assigned a ON a.centroid = p.centroid AND a.id <> p.qid
+             |  JOIN unit q ON q.id = p.qid
+             |  JOIN unit n ON n.id = a.id)
+             |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+             |WHERE rn <= 3""".stripMargin
     Map(
       "q01_p1_interval" ->
         s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS epoch_ms
@@ -1308,37 +1354,9 @@ object SparkEntry {
       // Extends q30's CTEs: assignment (rn = 1) gives the inverted
       // lists, probes keep each query's nprobe=2 closest centroids,
       // exact cosine runs within probed lists only, top-3 per query.
-      "q35_ivf_topk" ->
-        s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
-           |unit AS (SELECT id, list_transform(range(1, 65), i ->
-           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
-           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
-           |  FROM base),
-           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
-           |scored AS (SELECT v.id, c.cid,
-           |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
-           |      (x, y) -> x + y) AS ccos
-           |  FROM unit v CROSS JOIN cent c),
-           |assigned AS (SELECT id, cid AS centroid FROM (
-           |    SELECT *, row_number() OVER (
-           |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
-           |  WHERE rn = 1),
-           |probes AS (SELECT id AS qid, cid AS centroid FROM (
-           |    SELECT *, row_number() OVER (
-           |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS cr
-           |    FROM scored WHERE id < 500)
-           |  WHERE cr <= 2),
-           |pairs AS (SELECT p.qid, a.id AS nid,
-           |    round(list_reduce(list_transform(range(1, 65),
-           |      i -> q.u[i] * n.u[i]), (x, y) -> x + y), 6) AS cos
-           |  FROM probes p
-           |  JOIN assigned a ON a.centroid = p.centroid AND a.id <> p.qid
-           |  JOIN unit q ON q.id = p.qid
-           |  JOIN unit n ON n.id = a.id)
-           |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
-           |  SELECT *, row_number() OVER (
-           |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
-           |WHERE rn <= 3""".stripMargin,
+      "q35_ivf_topk" -> ivfTopkSql,
+
+      "q54_ivf_disk_search" -> ivfTopkSql,
 
       "q27_media_features" ->
         """SELECT doc_id AS media_id,
