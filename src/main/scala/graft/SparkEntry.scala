@@ -296,6 +296,20 @@ object SparkEntry {
           col("n_lines"), col("n_kept"))
     }),
 
+    // Sentence segmentation stats (doc-quality signals): count, longest
+    // sentence, mean length — integer-exact sum, one division.
+    "q55_sentence_stats" -> ((s, d) => {
+      val sents = graft.text.TextOps.sentences(col("text"))
+      val lens = transform(sents, x => length(x).cast("long"))
+      val n = size(sents)
+      Tables.documents(s, d).select(col("doc_id"),
+        n.cast("long").as("n_sentences"),
+        coalesce(array_max(lens), lit(0L)).as("max_sent_chars"),
+        when(n > 0,
+          aggregate(lens, lit(0L), (a, x) => a + x).cast("double") / n)
+          .otherwise(lit(0.0d)).as("mean_sent_chars"))
+    }),
+
     // Canonical text normalization (NFC custom Expression + lower +
     // whitespace collapse), hash-checked end to end.
     "q37_normalize" -> ((s, d) => {
@@ -1257,6 +1271,23 @@ object SparkEntry {
           |    l -> trim(l) = '' OR NOT list_contains(ha.h, trim(l))))
           |    AS BIGINT) AS n_kept
           |FROM documents d CROSS JOIN hotarr ha""".stripMargin,
+
+      "q55_sentence_stats" ->
+        """WITH s AS (SELECT doc_id,
+          |    list_filter(list_transform(
+          |      regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+          |      x -> x <> '') AS sents
+          |  FROM documents),
+          |l AS (SELECT doc_id, sents,
+          |    list_transform(sents, x -> CAST(len(x) AS BIGINT)) AS lens
+          |  FROM s)
+          |SELECT doc_id,
+          |  CAST(len(sents) AS BIGINT) AS n_sentences,
+          |  coalesce(list_max(lens), 0) AS max_sent_chars,
+          |  CASE WHEN len(sents) > 0 THEN
+          |    CAST(list_sum(lens) AS DOUBLE) / len(sents)
+          |  ELSE 0.0 END AS mean_sent_chars
+          |FROM l""".stripMargin,
 
       "q37_normalize" ->
         """WITH n AS (SELECT doc_id,

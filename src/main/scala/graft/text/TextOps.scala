@@ -115,6 +115,18 @@ object TextOps {
         size(array_distinct(lines)).cast("double") / n, 6))
   }
 
+  /** Sentence segmentation columns — doc-quality signals (very short or
+    * single-sentence docs are low-value; extreme max-sentence length
+    * flags unsegmented dumps). Sentences split on `[.!?]+` runs,
+    * trimmed, blanks dropped; the regex stays in the Java∩RE2 subset so
+    * the oracle states the identical split. Returns (n_sentences,
+    * max_sent_chars, mean_sent_chars) — the mean is ONE division of an
+    * integer-exact sum, so the doubles compare exactly. */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
+
+  def sentenceCount(text: Column): Column = size(sentences(text))
+
   /** CROSS-document boilerplate-line removal (the C4 pipeline's "drop
     * any line occurring in ≥ N documents" step — navigation chrome,
     * cookie banners, license headers): a line whose trimmed form occurs
