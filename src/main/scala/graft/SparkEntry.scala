@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{EventGraph, LinkOps}
+import graft.operators.{EventGraph, LinkOps, ShortestPaths, TemporalJoins}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -513,6 +513,98 @@ object SparkEntry {
         .agg(min(col("epoch_ms")).as("session_start"),
           max(col("epoch_ms")).as("session_end"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // AS-OF join (click→view attribution): every click matched to the
+    // user's LATEST view at-or-before it — the union-window plan
+    // (TemporalJoins.asOfJoin): ONE shuffle on user_id, never the
+    // per-key (click × earlier-view) pair blowup. Views are pre-deduped
+    // to one row per (user, instant) so ties are deterministic.
+    "q56_asof_join" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        col("event_type"), Tables.epochMs(ev0, "ts").as("ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ms").as("click_ms"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ms").as("view_ms"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("view_ts", col("view_ms"))
+      TemporalJoins.asOfJoin(clicks, views, Seq("user_id"),
+        leftTime = "click_ms", rightTime = "view_ms")
+    }),
+
+    // Interval RANGE join, binned (TemporalJoins.rangeJoin): all events
+    // inside each error's 1-day window for the same user — planned as a
+    // hash equi-join on (user, bin), not an inequality nested loop.
+    "q57_range_join" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        col("event_type"), Tables.epochMs(ev0, "ts").as("ms"))
+      val wins = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ms").as("lo"), (col("ms") + 86400000L).as("hi"))
+      TemporalJoins.rangeJoin(wins, ev, Seq("user_id"),
+          lo = "lo", hi = "hi", pt = "ms", binWidth = 86400000L)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(col("ms")).as("last_ms"))
+    }),
+
+    // ROLLUP hierarchy totals (native Expand-based rollup — one pass,
+    // no self-union of aggregations): per (flag, status), per flag, and
+    // grand total, with grouping flags disambiguating NULL-as-data.
+    "q58_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          Tables.exactSum(col("l_extendedprice"), 2).as("sum_price"))
+    }),
+
+    // SLIDING time windows (native window(): 1 h windows every 30 min,
+    // epoch-aligned — each event lands in exactly two windows) per
+    // event type; decimal-exact value sums.
+    "q59_sliding_window" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("event_type"), col("value"),
+        Tables.epochMs(ev0, "ts").as("ms"))
+      ev.groupBy(window(timestamp_millis(col("ms")), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Tables.exactSum(col("value"), 2).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("win_start"),
+          unix_millis(col("window.end")).as("win_end"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // Weighted single-source shortest paths (distributed Bellman-Ford,
+    // ShortestPaths.sssp): min link-cost route from n0 over the event
+    // graph; integer weights keyed off the unordered pair hash so both
+    // engines state identical costs.
+    "q60_shortest_paths" -> ((s, d) => {
+      val links = EventGraph.linkSamples(s, d)
+      val canonKey = concat_ws("|",
+        least(col("subject"), col("target")),
+        greatest(col("subject"), col("target")))
+      val edges = ShortestPaths.undirected(links.select(
+        col("subject").as("u"), col("target").as("v"),
+        (pmod(conv(substring(md5(canonKey), 1, 8), 16, 10).cast("long"),
+          lit(5L)) + 1L).as("w")))
+      ShortestPaths.sssp(edges, "n0")
+    }),
+
+    // PIVOT (fixed column domain — no driver-side distinct scan): per
+    // user, event counts spread across one column per type.
+    "q62_pivot" -> ((s, d) => {
+      val types = Seq("click", "view", "error", "purchase", "signup")
+      val p = Tables.events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", types).count()
+      p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
 
     // Corpus vocabulary: top-100 tokens by document frequency.
@@ -1338,6 +1430,74 @@ object SparkEntry {
           |  min(epoch_ms) AS session_start, max(epoch_ms) AS session_end,
           |  count(*) AS n_events
           |FROM sess GROUP BY 1, 2""".stripMargin,
+
+      "q56_asof_join" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+          |clicks AS (SELECT user_id, event_id, ms AS click_ms FROM ev
+          |  WHERE event_type = 'click'),
+          |views AS (SELECT user_id, ms AS view_ms, max(event_id) AS view_id
+          |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+          |SELECT c.user_id, c.event_id, c.click_ms, v.view_id,
+          |  v.view_ms AS view_ts
+          |FROM clicks c ASOF LEFT JOIN views v
+          |  ON c.user_id = v.user_id AND c.click_ms >= v.view_ms""".stripMargin,
+
+      "q57_range_join" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+          |err AS (SELECT user_id, event_id AS err_id, ms AS lo,
+          |    ms + 86400000 AS hi FROM ev WHERE event_type = 'error')
+          |SELECT e.err_id, count(*) AS n_in_window,
+          |  count(DISTINCT x.event_type) AS n_types, max(x.ms) AS last_ms
+          |FROM err e JOIN ev x
+          |  ON e.user_id = x.user_id AND x.ms >= e.lo AND x.ms < e.hi
+          |GROUP BY 1""".stripMargin,
+
+      "q58_rollup" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+          |FROM lineitem
+          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+      "q59_sliding_window" ->
+        """WITH ev AS (SELECT event_type, value, epoch_ms(ts) AS ms FROM events),
+          |b AS (SELECT event_type, value,
+          |    (ms // 1800000) * 1800000 AS b0 FROM ev),
+          |w AS (SELECT event_type, value,
+          |    unnest([b0, b0 - 1800000]) AS win_start FROM b)
+          |SELECT win_start, win_start + 3600000 AS win_end, event_type,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+      "q60_shortest_paths" ->
+        s"""WITH RECURSIVE ev AS ($cte),
+           |pr AS (SELECT DISTINCT least(subject, target) AS a,
+           |    greatest(subject, target) AS b FROM ev WHERE subject <> target),
+           |we AS (SELECT a, b,
+           |    ('0x' || substr(md5(a || '|' || b), 1, 8))::BIGINT % 5 + 1 AS w
+           |  FROM pr),
+           |e AS (SELECT a AS u, b AS v, w FROM we
+           |  UNION ALL SELECT b AS u, a AS v, w FROM we),
+           |r AS (
+           |  SELECT 'n0' AS id, 0::BIGINT AS d
+           |  UNION
+           |  SELECT e.v AS id, r.d + e.w AS d FROM r JOIN e ON e.u = r.id
+           |  WHERE r.d + e.w <= 100
+           |)
+           |SELECT id, min(d) AS dist FROM r GROUP BY 1""".stripMargin,
+
+      "q62_pivot" ->
+        """SELECT user_id,
+          |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+          |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+          |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+          |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+          |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup
+          |FROM events GROUP BY 1""".stripMargin,
 
       "q32_vocab_topk" ->
         s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token
