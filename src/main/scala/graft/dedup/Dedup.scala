@@ -161,7 +161,8 @@ object Dedup {
     *
     * Fixpoint = per-component stars centered on the min id. */
   def clusterLabelsStar(pairs: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localFallbackEdges: Long = 1000000L): DataFrame = {
     import graft.util.Checkpoints.cut
     // oriented (u big, v small), self-pairs dropped
     var e = cut(pairs
@@ -187,6 +188,18 @@ object Dedup {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var eSig = sig(e)
+    // ADAPTIVE small-tail fallback (the same runtime-adaptivity idea as
+    // AQE): the deduped edge set is usually orders of magnitude smaller
+    // than the input pair stream — when it fits one task
+    // (≤ localFallbackEdges, ~150 MB of map state at the default), a
+    // single-pass union-find beats O(log n) shuffle rounds outright.
+    // The count is already paid (it IS the convergence signature), the
+    // edges are already materialized distributed (lineage cut), and the
+    // bound keeps the decision safe at 100 TB: a billion-edge dup graph
+    // takes the star rounds, a million-edge tail doesn't pay 6 shuffle
+    // rounds of job overhead.
+    if (eSig._1 > 0L && eSig._1 <= localFallbackEdges)
+      return localUnionFind(e)
     var done = eSig._1 == 0L
     while (!done) {
       val sym = e.unionByName(
@@ -217,6 +230,60 @@ object Dedup {
     val centers = ids.join(pointed, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
     pointed.unionByName(centers)
+  }
+
+  /** Single-task union-find over an already-materialized (u, v) edge
+    * frame — the small-tail path of [[clusterLabelsStar]]. Same output
+    * contract: (id, cluster = min id in component) for every endpoint.
+    * Min is taken under SPARK's value ordering (strings compare as
+    * UTF-8 bytes, like UTF8String), so the fallback is bit-identical to
+    * the distributed rounds even on supplementary-plane ids. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val dt = e.schema("u").dataType
+    val ord: Ordering[Any] = dt match {
+      case org.apache.spark.sql.types.StringType => new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          java.util.Arrays.compareUnsigned(
+            a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      case _ => new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
+    }
+    val labeled = e.rdd.coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { row =>
+        val u = row.get(0); val v = row.get(1)
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) parent.put(ru, rv)
+      }
+      val minOf = new java.util.HashMap[Any, Any]()
+      parent.keySet().forEach { k =>
+        val r = find(k)
+        val cur = minOf.get(r)
+        if (cur == null || ord.lt(k, cur)) minOf.put(r, k)
+      }
+      val out = Iterator.newBuilder[org.apache.spark.sql.Row]
+      parent.keySet().forEach { k =>
+        out += org.apache.spark.sql.Row(k, minOf.get(find(k)))
+      }
+      out.result()
+    }
+    e.sparkSession.createDataFrame(labeled,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("cluster", dt))))
   }
 
   /** Train/test CONTAMINATION check: for each test document, how many

@@ -35,7 +35,11 @@ object ShortestPaths {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("u"), col("v"), col("w").cast("long").as("w"))
+    // cut the edge frame once: every round joins against it, and without
+    // the cut each round would re-run the whole upstream plan (scan +
+    // symmetrize + dedup) just to produce the same edges again
+    val e = cut(edges.select(col("u"), col("v"), col("w").cast("long").as("w")),
+      checkpointDir, eager = false)
     var dist = cut(Seq((source, 0L)).toDF("id", "dist"),
       checkpointDir, eager = false)
     var sig = (1L, 0L)
