@@ -315,6 +315,12 @@ object Similarity {
     val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
     embeddings.select(col(idCol).cast("long").as("id"), col(vecCol))
       .join(assigned, Seq("id"))
+      // co-locate each centroid's list before the partitioned write:
+      // without this every task fans out across every centroid dir —
+      // tasks × centroids tiny files (and as many output committers);
+      // with it each list lands as a handful of contiguous files, which
+      // is also the read-side layout the probe scan wants
+      .repartition(col("centroid"))
       .write.partitionBy("centroid").mode("overwrite").parquet(outDir)
   }
 
