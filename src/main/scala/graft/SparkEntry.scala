@@ -597,6 +597,34 @@ object SparkEntry {
       ShortestPaths.sssp(edges, "n0")
     }),
 
+    // HyperLogLog register table (sketch/Hll): integer-exact per-bucket
+    // max rho over md5-derived hashes — the mergeable sketch state a
+    // 100 TB pipeline persists; the FP estimate is spec-checked
+    // (HllSpec) against exact counts instead.
+    "q63_hll_registers" -> ((s, d) =>
+      graft.sketch.Hll.registers(Tables.documents(s, d),
+        col("doc_id").cast("string"))),
+
+    // Inverted index: token → sorted posting list (hash-checked) +
+    // document frequency, for tokens appearing in >= 5 docs.
+    "q64_postings" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(graft.text.TextOps.tokens(col("text"))))
+          .as("token"))
+        .filter(col("token") =!= "")
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("doc_freq"),
+          md5(concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")))).as("postings_md5"))
+        .filter(col("doc_freq") >= 5)
+    }),
+
+    // One-pass dataset profile (pipeline/Profile): per-column null +
+    // exact distinct counts via a single Expand-based aggregation.
+    "q65_profile" -> ((s, d) =>
+      graft.pipeline.Profile.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_quantity"))),
+
     // PIVOT (fixed column domain — no driver-side distinct scan): per
     // user, event counts spread across one column per type.
     "q62_pivot" -> ((s, d) => {
@@ -1489,6 +1517,34 @@ object SparkEntry {
            |  WHERE r.d + e.w <= 100
            |)
            |SELECT id, min(d) AS dist FROM r GROUP BY 1""".stripMargin,
+
+      "q63_hll_registers" ->
+        """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS x
+          |  FROM documents),
+          |r AS (SELECT x % 256 AS bucket, x // 256 AS rest FROM h)
+          |SELECT bucket,
+          |  CAST(max(CASE WHEN rest = 0 THEN 25
+          |           ELSE 25 - length(bin(rest)) END) AS BIGINT) AS max_rho
+          |FROM r GROUP BY 1""".stripMargin,
+
+      "q64_postings" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+           |  FROM documents),
+           |p AS (SELECT token, count(*) AS doc_freq,
+           |    md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
+           |  FROM toks WHERE token <> '' GROUP BY 1)
+           |SELECT token, doc_freq, postings_md5 FROM p WHERE doc_freq >= 5""".stripMargin,
+
+      "q65_profile" ->
+        """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+          |  count(*) - count(l_orderkey) AS n_nulls,
+          |  count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+          |UNION ALL SELECT 'l_partkey', count(*),
+          |  count(*) - count(l_partkey), count(DISTINCT l_partkey) FROM lineitem
+          |UNION ALL SELECT 'l_returnflag', count(*),
+          |  count(*) - count(l_returnflag), count(DISTINCT l_returnflag) FROM lineitem
+          |UNION ALL SELECT 'l_quantity', count(*),
+          |  count(*) - count(l_quantity), count(DISTINCT l_quantity) FROM lineitem""".stripMargin,
 
       "q62_pivot" ->
         """SELECT user_id,
