@@ -597,6 +597,56 @@ object SparkEntry {
       ShortestPaths.sssp(edges, "n0")
     }),
 
+    // CUBE over both grouping dimensions (all four grouping sets in one
+    // Expand pass), grouping flags disambiguating NULL-as-data.
+    "q66_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
+    // Analytic window battery: ranking (row_number, ntile), navigation
+    // (lag/lead), running gap, and a whole-partition aggregate — all
+    // over ONE partitioned sort (a single user_id exchange).
+    "q67_window_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        Tables.epochMs(ev0, "ts").as("ms"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      ev.select(col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        (col("ms") - coalesce(lag(col("ms"), 1).over(w), col("ms")))
+          .as("gap_ms"),
+        count(lit(1)).over(wAll).cast("long").as("n_user"))
+    }),
+
+    // Semi-structured payload extraction: the events.props JSON column
+    // (codegen'd path traversal, no UDF), aggregated per type.
+    "q68_json_extract" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(sum(k).as("sum_k"),
+          count(when(k.isNull, 1)).as("n_missing"))
+    }),
+
+    // Count-min sketch register table (sketch/Cms) over the full token
+    // stream — integer-exact, mergeable by element-wise sum; point
+    // estimates are spec-checked (SketchSpec) against exact counts.
+    "q69_cms_registers" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(
+        explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      graft.sketch.Cms.registers(toks, col("token"))
+    }),
+
     // HyperLogLog register table (sketch/Hll): integer-exact per-bucket
     // max rho over md5-derived hashes — the mergeable sketch state a
     // 100 TB pipeline persists; the FP estimate is spec-checked
@@ -1517,6 +1567,40 @@ object SparkEntry {
            |  WHERE r.d + e.w <= 100
            |)
            |SELECT id, min(d) AS dist FROM r GROUP BY 1""".stripMargin,
+
+      "q66_cube" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem
+          |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+      "q67_window_funcs" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
+          |SELECT event_id, user_id,
+          |  CAST(row_number() OVER w AS BIGINT) AS rn,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |  lag(event_id) OVER w AS prev_id,
+          |  lead(event_id) OVER w AS next_id,
+          |  ms - coalesce(lag(ms) OVER w, ms) AS gap_ms,
+          |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user
+          |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+
+      "q68_json_extract" ->
+        """SELECT event_type,
+          |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "q69_cms_registers" ->
+        s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+           |h AS (SELECT d,
+           |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || token), 1, 8))::BIGINT AS x
+           |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
+           |SELECT d AS depth, x % 512 AS slot, count(*) AS cnt
+           |FROM h GROUP BY 1, 2""".stripMargin,
 
       "q63_hll_registers" ->
         """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS x

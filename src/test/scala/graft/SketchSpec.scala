@@ -39,6 +39,39 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  describe("Cms") {
+    it("never undercounts, and bounds overcount by εN on a zipf-ish stream") {
+      // key i appears ~1000/i times
+      val stream = spark.range(1, 51).select(col("id"),
+          explode(sequence(lit(1), (lit(1000) / col("id")).cast("int")))
+            .as("rep"))
+        .select(concat(lit("k"), col("id")).as("k"))
+      val n = stream.count()
+      val regs = graft.sketch.Cms.registers(stream, col("k"))
+      val truth = stream.groupBy("k").count()
+      val est = graft.sketch.Cms.estimate(regs,
+        truth.select("k"), "k")
+      val joined = est.join(truth, "k")
+        .select(col("k"), col("est"), col("count")).as[(String, Long, Long)]
+        .collect()
+      joined.foreach { case (_, e, t) =>
+        e should be >= t                       // CMS never undercounts
+        e - t should be <= (math.E / 512 * n).toLong + 1 // εN envelope
+      }
+    }
+
+    it("shard registers merge by element-wise sum") {
+      val a = spark.range(0, 400).select(col("id").cast("string").as("k"))
+      val b = spark.range(200, 600).select(col("id").cast("string").as("k"))
+      val whole = graft.sketch.Cms.registers(a.unionByName(b), col("k"))
+      val merged = graft.sketch.Cms.registers(a, col("k"))
+        .unionByName(graft.sketch.Cms.registers(b, col("k")))
+        .groupBy("depth", "slot").agg(sum("cnt").as("cnt"))
+      merged.as[(Int, Long, Long)].collect().toSet shouldBe
+        whole.as[(Int, Long, Long)].collect().toSet
+    }
+  }
+
   describe("Profile") {
     it("counts nulls and distincts per column in one pass") {
       val df = Seq(
