@@ -138,6 +138,97 @@ object StreamingIngest {
         col("dao_time"), col("dao_seq"))
   }
 
+  /** Canonical input row for [[asOfJoinStream]]: both sides union into
+    * this shape (`isLeft` tags the probe side). Wider payloads ride by
+    * `id` — join the output back to the source streams/tables.
+    * `event_time` mirrors `ts` as a timestamp: the watermark must be
+    * declared on a column that reaches the stateful operator, so it
+    * rides along (the state function itself only reads `ts`). */
+  case class AsOfIn(key: String, ts: Long, isLeft: Boolean, id: Long,
+      value: Double, event_time: java.sql.Timestamp)
+
+  object AsOfIn {
+    def apply(key: String, ts: Long, isLeft: Boolean, id: Long,
+        value: Double): AsOfIn =
+      AsOfIn(key, ts, isLeft, id, value, new java.sql.Timestamp(ts))
+  }
+
+  /** One matched probe row: the left event plus the latest right event
+    * at-or-before it (None when no admissible right exists). */
+  case class AsOfOut(key: String, leftId: Long, leftTs: Long,
+      rightId: Option[Long], rightTs: Option[Long],
+      rightValue: Option[Double])
+
+  /** STREAM-STREAM AS-OF join — the streaming twin of
+    * `TemporalJoins.asOfJoin`, which no built-in stream join expresses
+    * (stream-stream joins need a bounded time tolerance; as-of wants
+    * "latest right ≤ t, however old"). Per-key state buffers:
+    *
+    *  - pending LEFT rows until the watermark passes their event time —
+    *    only then can no earlier-or-equal right still arrive, so the
+    *    match is final (event-time-correct regardless of arrival order
+    *    across micro-batches);
+    *  - RIGHT rows pruned to the newest one at-or-below the watermark
+    *    plus everything after it — exactly the set a future left can
+    *    still match. State stays bounded as the watermark advances.
+    *
+    * Flushing uses an EventTimeTimeout set to the oldest pending left,
+    * so buffered probes emit even when their key receives no further
+    * traffic. Ties on right event time resolve to the greatest id.
+    * Callers must `withWatermark("event_time", ...)` — see
+    * [[asOfInput]]. Output mode: append. */
+  def asOfJoinStream(tagged: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(List[(Long, Long)], List[(Long, Long, Double)]), AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, batch, state) =>
+          var (pending, rights) = state.getOption.getOrElse((Nil, Nil))
+          batch.foreach { e =>
+            if (e.isLeft) pending = (e.ts, e.id) :: pending
+            else rights = (e.ts, e.id, e.value) :: rights
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // sort rights by (ts, id): last admissible = deterministic winner
+          val rSorted = rights.distinct.sortBy(r => (r._1, r._2))
+          val (ripe, still) = pending.distinct.partition(_._1 <= wm)
+          val out = ripe.sortBy(identity).map { case (t, id) =>
+            val m = rSorted.takeWhile(_._1 <= t).lastOption
+            AsOfOut(key, id, t, m.map(_._2), m.map(_._1), m.map(_._3))
+          }
+          // prune: a future probe has ts > wm, so of the rights with
+          // ts <= wm only the newest can ever win again
+          val (below, above) = rSorted.partition(_._1 <= wm)
+          val kept = below.takeRight(1) ::: above
+          if (still.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update((still, kept))
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(math.max(still.map(_._1).min, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** Tag + watermark helper for [[asOfJoinStream]]: unions a probe-side
+    * and a match-side stream (columns: key, ts, id [, value]) into the
+    * canonical watermarked input. */
+  def asOfInput(lefts: DataFrame, rights: DataFrame,
+      watermark: String = "10 minutes"): Dataset[AsOfIn] = {
+    val spark = lefts.sparkSession
+    import spark.implicits._
+    val l = lefts.select(col("key"), col("ts").cast("long"), lit(true).as("isLeft"),
+      col("id").cast("long"), lit(0.0d).as("value"))
+    val r = rights.select(col("key"), col("ts").cast("long"), lit(false).as("isLeft"),
+      col("id").cast("long"), col("value").cast("double"))
+    l.unionByName(r)
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .as[AsOfIn]
+  }
+
   /** Continuously-MATERIALIZED snapshot input: each micro-batch folds
     * its findings into a compact latest-per-finding-per-node parquet
     * table (PolicyOverwrite applied incrementally), so snapshot queries

@@ -220,4 +220,98 @@ class StreamingSpec extends SparkSpec {
         Set("subject", "epoch_ms", "finding_seq", "node_attrs", "links", "tz")
     } finally q.stop()
   }
+
+  it("asOfJoinStream matches out-of-order arrivals event-time-correctly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamingIngest.AsOfIn
+    val MIN = 60000L
+    val input = MemoryStream[AsOfIn]
+    val q = StreamingIngest.asOfJoinStream(
+      input.toDS().withWatermark("event_time", "2 minutes"))
+      .writeStream.format("memory").queryName("asof_t1")
+      .outputMode(OutputMode.Append()).start()
+    def got() = spark.table("asof_t1")
+      .select($"leftId", $"rightId", $"rightValue")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    try {
+      // batch 1: a probe at t=10min; batch 2 delivers a right that is
+      // EARLIER in event time (out-of-order arrival) — the probe must
+      // wait for the watermark, then match that right.
+      input.addData(AsOfIn("A", 10 * MIN, true, 1L, 0.0),
+        AsOfIn("A", 4 * MIN, false, 100L, 1.5))
+      q.processAllAvailable()
+      got() shouldBe empty // watermark at 8min < 10min: buffered
+      input.addData(AsOfIn("A", 9 * MIN, false, 101L, 2.5)) // out-of-order, admissible
+      q.processAllAvailable()
+      input.addData(AsOfIn("A", 13 * MIN, true, 2L, 0.0))
+      q.processAllAvailable()
+      input.addData(AsOfIn("B", 12 * MIN, true, 3L, 0.0),
+        AsOfIn("A", 16 * MIN, true, 4L, 0.0)) // wm -> 14min after this batch
+      q.processAllAvailable()
+      input.addData(AsOfIn("A", 20 * MIN, false, 102L, 9.9)) // wm -> 18min
+      q.processAllAvailable()
+      // flush deterministically via DATA batches that run after the
+      // watermark has passed every probe (no reliance on no-data
+      // micro-batch timing): first advance the watermark, then touch
+      // both keys so their state functions run under it.
+      input.addData(AsOfIn("A", 30 * MIN, false, 998L, 0.0))
+      q.processAllAvailable()
+      input.addData(AsOfIn("A", 31 * MIN, false, 999L, 0.0),
+        AsOfIn("B", 31 * MIN, false, 999L, 0.0))
+      q.processAllAvailable()
+      got() shouldBe Seq(
+        (1L, Some(101L), Some(2.5)), // 10min probe: latest right <= 10min
+        (2L, Some(101L), Some(2.5)), // 13min probe
+        (3L, None, None),            // key B never saw an admissible right
+        (4L, Some(101L), Some(2.5))) // 16min probe: 4min right was pruned, 101 kept
+    } finally q.stop()
+  }
+
+  it("asOfJoinStream agrees with the batch asOfJoin on a replayed stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamingIngest.AsOfIn
+    // deterministic pseudo-random interleaving over 3 keys
+    val events = (1 to 120).map { i =>
+      val h = math.abs((i * 2654435761L) % 997)
+      val key = "k" + (h % 3)
+      val isLeft = h % 2 == 0
+      // +1: an event AT epoch 0 sits exactly on the initial watermark
+      // and is discarded as late — a test artifact, not a real shape
+      AsOfIn(key, (h % 50 + 1) * 1000L, isLeft, i.toLong, (h % 7).toDouble)
+    }
+    val input = MemoryStream[AsOfIn]
+    val q = StreamingIngest.asOfJoinStream(
+      input.toDS().withWatermark("event_time", "1 hour"))
+      .writeStream.format("memory").queryName("asof_t2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 1 h delay: NOTHING is ever late, so the arbitrary interleaving
+      // only exercises buffering, not watermark drops
+      events.grouped(17).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      // flush in two data batches: the first advances the watermark past
+      // every probe, the second runs each key's state fn under it
+      Seq("k0", "k1", "k2").foreach { k =>
+        input.addData(AsOfIn(k, 4000000L, false, 9000L, 0.0)) }
+      q.processAllAvailable()
+      Seq("k0", "k1", "k2").foreach { k =>
+        input.addData(AsOfIn(k, 4100000L, false, 9001L, 0.0)) }
+      q.processAllAvailable()
+      val streamed = spark.table("asof_t2")
+        .select($"leftId", $"rightId").as[(Long, Option[Long])]
+        .collect().toMap
+      // batch truth over the same rows (dedupe right ties by max id like the stream)
+      val lefts = events.filter(_.isLeft).toDF()
+        .select($"key", $"id".as("left_id"), $"ts".as("lt"))
+      val rights = events.filterNot(_.isLeft).toDF()
+        .groupBy($"key", $"ts".as("rt"))
+        .agg(org.apache.spark.sql.functions.max($"id").as("right_id"))
+      val expected = graft.operators.TemporalJoins.asOfJoin(
+          lefts, rights, Seq("key"), "lt", "rt")
+        .select($"left_id", $"right_id").as[(Long, Option[Long])]
+        .collect().toMap
+      streamed shouldBe expected
+    } finally q.stop()
+  }
 }
