@@ -597,6 +597,24 @@ object SparkEntry {
       ShortestPaths.sssp(edges, "n0")
     }),
 
+    // Histogram sketch registers (sketch/Histogram): equi-width bins +
+    // unbounded tail bins, integer-exact and mergeable by sum; the
+    // interpolated quantile estimates are spec-bounded (SketchSpec).
+    "q61_hist_registers" -> ((s, d) =>
+      graft.sketch.Histogram.registers(Tables.lineitem(s, d),
+        col("l_extendedprice"), lo = 0.0, hi = 80000.0, nbins = 64)),
+
+    // Ordered-sequence funnel (pipeline/Funnel): first view, first
+    // click strictly after it, first purchase strictly after that —
+    // each stage one type-pruned scan + per-key aggregation.
+    "q70_funnel" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      graft.pipeline.Funnel.funnel(
+        ev0.select(col("user_id"), col("event_type"),
+          Tables.epochMs(ev0, "ts").as("ms")),
+        Seq("view", "click", "purchase"))
+    }),
+
     // CUBE over both grouping dimensions (all four grouping sets in one
     // Expand pass), grouping flags disambiguating NULL-as-data.
     "q66_cube" -> ((s, d) => {
@@ -1567,6 +1585,34 @@ object SparkEntry {
            |  WHERE r.d + e.w <= 100
            |)
            |SELECT id, min(d) AS dist FROM r GROUP BY 1""".stripMargin,
+
+      "q61_hist_registers" ->
+        """SELECT CASE WHEN l_extendedprice < 0.0 THEN -1
+          |    WHEN l_extendedprice >= 80000.0 THEN 64
+          |    ELSE CAST(floor((l_extendedprice - 0.0) / 1250.0) AS BIGINT)
+          |  END AS bin, count(*) AS cnt
+          |FROM lineitem GROUP BY 1""".stripMargin,
+
+      "q70_funnel" ->
+        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+          |v AS (SELECT user_id, min(ms) AS view_ms FROM ev
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT v.user_id, v.view_ms,
+          |    min(CASE WHEN e.ms > v.view_ms THEN e.ms END) AS click_ms
+          |  FROM v LEFT JOIN ev e
+          |    ON e.user_id = v.user_id AND e.event_type = 'click'
+          |  GROUP BY 1, 2),
+          |p AS (SELECT c.user_id, c.view_ms, c.click_ms,
+          |    min(CASE WHEN e.ms > c.click_ms THEN e.ms END) AS purchase_ms
+          |  FROM c LEFT JOIN ev e
+          |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+          |  GROUP BY 1, 2, 3)
+          |SELECT user_id, view_ms, click_ms, purchase_ms,
+          |  CAST(CASE WHEN purchase_ms IS NOT NULL THEN 3
+          |       WHEN click_ms IS NOT NULL THEN 2
+          |       WHEN view_ms IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          |    AS funnel_stage
+          |FROM p""".stripMargin,
 
       "q66_cube" ->
         """SELECT l_returnflag, l_linestatus,

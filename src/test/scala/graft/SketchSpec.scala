@@ -72,6 +72,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  describe("Histogram") {
+    it("quantile estimates land within one bin width of the exact percentile") {
+      val df = spark.range(0, 10000).select(
+        (pmod(hash(col("id")), lit(1000)).cast("double")).as("v"))
+      val regs = graft.sketch.Histogram.registers(df, col("v"), 0.0, 1000.0, 50)
+      val exact = df.selectExpr(
+        "percentile(v, array(0.25, 0.5, 0.9)) as p").head().getSeq[Double](0)
+      val est = graft.sketch.Histogram.quantiles(regs,
+        Seq(0.25, 0.5, 0.9), 0.0, 1000.0, 50)
+      est.map(_._2).zip(exact).foreach { case (e, x) =>
+        math.abs(e - x) should be <= 20.0 // one bin width
+      }
+    }
+
+    it("routes out-of-range values to the tail bins, drops nothing") {
+      val df = Seq(-5.0, 0.0, 9.99, 10.0, 25.0).toDF("v")
+      val regs = graft.sketch.Histogram.registers(df, col("v"), 0.0, 10.0, 2)
+        .as[(Long, Long)].collect().toMap
+      regs shouldBe Map(-1L -> 1L, 0L -> 1L, 1L -> 1L, 2L -> 2L)
+    }
+  }
+
   describe("Profile") {
     it("counts nulls and distincts per column in one pass") {
       val df = Seq(
