@@ -597,6 +597,39 @@ object SparkEntry {
       ShortestPaths.sssp(edges, "n0")
     }),
 
+    // FLAGSHIP COMPOSITION — the full training-data prep pipeline in one
+    // plan: language-ID + integer-exact quality counts → quality filter
+    // → exact dedup (min-id representative per fingerprint) → per-lang
+    // stratified downsample (deterministic hash draws) → 2048-token
+    // sequence packing. Every stage is an already-gate-verified
+    // operator; the value here is that the COMPOSITION stays one
+    // declarative Catalyst plan (shared scans, pushed filters, no
+    // materialization between stages).
+    "q71_pipeline_e2e" -> ((s, d) => {
+      import graft.text.TextOps
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val annotated = docs.select(col("doc_id"), col("text"),
+        TextOps.predictedLang(col("text")).as("plang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digits"))
+      // integer-exact quality gate: >= 30 tokens, digit ratio < 20%
+      val filtered = annotated.filter(col("n_tokens") >= 30 &&
+        col("n_digits") * 5 < col("n_chars"))
+      val reps = filtered
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val deduped = filtered.join(
+        reps.select(col("keep_id").as("doc_id")), "doc_id")
+      val sampled = graft.pipeline.PipelineOps.stratifiedSample(
+        deduped, samplingRatesPpm, strataCol = "plang")
+      graft.pipeline.PipelineOps.packSequences(sampled, capacity = 2048,
+          strataCol = "plang")
+        .select(col("doc_id"), col("plang"), col("n_tokens"), col("bin"))
+    }),
+
     // Histogram sketch registers (sketch/Histogram): equi-width bins +
     // unbounded tail bins, integer-exact and mergeable by sum; the
     // interpolated quantile estimates are spec-bounded (SketchSpec).
@@ -1585,6 +1618,41 @@ object SparkEntry {
            |  WHERE r.d + e.w <= 100
            |)
            |SELECT id, min(d) AS dist FROM r GROUP BY 1""".stripMargin,
+
+      "q71_pipeline_e2e" -> {
+        val langs = graft.text.TextOps.langMarkers.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (l, ms) =>
+          s"len(list_filter($toksSql, t -> list_contains(${sqlList(ms)}, t))) AS s_$l"
+        }.mkString(",\n  ")
+        val maxExpr = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+        val caseArms = langs.map { case (l, _) =>
+          s"WHEN s_$l = $maxExpr THEN '$l'"
+        }.mkString(" ")
+        val rateCases = samplingRatesPpm.toSeq.sortBy(_._1)
+          .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+        s"""WITH sc AS (SELECT doc_id, text, $scoreCols,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |    CAST(length(text) AS BIGINT) AS n_chars,
+           |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+           |  FROM documents),
+           |ann AS (SELECT doc_id, text, n_tokens, n_chars, n_digits,
+           |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |      WHEN $maxExpr = 0 THEN 'und' $caseArms END AS plang
+           |  FROM sc),
+           |filt AS (SELECT * FROM ann
+           |  WHERE n_tokens >= 30 AND n_digits * 5 < n_chars),
+           |reps AS (SELECT min(doc_id) AS doc_id FROM filt
+           |  GROUP BY md5(array_to_string($toksSql, ' '))),
+           |ded AS (SELECT f.* FROM filt f JOIN reps USING (doc_id)),
+           |samp AS (SELECT * FROM ded
+           |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+           |    < (CASE plang $rateCases ELSE 0 END)),
+           |c AS (SELECT doc_id, plang, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY plang ORDER BY doc_id) AS BIGINT) AS cum
+           |  FROM samp)
+           |SELECT doc_id, plang, n_tokens, (cum - n_tokens) // 2048 AS bin
+           |FROM c""".stripMargin
+      },
 
       "q61_hist_registers" ->
         """SELECT CASE WHEN l_extendedprice < 0.0 THEN -1
