@@ -9,6 +9,27 @@ import graft.text.TextOps
   * normalization, sampling, packing. */
 class PipelineOpsSpec extends SparkSpec {
 
+  it("funnel only counts stages in strict order; stalled keys keep nulls") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: click BEFORE first view — must not count; purchase without
+      // a qualifying click must not count either
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 15L),
+      // u3: view only
+      (3L, "view", 7L),
+      // u4: never viewed — not in the funnel at all
+      (4L, "click", 1L), (4L, "purchase", 2L),
+      // u5: equal timestamps are NOT "after" (strict order)
+      (5L, "view", 40L), (5L, "click", 40L))
+      .toDF("user_id", "event_type", "ms")
+    val got = graft.pipeline.Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      .select("user_id", "funnel_stage")
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 5L -> 1L)
+  }
+
   it("clusterLabels closes transitively to the min id") {
     import spark.implicits._
     // components {1,2,3,4} (chain) and {10,11}; 20-20 self-free
