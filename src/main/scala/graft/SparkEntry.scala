@@ -698,6 +698,12 @@ object SparkEntry {
       graft.sketch.Cms.registers(toks, col("token"))
     }),
 
+    // GROUPED HLL registers: one sketch per event_type over user ids —
+    // "distinct users per segment" as a single keyed hash aggregation.
+    "q72_hll_grouped" -> ((s, d) =>
+      graft.sketch.Hll.registersBy(Tables.events(s, d),
+        col("user_id").cast("string"), Seq("event_type"))),
+
     // HyperLogLog register table (sketch/Hll): integer-exact per-bucket
     // max rho over md5-derived hashes — the mergeable sketch state a
     // 100 TB pipeline persists; the FP estimate is spec-checked
@@ -1715,6 +1721,16 @@ object SparkEntry {
            |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
            |SELECT d AS depth, x % 512 AS slot, count(*) AS cnt
            |FROM h GROUP BY 1, 2""".stripMargin,
+
+      "q72_hll_grouped" ->
+        """WITH h AS (SELECT event_type,
+          |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS x
+          |  FROM events),
+          |r AS (SELECT event_type, x % 256 AS bucket, x // 256 AS rest FROM h)
+          |SELECT event_type, bucket,
+          |  CAST(max(CASE WHEN rest = 0 THEN 25
+          |           ELSE 25 - length(bin(rest)) END) AS BIGINT) AS max_rho
+          |FROM r GROUP BY 1, 2""".stripMargin,
 
       "q63_hll_registers" ->
         """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS x

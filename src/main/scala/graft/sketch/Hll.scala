@@ -46,6 +46,24 @@ object Hll {
       .agg(max(col("rho")).cast("long").as("max_rho"))
   }
 
+  /** GROUPED register tables: one HLL per value of `groupCols` — the
+    * "distinct users per segment" shape. Still ONE hash aggregation
+    * (keyed on group × bucket); per-group sketches merge across shards
+    * by max exactly like the global form. */
+  def registersBy(df: DataFrame, key: Column, groupCols: Seq[String],
+      m: Int = 256): DataFrame = {
+    val b = bits(m)
+    val width = 33 - b
+    val h = h32(key)
+    val rest = shiftright(h, b)
+    val rho = when(rest === 0, width)
+      .otherwise(lit(width) - length(bin(rest)))
+    df.select(groupCols.map(col) ++ Seq(
+        h.bitwiseAND(lit(m - 1L)).as("bucket"), rho.as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).cast("long").as("max_rho"))
+  }
+
   /** The HLL cardinality estimate from a [[registers]] frame, with the
     * standard small-range (linear counting) correction. Returns one row
     * (n_buckets_hit, estimate). */

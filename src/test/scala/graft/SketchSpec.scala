@@ -25,6 +25,42 @@ class SketchSpec extends SparkSpec {
       math.abs(est - 30) / 30.0 should be < 0.15
     }
 
+    it("registers maintain incrementally over a stream (update-mode agg)") {
+      implicit val sql = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val input = MemoryStream[String]
+      val q = Hll.registers(input.toDF().select(col("value").as("k")), col("k"))
+        .writeStream.format("memory").queryName("hll_stream")
+        .outputMode("update").start()
+      try {
+        input.addData((0 until 700).map(_.toString): _*)
+        q.processAllAvailable()
+        input.addData((500 until 1200).map(_.toString): _*)
+        q.processAllAvailable()
+        // update-mode sink holds every emitted version: the latest per
+        // bucket (= max) must equal the one-shot batch registers
+        val streamed = spark.table("hll_stream")
+          .groupBy("bucket").agg(max("max_rho").as("max_rho"))
+          .as[(Long, Long)].collect().toMap
+        val batch = Hll.registers(
+          spark.range(0, 1200).select(col("id").cast("string").as("k")),
+          col("k")).as[(Long, Long)].collect().toMap
+        streamed shouldBe batch
+      } finally q.stop()
+    }
+
+    it("grouped registers equal per-group one-shot sketches") {
+      val df = spark.range(0, 3000).select(
+        (col("id") % 3).cast("string").as("g"), col("id").cast("string").as("k"))
+      val grouped = Hll.registersBy(df, col("k"), Seq("g"))
+        .as[(String, Long, Long)].collect().toSet
+      val perGroup = (0 until 3).flatMap { g =>
+        Hll.registers(df.filter(col("g") === g.toString), col("k"))
+          .as[(Long, Long)].collect().map { case (b, r) => (g.toString, b, r) }
+      }.toSet
+      grouped shouldBe perGroup
+    }
+
     it("registers are duplicate-insensitive and merge by element-wise max") {
       val a = spark.range(0, 1000).select(col("id").cast("string").as("k"))
       val b = spark.range(500, 1500).select(col("id").cast("string").as("k"))
