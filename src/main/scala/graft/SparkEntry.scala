@@ -698,6 +698,43 @@ object SparkEntry {
       graft.sketch.Cms.registers(toks, col("token"))
     }),
 
+    // Snapshot DIFF (operators/TableDiff): which links appeared /
+    // vanished / re-routed between the week-1 and week-2 snapshots —
+    // one full-outer hash join of two interval-bounded latest-per-pair
+    // aggregations; identical rows drop out (the diff stays small).
+    "q73_snapshot_diff" -> ((s, d) => {
+      val sm = EventGraph.linkSamples(s, d)
+      def snap(lo: Long, hi: Long) = sm
+        .filter(col("epoch_ms") >= lo && col("epoch_ms") < hi)
+        .groupBy(col("subject"), col("target"))
+        .agg(max_by(struct(col("link_state"), col("value")),
+          struct(col("epoch_ms"), col("sample_seq"))).as("w"))
+        .select(col("subject"), col("target"),
+          col("w.link_state").as("link_state"), col("w.value").as("value"))
+        .filter(col("link_state") =!= "unused")
+      graft.operators.TableDiff.diff(
+        snap(1704067200000L, 1704672000000L),   // 2024-01-01 .. 01-08
+        snap(1704672000000L, 1705276800000L),   // 2024-01-08 .. 01-15
+        Seq("subject", "target"), Seq("link_state", "value"))
+    }),
+
+    // Link FLAP counting: per pair, how often the observed link state
+    // changed across consecutive samples — the mesh-health signal the
+    // reference's time-varying model exists to expose. One partitioned
+    // sort (pair exchange), lag + conditional count.
+    "q74_link_flaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sm = EventGraph.linkSamples(s, d)
+      val w = Window.partitionBy(col("subject"), col("target"))
+        .orderBy(col("epoch_ms"), col("sample_seq"))
+      sm.withColumn("prev", lag(col("link_state"), 1).over(w))
+        .groupBy(col("subject"), col("target"))
+        .agg(count(lit(1)).as("n_samples"),
+          count(when(col("prev").isNotNull &&
+            col("prev") =!= col("link_state"), 1)).as("n_flaps"),
+          max_by(col("link_state"), col("sample_seq")).as("last_state"))
+    }),
+
     // GROUPED HLL registers: one sketch per event_type over user ids —
     // "distinct users per segment" as a single keyed hash aggregation.
     "q72_hll_grouped" -> ((s, d) =>
@@ -1721,6 +1758,40 @@ object SparkEntry {
            |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
            |SELECT d AS depth, x % 512 AS slot, count(*) AS cnt
            |FROM h GROUP BY 1, 2""".stripMargin,
+
+      "q73_snapshot_diff" ->
+        s"""WITH cte AS ($cte),
+           |sa AS (SELECT subject, target, link_state, value FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY subject, target
+           |      ORDER BY epoch_ms DESC, sample_seq DESC) AS rn
+           |    FROM cte WHERE epoch_ms >= 1704067200000 AND epoch_ms < 1704672000000)
+           |  WHERE rn = 1 AND link_state <> 'unused'),
+           |sb AS (SELECT subject, target, link_state, value FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY subject, target
+           |      ORDER BY epoch_ms DESC, sample_seq DESC) AS rn
+           |    FROM cte WHERE epoch_ms >= 1704672000000 AND epoch_ms < 1705276800000)
+           |  WHERE rn = 1 AND link_state <> 'unused')
+           |SELECT * FROM (
+           |  SELECT coalesce(sa.subject, sb.subject) AS subject,
+           |    coalesce(sa.target, sb.target) AS target,
+           |    CASE WHEN sa.subject IS NULL THEN 'added'
+           |         WHEN sb.subject IS NULL THEN 'removed'
+           |         WHEN sa.link_state IS DISTINCT FROM sb.link_state
+           |           OR sa.value IS DISTINCT FROM sb.value THEN 'changed' END AS change,
+           |    sa.link_state AS link_state_old, sb.link_state AS link_state_new,
+           |    sa.value AS value_old, sb.value AS value_new
+           |  FROM sa FULL JOIN sb
+           |    ON sa.subject = sb.subject AND sa.target = sb.target)
+           |WHERE change IS NOT NULL""".stripMargin,
+
+      "q74_link_flaps" ->
+        s"""WITH cte AS ($cte),
+           |l AS (SELECT *, lag(link_state) OVER (PARTITION BY subject, target
+           |    ORDER BY epoch_ms, sample_seq) AS prev FROM cte)
+           |SELECT subject, target, count(*) AS n_samples,
+           |  count(*) FILTER (WHERE prev IS NOT NULL AND prev <> link_state) AS n_flaps,
+           |  arg_max(link_state, sample_seq) AS last_state
+           |FROM l GROUP BY 1, 2""".stripMargin,
 
       "q72_hll_grouped" ->
         """WITH h AS (SELECT event_type,
