@@ -698,6 +698,43 @@ object SparkEntry {
       graft.sketch.Cms.registers(toks, col("token"))
     }),
 
+    // Interval COALESCING (island detection): merge each user's
+    // overlapping 2h error windows into maximal islands — running-max
+    // window + new-island flag + running island id, all over ONE
+    // partitioned sort. The downtime-window / session-merge shape.
+    "q75_interval_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = Tables.events(s, d)
+      val e = ev0.filter(col("event_type") === "error")
+        .select(col("user_id"), Tables.epochMs(ev0, "ts").as("lo"))
+        .withColumn("hi", col("lo") + 7200000L)
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("lo"), col("hi"))
+      val prevMax = max(col("hi")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1))
+      e.withColumn("new_island",
+          when(prevMax.isNull || col("lo") > prevMax, 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(ord))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("lo")).as("island_start"),
+          max(col("hi")).as("island_end"),
+          count(lit(1)).as("n_windows"))
+    }),
+
+    // Bounded-FRAME rolling aggregates: per-user trailing-5-row count
+    // and decimal-exact sum — the moving-average shape, one sort.
+    "q76_rolling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("user_id"), col("event_id"),
+        Tables.epochMs(ev0, "ts").as("ms"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id")).rowsBetween(-4, 0)
+      ev.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).cast("long").as("n_window"),
+        sum(col("value").cast("decimal(30,2)")).over(w).cast("double")
+          .as("sum5"))
+    }),
+
     // Snapshot DIFF (operators/TableDiff): which links appeared /
     // vanished / re-routed between the week-1 and week-2 snapshots —
     // one full-outer hash join of two interval-bounded latest-per-pair
@@ -1758,6 +1795,29 @@ object SparkEntry {
            |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
            |SELECT d AS depth, x % 512 AS slot, count(*) AS cnt
            |FROM h GROUP BY 1, 2""".stripMargin,
+
+      "q75_interval_merge" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS lo,
+          |    epoch_ms(ts) + 7200000 AS hi
+          |  FROM events WHERE event_type = 'error'),
+          |o AS (SELECT *, max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |  FROM e),
+          |g AS (SELECT *, CAST(sum(CASE WHEN prev_max IS NULL OR lo > prev_max
+          |      THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY lo, hi) AS BIGINT) AS island
+          |  FROM o)
+          |SELECT user_id, island, min(lo) AS island_start,
+          |  max(hi) AS island_end, count(*) AS n_windows
+          |FROM g GROUP BY 1, 2""".stripMargin,
+
+      "q76_rolling" ->
+        """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events)
+          |SELECT user_id, event_id,
+          |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+          |  CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum5
+          |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+          |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
 
       "q73_snapshot_diff" ->
         s"""WITH cte AS ($cte),
