@@ -698,6 +698,22 @@ object SparkEntry {
       graft.sketch.Cms.registers(toks, col("token"))
     }),
 
+    // Strongly connected components over the DIRECTED observed-link
+    // graph (to_target/to_subject/bidirectional give edge direction) —
+    // GraphX's built-in SCC over SeqID-relabeled vertices; label = the
+    // lexicographically smallest member. Oracle: recursive-CTE mutual
+    // reachability.
+    "q77_scc" -> ((s, d) => {
+      val sm = EventGraph.linkSamples(s, d)
+      val fwd = sm.filter(col("link_state").isin("to_target", "bidirectional"))
+        .select(col("subject").as("src"), col("target").as("dst"))
+      val bwd = sm.filter(col("link_state").isin("to_subject", "bidirectional"))
+        .select(col("target").as("src"), col("subject").as("dst"))
+      val edges = fwd.unionByName(bwd)
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.operators.GraphxOps.stronglyConnectedComponents(edges)
+    }),
+
     // Interval COALESCING (island detection): merge each user's
     // overlapping 2h error windows into maximal islands — running-max
     // window + new-island flag + running island id, all over ONE
@@ -1795,6 +1811,23 @@ object SparkEntry {
            |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
            |SELECT d AS depth, x % 512 AS slot, count(*) AS cnt
            |FROM h GROUP BY 1, 2""".stripMargin,
+
+      "q77_scc" ->
+        s"""WITH RECURSIVE cte AS ($cte),
+           |ed AS (
+           |  SELECT DISTINCT subject AS src, target AS dst FROM cte
+           |    WHERE link_state IN ('to_target', 'bidirectional')
+           |      AND subject <> target
+           |  UNION
+           |  SELECT DISTINCT target AS src, subject AS dst FROM cte
+           |    WHERE link_state IN ('to_subject', 'bidirectional')
+           |      AND subject <> target),
+           |n AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+           |r AS (SELECT id AS a, id AS b FROM n
+           |  UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b)
+           |SELECT r1.a AS node_id, min(r1.b) AS scc
+           |FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+           |GROUP BY 1""".stripMargin,
 
       "q75_interval_merge" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS lo,

@@ -93,6 +93,37 @@ object GraphxOps {
       .select("node_id", "rank")
   }
 
+  /** STRONGLY connected components over a DIRECTED string-id edge frame
+    * (columns `src`, `dst`) — mutual-reachability groups, the directed
+    * refinement of [[connectedComponents]]. Runs GraphX's built-in
+    * FW-BW-peeling SCC over SeqID-relabeled vertices (dense longs, no
+    * single-partition window); the returned `scc` label is the
+    * lexicographically smallest node id in the component (SeqIDs are
+    * assigned in sorted order, and GraphX labels with the min vertex
+    * id). */
+  def stronglyConnectedComponents(edges: DataFrame,
+      numIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val ids = LinkOps.seqIds(
+      edges.select(col("src")).union(edges.select(col("dst"))))
+      .toDF("node_id", "seq_id")
+    val er = edges
+      .join(ids.withColumnRenamed("node_id", "src")
+        .withColumnRenamed("seq_id", "src_id"), Seq("src"))
+      .join(ids.withColumnRenamed("node_id", "dst")
+        .withColumnRenamed("seq_id", "dst_id"), Seq("dst"))
+      .select(col("src_id"), col("dst_id"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = Graph.fromEdges(er, ())
+    val scc = g.stronglyConnectedComponents(numIter).vertices
+      .map { case (v, c) => (v, c) }
+    spark.createDataFrame(scc).toDF("seq_id", "comp_id")
+      .join(ids, Seq("seq_id"))
+      .join(ids.select(col("seq_id").as("comp_id"),
+        col("node_id").as("scc")), Seq("comp_id"))
+      .select("node_id", "scc")
+  }
+
   /** Connected components over the snapshot (undirected view):
     * (node_id, component) where component = min node_id in the group's
     * SeqID order. */

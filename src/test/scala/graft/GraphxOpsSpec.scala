@@ -51,6 +51,17 @@ class GraphxOpsSpec extends SparkSpec {
     (2 to 4).foreach(i => ranks(s"l$i") shouldBe ranks("l1") +- 1e-9)
   }
 
+  it("stronglyConnectedComponents: cycles group, tails stay singletons") {
+    import spark.implicits._
+    // a→b→c→a cycle; c→d→e tail (one-way); f↔g two-cycle
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("f", "g"), ("g", "f")).toDF("src", "dst")
+    val got = graft.operators.GraphxOps.stronglyConnectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    got shouldBe Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "e", "f" -> "f", "g" -> "f")
+  }
+
   it("connectedComponents separates the two islands") {
     val comps = GraphxOps.connectedComponents(chainGraph).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
