@@ -698,6 +698,39 @@ object SparkEntry {
       graft.sketch.Cms.registers(toks, col("token"))
     }),
 
+    // Ranking battery WITH ties (value repeats within a user): rank /
+    // dense_rank keep tie semantics, percent_rank / cume_dist divide
+    // identical integer operands on both engines (bit-identical).
+    "q78_rank_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("user_id"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"))
+      ev.select(col("user_id"), col("event_id"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+    }),
+
+    // Explicit SEMI / ANTI join gate: per nation, customers with at
+    // least one order vs customers with none — the two derived frames
+    // reuse one scan pair; both plan as hash joins, no EXISTS subplan.
+    "q79_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      val noO = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      withO.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with"))
+        .join(noO.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without")),
+          Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("n_with"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without"), lit(0L)).as("n_without_orders"))
+    }),
+
     // Strongly connected components over the DIRECTED observed-link
     // graph (to_target/to_subject/bidirectional give edge direction) —
     // GraphX's built-in SCC over SeqID-relabeled vertices; label = the
@@ -1811,6 +1844,24 @@ object SparkEntry {
            |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
            |SELECT d AS depth, x % 512 AS slot, count(*) AS cnt
            |FROM h GROUP BY 1, 2""".stripMargin,
+
+      "q78_rank_funcs" ->
+        """SELECT user_id, event_id,
+          |  CAST(rank() OVER w AS BIGINT) AS rnk,
+          |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          |  percent_rank() OVER w AS prnk,
+          |  cume_dist() OVER w AS cdist
+          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value)""".stripMargin,
+
+      "q79_semi_anti" ->
+        """WITH w AS (SELECT c_nationkey, count(*) AS n_with FROM customer
+          |  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1),
+          |wo AS (SELECT c_nationkey, count(*) AS n_without FROM customer
+          |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1)
+          |SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+          |  coalesce(n_with, 0) AS n_with_orders,
+          |  coalesce(n_without, 0) AS n_without_orders
+          |FROM w FULL JOIN wo ON w.c_nationkey = wo.c_nationkey""".stripMargin,
 
       "q77_scc" ->
         s"""WITH RECURSIVE cte AS ($cte),
