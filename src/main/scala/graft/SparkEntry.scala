@@ -195,7 +195,7 @@ object SparkEntry {
     "q17_langid" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.select(col("doc_id"), col("lang"),
-        graft.text.TextOps.predictedLang(col("text")).as("predicted"))
+        graft.text.TextOps.predictedLangCodegen(col("text")).as("predicted"))
         .withColumn("correct", col("lang") === col("predicted"))
     }),
 
@@ -609,7 +609,7 @@ object SparkEntry {
       import graft.text.TextOps
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val annotated = docs.select(col("doc_id"), col("text"),
-        TextOps.predictedLang(col("text")).as("plang"),
+        TextOps.predictedLangCodegen(col("text")).as("plang"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
         (length(col("text")) -
@@ -618,11 +618,15 @@ object SparkEntry {
       // integer-exact quality gate: >= 30 tokens, digit ratio < 20%
       val filtered = annotated.filter(col("n_tokens") >= 30 &&
         col("n_digits") * 5 < col("n_chars"))
-      val reps = filtered
-        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("keep_id"))
-      val deduped = filtered.join(
-        reps.select(col("keep_id").as("doc_id")), "doc_id")
+      // keep the min-id representative per fingerprint via a PARTITIONED
+      // window (hash exchange on the fingerprint) rather than a
+      // groupBy + self-join: the self-join's second branch would
+      // re-evaluate the whole annotation stage over the corpus
+      val keepW = org.apache.spark.sql.expressions.Window
+        .partitionBy(TextOps.fingerprint(col("text")))
+      val deduped = filtered
+        .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(keepW))
+        .filter(col("__keep")).drop("__keep")
       val sampled = graft.pipeline.PipelineOps.stratifiedSample(
         deduped, samplingRatesPpm, strataCol = "plang")
       graft.pipeline.PipelineOps.packSequences(sampled, capacity = 2048,

@@ -84,6 +84,19 @@ object TextOps {
       .otherwise(best.getField("l"))
   }
 
+  /** The codegen hot-loop twin of [[predictedLang]]
+    * ([[graft.functions.PredictLang]]): one tokenizing pass per row.
+    * The column form above is the parity oracle — its argmax fold
+    * references each accumulator three times per level, and since the
+    * marker-count HOFs are CodegenFallback (excluded from codegen
+    * subexpression elimination), those subtrees re-evaluate per
+    * reference: ~12× slower on the documents corpus. Spec-checked
+    * equal row-for-row (TextOpsSpec). */
+  def predictedLangCodegen(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.functions.PredictLang(Shim.expression(text)))
+  }
+
   /** Document fingerprint: md5 of the normalized token stream, plus its
     * first 8 hex chars as a BIGINT bucket (cheap join/partition key). */
   def fingerprint(text: Column): Column =

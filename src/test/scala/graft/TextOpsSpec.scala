@@ -11,6 +11,25 @@ class TextOpsSpec extends SparkSpec {
     spark.createDataFrame(rows).toDF("doc_id", "text")
   }
 
+  it("predictedLangCodegen matches the column-form parity oracle on the corpus") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark,
+      "/root/testdata/sf0.01").select(col("doc_id"), col("text"))
+    val cmp = docs.select(
+      graft.text.TextOps.predictedLang(col("text")).as("a"),
+      graft.text.TextOps.predictedLangCodegen(col("text")).as("b"))
+    cmp.filter(col("a") =!= col("b")).count() shouldBe 0L
+    // edge cases: shared markers ("la"/"un" are es AND fr), ties, CJK
+    // override, empty, no markers at all
+    val edge = Seq("la la la un un", "le la les et des", "mixed 漢字 text",
+      "", "zzz qqq 123", "the der le el the der le el")
+      .toDF("text")
+    val e = edge.select(
+      graft.text.TextOps.predictedLang(col("text")).as("a"),
+      graft.text.TextOps.predictedLangCodegen(col("text")).as("b"))
+    e.collect().foreach(r => r.getString(0) shouldBe r.getString(1))
+  }
+
   it("redact masks emails and digit runs; count matches") {
     val docs = docsOf(
       (1L, "contact bob@example.com or call 5551234567 now"),
