@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       GraftExtensions.shinglesInfo,
       GraftExtensions.shinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("predict_lang"),
+      GraftExtensions.predictLangInfo,
+      GraftExtensions.predictLangBuilder))
   }
 }
 
@@ -56,6 +60,14 @@ object GraftExtensions {
       SimHash60(children.head)
     }
 
+  private[functions] val predictLangInfo =
+    new ExpressionInfo(classOf[PredictLang].getName, "predict_lang")
+  private[functions] val predictLangBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 1, "predict_lang requires exactly 1 argument")
+      PredictLang(children.head)
+    }
+
   private[functions] val shinglesInfo =
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles")
   private[functions] val shinglesBuilder: Seq[Expression] => Expression =
@@ -82,5 +94,7 @@ object GraftExtensions {
       spark, "simhash60", simhashInfo, simhashBuilder)
     org.apache.spark.sql.graftshim.Shim.registerFunction(
       spark, "word_shingles", shinglesInfo, shinglesBuilder)
+    org.apache.spark.sql.graftshim.Shim.registerFunction(
+      spark, "predict_lang", predictLangInfo, predictLangBuilder)
   }
 }

@@ -63,6 +63,14 @@ class ApiSpec extends SparkSpec {
     got shouldBe "éclair"
   }
 
+  it("predict_lang is SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    spark.sql("SELECT predict_lang('the cat sat on the mat') AS l")
+      .collect()(0).getString(0) shouldBe "en"
+    spark.sql("SELECT predict_lang('der hund und die katze') AS l")
+      .collect()(0).getString(0) shouldBe "de"
+  }
+
   it("simhash60 and word_shingles are SQL-callable after registration") {
     graft.functions.GraftExtensions.register(spark)
     val sh = spark.sql(
