@@ -84,6 +84,35 @@ class ReadmeSpec extends SparkSpec {
       Seq(("switch1", "switch2"))
   }
 
+  it("pipeline cookbook snippets run as written (README 'Pipeline cookbook')") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{TemporalJoins, TableDiff}
+    import graft.sketch.Hll
+    import graft.pipeline.{Funnel, Profile}
+    val trades = Seq(("A", 10L, 1)).toDF("sym", "t", "tid")
+    val quotes = Seq(("A", 5L, 100)).toDF("sym", "qt", "px")
+    TemporalJoins.asOfJoin(trades, quotes, Seq("sym"),
+      leftTime = "t", rightTime = "qt").count() shouldBe 1
+    val windows = Seq((7L, 0L, 86400000L)).toDF("wid", "lo", "hi")
+    val events = Seq((7L, 1L, 500L)).toDF("wid", "event_id", "ms")
+    TemporalJoins.rangeJoin(windows, events, Seq("wid"),
+      lo = "lo", hi = "hi", pt = "ms", binWidth = 86400000L)
+      .count() shouldBe 1
+    val ev = Seq((1L, "view", 10L), (1L, "click", 20L))
+      .toDF("user_id", "event_type", "ms")
+    Hll.registersBy(ev, col("user_id").cast("string"), Seq("event_type"))
+      .count() shouldBe 2
+    Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      .select("funnel_stage").as[Long].head() shouldBe 2L
+    val before = Seq(("a", "b", "up", 1.0)).toDF("subject", "target", "link_state", "value")
+    val after = Seq(("a", "b", "down", 1.0)).toDF("subject", "target", "link_state", "value")
+    TableDiff.diff(before, after, keys = Seq("subject", "target"),
+      compare = Seq("link_state", "value"))
+      .select("change").as[String].head() shouldBe "changed"
+    Profile.profile(before, Seq("subject")).count() shouldBe 1
+  }
+
   it("SignalStrengths mergeSamples — both ends' signals on one link " +
       "(README.md:615-746)") {
     // switch1 and switch2 each observe their own received signal
