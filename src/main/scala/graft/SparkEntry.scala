@@ -702,6 +702,44 @@ object SparkEntry {
       graft.sketch.Cms.registers(toks, col("token"))
     }),
 
+    // TPC-H Q3 shape: the classic join → aggregate → top-k headline
+    // query. Revenue of the 10 biggest undelivered orders in the
+    // BUILDING segment — broadcast/AQE joins, decimal-exact revenue,
+    // distributed TakeOrderedAndProject (never a global sort).
+    "q80_top_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Correlated-aggregate filter (decorrelated to a broadcast join):
+    // parts priced above their brand's average retail price. The
+    // comparison is INTEGER-exact — price·n > sum in cents — because an
+    // engine-rounded average (decimal in Spark, double in the oracle)
+    // can flip rows that sit exactly on the mean.
+    "q81_above_brand_avg" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val cents = round(col("p_retailprice") * 100, 0).cast("long")
+      val brandAgg = p.groupBy(col("p_brand").as("b"))
+        .agg(sum(cents).as("sum_cents"), count(lit(1)).as("cnt"))
+      p.withColumn("cents", cents)
+        .join(broadcast(brandAgg), col("p_brand") === col("b"))
+        .filter(col("cents") * col("cnt") > col("sum_cents"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_above"),
+          Tables.exactSum(col("p_retailprice"), 2).as("sum_above"))
+    }),
+
     // Ranking battery WITH ties (value repeats within a user): rank /
     // dense_rank keep tie semantics, percent_rank / cume_dist divide
     // identical integer operands on both engines (bit-identical).
@@ -1848,6 +1886,29 @@ object SparkEntry {
            |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
            |SELECT d AS depth, x % 512 AS slot, count(*) AS cnt
            |FROM h GROUP BY 1, 2""".stripMargin,
+
+      "q80_top_orders" ->
+        """SELECT l_orderkey, o_orderdate,
+          |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderstatus <> 'F' AND c_mktsegment = 'BUILDING'
+          |GROUP BY 1, 2
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin,
+
+      "q81_above_brand_avg" ->
+        """WITH pc AS (SELECT p_brand, p_retailprice,
+          |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents FROM part),
+          |ba AS (SELECT p_brand AS b, sum(cents) AS sum_cents, count(*) AS cnt
+          |  FROM pc GROUP BY 1)
+          |SELECT p_brand, count(*) AS n_above,
+          |  CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_above
+          |FROM pc JOIN ba ON pc.p_brand = ba.b
+          |WHERE pc.cents * ba.cnt > ba.sum_cents
+          |GROUP BY 1""".stripMargin,
 
       "q78_rank_funcs" ->
         """SELECT user_id, event_id,

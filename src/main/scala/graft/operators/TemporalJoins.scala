@@ -54,6 +54,9 @@ object TemporalJoins {
     require(payloadCols.nonEmpty, "right side has no payload columns")
     val collide = payloadCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"payload columns collide with left: $collide")
+    val reserved = Set("__t", "__side", "__p", "__m")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"column names $reserved are reserved by asOfJoin")
 
     // Right rows must sort BEFORE left rows at an equal instant for
     // inclusive (>=) semantics, AFTER them for strict (<): the window's

@@ -19,6 +19,21 @@ object Probe {
       f; val t0 = System.nanoTime(); val n = f
       println(f"STAGE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
+    if (args.length > 1 && args(1) == "q21") {
+      import graft.dedup.Dedup
+      val doubled = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val sh = Dedup.shingles(doubled, 3, "doc_id", "text")
+      time("shingles")(sh.agg(count(lit(1))).count())
+      import org.apache.spark.sql.expressions.Window
+      val withFreq = sh.withColumn("freq", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      time("freq-window")(withFreq.agg(count(lit(1))).count())
+      val ranked = withFreq.groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("freq"), col("shingle")))).as("ranked"))
+      time("ranked-collect")(ranked.agg(count(lit(1))).count())
+      time("full-q21")(graft.SparkEntry.queries("q21_ngram_jaccard")(spark, d).count())
+      time("full-q21-again")(graft.SparkEntry.queries("q21_ngram_jaccard")(spark, d).count())
+      spark.stop(); return
+    }
     time("tokens-count")(docs.select(TextOps.tokenCount(col("text")).as("n")).agg(sum("n")).count())
     time("plang")(docs.select(TextOps.predictedLang(col("text")).as("p")).groupBy("p").count().count())
     time("fingerprint")(docs.select(md5(array_join(TextOps.tokens(col("text")), " ")).as("f")).agg(count(lit(1))).count())
