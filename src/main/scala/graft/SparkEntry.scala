@@ -869,6 +869,85 @@ object SparkEntry {
       graft.sketch.Hll.registersBy(Tables.events(s, d),
         col("user_id").cast("string"), Seq("event_type"))),
 
+    // BLOOM FILTER register table (sketch/Bloom): the distinct set-bit
+    // positions over doc ids — integer-exact, merges across shards by
+    // union-distinct (bitwise OR). Membership/prefilter behavior is
+    // spec-checked (BloomSpec); the gate pins the register state.
+    "q82_bloom_bits" -> ((s, d) =>
+      graft.sketch.Bloom.setBits(Tables.documents(s, d), col("doc_id"))
+        .select(col("bit").as("bit_pos"))),
+
+    // EXACT heavy hitters (sketch/Frequent): tokens in ≥5% of docs.
+    // CMS candidate pass (never undercounts ⇒ superset) + exact count
+    // of candidates only — the full vocabulary long tail never shuffles.
+    "q83_heavy_hitters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val minDf = math.ceil(0.05 * docs.count()).toLong
+      graft.sketch.Frequent.frequentTokens(docs, minDf)
+    }),
+
+    // EXACT shared-substring spans (Dedup.sharedSpanPairs): doc pairs
+    // sharing a literal token span ≥ 8, via positioned-shingle diagonal
+    // runs — the Lee et al. 2022 substring-dedup signal as equi-join +
+    // partitioned windows (hot shingles capped before the join).
+    "q84_span_dedup" -> ((s, d) =>
+      graft.dedup.Dedup.sharedSpanPairs(doubledDocs(s, d),
+        minSpanTokens = 8, k = 3, maxOcc = 64)),
+
+    // Session TRANSITION MATRIX (pipeline/Behavior): event-type step
+    // counts within 30-min sessions — one partitioned sort, tiny output.
+    "q85_transitions" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      graft.pipeline.Behavior.transitions(
+        ev0.select(col("user_id"), col("event_id"), col("event_type"),
+          Tables.epochMs(ev0, "ts").as("epoch_ms")))
+    }),
+
+    // COHORT RETENTION (pipeline/Behavior): distinct active users per
+    // (first-seen epoch week, week offset) — two hash aggregations.
+    "q86_cohort_retention" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      graft.pipeline.Behavior.cohortRetention(
+        ev0.select(col("user_id"), Tables.epochMs(ev0, "ts").as("epoch_ms")))
+    }),
+
+    // EXACT grouped regression components (pipeline/Stats): mergeable
+    // integer-exact sufficient statistics + slope fraction of
+    // price-on-quantity per return flag — numeric agg beyond max/count
+    // with the decimal-exact discipline of q06/q52.
+    "q87_regression" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("qty", col("l_quantity").cast("long"))
+        .withColumn("price_cents",
+          round(col("l_extendedprice") * 100, 0).cast("long"))
+      graft.pipeline.Stats.regressionComponents(li,
+        Seq("l_returnflag"), col("qty"), col("price_cents"))
+    }),
+
+    // Explicit INTERSECT / EXCEPT gate (§2.7 completion): (user, day)
+    // pairs that clicked AND viewed but never errored that day —
+    // distinct set semantics, all hash aggregations/joins.
+    "q88_set_ops" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("user_id"), col("event_type"),
+        Tables.epochMs(ev0, "ts").as("ms"))
+      def userDays(t: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), expr("ms div 86400000").as("day"))
+      userDays("click").intersect(userDays("view"))
+        .except(userDays("error"))
+    }),
+
+    // 2-D SKYLINE (operators/Pareto): Pareto-optimal (quantity,
+    // price) points, maximized — distributed prefix-scan sweep, no
+    // global window, no O(n²) dominance join.
+    "q89_skyline" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.operators.Pareto.skyline2(li, col("l_quantity").cast("long"),
+          round(col("l_extendedprice") * 100, 0).cast("long"))
+        .select(col("x").as("quantity"), col("y").as("price_cents"))
+    }),
+
     // HyperLogLog register table (sketch/Hll): integer-exact per-bucket
     // max rho over md5-derived hashes — the mergeable sketch state a
     // 100 TB pipeline persists; the FP estimate is spec-checked
@@ -2001,6 +2080,102 @@ object SparkEntry {
            |  count(*) FILTER (WHERE prev IS NOT NULL AND prev <> link_state) AS n_flaps,
            |  arg_max(link_state, sample_seq) AS last_state
            |FROM l GROUP BY 1, 2""".stripMargin,
+
+      "q82_bloom_bits" ->
+        """WITH h AS (SELECT
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS h2
+          |  FROM documents),
+          |p AS (SELECT unnest(list_transform(range(0, 4),
+          |    i -> (h1 + i * h2) % 4096)) AS bit_pos FROM h)
+          |SELECT DISTINCT bit_pos FROM p""".stripMargin,
+
+      "q83_heavy_hitters" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+           |  FROM documents)
+           |SELECT token, count(*) AS doc_freq
+           |FROM toks WHERE token <> ''
+           |GROUP BY 1
+           |HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM documents))""".stripMargin,
+
+      "q84_span_dedup" ->
+        s"""WITH docs AS ($doubledSql),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM docs),
+           |ps AS (SELECT doc_id AS id,
+           |    unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS pos,
+           |    unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+           |      i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS sh
+           |  FROM tk),
+           |p AS (SELECT * FROM ps WHERE sh <> ''),
+           |capped AS (SELECT id, pos, sh FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY sh) AS occ FROM p)
+           |  WHERE occ <= 64),
+           |m AS (SELECT a.id AS id1, b.id AS id2, a.pos AS p1,
+           |    a.pos - b.pos AS diag
+           |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.id < b.id),
+           |r AS (SELECT *, p1 - row_number() OVER (
+           |    PARTITION BY id1, id2, diag ORDER BY p1) AS island FROM m),
+           |runs AS (SELECT id1, id2, count(*) + 2 AS span
+           |  FROM r GROUP BY id1, id2, diag, island)
+           |SELECT id1, id2, CAST(max(span) AS BIGINT) AS max_span_tokens
+           |FROM runs GROUP BY 1, 2 HAVING max(span) >= 8""".stripMargin,
+
+      "q85_transitions" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |    epoch_ms(ts) AS epoch_ms FROM events),
+          |l AS (SELECT *,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_ms, event_id) AS prev_type,
+          |    lag(epoch_ms) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_ms, event_id) AS prev_ms
+          |  FROM ev)
+          |SELECT prev_type, event_type AS next_type, count(*) AS n_steps
+          |FROM l WHERE prev_ms IS NOT NULL AND epoch_ms - prev_ms <= 1800000
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q86_cohort_retention" ->
+        """WITH uw AS (SELECT DISTINCT user_id AS u,
+          |    epoch_ms(ts) // 604800000 AS week FROM events),
+          |fw AS (SELECT u, min(week) AS cohort_week FROM uw GROUP BY 1)
+          |SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+          |  count(*) AS n_users
+          |FROM uw w JOIN fw f USING (u) GROUP BY 1, 2""".stripMargin,
+
+      "q87_regression" ->
+        """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+          |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+          |  FROM lineitem),
+          |a AS (SELECT l_returnflag, count(*) AS n,
+          |    sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * x) AS sxx, sum(x * y) AS sxy
+          |  FROM b GROUP BY 1)
+          |SELECT l_returnflag, n,
+          |  CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
+          |  CAST(sxx AS DOUBLE) AS sum_xx, CAST(sxy AS DOUBLE) AS sum_xy,
+          |  CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num,
+          |  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_den
+          |FROM a""".stripMargin,
+
+      "q88_set_ops" ->
+        """SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+          |WHERE event_type = 'click'
+          |INTERSECT
+          |SELECT user_id, epoch_ms(ts) // 86400000 FROM events
+          |WHERE event_type = 'view'
+          |EXCEPT
+          |SELECT user_id, epoch_ms(ts) // 86400000 FROM events
+          |WHERE event_type = 'error'""".stripMargin,
+
+      "q89_skyline" ->
+        """WITH p AS (SELECT DISTINCT CAST(l_quantity AS BIGINT) AS x,
+          |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+          |  FROM lineitem),
+          |b AS (SELECT x, max(y) AS y FROM p GROUP BY 1),
+          |s AS (SELECT *, max(y) OVER (ORDER BY x DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |  FROM b)
+          |SELECT x AS quantity, y AS price_cents FROM s
+          |WHERE prev_max IS NULL OR y > prev_max""".stripMargin,
 
       "q72_hll_grouped" ->
         """WITH h AS (SELECT event_type,

@@ -505,4 +505,66 @@ object Dedup {
         .select("id1", "id2", "hamming"),
       unpersistAfter = Seq(sims))
   }
+
+  /** POSITIONED shingles — like [[shingles]] but keeping each k-gram's
+    * token offset and every occurrence (no per-doc dedup): (id, pos,
+    * shingle). The building block for substring-level span detection. */
+  def positionedShingles(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokenized = docs.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val sh = transform(
+      sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+      i => array_join(slice(col("toks"), i + 1, lit(k)), " "))
+    tokenized.select(col("id"), posexplode(sh).as(Seq("pos", "shingle")))
+      .filter(col("shingle") =!= "")
+  }
+
+  /** EXACT shared-substring spans between document pairs — the
+    * substring-dedup signal of suffix-array training-data dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"), restated as a distributed diagonal-run computation:
+    *
+    *  1. positioned k-gram shingles per doc (every occurrence);
+    *  2. equi-join on the shingle: a match at (p1, p2) lies on diagonal
+    *     d = p1 − p2; a shared token span of length L is exactly a run
+    *     of L − k + 1 consecutive matches on one diagonal;
+    *  3. gaps-and-islands per (pair, diagonal) — island = p1 − row_number
+    *     over p1 — then max run per pair; span_tokens = run + k − 1.
+    *
+    * Returns pairs with `max_span_tokens ≥ minSpanTokens`. Everything is
+    * an equi-join / partitioned window — no all-pairs product.
+    *
+    * `maxOcc` caps matching at ubiquitous shingles (occurrence count >
+    * maxOcc corpus-wide are excluded BEFORE the join): the 100 TB guard
+    * against the O(df²) pair blowup of stop-phrase trigrams. The cap is
+    * part of the operator's definition (the oracle states it
+    * identically): spans are measured over non-ubiquitous shingles only,
+    * so a run crossing a dropped hot shingle splits — long literal
+    * duplications (the dedup target) are unaffected, boilerplate
+    * stop-phrases stop feeding the join. */
+  def sharedSpanPairs(docs: DataFrame, minSpanTokens: Int = 8, k: Int = 3,
+      maxOcc: Long = 64, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpanTokens >= k, s"minSpanTokens must be >= k=$k")
+    val ps = positionedShingles(docs, k, idCol, textCol)
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("occ") <= maxOcc)
+      .drop("occ")
+    val m = ps.as("a").join(ps.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+    val isl = m.withColumn("island",
+      col("p1") - row_number().over(Window
+        .partitionBy(col("id1"), col("id2"), col("diag"))
+        .orderBy(col("p1"))))
+    isl.groupBy(col("id1"), col("id2"), col("diag"), col("island"))
+      .agg((count(lit(1)) + (k - 1)).as("span"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("span")).as("max_span_tokens"))
+      .filter(col("max_span_tokens") >= minSpanTokens)
+  }
 }

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact grouped least-squares components. Floating-point sums are
+  * association-order-dependent, so a distributed `corr`/`slope` is not
+  * bit-reproducible across partitionings — instead we aggregate the
+  * INTEGER-EXACT sufficient statistics (n, Σx, Σy, Σx², Σxy as
+  * decimals) and derive the slope's numerator/denominator
+  *
+  *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+  *
+  * still exactly. These are also precisely the MERGEABLE per-shard
+  * partials a 100 TB regression would combine (sum element-wise) — the
+  * same pattern as the k-means mean-step partial sums (q52) and the
+  * sketch register tables: ship small exact state, divide only at the
+  * very end (driver/consumer side, where FP is a presentation choice).
+  */
+object Stats {
+
+  /** Per-group sufficient statistics and exact slope fraction for the
+    * regression of `y` on `x`. Both inputs must be integer-valued
+    * columns (scale rationals to integers first — e.g. cents). One
+    * hash aggregation, map-side partials. */
+  def regressionComponents(df: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column): DataFrame = {
+    val dx = x.cast("decimal(38,0)")
+    val dy = y.cast("decimal(38,0)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dx).as("sum_x"),
+        sum(dy).as("sum_y"),
+        sum(dx * dx).as("sum_xx"),
+        sum(dx * dy).as("sum_xy"))
+      // decimal-exact internally; surfaced as double (one final
+      // round-to-nearest from the same exact integer on any engine —
+      // the exactSum presentation convention)
+      .select((groupCols.map(col) ++ Seq(
+        col("n"),
+        col("sum_x").cast("double").as("sum_x"),
+        col("sum_y").cast("double").as("sum_y"),
+        col("sum_xx").cast("double").as("sum_xx"),
+        col("sum_xy").cast("double").as("sum_xy"),
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("double").as("slope_num"),
+        (col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .cast("double").as("slope_den"))): _*)
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sketch.{Bloom, Frequent}
+import graft.dedup.Dedup
+import graft.pipeline.{Behavior, Stats}
+import graft.operators.Pareto
+
+/** Round-5 operators: Bloom filter, exact heavy hitters, substring-span
+  * dedup, behavioral analytics, exact regression components, skyline. */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Bloom") {
+    it("has no false negatives and a bounded false-positive rate") {
+      val members = spark.range(0, 1000).select(col("id").cast("string").as("k"))
+      val bits = Bloom.setBits(members, col("k"), m = 16384, k = 4)
+      // every member passes
+      Bloom.filterMaybeContains(members, bits, col("k"), m = 16384, k = 4)
+        .count() shouldBe 1000L
+      // non-members: FP rate ≈ (1 − e^(−kn/m))^k ≈ 0.24% at n/m = 1/16;
+      // assert well under 5%
+      val probes = spark.range(100000, 110000)
+        .select(col("id").cast("string").as("k"))
+      val fp = Bloom.filterMaybeContains(probes, bits, col("k"),
+        m = 16384, k = 4).count()
+      fp.toDouble / 10000 should be < 0.05
+    }
+
+    it("sharded filters merge by union-distinct to the one-shot filter") {
+      val a = spark.range(0, 500).select(col("id").cast("string").as("k"))
+      val b = spark.range(500, 1000).select(col("id").cast("string").as("k"))
+      val all = spark.range(0, 1000).select(col("id").cast("string").as("k"))
+      val merged = Bloom.setBits(a, col("k")).union(Bloom.setBits(b, col("k")))
+        .distinct().as[Long].collect().sorted
+      Bloom.setBits(all, col("k")).as[Long].collect().sorted shouldBe merged
+    }
+
+    it("prefilterJoin returns exactly the plain join's rows") {
+      val big = spark.range(0, 5000).select(col("id").as("key"),
+        (col("id") * 7).as("payload"))
+      val small = spark.range(0, 5000).filter(col("id") % 83 === 0)
+        .select(col("id").as("key"), (col("id") + 1).as("dim"))
+      val expected = big.join(small, Seq("key"))
+        .select("key", "payload", "dim").as[(Long, Long, Long)]
+        .collect().sorted
+      Bloom.prefilterJoin(big, small, "key")
+        .select("key", "payload", "dim").as[(Long, Long, Long)]
+        .collect().sorted shouldBe expected
+    }
+  }
+
+  describe("Frequent") {
+    it("CMS-pruned heavy hitters equal the exact groupBy-HAVING result") {
+      // skewed stream: key i appears i times for i in 1..60
+      val rows = (1 to 60).flatMap(i => Seq.fill(i)(i.toString))
+      val df = rows.toDF("k")
+      val got = Frequent.frequentKeys(df, col("k"), minFreq = 40)
+        .as[(String, Long)].collect().toSet
+      val want = rows.groupBy(identity).collect {
+        case (k, v) if v.size >= 40 => (k, v.size.toLong)
+      }.toSet
+      got shouldBe want
+      want should not be empty
+    }
+  }
+
+  describe("Dedup.sharedSpanPairs") {
+    // ten filler docs with disjoint vocabularies, plus two docs sharing
+    // one literal 9-token span
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (1L, s"intro words here $span closing remark one"),
+      (2L, s"different lead $span other tail entirely words"),
+      (3L, "unrelated text about nothing shared with anyone at all"),
+      (4L, "more filler completely disjoint vocabulary for this doc")
+    ).toDF("doc_id", "text")
+
+    it("finds the exact shared span length between the two documents") {
+      val got = Dedup.sharedSpanPairs(docs, minSpanTokens = 8)
+        .as[(Long, Long, Long)].collect()
+      got shouldBe Array((1L, 2L, 9L))
+    }
+
+    it("stays empty below the threshold and for disjoint docs") {
+      Dedup.sharedSpanPairs(docs, minSpanTokens = 10).count() shouldBe 0L
+    }
+
+    it("the occurrence cap splits runs through ubiquitous shingles") {
+      // make the middle shingle of the span ubiquitous: 5 extra docs
+      // repeat "delta echo foxtrot" so its occ exceeds the cap of 7
+      val noisy = docs.union(
+        (10L to 14L).map(i => (i, "delta echo foxtrot " * 3)).toSeq
+          .toDF("doc_id", "text"))
+      val spans = Dedup.sharedSpanPairs(noisy, minSpanTokens = 3,
+          maxOcc = 7)
+        .filter(col("id1") === 1L && col("id2") === 2L)
+        .select("max_span_tokens").as[Long].collect()
+      // the 9-token run breaks where capped shingles drop out: the
+      // longest surviving fragment is shorter than 9 but ≥ 3
+      spans.length shouldBe 1
+      spans.head should be < 9L
+      spans.head should be >= 3L
+    }
+  }
+
+  describe("Behavior") {
+    it("transitions counts only within-session consecutive steps") {
+      val ev = Seq(
+        // user 1: a→b (2 min), b→c (10 min), session break, c→a ignored
+        (1L, 1L, "a", 0L),
+        (1L, 2L, "b", 120000L),
+        (1L, 3L, "c", 720000L),
+        (1L, 4L, "a", 720000L + 1800001L),
+        // user 2: one lonely event — no steps
+        (2L, 5L, "a", 0L)
+      ).toDF("user_id", "event_id", "event_type", "epoch_ms")
+      val got = Behavior.transitions(ev)
+        .as[(String, String, Long)].collect().toSet
+      got shouldBe Set(("a", "b", 1L), ("b", "c", 1L))
+    }
+
+    it("cohort retention: offset 0 equals cohort size") {
+      val week = 604800000L
+      val ev = Seq(
+        (1L, 0L), (1L, week + 1), (1L, 3 * week),   // cohort 0, offsets 0,1,3
+        (2L, 2L), (2L, 3 * week + 5),                // cohort 0, offsets 0,3
+        (3L, week), (3L, 2 * week)                   // cohort 1, offsets 0,1
+      ).toDF("user_id", "epoch_ms")
+      val got = Behavior.cohortRetention(ev)
+        .as[(Long, Long, Long)].collect().toSet
+      got shouldBe Set(
+        (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 2L),
+        (1L, 0L, 1L), (1L, 1L, 1L))
+    }
+  }
+
+  describe("Stats.regressionComponents") {
+    it("matches the hand-computed sufficient statistics and slope") {
+      val df = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 7L))
+        .toDF("grp", "x", "y")
+      val r = Stats.regressionComponents(df, Seq("grp"), col("x"), col("y"))
+        .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+        .head()
+      // n=3, Σx=6, Σy=13, Σx²=14, Σxy=31
+      r shouldBe (("g", 3L, 6.0, 13.0, 14.0, 31.0,
+        3.0 * 31 - 6 * 13,   // 15
+        3.0 * 14 - 36))      // 6  → slope 2.5
+    }
+  }
+
+  describe("Pareto.skyline2") {
+    it("equals the brute-force dominance filter, across partitions") {
+      // deterministic pseudo-random points, forced through many small
+      // partitions so the cross-partition prefix seed is exercised
+      val pts = (1 to 500).map { i =>
+        val x = (i * 2654435761L) % 1000
+        val y = (i * 40503L) % 1000
+        (x, y)
+      }
+      val df = pts.toDF("x", "y").repartition(13)
+      val got = Pareto.skyline2(df, col("x"), col("y"))
+        .as[(Long, Long)].collect().toSet
+      val distinct = pts.distinct
+      val want = distinct.filter { case (x, y) =>
+        !distinct.exists { case (a, b) =>
+          a >= x && b >= y && (a > x || b > y) }
+      }.toSet
+      got shouldBe want
+      want.size should be > 1
+    }
+
+    it("a single all-dominating point yields a singleton skyline") {
+      val df = Seq((1L, 1L), (2L, 3L), (5L, 9L), (4L, 2L))
+        .toDF("x", "y")
+      Pareto.skyline2(df, col("x"), col("y"))
+        .as[(Long, Long)].collect().toSet shouldBe Set((5L, 9L))
+    }
+  }
+}
