@@ -938,6 +938,59 @@ object SparkEntry {
         .except(userDays("error"))
     }),
 
+    // DATA-QUALITY constraint audit (pipeline/Quality): FK integrity,
+    // key uniqueness, null and predicate checks as one violation-count
+    // report — the pre-training corpus gate. Mix of holding (0) and
+    // firing (>0) checks so the hash pins real counting.
+    "q90_quality_audit" -> ((s, d) => {
+      import graft.pipeline.Quality._
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d); val ev = Tables.events(s, d)
+      audit(Seq(
+        fkCheck("orders_custkey_fk", o, "o_custkey", c, "c_custkey"),
+        fkCheck("lineitem_orderkey_fk", li, "l_orderkey", o, "o_orderkey"),
+        uniqueCheck("customer_pk_unique", c, Seq("c_custkey")),
+        uniqueCheck("lineitem_pk_unique", li,
+          Seq("l_orderkey", "l_linenumber")),
+        notNullCheck("events_user_not_null", ev, "user_id"),
+        predicateCheck("lineitem_qty_range", li,
+          col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        predicateCheck("events_value_bound", ev, col("value") <= 100)))
+    }),
+
+    // MERGEABLE AGGREGATE STATE (pipeline/IncrementalAgg): per-day
+    // partial states rolled into per-type totals — must equal the
+    // oracle's ONE-SHOT aggregate for any sharding (the incremental-ETL
+    // algebra; merge-equals-direct is also spec-checked).
+    "q91_incremental_agg" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("event_type"),
+          Tables.epochMs(ev0, "ts").as("ms"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long").as("cents"))
+        .withColumn("day", expr("ms div 86400000"))
+      val partials = graft.pipeline.IncrementalAgg.partialStates(
+        ev, Seq("event_type"), "day", "cents")
+      graft.pipeline.IncrementalAgg.mergeStates(partials, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_cents"),
+          col("min_v").as("min_cents"), col("max_v").as("max_cents"),
+          col("n_shards"))
+    }),
+
+    // Token CO-OCCURRENCE / PMI components (text/Cooccur): exact
+    // integer (n_ab, n_a, n_b) for df-banded token pairs — the
+    // collocation/embedding-prep statistics; log() stays consumer-side
+    // (the q87 exact-components discipline). Bands are relative to
+    // corpus size so the operator is scale-invariant.
+    "q92_pmi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      graft.text.Cooccur.pmiComponents(docs,
+        minDf = math.ceil(0.2 * n).toLong,
+        maxDf = math.floor(0.8 * n).toLong,
+        minPairCount = math.ceil(0.05 * n).toLong)
+    }),
+
     // 2-D SKYLINE (operators/Pareto): Pareto-optimal (quantity,
     // price) points, maximized — distributed prefix-scan sweep, no
     // global window, no O(n²) dominance join.
@@ -2165,6 +2218,53 @@ object SparkEntry {
           |EXCEPT
           |SELECT user_id, epoch_ms(ts) // 86400000 FROM events
           |WHERE event_type = 'error'""".stripMargin,
+
+      "q90_quality_audit" ->
+        """SELECT 'orders_custkey_fk' AS check_name, count(*) AS n_violations
+          |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          |  WHERE c.c_custkey IS NULL
+          |UNION ALL SELECT 'lineitem_orderkey_fk', count(*)
+          |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  WHERE o.o_orderkey IS NULL
+          |UNION ALL SELECT 'customer_pk_unique',
+          |  coalesce(sum(cnt - 1), 0) FROM (
+          |    SELECT count(*) AS cnt FROM customer GROUP BY c_custkey
+          |    HAVING count(*) > 1)
+          |UNION ALL SELECT 'lineitem_pk_unique',
+          |  coalesce(sum(cnt - 1), 0) FROM (
+          |    SELECT count(*) AS cnt FROM lineitem
+          |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+          |UNION ALL SELECT 'events_user_not_null', count(*) FROM events
+          |  WHERE user_id IS NULL
+          |UNION ALL SELECT 'lineitem_qty_range', count(*) FROM lineitem
+          |  WHERE NOT (l_quantity >= 1 AND l_quantity <= 50)
+          |UNION ALL SELECT 'events_value_bound', count(*) FROM events
+          |  WHERE NOT (value <= 100)""".stripMargin,
+
+      "q91_incremental_agg" ->
+        """WITH ev AS (SELECT event_type,
+          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+          |    epoch_ms(ts) // 86400000 AS day FROM events)
+          |SELECT event_type, count(*) AS n,
+          |  CAST(sum(cents) AS DOUBLE) AS sum_cents,
+          |  min(cents) AS min_cents, max(cents) AS max_cents,
+          |  count(DISTINCT day) AS n_shards
+          |FROM ev GROUP BY 1""".stripMargin,
+
+      "q92_pmi" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+           |  FROM documents),
+           |t AS (SELECT * FROM toks WHERE token <> ''),
+           |band AS (SELECT * FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY token) AS df FROM t)
+           |  WHERE df >= ceil(0.2 * (SELECT count(*) FROM documents))
+           |    AND df <= floor(0.8 * (SELECT count(*) FROM documents)))
+           |SELECT a.token AS t1, b.token AS t2, count(*) AS n_ab,
+           |  CAST(any_value(a.df) AS BIGINT) AS n_a,
+           |  CAST(any_value(b.df) AS BIGINT) AS n_b
+           |FROM band a JOIN band b ON a.doc_id = b.doc_id AND a.token < b.token
+           |GROUP BY 1, 2
+           |HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM documents))""".stripMargin,
 
       "q89_skyline" ->
         """WITH p AS (SELECT DISTINCT CAST(l_quantity AS BIGINT) AS x,
