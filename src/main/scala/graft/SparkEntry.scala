@@ -991,6 +991,34 @@ object SparkEntry {
         minPairCount = math.ceil(0.05 * n).toLong)
     }),
 
+    // SCD2 VALIDITY-INTERVAL history (pipeline/Scd): each user's
+    // event-type state stream compressed to change rows with
+    // [valid_from, valid_to) intervals — built INCREMENTALLY: week-1
+    // history + week-2 batch through applyBatch, which the oracle's
+    // one-shot build must equal (the warehouse-upsert algebra).
+    "q93_scd2" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("user_id"), col("event_id"),
+        col("event_type"), Tables.epochMs(ev0, "ts").as("ms"))
+      val split = 1705276800000L // 2024-01-15
+      val dim = graft.pipeline.Scd.build(ev.filter(col("ms") < split),
+        "user_id", "event_type", "ms", "event_id")
+      graft.pipeline.Scd.applyBatch(dim, ev.filter(col("ms") >= split),
+          "user_id", "event_type", "ms", "event_id")
+        .select(col("key").as("user_id"), col("state"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    }),
+
+    // EXACT fuzzy matching (text/Fuzzy): word pairs within levenshtein
+    // 2 over the part-name vocabulary — symmetric-delete blocking
+    // (deletion-variant equi-join) + levenshtein verify; the oracle
+    // states the brute-force definition the blocking must reproduce.
+    "q94_fuzzy_match" -> ((s, d) => {
+      val words = Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+      graft.text.Fuzzy.fuzzyPairs(words, "word", maxDist = 2)
+    }),
+
     // 2-D SKYLINE (operators/Pareto): Pareto-optimal (quantity,
     // price) points, maximized — distributed prefix-scan sweep, no
     // global window, no O(n²) dominance join.
@@ -2265,6 +2293,28 @@ object SparkEntry {
            |FROM band a JOIN band b ON a.doc_id = b.doc_id AND a.token < b.token
            |GROUP BY 1, 2
            |HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM documents))""".stripMargin,
+
+      "q93_scd2" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |    epoch_ms(ts) AS ms FROM events),
+          |l AS (SELECT *, lag(event_type) OVER (
+          |    PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM ev),
+          |ch AS (SELECT user_id, event_type AS state, ms AS valid_from,
+          |    event_id FROM l WHERE prev IS NULL OR prev <> event_type),
+          |v AS (SELECT *, lead(valid_from) OVER (
+          |    PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+          |  FROM ch)
+          |SELECT user_id, state, valid_from, valid_to,
+          |  valid_to IS NULL AS is_current FROM v""".stripMargin,
+
+      "q94_fuzzy_match" ->
+        """WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word
+          |  FROM part)
+          |SELECT a.word AS w1, b.word AS w2,
+          |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+          |FROM w a JOIN w b ON a.word < b.word
+          |WHERE a.word <> '' AND b.word <> ''
+          |  AND levenshtein(a.word, b.word) <= 2""".stripMargin,
 
       "q89_skyline" ->
         """WITH p AS (SELECT DISTINCT CAST(l_quantity AS BIGINT) AS x,
