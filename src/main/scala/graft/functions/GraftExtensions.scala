@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("predict_lang"),
       GraftExtensions.predictLangInfo,
       GraftExtensions.predictLangBuilder))
+    // top-1-per-group window → max_by/min_by hash aggregation
+    ext.injectOptimizerRule(_ => graft.plans.TopOneWindowToMaxBy)
   }
 }
 
@@ -96,5 +98,10 @@ object GraftExtensions {
       spark, "word_shingles", shinglesInfo, shinglesBuilder)
     org.apache.spark.sql.graftshim.Shim.registerFunction(
       spark, "predict_lang", predictLangInfo, predictLangBuilder)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.TopOneWindowToMaxBy))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.TopOneWindowToMaxBy
   }
 }
