@@ -111,6 +111,36 @@ class ReadmeSpec extends SparkSpec {
       compare = Seq("link_state", "value"))
       .select("change").as[String].head() shouldBe "changed"
     Profile.profile(before, Seq("subject")).count() shouldBe 1
+
+    // round-5 additions
+    import graft.sketch.{Bloom, Frequent}
+    import graft.pipeline.{Quality, Scd}
+    import graft.text.Fuzzy
+    val bigFacts = spark.range(0, 100).select(col("id").as("key"))
+    val smallDim = Seq((3L, "x"), (7L, "y")).toDF("key", "name")
+    Bloom.prefilterJoin(bigFacts, smallDim, "key").count() shouldBe 2
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    Frequent.frequentTokens(docs, minDocFreq = 3)
+      .select("token").as[String].collect() shouldBe Array("a")
+    val dim = Scd.build(
+      Seq((1L, "view", 10L, 1L)).toDF("user_id", "event_type", "ms", "event_id"),
+      "user_id", "event_type", "ms", "event_id")
+    val batch = Seq((1L, "click", 20L, 2L))
+      .toDF("user_id", "event_type", "ms", "event_id")
+    Scd.applyBatch(dim, batch, "user_id", "event_type", "ms", "event_id")
+      .count() shouldBe 2
+    val customer = Seq((1L, "c")).toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L), (11L, 9L)).toDF("o_orderkey", "o_custkey")
+    Quality.audit(Seq(
+      Quality.fkCheck("orders_fk", orders, "o_custkey", customer, "c_custkey"),
+      Quality.uniqueCheck("pk", customer, Seq("c_custkey"))))
+      .as[(String, Long)].collect().toSet shouldBe
+        Set(("orders_fk", 1L), ("pk", 0L))
+    val vocab = Seq("cold", "old", "zebra").toDF("word")
+    Fuzzy.fuzzyPairs(vocab, "word", maxDist = 2)
+      .select("w1", "w2").as[(String, String)].collect() shouldBe
+        Array(("cold", "old"))
   }
 
   it("SignalStrengths mergeSamples — both ends' signals on one link " +
