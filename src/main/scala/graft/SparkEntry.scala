@@ -991,6 +991,43 @@ object SparkEntry {
         minPairCount = math.ceil(0.05 * n).toLong)
     }),
 
+    // PolicyKeepN retention — the natural generalization between the
+    // reference's overwrite (n=1) and append policies: the latest 3
+    // findings per node (WindowGroupLimit-pushed rank).
+    "q95_keep_n" -> ((s, d) => {
+      import graft.operators.{Weave, PolicyKeepN}
+      Weave.retainFindings(EventGraph.findings(s, d), PolicyKeepN(3))
+        .select(col("subject"), col("epoch_ms"), col("finding_seq"))
+    }),
+
+    // NEIGHBORHOOD AGGREGATION (operators/Motifs): per node, min/max/
+    // integer-exact sum of neighbor degrees over the canonical
+    // undirected edge set — the aggregateMessages shape, two hash aggs
+    // + one degree self-join.
+    "q96_neighbor_stats" -> ((s, d) => {
+      val sm = EventGraph.linkSamples(s, d)
+        .filter(col("link_state") =!= "unused")
+      graft.operators.Motifs.neighborDegreeStats(
+        sm.select(col("subject"), col("target")))
+    }),
+
+    // TIME-RESPECTING reachability (operators/TemporalReach): earliest
+    // arrival over non-decreasing edge timestamps from 3 start nodes —
+    // the canonical temporal-graph query the static BFS (q12)
+    // over-approximates. Oracle: recursive-CTE state enumeration.
+    "q97_temporal_reach" -> ((s, d) => {
+      import s.implicits._
+      val sm = EventGraph.linkSamples(s, d)
+      val fwd = sm.filter(col("link_state").isin("to_target", "bidirectional"))
+        .select(col("subject").as("src"), col("target").as("dst"),
+          col("epoch_ms").as("edge_ms"))
+      val bwd = sm.filter(col("link_state").isin("to_subject", "bidirectional"))
+        .select(col("target").as("src"), col("subject").as("dst"),
+          col("epoch_ms").as("edge_ms"))
+      graft.operators.TemporalReach.earliestArrival(
+        fwd.unionByName(bwd), Seq("n0", "n1", "n2").toDF("node_id"))
+    }),
+
     // SCD2 VALIDITY-INTERVAL history (pipeline/Scd): each user's
     // event-type state stream compressed to change rows with
     // [valid_from, valid_to) intervals — built INCREMENTALLY: week-1
@@ -2293,6 +2330,45 @@ object SparkEntry {
            |FROM band a JOIN band b ON a.doc_id = b.doc_id AND a.token < b.token
            |GROUP BY 1, 2
            |HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM documents))""".stripMargin,
+
+      "q95_keep_n" ->
+        s"""WITH f AS (SELECT subject, epoch_ms, sample_seq AS finding_seq
+           |  FROM ($cte)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY subject
+           |    ORDER BY epoch_ms DESC, finding_seq DESC) AS rk FROM f)
+           |SELECT subject, epoch_ms, finding_seq FROM r WHERE rk <= 3""".stripMargin,
+
+      "q96_neighbor_stats" ->
+        s"""WITH s AS ($cte),
+           |e AS (SELECT DISTINCT least(subject, target) AS u,
+           |    greatest(subject, target) AS v
+           |  FROM s WHERE link_state <> 'unused' AND subject <> target),
+           |sym AS (SELECT u AS node_id, v AS nbr FROM e
+           |  UNION ALL SELECT v, u FROM e),
+           |deg AS (SELECT node_id, count(*) AS degree FROM sym GROUP BY 1)
+           |SELECT s2.node_id, count(*) AS degree,
+           |  min(d.degree) AS min_nbr_degree,
+           |  max(d.degree) AS max_nbr_degree,
+           |  sum(d.degree) AS sum_nbr_degree
+           |FROM sym s2 JOIN deg d ON d.node_id = s2.nbr
+           |GROUP BY 1""".stripMargin,
+
+      "q97_temporal_reach" ->
+        s"""WITH RECURSIVE s AS ($cte),
+           |edges AS (
+           |  SELECT subject AS src, target AS dst, epoch_ms AS edge_ms
+           |  FROM s WHERE link_state IN ('to_target', 'bidirectional')
+           |  UNION
+           |  SELECT target, subject, epoch_ms
+           |  FROM s WHERE link_state IN ('to_subject', 'bidirectional')),
+           |reach(node_id, arrival_ms) AS (
+           |  SELECT node_id, CAST(-9223372036854775808 AS BIGINT)
+           |  FROM (VALUES ('n0'), ('n1'), ('n2')) t(node_id)
+           |  UNION
+           |  SELECT e.dst, e.edge_ms FROM reach r
+           |  JOIN edges e ON e.src = r.node_id AND e.edge_ms >= r.arrival_ms)
+           |SELECT node_id, min(arrival_ms) AS arrival_ms
+           |FROM reach GROUP BY 1""".stripMargin,
 
       "q93_scd2" ->
         """WITH ev AS (SELECT user_id, event_id, event_type,

@@ -150,4 +150,25 @@ object Motifs {
       .select(array_sort(array(col("p"), col("x"), col("y"))).as("t"))
       .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
   }
+
+  /** NEIGHBORHOOD AGGREGATION (the aggregateMessages shape): per node,
+    * its degree plus min/max/sum of its neighbors' degrees — the raw
+    * material of degree-assortativity and hub-adjacency analysis.
+    * Two hash aggregations and one self-join of the degree table along
+    * the (symmetrized) edge list; sums stay integer-exact so the
+    * mixing ratio Σ(neighbor degree)/degree derives exactly. */
+  def neighborDegreeStats(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val sym = e.select(col("u").as("node_id"), col("v").as("nbr"))
+      .unionByName(e.select(col("v").as("node_id"), col("u").as("nbr")))
+    val deg = sym.groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+    sym
+      .join(deg.select(col("node_id").as("nbr"),
+        col("degree").as("nbr_degree")), "nbr")
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("degree"),
+        min(col("nbr_degree")).as("min_nbr_degree"),
+        max(col("nbr_degree")).as("max_nbr_degree"),
+        sum(col("nbr_degree")).as("sum_nbr_degree"))
+  }
 }

@@ -26,6 +26,14 @@ case object PolicyOverwrite extends FoundNodePolicy
 /** Keep all findings (Weaver.hs:87); node summary still reports the
   * latest timestamp/attrs. */
 case object PolicyAppend extends FoundNodePolicy
+/** Keep the latest `n` findings per node — the natural generalization
+  * between the reference's two policies (n = 1 ≡ overwrite): bounded
+  * history per node for flap analysis without unbounded growth. n ≥ 2
+  * plans as a WindowGroupLimit-pushed rank (per-partition top-n before
+  * the shuffle); n = 1 delegates to the max_by aggregation. */
+final case class PolicyKeepN(n: Int) extends FoundNodePolicy {
+  require(n >= 1, s"PolicyKeepN needs n >= 1, got $n")
+}
 
 /** Pluggable link-sample unification strategy (the reference's
   * `LinkSampleUnifier`, Unify.hs:108; std config Unify.hs:127-149).
@@ -218,6 +226,13 @@ object Weave {
       case PolicyOverwrite =>
         LinkOps.latestPerKey(findings, Seq("subject"),
           Seq("epoch_ms", "finding_seq"))
+      case PolicyKeepN(1) => retainFindings(findings, PolicyOverwrite)
+      case PolicyKeepN(n) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("subject"))
+          .orderBy(col("epoch_ms").desc, col("finding_seq").desc)
+        findings.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= n).drop("__rk")
     }
 
   /** Explode retained findings into link samples (Unify.hs:68-78
