@@ -1028,6 +1028,17 @@ object SparkEntry {
         fwd.unionByName(bwd), Seq("n0", "n1", "n2").toDF("node_id"))
     }),
 
+    // EXACT weighted median (pipeline/Stats): per return flag, the
+    // quantity-weighted median price in cents — lower weighted median
+    // (2·cum ≥ total), integer-exact, value-RANGE cumulative frame so
+    // ties are deterministic.
+    "q98_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.pipeline.Stats.weightedMedian(li, Seq("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        col("l_quantity").cast("long"))
+    }),
+
     // SCD2 VALIDITY-INTERVAL history (pipeline/Scd): each user's
     // event-type state stream compressed to change rows with
     // [valid_from, valid_to) intervals — built INCREMENTALLY: week-1
@@ -2369,6 +2380,17 @@ object SparkEntry {
            |  JOIN edges e ON e.src = r.node_id AND e.edge_ms >= r.arrival_ms)
            |SELECT node_id, min(arrival_ms) AS arrival_ms
            |FROM reach GROUP BY 1""".stripMargin,
+
+      "q98_weighted_median" ->
+        """WITH b AS (SELECT l_returnflag,
+          |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+          |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+          |c AS (SELECT *, sum(w) OVER (PARTITION BY l_returnflag
+          |      ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS cum,
+          |    sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM b)
+          |SELECT l_returnflag, min(v) AS weighted_median
+          |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
 
       "q93_scd2" ->
         """WITH ev AS (SELECT user_id, event_id, event_type,

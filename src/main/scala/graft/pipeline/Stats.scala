@@ -48,4 +48,27 @@ object Stats {
         (col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
           .cast("double").as("slope_den"))): _*)
   }
+
+  /** EXACT weighted median per group: the smallest value v whose
+    * cumulative weight (over all rows with value ≤ v) reaches half the
+    * group's total weight — 2·cum ≥ total, the standard lower weighted
+    * median, integer-exact for integer weights. One partitioned sort;
+    * the cumulative frame is value-RANGE so ties accumulate together
+    * (deterministic without a tie-break column). The unweighted exact
+    * percentile (q45) is the w = 1 special case. */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      value: Column, weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCols.map(col) :+ value.as("__v") :+
+      weight.cast("long").as("__w"): _*)
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val cumW = part.orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__cum", sum(col("__w")).over(cumW))
+      .withColumn("__tot", sum(col("__w")).over(part))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("__v")).as("weighted_median"))
+  }
 }

@@ -147,6 +147,18 @@ class Round5Spec extends SparkSpec {
         3.0 * 31 - 6 * 13,   // 15
         3.0 * 14 - 36))      // 6  → slope 2.5
     }
+
+    it("weightedMedian picks the lower weighted median, ties pooled") {
+      // g1: values 1(w3), 2(w1), 5(w2) → total 6, cum(1)=3 <6/2·2? 2·3≥6 ✓ → 1
+      // g2: 10(w1), 20(w1), 20(w1), 30(w1) → total 4, cum(10)=1, cum(20)=3 → 20
+      val df = Seq(
+        ("g1", 1L, 3L), ("g1", 2L, 1L), ("g1", 5L, 2L),
+        ("g2", 10L, 1L), ("g2", 20L, 1L), ("g2", 20L, 1L), ("g2", 30L, 1L))
+        .toDF("g", "v", "w")
+      Stats.weightedMedian(df, Seq("g"), col("v"), col("w"))
+        .as[(String, Long)].collect().toSet shouldBe
+          Set(("g1", 1L), ("g2", 20L))
+    }
   }
 
   describe("Pareto.skyline2") {
