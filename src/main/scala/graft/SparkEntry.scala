@@ -1028,6 +1028,17 @@ object SparkEntry {
         fwd.unionByName(bwd), Seq("n0", "n1", "n2").toDF("node_id"))
     }),
 
+    // DEBOUNCE (pipeline/Behavior): first event of each 30-min burst
+    // per (user, type) — chained-gap suppression (alert dedup), one
+    // partitioned sort.
+    "q99_debounce" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      graft.pipeline.Behavior.debounce(
+        ev0.select(col("user_id"), col("event_id"), col("event_type"),
+          Tables.epochMs(ev0, "ts").as("epoch_ms")),
+        gapMs = 1800000L)
+    }),
+
     // EXACT weighted median (pipeline/Stats): per return flag, the
     // quantity-weighted median price in cents — lower weighted median
     // (2·cum ≥ total), integer-exact, value-RANGE cumulative frame so
@@ -2380,6 +2391,15 @@ object SparkEntry {
            |  JOIN edges e ON e.src = r.node_id AND e.edge_ms >= r.arrival_ms)
            |SELECT node_id, min(arrival_ms) AS arrival_ms
            |FROM reach GROUP BY 1""".stripMargin,
+
+      "q99_debounce" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |    epoch_ms(ts) AS epoch_ms FROM events),
+          |l AS (SELECT *, lag(epoch_ms) OVER (
+          |    PARTITION BY user_id, event_type
+          |    ORDER BY epoch_ms, event_id) AS prev FROM ev)
+          |SELECT user_id, event_id, event_type, epoch_ms
+          |FROM l WHERE prev IS NULL OR epoch_ms - prev > 1800000""".stripMargin,
 
       "q98_weighted_median" ->
         """WITH b AS (SELECT l_returnflag,

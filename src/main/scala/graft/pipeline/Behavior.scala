@@ -35,6 +35,24 @@ object Behavior {
       .agg(count(lit(1)).as("n_steps"))
   }
 
+  /** DEBOUNCE (alert/telemetry dedup): keep only the FIRST event of
+    * each burst per (key, kind) — a new burst starts when the gap from
+    * the previous event of the same (key, kind) exceeds `gapMs`. The
+    * burst structure is the chained-gap rule (each event extends its
+    * burst), so this is island detection, not a fixed-window rounding:
+    * a steady drizzle every gapMs−1 suppresses into ONE row however
+    * long it lasts. One partitioned sort on (key, kind). */
+  def debounce(events: DataFrame, gapMs: Long = 300000L,
+      keyCols: Seq[String] = Seq("user_id", "event_type"),
+      msCol: String = "epoch_ms", seqCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(msCol), col(seqCol))
+    events
+      .withColumn("__prev", lag(col(msCol), 1).over(w))
+      .filter(col("__prev").isNull || col(msCol) - col("__prev") > gapMs)
+      .drop("__prev")
+  }
+
   /** COHORT RETENTION: users grouped by the epoch-week of their first
     * event; for each (cohort_week, week_offset ≥ 0), the number of
     * distinct cohort users active in that later week. Weeks are epoch

@@ -120,6 +120,22 @@ class Round5Spec extends SparkSpec {
       got shouldBe Set(("a", "b", 1L), ("b", "c", 1L))
     }
 
+    it("debounce keeps one row per chained burst, per (key, kind)") {
+      val ev = Seq(
+        // burst: 0, +4min, +8min (each within 5min of the previous) —
+        // only the first survives even though 8min > gap from start
+        (1L, 1L, "err", 0L), (1L, 2L, "err", 240000L),
+        (1L, 3L, "err", 480000L),
+        // new burst after a 10-min silence
+        (1L, 4L, "err", 1200000L),
+        // other kind is an independent stream
+        (1L, 5L, "ok", 100000L))
+        .toDF("user_id", "event_id", "event_type", "epoch_ms")
+      Behavior.debounce(ev, gapMs = 300000L)
+        .select("event_id").as[Long].collect().sorted shouldBe
+          Array(1L, 4L, 5L)
+    }
+
     it("cohort retention: offset 0 equals cohort size") {
       val week = 604800000L
       val ev = Seq(
