@@ -1028,6 +1028,20 @@ object SparkEntry {
         fwd.unionByName(bwd), Seq("n0", "n1", "n2").toDF("node_id"))
     }),
 
+    // GAP-FILL resampling (pipeline/Resample): dense per-user daily
+    // series from first observation to the corpus max day, carrying the
+    // last value forward — sequence explode + one partitioned sort,
+    // never a calendar cross join.
+    "q100_gap_fill" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      graft.pipeline.Resample.gapFill(
+        ev0.select(col("user_id"), col("event_id"), col("value"),
+          Tables.epochMs(ev0, "ts").as("ms")),
+        "user_id", "ms", "value", "event_id")
+        .select(col("key").as("user_id"), col("bucket").as("day"),
+          col("value"), col("is_observed"))
+    }),
+
     // DEBOUNCE (pipeline/Behavior): first event of each 30-min burst
     // per (user, type) — chained-gap suppression (alert dedup), one
     // partitioned sort.
@@ -2391,6 +2405,25 @@ object SparkEntry {
            |  JOIN edges e ON e.src = r.node_id AND e.edge_ms >= r.arrival_ms)
            |SELECT node_id, min(arrival_ms) AS arrival_ms
            |FROM reach GROUP BY 1""".stripMargin,
+
+      "q100_gap_fill" ->
+        """WITH ev AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+          |    epoch_ms(ts) // 86400000 AS bucket FROM events),
+          |pb AS (SELECT user_id, bucket, value AS obs_value FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+          |      ORDER BY ms DESC, event_id DESC) AS rn FROM ev)
+          |  WHERE rn = 1),
+          |spans AS (SELECT user_id, unnest(generate_series(fb,
+          |      (SELECT max(bucket) FROM ev))) AS bucket
+          |  FROM (SELECT user_id, min(bucket) AS fb FROM pb GROUP BY 1)),
+          |j AS (SELECT s.user_id, s.bucket, p.obs_value
+          |  FROM spans s LEFT JOIN pb p USING (user_id, bucket))
+          |SELECT user_id, bucket AS day,
+          |  last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id
+          |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS value,
+          |  obs_value IS NOT NULL AS is_observed
+          |FROM j""".stripMargin,
 
       "q99_debounce" ->
         """WITH ev AS (SELECT user_id, event_id, event_type,

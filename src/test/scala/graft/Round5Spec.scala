@@ -151,6 +151,26 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  describe("Resample.gapFill") {
+    it("carries the last value into gaps; later keys span less") {
+      val day = 86400000L
+      val ev = Seq(
+        // user 1: days 0 and 3 observed (two obs on day 0 — later wins)
+        (1L, 1L, 10.0, 100L), (1L, 2L, 11.0, 200L),
+        (1L, 3L, 30.0, 3 * day + 5),
+        // user 2: born on day 2
+        (2L, 4L, 99.0, 2 * day))
+        .toDF("user_id", "event_id", "value", "ms")
+      val got = graft.pipeline.Resample.gapFill(ev,
+        "user_id", "ms", "value", "event_id")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      got shouldBe Set(
+        (1L, 0L, 11.0, true), (1L, 1L, 11.0, false),
+        (1L, 2L, 11.0, false), (1L, 3L, 30.0, true),
+        (2L, 2L, 99.0, true), (2L, 3L, 99.0, false))
+    }
+  }
+
   describe("Stats.regressionComponents") {
     it("matches the hand-computed sufficient statistics and slope") {
       val df = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 7L))
