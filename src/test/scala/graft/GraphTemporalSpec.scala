@@ -78,5 +78,27 @@ class GraphTemporalSpec extends SparkSpec {
         .as[(String, Long)].collect().toSet shouldBe
           Set(("a", Long.MinValue), ("b", 7L))
     }
+
+    it("seeded invariant: temporally reachable ⊆ statically reachable, " +
+        "arrivals are witnessed edge timestamps") {
+      for (seed <- Seq(11L, 12L, 13L)) {
+        val rnd = new scala.util.Random(seed)
+        val edges = Seq.fill(120)((s"v${rnd.nextInt(20)}",
+          s"v${rnd.nextInt(20)}", rnd.nextInt(50).toLong))
+          .filter(e => e._1 != e._2)
+          .toDF("src", "dst", "edge_ms")
+        val starts = Seq("v0", "v1").toDF("node_id")
+        val temporal = TemporalReach.earliestArrival(edges, starts)
+          .as[(String, Long)].collect().toMap
+        val static = graft.operators.Bfs
+          .reachable(edges.select("src", "dst"), starts)
+          .select("node_id").as[String].collect().toSet
+        // subset: respecting time can never reach MORE than ignoring it
+        temporal.keySet.subsetOf(static) shouldBe true
+        val edgeTimes = edges.select("edge_ms").as[Long].collect().toSet
+        temporal.filterNot(_._2 == Long.MinValue).values
+          .foreach(t => edgeTimes should contain(t))
+      }
+    }
   }
 }
