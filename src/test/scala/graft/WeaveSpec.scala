@@ -124,6 +124,22 @@ class WeaveSpec extends SparkSpec {
         ("n3", "n1", true, ts("2020-02-18T10:00"), Map.empty[String, String]))
     }
 
+    it("policyKeepN(2) — the middle ground: latest two findings' links " +
+        "survive, the oldest is dropped") {
+      val (ns, ls) = run(Seq(
+        fn("n1", "2020-02-18T11:00", Seq(fl("n2", LinkState.ToTarget)), seq = 0),
+        fn("n1", "2020-02-18T10:00", Seq(fl("n3", LinkState.ToSubject)), seq = 1),
+        fn("n1", "2020-02-18T09:00", Seq(fl("n4", LinkState.Bidirectional)), seq = 2)),
+        policy = PolicyKeepN(2))
+      // n4 (only referenced by the dropped oldest finding) vanishes
+      ns.map(n => (n._1, n._3)) shouldBe Seq(
+        ("n1", Some(ts("2020-02-18T11:00"))),
+        ("n2", None), ("n3", None))
+      ls shouldBe Seq(
+        ("n1", "n2", true, ts("2020-02-18T11:00"), Map.empty[String, String]),
+        ("n3", "n1", true, ts("2020-02-18T10:00"), Map.empty[String, String]))
+    }
+
     // Ports sub-ID unifier shared by the two multi-link cases
     // (TestCommon.hs:100-104 subIdWithAPorts + alignAPortsToLinkDirection):
     // sub-id = swap-insensitive {(subject, src_port), (target, dst_port)};
