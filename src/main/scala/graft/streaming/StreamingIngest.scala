@@ -347,4 +347,68 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Canonical input row for [[debounceStream]] (see [[debounceInput]]). */
+  case class DebounceIn(key: String, ts: Long, id: Long,
+      event_time: java.sql.Timestamp)
+  object DebounceIn {
+    def apply(key: String, ts: Long, id: Long): DebounceIn =
+      DebounceIn(key, ts, id, new java.sql.Timestamp(ts))
+  }
+  /** One surviving (first-of-burst) event. */
+  case class DebounceOut(key: String, id: Long, ts: Long)
+
+  /** STREAMING DEBOUNCE — the watermark-correct twin of
+    * `Behavior.debounce` (q99): per key, emit only the first event of
+    * each chained-gap burst, in EVENT-TIME order regardless of arrival
+    * order. An event at t is only decidable once no earlier event can
+    * still arrive, so pending events buffer until the watermark passes
+    * them, then replay through the gap rule against the last RAW
+    * event time (suppressed events still extend their burst, exactly
+    * like the batch operator). State is bounded: pending shrinks with
+    * the watermark, and the whole key's state drops once idle longer
+    * than the gap (any future event is then a new burst by
+    * construction). EventTimeTimeout flushes quiet keys. Replay parity
+    * with the batch operator is spec-checked. */
+  def debounceStream(events: Dataset[DebounceIn],
+      gapMs: Long = 300000L): Dataset[DebounceOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Option[Long], List[(Long, Long)]), DebounceOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, batch, state) =>
+          var (lastRaw, pending) =
+            state.getOption.getOrElse((Option.empty[Long], Nil))
+          batch.foreach(e => pending = (e.ts, e.id) :: pending)
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, still) = pending.distinct.partition(_._1 <= wm)
+          val out = List.newBuilder[DebounceOut]
+          ripe.sortBy(identity).foreach { case (t, id) =>
+            if (lastRaw.forall(t - _ > gapMs)) out += DebounceOut(key, id, t)
+            lastRaw = Some(t) // raw chain: suppressed events extend the burst
+          }
+          if (still.isEmpty && lastRaw.forall(lr => wm - lr > gapMs))
+            state.remove()
+          else {
+            state.update((lastRaw, still))
+            state.setTimeoutTimestamp(math.max(
+              still.map(_._1).minOption.getOrElse(wm + 1), wm + 1))
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Watermark helper for [[debounceStream]]: input columns
+    * (key, ts, id) → canonical watermarked dataset. */
+  def debounceInput(events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[DebounceIn] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("key"), col("ts").cast("long"), col("id").cast("long"))
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .as[DebounceIn]
+  }
 }
