@@ -84,6 +84,74 @@ object Media {
       }
   }
 
+  /** Audio feature row: geometry from the container header, energy as
+    * an INTEGER sum of squares over PCM16 samples — exact (an RMS
+    * double would not be bit-reproducible across batch splits). */
+  case class AudioFeatures(
+      mediaId: Long,
+      nBytes: Long,
+      sampleRate: Long,
+      channels: Long,
+      nFrames: Long,
+      durationMs: Long,
+      sumSquares: Long)
+
+  /** Pluggable batched audio decoder (same contract as [[Decoder]]). */
+  trait AudioDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRow]): Seq[AudioFeatures]
+  }
+
+  /** REAL audio decoder on the JDK's own `javax.sound.sampled` (zero
+    * external dependencies): WAV/AIFF/AU payloads parse to their TRUE
+    * sample rate / channel count / frame length, and PCM16 payloads
+    * additionally get an exact integer energy (sum of squares over all
+    * samples, all channels). Undecodable payloads yield an explicit
+    * zero-geometry marker row — one broken blob must not kill a
+    * partition. The audio twin of [[ImageIoDecoder]]. */
+  object WavPcmDecoder extends AudioDecoder {
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[AudioFeatures] =
+      batch.map { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val pcm = ais.readAllBytes()
+          var ss = 0L
+          if (fmt.getSampleSizeInBits == 16) {
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val s =
+                if (fmt.isBigEndian) (pcm(i) << 8) | (pcm(i + 1) & 0xff)
+                else (pcm(i + 1) << 8) | (pcm(i) & 0xff)
+              ss += s.toLong * s
+              i += 2
+            }
+          }
+          val rate = fmt.getSampleRate.toLong
+          AudioFeatures(r.mediaId, r.content.length.toLong, rate,
+            fmt.getChannels.toLong, frames,
+            if (rate > 0) frames * 1000L / rate else 0L, ss)
+        } catch {
+          case _: Exception =>
+            AudioFeatures(r.mediaId, r.content.length.toLong, 0L, 0L, 0L,
+              0L, 0L)
+        }
+      }
+  }
+
+  /** Batched partition-local audio decode — same plumbing as
+    * [[decodeFeatures]], audio feature struct. */
+  def decodeAudioFeatures(media: Dataset[MediaRow],
+      decoder: AudioDecoder = WavPcmDecoder,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => decoder.decodeBatch(batch))
+    }
+  }
+
   /** Derive a media table from the driver's documents table: text bytes
     * stand in for image payloads (deterministic, so the DuckDB oracle can
     * state the same transform). */

@@ -62,6 +62,40 @@ class MediaSpec extends SparkSpec {
     all(feats.map(_.signature)) should fullyMatch regex "[0-9a-f]{32}"
   }
 
+  it("WavPcmDecoder decodes a real in-memory WAV to true rate/frames/" +
+      "energy through the batched path; garbage yields marker rows") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    import spark.implicits._
+    // 16-bit mono PCM, 8 kHz, 800 frames of a known square wave
+    val nFrames = 800
+    val amp = 1000
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = if (i % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian lo
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wavBytes = bos.toByteArray
+    val rows = Seq(
+      Media.MediaRow(1L, "audio", wavBytes, "a.wav", "audio/wav"),
+      Media.MediaRow(2L, "audio", Array[Byte](1, 2, 3), "junk.wav",
+        "audio/wav"))
+    val got = Media.decodeAudioFeatures(rows.toDS(), batchSize = 1)
+      .collect().sortBy(_.mediaId)
+    got(0).sampleRate shouldBe 8000L
+    got(0).channels shouldBe 1L
+    got(0).nFrames shouldBe nFrames.toLong
+    got(0).durationMs shouldBe 100L // 800 frames / 8 kHz
+    got(0).sumSquares shouldBe nFrames.toLong * amp * amp
+    got(1).sampleRate shouldBe 0L // undecodable → marker, not a crash
+  }
+
   it("sampleFrames chunks video bytes deterministically") {
     import spark.implicits._
     val frames = Media.sampleFrames(
