@@ -166,4 +166,47 @@ object History {
     findings.select(col("subject").as("node_id"))
       .union(findings.select(explode(col("links.target")).as("node_id")))
       .distinct()
+
+  /** 64-bit Z-VALUE (Morton code) interleaving a 32-bit subject hash
+    * with 32 bits of coarse time (epoch minutes) — pure bit-twiddling
+    * column expressions, codegen-friendly. */
+  def zValue(subject: org.apache.spark.sql.Column,
+      epochMs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(c: org.apache.spark.sql.Column) = {
+      // interleave zeros between the low 32 bits (classic Morton spread)
+      var x = c.bitwiseAND(lit(0xffffffffL))
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000ffff0000ffffL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    val h = conv(substring(md5(subject.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // epoch minutes: double division is exact here (ms < 2^53)
+    val t = floor(epochMs / lit(60000L)).cast("long")
+      .bitwiseAND(lit(0xffffffffL))
+    spread(h).bitwiseOR(shiftleft(spread(t), 1))
+  }
+
+  /** Z-ORDERED history layout: range-partition + sort the findings by
+    * the Morton code of (subject, time), so each parquet file covers a
+    * compact rectangle of the (subject, time) plane — row-group min/max
+    * stats then prune BOTH subject-selective and interval-selective
+    * scans, which neither date partitioning (time-only) nor subject
+    * bucketing (subject-only) achieves alone. The standard lakehouse
+    * multi-dimensional clustering technique, as plain Spark: one range
+    * exchange + per-partition sort, no table format required. File
+    * z-ranges are pairwise disjoint by construction (range
+    * partitioning) — asserted by HistorySpec. */
+  def writeZOrdered(findings: DataFrame, tableDir: String,
+      numFiles: Int = 32): Unit = {
+    val withZ = findings.withColumn("__z",
+      zValue(col("subject"), col("epoch_ms")))
+    withZ
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(tableDir)
+  }
 }

@@ -137,6 +137,39 @@ class HistorySpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  it("z-ordered layout: content round-trips and per-file z-ranges are " +
+      "pairwise disjoint (both-dimension row-group pruning)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .toString + "/t"
+    val rnd = new scala.util.Random(7)
+    val findings = Findings.fromSeq(spark, (0 until 600).map { i =>
+      fn(s"n${rnd.nextInt(40)}",
+        f"2024-01-${1 + rnd.nextInt(28)}%02dT${rnd.nextInt(24)}%02d:00",
+        i.toLong)
+    })
+    History.writeZOrdered(findings, dir, numFiles = 8)
+    val back = spark.read.parquet(dir)
+    // content identical (multiset of (subject, ms, seq))
+    back.select("subject", "epoch_ms", "finding_seq")
+      .as[(String, Long, Long)].collect().sorted.toSeq shouldBe
+      findings.select("subject", "epoch_ms", "finding_seq")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+    // each file covers a disjoint z-interval — the clustering property
+    // that lets parquet min/max stats prune on BOTH dimensions
+    val ranges = back
+      .withColumn("z", History.zValue(col("subject"), col("epoch_ms")))
+      .withColumn("f", input_file_name())
+      .groupBy(col("f")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.length should be > 1
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => hi1 should be <= lo2
+      case _ =>
+    }
+  }
+
   it("bucketed layout makes subject aggregation shuffle-free") {
     val table = "graft_hist_bucketed_t1"
     spark.sql(s"DROP TABLE IF EXISTS $table")
