@@ -421,4 +421,81 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("a.bucket"))
   }
+
+  // ---- Product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search"): split each vector into m contiguous
+  // subvectors; per subspace learn a small codebook (here: the same
+  // deterministic stride-sampled seeding as ivfAssign); encode each
+  // vector as m byte-sized codes. 64 floats → m bytes (32x+ compression
+  // at m=8) with distances computable from codebooks alone — the
+  // standard memory-bound ANN layout at 100 TB. Codebooks are tiny
+  // (m × k × dims/m) and broadcast; encoding is one broadcast join +
+  // per-subspace argmin, no shuffle of the embedding table. ----
+
+  /** Per-subspace codebooks: (sub, code, cu) — deterministic stride
+    * sample of the corpus as in [[ivfAssign]] (sub = subvector index,
+    * code = dense id within the subspace). */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, stride: Int = 50,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    embeddings.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("seed_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), i =>
+          struct(i.as("sub"),
+            slice(col(vecCol), i * sub + lit(1), lit(sub)).as("cu")))).as("s"))
+      .select((dense_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s.sub")).orderBy(col("seed_id"))) - 1)
+          .as("code"),
+        col("s.sub").as("sub"), col("s.cu").as("cu"))
+  }
+
+  /** Encode every vector as m codes: per (vector, subspace), the code
+    * of the L2-nearest codebook entry (ties → lowest code). One
+    * broadcast join; result is (id, codes ARRAY<m>). */
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame, m: Int = 8,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sub = dims / m
+    val pieces = embeddings.select(col(idCol).as("id"),
+      explode(transform(sequence(lit(0), lit(m - 1)), i =>
+        struct(i.as("sub"),
+          slice(col(vecCol), i * sub + lit(1), lit(sub)).as("v")))).as("p"))
+      .select(col("id"), col("p.sub").as("sub"), col("p.v").as("v"))
+    val d2 = aggregate(zip_with(col("v"), col("cu"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    pieces.join(broadcast(codebooks), Seq("sub"))
+      .select(col("id"), col("sub"), col("code"), d2.as("d2"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("id"), col("sc.code").as("codes"))
+  }
+
+  /** Reconstruction audit: mean squared error of PQ-decoded vectors vs
+    * the originals — the compression-quality number a pipeline tracks
+    * next to [[quantizeInt8Summary]]. Returns one row (n, mse). */
+  def pqReconstructionError(embeddings: DataFrame, codebooks: DataFrame,
+      m: Int = 8, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sub = dims / m
+    val pieces = embeddings.select(col(idCol).as("id"),
+      explode(transform(sequence(lit(0), lit(m - 1)), i =>
+        struct(i.as("sub"),
+          slice(col(vecCol), i * sub + lit(1), lit(sub)).as("v")))).as("p"))
+      .select(col("id"), col("p.sub").as("sub"), col("p.v").as("v"))
+    val d2 = aggregate(zip_with(col("v"), col("cu"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val best = pieces.join(broadcast(codebooks), Seq("sub"))
+      .select(col("id"), col("sub"), d2.as("d2"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(col("d2")).as("best_d2"))
+    best.agg((count(lit(1)) / m).cast("long").as("n"),
+      (sum(col("best_d2")) / (count(lit(1)) / m) / dims).as("mse"))
+  }
 }

@@ -144,6 +144,38 @@ class SimilaritySpec extends SparkSpec {
     viaIndex shouldBe inMemory
   }
 
+  it("product quantization: seeds reconstruct exactly, finer codebooks " +
+      "never hurt, codes are m bytes in range") {
+    if (!haveData) cancel("testdata missing")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val books = Similarity.pqCodebooks(emb, m = 8, stride = 50)
+    val k = books.filter(col("sub") === 0).count()
+    // codes: 8 entries per vector, all within [0, k)
+    val codes = Similarity.pqEncode(emb, books, m = 8)
+    codes.count() shouldBe emb.count()
+    codes.select(org.apache.spark.sql.functions.size(col("codes")))
+      .distinct().as[Int].head() shouldBe 8
+    codes.select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).as[(Long, Long)].head() match {
+      case (lo, hi) => lo should be >= 0L; hi should be < k
+    }
+    // a codebook seed's own subvectors are codebook entries → exact
+    val seedMse = Similarity.pqReconstructionError(
+      emb.filter(col("vec_id") % 50 === 0), books, m = 8)
+      .select("mse").as[Double].head()
+    seedMse shouldBe 0.0 +- 1e-12
+    // a finer codebook (more seeds) can only match or reduce the error
+    val coarse = Similarity.pqReconstructionError(emb,
+      Similarity.pqCodebooks(emb, m = 8, stride = 250), m = 8)
+      .select("mse").as[Double].head()
+    val fine = Similarity.pqReconstructionError(emb, books, m = 8)
+      .select("mse").as[Double].head()
+    fine should be <= coarse
+    fine should be > 0.0
+  }
+
   it("lshCandidatePairs puts identical vectors in one bucket") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)
