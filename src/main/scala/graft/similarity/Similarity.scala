@@ -498,4 +498,42 @@ object Similarity {
     best.agg((count(lit(1)) / m).cast("long").as("n"),
       (sum(col("best_d2")) / (count(lit(1)) / m) / dims).as("mse"))
   }
+
+  /** PQ ASYMMETRIC-DISTANCE search (ADC): approximate L2 top-k where
+    * the collection exists ONLY as m-byte codes — each query computes a
+    * (m × k) lookup table of subvector distances to every codebook
+    * entry, and a coded vector's distance is the sum of m table
+    * lookups. Stated relationally: LUT = queries × codebooks (broadcast
+    * — |Q|·m·k small rows), then codes explode to (id, sub, code), join
+    * the LUT on (query, sub, code), and one hash aggregation sums per
+    * (query, id). The full-precision collection is never touched — the
+    * memory-bound regime PQ exists for. Returns (qid, nid, approx_d2,
+    * rank); quality is spec-checked as recall vs the exact baseline. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      k: Int = 3, m: Int = 8, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sub = dims / m
+    val qPieces = queries.select(col(idCol).as("qid"),
+      explode(transform(sequence(lit(0), lit(m - 1)), i =>
+        struct(i.as("sub"),
+          slice(col(vecCol), i * sub + lit(1), lit(sub)).as("v")))).as("p"))
+      .select(col("qid"), col("p.sub").as("sub"), col("p.v").as("v"))
+    val d2 = aggregate(zip_with(col("v"), col("cu"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val lut = qPieces.join(broadcast(codebooks), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), d2.as("ld2"))
+    val coded = codes.select(col("id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    import org.apache.spark.sql.expressions.Window
+    coded.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("ld2")), 6).as("approx_d2"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(asc("approx_d2"), asc("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("nid"), col("approx_d2"),
+        col("rank").cast("long").as("rank"))
+  }
 }
