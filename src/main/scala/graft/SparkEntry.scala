@@ -1028,6 +1028,17 @@ object SparkEntry {
         fwd.unionByName(bwd), Seq("n0", "n1", "n2").toDF("node_id"))
     }),
 
+    // EXACT 3σ outlier flags (pipeline/Stats): the decision inequality
+    // is multiplied through by n² so NO floating point touches it — a
+    // boundary value flags identically on every engine/partitioning.
+    "q101_outliers" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(30,2)") * 100).cast("long").as("cents"))
+      graft.pipeline.Stats.sigmaOutliers(ev, Seq("event_type"), col("cents"))
+        .select("event_id", "event_type", "cents")
+    }),
+
     // GAP-FILL resampling (pipeline/Resample): dense per-user daily
     // series from first observation to the corpus max day, carrying the
     // last value forward — sequence explode + one partitioned sort,
@@ -2405,6 +2416,16 @@ object SparkEntry {
            |  JOIN edges e ON e.src = r.node_id AND e.edge_ms >= r.arrival_ms)
            |SELECT node_id, min(arrival_ms) AS arrival_ms
            |FROM reach GROUP BY 1""".stripMargin,
+
+      "q101_outliers" ->
+        """WITH b AS (SELECT event_id, event_type,
+          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+          |  FROM events),
+          |s AS (SELECT event_type, count(*) AS n, sum(cents) AS sx,
+          |    sum(cents * cents) AS sxx FROM b GROUP BY 1)
+          |SELECT event_id, event_type, cents FROM b JOIN s USING (event_type)
+          |WHERE (n * cents - sx) * (n * cents - sx) > 9 * (n * sxx - sx * sx)
+          |""".stripMargin,
 
       "q100_gap_fill" ->
         """WITH ev AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,

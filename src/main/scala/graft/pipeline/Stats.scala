@@ -49,6 +49,31 @@ object Stats {
           .cast("double").as("slope_den"))): _*)
   }
 
+  /** EXACT 3σ outlier flags per group, with NO floating point in the
+    * decision: (x − μ)² > 9σ² multiplied through by n² becomes
+    *
+    *   (n·x − Σx)² > 9·(n·Σx² − (Σx)²)
+    *
+    * — all integer (decimal-exact) terms, so a value sitting exactly on
+    * the boundary flags identically on every engine and partitioning
+    * (an FP mean/stddev can flip it). One aggregation for the group
+    * moments (broadcast — |groups| rows) + one scan with the decimal
+    * predicate. Returns the flagged rows. `x` must be integer-valued
+    * (scale to cents first). */
+  def sigmaOutliers(df: DataFrame, groupCols: Seq[String], x: Column,
+      nSigma: Int = 3): DataFrame = {
+    val dx = x.cast("decimal(38,0)")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(dx).cast("decimal(38,0)").as("__sx"),
+        sum(dx * dx).cast("decimal(38,0)").as("__sxx"))
+    val dev = (col("__n") * dx - col("__sx"))
+    val varN2 = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    df.join(broadcast(stats), groupCols)
+      .filter(dev * dev > lit(nSigma * nSigma) * varN2)
+      .drop("__n", "__sx", "__sxx")
+  }
+
   /** EXACT weighted median per group: the smallest value v whose
     * cumulative weight (over all rows with value ≤ v) reaches half the
     * group's total weight — 2·cum ≥ total, the standard lower weighted

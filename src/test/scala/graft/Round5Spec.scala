@@ -184,6 +184,21 @@ class Round5Spec extends SparkSpec {
         3.0 * 14 - 36))      // 6  → slope 2.5
     }
 
+    it("sigmaOutliers flags exactly the >3σ rows, integer-exact") {
+      // group g: 20 values of 10 plus one spike of 1000
+      val vals = Seq.fill(20)(10L) :+ 1000L
+      val df = vals.zipWithIndex
+        .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+      val flagged = Stats.sigmaOutliers(df, Seq("g"), col("v"))
+        .select("id", "v").as[(Long, Long)].collect().toSeq
+      flagged shouldBe Seq((20L, 1000L))
+      // hand check: n=21, μ≈57.1, σ≈210.5 → only the spike exceeds 3σ
+      val n = vals.size.toDouble
+      val mu = vals.sum / n
+      val sd = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / (n * n) * n)
+      vals.count(v => math.abs(v - mu) > 3 * sd) shouldBe 1
+    }
+
     it("weightedMedian picks the lower weighted median, ties pooled") {
       // g1: values 1(w3), 2(w1), 5(w2) → total 6, cum(1)=3 <6/2·2? 2·3≥6 ✓ → 1
       // g2: 10(w1), 20(w1), 20(w1), 30(w1) → total 4, cum(10)=1, cum(20)=3 → 20
