@@ -1028,6 +1028,30 @@ object SparkEntry {
         fwd.unionByName(bwd), Seq("n0", "n1", "n2").toDF("node_id"))
     }),
 
+    // ASYMMETRIC CONTAINMENT dedup (Dedup.containmentPairs): (quoted,
+    // container) pairs with ≥80% of the quoted doc's shingles present —
+    // integer-exact decision (n_shared·10⁶ ≥ t_ppm·sz), the pair class
+    // q21's Jaccard length filter structurally rejects.
+    "q102_containment" -> ((s, d) =>
+      graft.dedup.Dedup.containmentPairs(doubledDocs(s, d))),
+
+    // TIME-RANGE rolling window: per user, trailing-1h event count and
+    // decimal-exact cents sum via a value-RANGE frame on epoch ms —
+    // the time-based twin of q76's row frame; same-ms ties pool
+    // deterministically by frame semantics.
+    "q103_time_rolling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("user_id"), col("event_id"),
+        Tables.epochMs(ev0, "ts").as("ms"),
+        (col("value").cast("decimal(30,2)") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-3600000L, 0L)
+      ev.select(col("user_id"), col("event_id"), col("ms"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("sum_cents_1h"))
+    }),
+
     // EXACT 3σ outlier flags (pipeline/Stats): the decision inequality
     // is multiplied through by n² so NO floating point touches it — a
     // boundary value flags identically on every engine/partitioning.
@@ -2416,6 +2440,33 @@ object SparkEntry {
            |  JOIN edges e ON e.src = r.node_id AND e.edge_ms >= r.arrival_ms)
            |SELECT node_id, min(arrival_ms) AS arrival_ms
            |FROM reach GROUP BY 1""".stripMargin,
+
+      "q102_containment" ->
+        s"""WITH docs AS ($doubledSql),
+           |sh AS (SELECT * FROM ($shinglesSql) WHERE shingle <> ''),
+           |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+           |capped AS (SELECT id, shingle FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+           |  WHERE df <= 64),
+           |shared AS (SELECT a.id AS id_contained, b.id AS id_container,
+           |    count(*) AS n_shared
+           |  FROM capped a JOIN capped b
+           |    ON a.shingle = b.shingle AND a.id <> b.id
+           |  GROUP BY 1, 2)
+           |SELECT id_contained, id_container, n_shared, sz AS sz_contained
+           |FROM shared JOIN sizes ON sizes.id = shared.id_contained
+           |WHERE sz >= 4 AND n_shared * 1000000 >= 800000 * sz""".stripMargin,
+
+      "q103_time_rolling" ->
+        """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+          |  FROM events)
+          |SELECT user_id, event_id, ms,
+          |  count(*) OVER (PARTITION BY user_id ORDER BY ms
+          |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_1h,
+          |  sum(cents) OVER (PARTITION BY user_id ORDER BY ms
+          |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS sum_cents_1h
+          |FROM ev""".stripMargin,
 
       "q101_outliers" ->
         """WITH b AS (SELECT event_id, event_type,

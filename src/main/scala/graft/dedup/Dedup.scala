@@ -506,6 +506,41 @@ object Dedup {
       unpersistAfter = Seq(sims))
   }
 
+  /** ASYMMETRIC CONTAINMENT pairs: ordered (contained, container) doc
+    * pairs with |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ t — the
+    * quote/subset-detection primitive. Jaccard (q21) structurally
+    * misses a short document quoted inside a long one (the length
+    * filter |min| ≥ t·|max| that makes Jaccard scale REJECTS exactly
+    * those pairs); containment normalizes by the contained side only.
+    *
+    * Decision is integer-exact: n_shared · 10⁶ ≥ t_ppm · |A| — no FP
+    * ratio in the gate. Scale shape: one distinct-shingle equi-join
+    * (hot shingles above `maxDf` capped, as in [[contaminationCounts]])
+    * + one hash aggregation; `minShingles` drops trivially-tiny docs
+    * whose containment is noise. */
+  def containmentPairs(docs: DataFrame, thresholdPpm: Long = 800000L,
+      k: Int = 3, minShingles: Int = 4, maxDf: Long = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, k, idCol, textCol)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val capped = sh.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val shared = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_contained"),
+        col("b.id").as("id_container"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared.join(sizes.select(col("id").as("id_contained"),
+        col("sz").as("sz_contained")), Seq("id_contained"))
+      .filter(col("sz_contained") >= minShingles &&
+        col("n_shared") * 1000000L >= lit(thresholdPpm) * col("sz_contained"))
+      .select(col("id_contained"), col("id_container"),
+        col("n_shared"), col("sz_contained"))
+  }
+
   /** POSITIONED shingles — like [[shingles]] but keeping each k-gram's
     * token offset and every occurrence (no per-doc dedup): (id, pos,
     * shingle). The building block for substring-level span detection. */

@@ -104,6 +104,25 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  describe("Dedup.containmentPairs") {
+    it("finds a short doc quoted in a long one — the pair Jaccard's " +
+        "length filter rejects") {
+      val quote = "alpha bravo charlie delta echo foxtrot"
+      val docs = Seq(
+        (1L, quote), // 4 shingles, all inside doc 2
+        (2L, s"lead in words then $quote and a very long tail of many " +
+          "extra unrelated tokens stretching the container document"),
+        (3L, "entirely disjoint vocabulary for the third document here"))
+        .toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(docs, thresholdPpm = 800000L)
+        .select("id_contained", "id_container").as[(Long, Long)]
+        .collect().toSeq
+      got shouldBe Seq((1L, 2L)) // asymmetric: 2 is NOT contained in 1
+      // and Jaccard at any reasonable threshold misses the pair
+      Dedup.ngramJaccardPairs(docs, threshold = 0.5).count() shouldBe 0L
+    }
+  }
+
   describe("Behavior") {
     it("transitions counts only within-session consecutive steps") {
       val ev = Seq(
