@@ -1052,6 +1052,17 @@ object SparkEntry {
         sum(col("cents")).over(w).as("sum_cents_1h"))
     }),
 
+    // WINSORIZATION (pipeline/Stats): clip to per-type exact discrete
+    // [p05, p95] — outlier treatment beside q101's detection; the
+    // quantiles are lower-discrete (integer-exact, no interpolation).
+    "q104_winsorize" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(30,2)") * 100).cast("long").as("cents"))
+      graft.pipeline.Stats.winsorize(ev, Seq("event_type"), col("cents"))
+        .select("event_id", "event_type", "cents", "clipped")
+    }),
+
     // EXACT 3σ outlier flags (pipeline/Stats): the decision inequality
     // is multiplied through by n² so NO floating point touches it — a
     // boundary value flags identically on every engine/partitioning.
@@ -2440,6 +2451,22 @@ object SparkEntry {
            |  JOIN edges e ON e.src = r.node_id AND e.edge_ms >= r.arrival_ms)
            |SELECT node_id, min(arrival_ms) AS arrival_ms
            |FROM reach GROUP BY 1""".stripMargin,
+
+      "q104_winsorize" ->
+        """WITH b AS (SELECT event_id, event_type,
+          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+          |  FROM events),
+          |c AS (SELECT *, count(*) OVER (PARTITION BY event_type
+          |      ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS cum,
+          |    count(*) OVER (PARTITION BY event_type) AS tot FROM b),
+          |q AS (SELECT event_type,
+          |    min(CASE WHEN cum * 1000000 >= 50000 * tot THEN cents END) AS p05,
+          |    min(CASE WHEN cum * 1000000 >= 950000 * tot THEN cents END) AS p95
+          |  FROM c GROUP BY 1)
+          |SELECT event_id, b.event_type, cents,
+          |  least(greatest(cents, p05), p95) AS clipped
+          |FROM b JOIN q ON b.event_type = q.event_type""".stripMargin,
 
       "q102_containment" ->
         s"""WITH docs AS ($doubledSql),

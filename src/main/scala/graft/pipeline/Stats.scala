@@ -74,6 +74,40 @@ object Stats {
       .drop("__n", "__sx", "__sxx")
   }
 
+  /** EXACT discrete quantiles per group: for each q (in ppm), the
+    * smallest value whose cumulative count reaches q·n — the lower
+    * discrete quantile, integer-exact (no interpolation, so engines
+    * can't disagree in the last ulp). One partitioned sort with a
+    * value-RANGE cumulative frame (ties pool), then one aggregation
+    * producing a `p_<ppm>` column per requested quantile. */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+      qsPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val cumW = part.orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(groupCols.map(col) :+ value.as("__v"): _*)
+      .withColumn("__cum", count(lit(1)).over(cumW))
+      .withColumn("__tot", count(lit(1)).over(part))
+    val exprs = qsPpm.map(q => min(when(
+      col("__cum") * 1000000L >= lit(q) * col("__tot"), col("__v")))
+      .as(s"p_$q"))
+    base.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** WINSORIZE: clip each row's value to its group's [loPpm, hiPpm]
+    * exact discrete quantiles — the standard outlier TREATMENT next to
+    * [[sigmaOutliers]]' detection. Quantile table broadcasts. Adds a
+    * `clipped` column. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], value: Column,
+      loPpm: Long = 50000L, hiPpm: Long = 950000L): DataFrame = {
+    val qs = exactQuantiles(df, groupCols, value, Seq(loPpm, hiPpm))
+    df.join(broadcast(qs), groupCols)
+      .withColumn("clipped",
+        least(greatest(value, col(s"p_$loPpm")), col(s"p_$hiPpm")))
+      .drop(s"p_$loPpm", s"p_$hiPpm")
+  }
+
   /** EXACT weighted median per group: the smallest value v whose
     * cumulative weight (over all rows with value ≤ v) reaches half the
     * group's total weight — 2·cum ≥ total, the standard lower weighted

@@ -218,6 +218,18 @@ class Round5Spec extends SparkSpec {
       vals.count(v => math.abs(v - mu) > 3 * sd) shouldBe 1
     }
 
+    it("exactQuantiles / winsorize clip to the discrete group quantiles") {
+      // 1..100 in one group: p05 (lower discrete) = 5, p95 = 95
+      val df = (1L to 100L).map(("g", _)).toDF("g", "v")
+      Stats.exactQuantiles(df, Seq("g"), col("v"), Seq(50000L, 950000L))
+        .as[(String, Long, Long)].head() shouldBe ("g", 5L, 95L)
+      val w = Stats.winsorize(df, Seq("g"), col("v"))
+      w.agg(min(col("clipped")), max(col("clipped")))
+        .as[(Long, Long)].head() shouldBe ((5L, 95L))
+      w.filter(col("v") === 50L).select("clipped").as[Long]
+        .head() shouldBe 50L // interior values untouched
+    }
+
     it("weightedMedian picks the lower weighted median, ties pooled") {
       // g1: values 1(w3), 2(w1), 5(w2) → total 6, cum(1)=3 <6/2·2? 2·3≥6 ✓ → 1
       // g2: 10(w1), 20(w1), 20(w1), 30(w1) → total 4, cum(10)=1, cum(20)=3 → 20
