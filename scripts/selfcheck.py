@@ -38,6 +38,15 @@ def canon(rows, cols):
     return sorted(cols), out
 
 
+def canon_types(cols, types):
+    """Column types sorted by column name, as strings. Compared PRE-
+    normalization: the driver's hash is type-sensitive (DuckDB
+    sum(BIGINT) -> HUGEINT vs Spark BIGINT hash-fails even when every
+    value is equal), so an oracle/engine type drift must fail here too."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [str(types[i]) for i in order]
+
+
 def exact_eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -58,15 +67,23 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             continue
         got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        got_types = canon_types(got_rel.columns, got_rel.types)
         got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
         try:
             exp_rel = con.sql(sql)
+            exp_types = canon_types(exp_rel.columns, exp_rel.types)
             exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            continue
+        if got_types != exp_types:
+            diffs = [f"{c}: spark={g} oracle={e}"
+                     for c, g, e in zip(got_cols, got_types, exp_types)
+                     if g != e]
+            print(f"FAIL {name}: column types differ ({'; '.join(diffs)})")
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")

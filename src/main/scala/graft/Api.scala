@@ -19,15 +19,39 @@ import graft.time.Interval
   *    within a time interval.
   */
 class Weaver(spark: SparkSession,
-    policy: FoundNodePolicy = PolicyOverwrite) {
+    policy: FoundNodePolicy = PolicyOverwrite,
+    spillThreshold: Int = 100000) {
+  require(spillThreshold > 0, "spillThreshold must be positive")
   private val buf = scala.collection.mutable.ArrayBuffer.empty[FoundNode]
   private val visited = scala.collection.mutable.LinkedHashSet.empty[String]
+  private var nextSeq = 0L
+  private var spillDir: Option[String] = None
 
   /** Weaver.hs addFoundNode. Assigns insertion order as findingSeq so
-    * equal-timestamp ties break like the reference's insert order. */
+    * equal-timestamp ties break like the reference's insert order.
+    *
+    * The driver buffer is BOUNDED: past `spillThreshold` findings the
+    * buffer flushes to a temp parquet findings table and clears — the
+    * reference's in-memory Weaver carries a documented "does not scale"
+    * caveat (README.md:316-321); here a large stream degrades to the
+    * history-table path instead of silently OOMing the driver. */
   def addFoundNode(fn: FoundNode): this.type = {
-    buf += fn.copy(findingSeq = buf.size.toLong)
+    buf += fn.copy(findingSeq = nextSeq)
+    nextSeq += 1
+    if (buf.size >= spillThreshold) spill()
     this
+  }
+
+  private def spill(): Unit = {
+    val dir = spillDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft_weaver_spill_")
+        .toString
+      spillDir = Some(d)
+      d
+    }
+    Findings.fromSeq(spark, buf.toSeq)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    buf.clear()
   }
 
   /** Weaver.hs markAsVisited. */
@@ -38,7 +62,12 @@ class Weaver(spark: SparkSession,
     import spark.implicits._
     val extra = if (visited.isEmpty) None
       else Some(visited.toSeq.toDF("node_id"))
-    Weave.snapshot(Findings.fromSeq(spark, buf.toSeq), policy, unifier, extra)
+    val inMem = Findings.fromSeq(spark, buf.toSeq)
+    val findings = spillDir match {
+      case Some(d) => spark.read.parquet(d).unionByName(inMem)
+      case None => inMem
+    }
+    Weave.snapshot(findings, policy, unifier, extra)
   }
 }
 
@@ -55,19 +84,37 @@ class Spider[N](spark: SparkSession, historyDir: String)(
     * String-id [[FoundNode]] model; other id types append canonical
     * findings DataFrames directly. */
   def addFoundNodes(fns: Seq[FoundNode])(implicit ev: N =:= String): Unit =
-    History.append(Findings.fromSeq(spark, fns), historyDir)
+    addFoundNodes(Findings.fromSeq(spark, fns))
 
   def addFoundNodes(findings: DataFrame): Unit =
-    History.append(findings, historyDir)
+    if (History.isBucketedTable(spark, historyDir))
+      History.appendBucketed(findings, historyDir)
+    else History.append(findings, historyDir)
 
   /** Spider.hs clearAll. */
-  def clearAll(): Unit = History.clear(spark, historyDir)
+  def clearAll(): Unit =
+    if (History.isBucketedTable(spark, historyDir))
+      spark.sql(s"DROP TABLE IF EXISTS $historyDir")
+    else History.clear(spark, historyDir)
+
+  /** The interval-filtered findings view this spider queries over —
+    * LAYOUT-AWARE: when `historyDir` names a subject-bucketed catalog
+    * table ([[History.appendBucketed]]), the bucketed scan's hash
+    * partitioning on `subject` feeds policy retention with NO Exchange
+    * — the default query path uses the scale layout automatically, the
+    * way the reference's `byNodeId` JanusGraph composite index
+    * (janusgraph-conf/net-spider-index.groovy:18-34) is ITS default
+    * read path. Plain date-partitioned and z-ordered dirs read via
+    * [[History.read]] (partition / row-group pruning respectively). */
+  def readFindings(interval: Interval): DataFrame =
+    if (History.isBucketedTable(spark, historyDir))
+      History.readBucketed(spark, historyDir, interval)
+    else History.read(spark, historyDir, interval)
 
   /** Spider.hs getSnapshot: interval filter → policy retention → BFS
     * from startsFrom → weave. */
   def getSnapshot(query: Query[N]): SnapshotGraph =
-    GetSnapshot(spark, History.read(spark, historyDir, query.interval)
-        .drop("day"),
+    GetSnapshot(spark, readFindings(query.interval),
       // interval already applied by the pruned read
       query.copy(interval = Interval.whole))
 

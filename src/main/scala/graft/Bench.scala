@@ -33,7 +33,19 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val warmup = names.map(run).sum
+    // Warm only the ONE-TIME session costs: Hadoop FS init + parquet
+    // footer reads (one count per base table) and the codegen/JIT
+    // machinery (three cheap representative queries). A full untimed
+    // pass over every query (round 5) cost 3.5 min of unmeasured wall
+    // for no measurement benefit — per-query codegen lands in pass 1
+    // and the min() below picks the steady-state pass anyway.
+    val t0 = System.nanoTime()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    Seq("q01", "q17", "q25")
+      .foreach(p => names.find(_.startsWith(p)).foreach(run))
+    val warmup = (System.nanoTime() - t0) / 1e9
     // two measured passes, min per query — damps the considerable
     // run-to-run noise of a 32-thread local JVM (GC, JIT recompiles)
     val pass1 = names.map(n => n -> run(n)).toMap

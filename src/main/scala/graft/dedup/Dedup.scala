@@ -585,15 +585,19 @@ object Dedup {
     require(minSpanTokens >= k, s"minSpanTokens must be >= k=$k")
     // hot-shingle exclusion via a partition-only window: the occ count
     // shares the SAME shingle-keyed exchange the candidate join needs
-    // next, so Catalyst reuses one shuffle for both (measured ~2× faster
-    // than the aggregate + anti-join formulation, which pays a cache of
-    // the full positioned frame plus separate exchanges). occ counts ALL
-    // occurrences corpus-wide — the oracle states the identical window.
+    // next. occ counts ALL occurrences corpus-wide — the oracle states
+    // the identical window. The capped frame is persist()ed because the
+    // self-join consumes it TWICE and Catalyst does not reuse the
+    // exchange across the join's broadcast side (audited r5 plan: two
+    // full scan→tokenize→posexplode→window subtrees); with the persist
+    // the expensive subtree runs once and both join sides read the
+    // cache. Released via materialize() below (result ≪ intermediate).
     val ps = positionedShingles(docs, k, idCol, textCol)
       .withColumn("occ",
         count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("occ") <= maxOcc)
       .drop("occ")
+      .persist()
     val m = ps.as("a").join(ps.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -602,10 +606,12 @@ object Dedup {
       col("p1") - row_number().over(Window
         .partitionBy(col("id1"), col("id2"), col("diag"))
         .orderBy(col("p1"))))
-    isl.groupBy(col("id1"), col("id2"), col("diag"), col("island"))
+    val out = isl
+      .groupBy(col("id1"), col("id2"), col("diag"), col("island"))
       .agg((count(lit(1)) + (k - 1)).as("span"))
       .groupBy(col("id1"), col("id2"))
       .agg(max(col("span")).as("max_span_tokens"))
       .filter(col("max_span_tokens") >= minSpanTokens)
+    graft.util.Checkpoints.materialize(out, unpersistAfter = Seq(ps))
   }
 }

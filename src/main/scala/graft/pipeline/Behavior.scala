@@ -63,8 +63,8 @@ object Behavior {
     val weekMs = 604800000L
     val byUserWeek = events
       .select(col(userCol).as("user"),
-        // integer division — `/` on columns is double division
-        expr(s"$msCol div $weekMs").as("week"))
+        // floor division (oracle `//` parity, correct for negative ms)
+        graft.time.Buckets.floorDiv(msCol, weekMs).as("week"))
       .distinct()
     val firstWeek = byUserWeek.groupBy(col("user"))
       .agg(min(col("week")).as("cohort_week"))

@@ -27,7 +27,7 @@ object Resample {
       valueCol: String, seqCol: String,
       bucketMs: Long = 86400000L): DataFrame = {
     val ev = events.select(col(keyCol).as("key"),
-      expr(s"$msCol div $bucketMs").as("bucket"),
+      graft.time.Buckets.floorDiv(msCol, bucketMs).as("bucket"),
       col(msCol).as("__ms"), col(seqCol).as("__seq"),
       col(valueCol).as("value"))
     // latest observation per (key, bucket) — map-side-combining max_by
@@ -35,7 +35,11 @@ object Resample {
       .agg(max_by(col("value"), struct(col("__ms"), col("__seq")))
         .as("obs_value"))
     // dense per-key range: first bucket of the key .. global max bucket
-    val maxBucket = ev.agg(max(col("bucket"))).head().getLong(0)
+    val maxRow = ev.agg(max(col("bucket"))).head()
+    if (maxRow.isNullAt(0)) return perBucket.limit(0)
+      .select(col("key"), col("bucket"), col("obs_value").as("value"),
+        lit(false).as("is_observed"))
+    val maxBucket = maxRow.getLong(0)
     val spans = perBucket.groupBy(col("key"))
       .agg(min(col("bucket")).as("first_bucket"))
       .select(col("key"),

@@ -69,6 +69,10 @@ object TopOneWindowToMaxBy extends Rule[LogicalPlan] {
         case Seq(rnAlias @ Alias(
             WindowExpression(_: RowNumber, spec: WindowSpecDefinition), _))
             if rnAlias.exprId == rnAttr.exprId && frameOk(spec) &&
+              // global (empty PARTITION BY) top-1 must NOT rewrite: a
+              // global Aggregate over an empty relation returns one
+              // all-null row, where the window+filter returns zero rows
+              w.partitionSpec.nonEmpty &&
               w.orderSpec.nonEmpty &&
               w.orderSpec.forall(k => !k.child.nullable) &&
               (w.orderSpec.forall(_.direction == Ascending) ||

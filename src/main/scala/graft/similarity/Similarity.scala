@@ -509,6 +509,110 @@ object Similarity {
     * (query, id). The full-precision collection is never touched — the
     * memory-bound regime PQ exists for. Returns (qid, nid, approx_d2,
     * rank); quality is spec-checked as recall vs the exact baseline. */
+  /** IVF-PQ composed ON-DISK index (Jégou et al. 2011 §IV, "IVFADC" —
+    * the actual 100 TB ANN layout): the collection lives ONLY as m-byte
+    * PQ codes, partitioned by assigned IVF centroid. Layout under
+    * `outDir`:
+    *
+    *  - `centroids/` — (cid, cu) unit centroid vectors (tiny);
+    *  - `codebooks/` — (sub, code, cu) PQ codebooks (tiny, broadcast at
+    *    search);
+    *  - `codes/centroid=<cid>/` — (id, codes ARRAY<m>) — the ONLY
+    *    per-vector state; full-precision vectors never ship.
+    *
+    * A probe touches nprobe partitions of m-byte codes (partition
+    * pruning at the scan) and ranks by ADC over the broadcast
+    * codebooks: per-query I/O is nprobe/N-centroids of a collection
+    * already compressed 32×. All arithmetic is double (floats cast
+    * before slicing) so the DuckDB oracle states identical math. */
+  def writeIvfPqIndex(embeddings: DataFrame, outDir: String,
+      centroidStride: Int = 50, m: Int = 8, stride: Int = 50,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val base = embeddings.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    unitVectors(base, "id", "v")
+      .filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("u").as("cu"))
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    val cb = pqCodebooks(base, m, stride, dims, "id", "v")
+    cb.write.mode("overwrite").parquet(s"$outDir/codebooks")
+    val codes = pqEncode(base, cb, m, dims, "id", "v")
+    val assigned = ivfAssign(base, centroidStride, "id", "v")
+    codes.join(assigned, Seq("id"))
+      // co-locate each centroid's list before the partitioned write
+      // (same discipline as writeIvfIndex)
+      .repartition(col("centroid"))
+      .write.partitionBy("centroid").mode("overwrite")
+      .parquet(s"$outDir/codes")
+  }
+
+  /** Top-k search through a [[writeIvfPqIndex]] layout: probe the
+    * nprobe max-cosine centroids per query (broadcast centroid table),
+    * prune the codes scan to the probed partitions, and rank by
+    * ASYMMETRIC distance — a per-(query, sub, code) L2² lookup table
+    * from the broadcast codebooks, summed over a coded row's m codes.
+    * The full-precision collection is never read; the only per-vector
+    * I/O is m bytes from the probed partitions. Returns (qid, nid,
+    * approx_d2, rank). Quality is recall-bounded vs the exact baseline
+    * (spec); results are deterministic (rounded ADC, ties → lowest id)
+    * and gate-checked against the DuckDB oracle. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int = 3, nprobe: Int = 2,
+      m: Int = 8, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dims / m
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val qBase = queries.select(col(idCol).cast("long").as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val q = qBase.select(col("qid"), col("qv"),
+      transform(col("qv"), x => x / sqrt(dot(col("qv"), col("qv"))))
+        .as("qu"))
+      .persist()
+    val probes = q
+      .join(broadcast(centroids))
+      .select(col("qid"), col("cid"), dot(col("qu"), col("cu")).as("ccos"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("ccos"), asc("cid"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("cid").cast("long").as("centroid"))
+    // partition-pruned scan: only the union of probed code lists is read
+    val probedIds = probes.select(col("centroid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("centroid").isin(probedIds: _*))
+      .select(col("id"), col("centroid").cast("long").as("centroid"),
+        col("codes"))
+    // ADC lookup table: |Q| × m × codebook-size small rows, broadcast
+    val qPieces = q.select(col("qid"),
+      explode(transform(sequence(lit(0), lit(m - 1)), i =>
+        struct(i.as("sub"),
+          slice(col("qv"), i * sub + lit(1), lit(sub)).as("v")))).as("p"))
+      .select(col("qid"), col("p.sub").as("sub"), col("p.v").as("v"))
+    val d2 = aggregate(zip_with(col("v"), col("cu"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val lut = qPieces.join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), d2.as("ld2"))
+    val coded = probes.join(codes, Seq("centroid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = coded.join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("ld2")), 6).as("approx_d2"))
+    graft.util.Checkpoints.materialize(
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(asc("approx_d2"), asc("id"))))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("id").as("nid"), col("approx_d2"),
+          col("rank").cast("long").as("rank")),
+      unpersistAfter = Seq(q))
+  }
+
   def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
       k: Int = 3, m: Int = 8, dims: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -33,8 +33,11 @@ object Frequent {
     val candidates = Cms.estimate(regs, stream.distinct(), "k", depth, width)
       .filter(col("est") >= minFreq)
       .select(col("k"))
+    // No broadcast() hint: with a low minFreq or heavy collision rate
+    // (width is finite) the CMS candidate SUPERSET can be large; let
+    // AQE pick broadcast vs shuffle from the candidates' actual size.
     stream
-      .join(broadcast(candidates), Seq("k"), "left_semi")
+      .join(candidates, Seq("k"), "left_semi")
       .groupBy(col("k"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)

@@ -40,25 +40,44 @@ object History {
   }
 
   /** Read findings within an interval; the day partition filter derived
-    * from the ms bounds prunes whole partitions before the scan. */
+    * from the ms bounds prunes whole partitions before the scan.
+    * Layout-aware: a z-ordered dir ([[writeZOrdered]]) has no `day=`
+    * partitions — there the interval predicate alone pushes to the scan
+    * and the z-sort makes the per-file epoch_ms min/max stats tight, so
+    * row-group pruning replaces partition pruning. */
   def read(spark: SparkSession, tableDir: String,
       interval: Interval = Interval.whole): DataFrame = {
     val df = spark.read.parquet(tableDir)
+    val hasDay = df.columns.contains("day")
     val withMs =
       if (interval.isWhole) df
       else {
-        val pruned = (interval.lower.ms, interval.upper.ms) match {
-          case (lo, hi) =>
-            val loD = lo.map(ms => col("day") >=
-              to_date(timestamp_millis(lit(ms))))
-            val hiD = hi.map(ms => col("day") <=
-              to_date(timestamp_millis(lit(ms))))
-            (loD ++ hiD).foldLeft(df)((d, p) => d.filter(p))
-        }
+        val pruned =
+          if (!hasDay) df
+          else (interval.lower.ms, interval.upper.ms) match {
+            case (lo, hi) =>
+              val loD = lo.map(ms => col("day") >=
+                to_date(timestamp_millis(lit(ms))))
+              val hiD = hi.map(ms => col("day") <=
+                to_date(timestamp_millis(lit(ms))))
+              (loD ++ hiD).foldLeft(df)((d, p) => d.filter(p))
+          }
         pruned.filter(interval.predicate(col("epoch_ms")))
       }
-    withMs.drop("day")
+    if (hasDay) withMs.drop("day") else withMs
   }
+
+  /** True iff `name` resolves to a catalog table whose bucketing spec
+    * covers `subject` — the layout [[appendBucketed]] writes. Paths and
+    * unknown tables return false. */
+  def isBucketedTable(spark: SparkSession, name: String): Boolean =
+    scala.util.Try {
+      spark.catalog.tableExists(name) && {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+        spark.sessionState.catalog.getTableMetadata(ident)
+          .bucketSpec.exists(_.bucketColumnNames.contains("subject"))
+      }
+    }.getOrElse(false)
 
   /** Policy-retained view (P2 applied at read). */
   def readRetained(spark: SparkSession, tableDir: String,
@@ -132,13 +151,22 @@ object History {
     * skip the shuffle entirely. At 100 TB that deletes the largest
     * exchange of the snapshot pipeline. */
   def appendBucketed(findings: DataFrame, tableName: String,
-      numBuckets: Int = 64): Unit =
+      numBuckets: Int = 64): Unit = {
+    // appending to an existing table must match ITS bucket count —
+    // `numBuckets` only applies on first creation
+    val spark = findings.sparkSession
+    val buckets = scala.util.Try {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+      spark.sessionState.catalog.getTableMetadata(ident)
+        .bucketSpec.map(_.numBuckets)
+    }.toOption.flatten.getOrElse(numBuckets)
     findings.write
-      .bucketBy(numBuckets, "subject")
+      .bucketBy(buckets, "subject")
       .sortBy("subject")
       .format("parquet")
       .mode(SaveMode.Append)
       .saveAsTable(tableName)
+  }
 
   /** Read the subject-bucketed catalog table written by
     * [[appendBucketed]], optionally interval-filtered (the ms predicate

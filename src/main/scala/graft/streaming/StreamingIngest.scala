@@ -177,7 +177,8 @@ object StreamingIngest {
     * traffic. Ties on right event time resolve to the greatest id.
     * Callers must `withWatermark("event_time", ...)` — see
     * [[asOfInput]]. Output mode: append. */
-  def asOfJoinStream(tagged: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+  def asOfJoinStream(tagged: Dataset[AsOfIn],
+      rightRetentionMs: Long = 86400000L): Dataset[AsOfOut] = {
     val spark = tagged.sparkSession
     import spark.implicits._
     tagged
@@ -202,11 +203,21 @@ object StreamingIngest {
           // ts <= wm only the newest can ever win again
           val (below, above) = rSorted.partition(_._1 <= wm)
           val kept = below.takeRight(1) ::: above
-          if (still.isEmpty && kept.isEmpty) state.remove()
+          // right-only state expires once the watermark is more than
+          // `rightRetentionMs` past the newest retained right: without
+          // an expiry, a key that saw rights but never another probe
+          // would hold its newest right forever (slow state leak across
+          // many short-lived keys). A probe arriving later than the
+          // retention horizon after the last right finds no match.
+          val rightsExpired = still.isEmpty && kept.nonEmpty &&
+            wm > kept.map(_._1).max + rightRetentionMs
+          if (still.isEmpty && (kept.isEmpty || rightsExpired)) state.remove()
           else {
             state.update((still, kept))
-            if (still.nonEmpty)
-              state.setTimeoutTimestamp(math.max(still.map(_._1).min, wm + 1))
+            val wake =
+              if (still.nonEmpty) still.map(_._1).min
+              else kept.map(_._1).max + rightRetentionMs // expiry sweep
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
           }
           out.iterator
       }

@@ -42,6 +42,18 @@ object TimeParse {
   def parseMs(s: String): Option[Long] = parse(s).map(_._1)
 }
 
+/** Epoch bucketing with FLOOR-division semantics. Spark's `div`
+  * truncates toward zero while the DuckDB oracles' `//` floors; the two
+  * diverge for negative (pre-1970) epoch values. `pmod` is non-negative
+  * for a positive width, so `(ms - pmod(ms, w)) div w` is exactly
+  * `floor(ms / w)` for all signs — integer-exact and codegen-friendly. */
+object Buckets {
+  /** floor(`colName` / `width`) as an integer column; `colName` must be
+    * a resolvable column/SQL expression name. */
+  def floorDiv(colName: String, width: Long): Column =
+    expr(s"(($colName) - pmod($colName, ${width}L)) div ${width}L")
+}
+
 /** One end of an interval: None = infinite. */
 case class IntervalEnd(ms: Option[Long], inclusive: Boolean)
 

@@ -73,6 +73,20 @@ class PlanRuleSpec extends SparkSpec {
     }
   }
 
+  it("does NOT rewrite a global (empty PARTITION BY) top-1") {
+    withRule {
+      val w = Window.orderBy(col("ts").desc, col("seq").desc)
+      val global = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("k", "ts", "seq")
+      // the rewrite's global Aggregate would emit one all-null row on
+      // an empty input where the window form returns zero rows
+      hasWindow(global) shouldBe true
+      val empty = df.filter(col("k") < 0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      empty.count() shouldBe 0L
+    }
+  }
+
   it("the SQL-registered extension form fires too (session clone)") {
     withRule {
       df.createOrReplaceTempView("plan_rule_t")

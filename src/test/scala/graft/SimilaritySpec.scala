@@ -221,6 +221,56 @@ class SimilaritySpec extends SparkSpec {
     hits.toDouble / (50 * 5) should be > 0.4
   }
 
+  it("IVF-PQ disk index: codes partitions prune at the scan; ADC search " +
+      "recovers clusters and overlaps the exact top-k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same clustered corpus as the pqTopK spec: 20 tight clusters,
+    // ids 10c..10c+9; stride/centroidStride 10 seed one codebook entry
+    // and one IVF centroid per cluster
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val c = i / 10
+      val v = Array.tabulate(64)(d =>
+        (math.sin(c * 13 + d).toFloat * 10f) + (rnd.nextFloat() - 0.5f))
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.writeIvfPqIndex(emb, out, centroidStride = 10, m = 8,
+      stride = 10)
+    // the collection on disk is codes only, partitioned by centroid
+    val parts = new java.io.File(s"$out/codes").list()
+      .filter(_.startsWith("centroid="))
+    parts.length should be >= 10
+    spark.read.parquet(s"$out/codes").columns should contain("codes")
+    // a probe-restricted scan prunes unprobed partitions
+    val pruned = spark.read.parquet(s"$out/codes")
+      .filter(col("centroid").isin(0L, 10L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("centroid")
+    val res = Similarity.searchIvfPqIndex(spark, out,
+      emb.filter(col("vec_id") < 50), k = 5, nprobe = 2, m = 8)
+    val approxPairs = res.select("qid", "nid").as[(Long, Long)].collect()
+    approxPairs.length shouldBe 50 * 5
+    // every returned neighbor comes from the query's own cluster
+    approxPairs.foreach { case (q, n) => n / 10 shouldBe q / 10 }
+    // and overlaps the exact L2 top-5 far above chance (ties within a
+    // cluster break by id — see the pqTopK spec for the bound rationale)
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val exact = (for {
+      (qi, qv) <- rows.take(50)
+    } yield qi -> rows.filter(_._1 != qi)
+      .map { case (ni, nv) => (ni, d2(qv, nv)) }
+      .sortBy { case (ni, d) => (d, ni) }.take(5).map(_._1).toSet).toMap
+    val approxMap = approxPairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = exact.map { case (q, ex) =>
+      (ex & approxMap.getOrElse(q, Set.empty)).size }.sum
+    hits.toDouble / (50 * 5) should be > 0.4
+  }
+
   it("lshCandidatePairs puts identical vectors in one bucket") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)
