@@ -1064,6 +1064,38 @@ object SparkEntry {
         .select("event_id", "event_type", "cents", "clipped")
     }),
 
+    // GOPHER repetition filters (text/TextOps.repetitionStats, Rae et
+    // al. 2021): per doc, total token chars, chars under the most
+    // frequent word 2-gram, chars in duplicated 3-grams — all exact
+    // integers; the filter ratio divides downstream.
+    "q106_repetition" -> ((s, d) =>
+      graft.text.TextOps.repetitionStats(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))),
+
+    // INCREMENTAL exact dedup (dedup/Dedup.dedupIncrement): the daily
+    // ingest — batch survivors = min-id per content hash, anti-joined
+    // against the existing corpus's distinct hash set. Split: existing
+    // = doc_id % 3 <> 0; incoming = the % 3 == 0 docs plus shifted
+    // copies of the % 5 == 0 docs (in-batch AND cross-corpus dupes).
+    "q107_dedup_increment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val existing = docs.filter(col("doc_id") % 3 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      graft.dedup.Dedup.dedupIncrement(existing, incoming)
+    }),
+
+    // EXACTLY-2-HOP neighborhood size (operators/Motifs.twoHopCounts):
+    // friends-of-friends counts over the canonical undirected edge set
+    // — distinct 2-path endpoints anti-joined against direct edges.
+    "q108_two_hop" -> ((s, d) => {
+      val sm = EventGraph.linkSamples(s, d)
+        .filter(col("link_state") =!= "unused")
+      graft.operators.Motifs.twoHopCounts(
+        sm.select(col("subject"), col("target")))
+    }),
+
     // EXACT 3σ outlier flags (pipeline/Stats): the decision inequality
     // is multiplied through by n² so NO floating point touches it — a
     // boundary value flags identically on every engine/partitioning.
@@ -2561,6 +2593,60 @@ object SparkEntry {
           |SELECT event_id, b.event_type, cents,
           |  least(greatest(cents, p05), p95) AS clipped
           |FROM b JOIN q ON b.event_type = q.event_type""".stripMargin,
+
+      "q106_repetition" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+           |    THEN list_transform(range(0, len(t) - 1),
+           |      i -> array_to_string(t[i+1:i+2], ' '))
+           |    ELSE []::VARCHAR[] END) AS g FROM base),
+           |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+           |top2 AS (SELECT doc_id,
+           |    CAST(cnt * (len(g) - 1) AS BIGINT) AS top2_chars FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn FROM c2)
+           |  WHERE rn = 1),
+           |g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+           |    THEN list_transform(range(0, len(t) - 2),
+           |      i -> array_to_string(t[i+1:i+3], ' '))
+           |    ELSE []::VARCHAR[] END) AS g FROM base),
+           |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+           |dup3 AS (SELECT doc_id,
+           |    CAST(sum(cnt * (len(g) - 2)) AS BIGINT) AS dup3_chars
+           |  FROM c3 WHERE cnt >= 2 GROUP BY 1)
+           |SELECT b.doc_id,
+           |  CAST(len(array_to_string(b.t, '')) AS BIGINT) AS tok_chars,
+           |  coalesce(t2.top2_chars, 0) AS top2_chars,
+           |  coalesce(d3.dup3_chars, 0) AS dup3_chars
+           |FROM base b
+           |LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
+           |LEFT JOIN dup3 d3 ON d3.doc_id = b.doc_id""".stripMargin,
+
+      "q107_dedup_increment" ->
+        """WITH existing AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+          |incoming AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL SELECT doc_id + 20000, text FROM documents
+          |  WHERE doc_id % 5 = 0),
+          |exh AS (SELECT DISTINCT md5(text) AS h FROM existing),
+          |inh AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+          |  FROM incoming GROUP BY 1)
+          |SELECT doc_id FROM inh
+          |WHERE h NOT IN (SELECT h FROM exh)""".stripMargin,
+
+      "q108_two_hop" ->
+        s"""WITH s AS ($cte),
+           |e AS (SELECT DISTINCT least(subject, target) AS u,
+           |    greatest(subject, target) AS v
+           |  FROM s WHERE link_state <> 'unused' AND subject <> target),
+           |sym AS (SELECT u AS a, v AS b FROM e
+           |  UNION ALL SELECT v, u FROM e),
+           |two AS (SELECT DISTINCT x.a AS a, y.b AS c
+           |  FROM sym x JOIN sym y ON y.a = x.b WHERE x.a <> y.b),
+           |ex2 AS (SELECT t.a, t.c FROM two t
+           |  LEFT JOIN sym n ON n.a = t.a AND n.b = t.c
+           |  WHERE n.a IS NULL)
+           |SELECT a AS node_id, count(*) AS n_two_hop
+           |FROM ex2 GROUP BY 1""".stripMargin,
 
       "q102_containment" ->
         s"""WITH docs AS ($doubledSql),

@@ -29,6 +29,24 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_docs"))
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: of an incoming
+    * batch, keep only docs whose content hash is (a) absent from the
+    * existing corpus and (b) the minimum-id representative within the
+    * batch. Returns the surviving incoming ids. Two hash equi-joins:
+    * a batch-side min-id aggregation and an anti-join against the
+    * existing DISTINCT hash set — at 100 TB the existing side is a
+    * hash projection (one slim column), never the full corpus, and the
+    * anti-join shuffles only hashes. Deduping a batch against history
+    * this way is O(batch + |hash set|), not O(corpus²) re-dedup. */
+  def dedupIncrement(existing: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ex = existing.select(md5(col(textCol)).as("h")).distinct()
+    incoming.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(ex, Seq("h"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   /** Distinct word k-gram shingles per doc: (id, shingle). Tokenization
     * is materialized as one projected column first, so the (regex-split)
     * work happens once per document; the shingle build itself is the

@@ -157,6 +157,29 @@ object Motifs {
     * Two hash aggregations and one self-join of the degree table along
     * the (symmetrized) edge list; sums stay integer-exact so the
     * mixing ratio Σ(neighbor degree)/degree derives exactly. */
+  /** Exactly-2-hop neighborhood size per node: distinct nodes reachable
+    * via a 2-path but NOT direct neighbors (and not the node itself) —
+    * the friends-of-friends signal (recommendation candidates, local
+    * graph density). One self-join of the symmetrized edge list on the
+    * middle node, a distinct, and an anti-join against direct edges:
+    * all hash equi-joins. Volume is bounded by Σ deg² like triangle
+    * counting — the same hub-skew caveat and cures apply (AQE skew
+    * join; pre-cap super-hubs upstream if the degree tail is extreme). */
+  def twoHopCounts(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val two = sym.as("x").join(sym.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("y.b").as("c"))
+      .filter(col("a") =!= col("c"))
+      .distinct()
+    two.join(sym.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "left_anti")
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_two_hop"))
+      .select(col("a").as("node_id"), col("n_two_hop"))
+  }
+
   def neighborDegreeStats(pairs: DataFrame): DataFrame = {
     val e = canonicalEdges(pairs)
     val sym = e.select(col("u").as("node_id"), col("v").as("nbr"))

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -21,6 +21,49 @@ object TextOps {
   /** Whitespace-ish token count + a BPE-ish regex token count (letter
     * runs, digit runs, single punctuation marks). */
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, "Scaling
+    * Language Models: ... Gopher" quality heuristics), integer-exact:
+    * per doc, (tok_chars) total token characters, (top2_chars)
+    * characters covered by the single most frequent word 2-gram
+    * (occurrences × gram length; ties → lexicographically smallest
+    * gram), and (dup3_chars) characters in word 3-grams occurring more
+    * than once (Σ cnt × gram length over cnt ≥ 2). The downstream
+    * filter compares e.g. top2_chars/tok_chars against a threshold —
+    * the division stays out of the operator so every emitted value is
+    * an exact integer. Two explode + hash-count pipelines, no windows
+    * over the full corpus, no UDFs. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("t"))
+    def grams(n: Int) =
+      when(size(col("t")) >= n,
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => array_join(slice(col("t"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    def gramCounts(n: Int) = base
+      .select(col("doc_id"), explode(grams(n)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      // gram chars = string length minus the (n-1) joining spaces
+      .withColumn("chars",
+        col("cnt") * (length(col("g")) - (n - 1)).cast("long"))
+    val tokChars = base.select(col("doc_id"),
+      length(array_join(col("t"), "")).cast("long").as("tok_chars"))
+    val top2 = gramCounts(2).groupBy(col("doc_id"))
+      .agg(min_by(col("chars"),
+        struct((-col("cnt")).as("nc"), col("g"))).as("top2_chars"))
+    val dup3 = gramCounts(3).filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("chars")).as("dup3_chars"))
+    tokChars
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tok_chars"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("dup3_chars"), lit(0L)).as("dup3_chars"))
+  }
 
   def bpeishCount(text: Column): Column =
     size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))

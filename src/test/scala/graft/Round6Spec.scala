@@ -118,6 +118,51 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  describe("repetitionStats (Gopher filters)") {
+    it("computes exact char coverage of top 2-grams and dup 3-grams") {
+      val docs = Seq(
+        (1L, "a bb a bb a"), // 2-grams: "a bb"x2 "bb a"x2; 3-grams: "a bb a"x2 "bb a bb"x1
+        (2L, "hello"),       // single token: no grams
+        (3L, "x y z"))       // all grams unique
+        .toDF("doc_id", "text")
+      val got = graft.text.TextOps.repetitionStats(docs)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      got shouldBe Seq(
+        // tok_chars=7; top2: tie at cnt=2 → lexicographically smaller
+        // "a bb", chars=2*3=6; dup3: "a bb a" cnt=2, chars=2*4=8
+        (1L, 7L, 6L, 8L),
+        (2L, 5L, 0L, 0L),
+        (3L, 3L, 2L, 0L)) // top2 = "x y" (cnt 1, smallest), chars=2
+    }
+  }
+
+  describe("dedupIncrement") {
+    it("keeps only batch min-id docs absent from the existing corpus") {
+      val existing = Seq((10L, "X"), (11L, "Y")).toDF("doc_id", "text")
+      val incoming = Seq(
+        (1L, "X"), // duplicates existing → dropped
+        (2L, "Z"), // new, min-id of the Z pair → kept
+        (3L, "Z"), // in-batch duplicate → dropped
+        (4L, "W")  // new → kept
+      ).toDF("doc_id", "text")
+      graft.dedup.Dedup.dedupIncrement(existing, incoming)
+        .as[Long].collect().sorted.toSeq shouldBe Seq(2L, 4L)
+    }
+  }
+
+  describe("twoHopCounts") {
+    it("counts nodes at exactly distance 2") {
+      // path a-b-c-d: exactly-2 pairs are (a,c) and (b,d), both ways
+      val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "t")
+      graft.operators.Motifs.twoHopCounts(path)
+        .as[(String, Long)].collect().sorted.toSeq shouldBe
+          Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 1L))
+      // triangle: every 2-path endpoint is also a direct neighbor
+      val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "t")
+      graft.operators.Motifs.twoHopCounts(tri).count() shouldBe 0L
+    }
+  }
+
   describe("asOfJoinStream right-only state expiry") {
     it("drops idle right-only keys past the retention horizon") {
       implicit val sql = spark.sqlContext
