@@ -1096,6 +1096,17 @@ object SparkEntry {
         sm.select(col("subject"), col("target")))
     }),
 
+    // ASYMMETRIC near-dup SEARCH (dedup/Dedup.nearDupSearch): a small
+    // query set against the big corpus — LSH-band candidates with the
+    // broadcast query side, exact integer-decision Jaccard verify over
+    // candidates only. The production shape (contamination lookup,
+    // takedown sweep) where corpus × corpus would be the wrong plan.
+    "q109_neardup_search" -> ((s, d) => {
+      val queries = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+      graft.dedup.Dedup.nearDupSearch(doubledDocs(s, d), queries)
+    }),
+
     // EXACT 3σ outlier flags (pipeline/Stats): the decision inequality
     // is multiplied through by n² so NO floating point touches it — a
     // boundary value flags identically on every engine/partitioning.
@@ -1389,9 +1400,10 @@ object SparkEntry {
     "en" -> 500000L, "de" -> 900000L, "es" -> 750000L,
     "fr" -> 1000000L, "zh" -> 250000L)
 
-  /** DuckDB: MinHash-LSH candidate pairs on the doubled corpus (states
-    * Dedup.minhashCandidatePairs' exact math; shared by q23 and q36). */
-  private def minhashPairsSql: String = {
+  /** Shared MinHash banded-bucket CTE fragments (sh/hx/sig/banded) over
+    * a `docs` CTE — states Dedup's exact signature/banding math; used
+    * by q23/q36's pair SQL and q109's search SQL. */
+  private def bandedCtesSql: String = {
     import graft.dedup.Dedup.{P, aConst, bConst, numHashes, bands}
     val sigCols = (0 until numHashes).map(i =>
       s"min((x * ${aConst(i)} + ${bConst(i)}) % $P) AS sig_$i").mkString(",\n  ")
@@ -1400,15 +1412,20 @@ object SparkEntry {
       val keys = (0 until rows).map(r => s"sig_${b * rows + r}").mkString(", ")
       s"SELECT id, $b AS band, md5(concat_ws('-', $keys)) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH docs AS ($doubledSql),
-       |sh AS (SELECT * FROM ($shinglesSql) WHERE shingle <> ''),
+    s"""sh AS (SELECT * FROM ($shinglesSql) WHERE shingle <> ''),
        |hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh),
        |sig AS (SELECT id, $sigCols FROM hx GROUP BY id),
-       |banded AS ($bandSelects)
+       |banded AS ($bandSelects)""".stripMargin
+  }
+
+  /** DuckDB: MinHash-LSH candidate pairs on the doubled corpus (states
+    * Dedup.minhashCandidatePairs' exact math; shared by q23 and q36). */
+  private def minhashPairsSql: String =
+    s"""WITH docs AS ($doubledSql),
+       |$bandedCtesSql
        |SELECT DISTINCT a.id AS id1, b.id AS id2
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = {
     val cte = EventGraph.oracleCte
@@ -2621,6 +2638,27 @@ object SparkEntry {
            |FROM base b
            |LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
            |LEFT JOIN dup3 d3 ON d3.doc_id = b.doc_id""".stripMargin,
+
+      "q109_neardup_search" ->
+        s"""WITH docs AS ($doubledSql),
+           |$bandedCtesSql,
+           |qids AS (SELECT DISTINCT doc_id AS id FROM documents
+           |  WHERE doc_id < 50),
+           |cand AS (SELECT DISTINCT b.id AS qid, c.id AS did
+           |  FROM banded b JOIN qids q ON b.id = q.id
+           |  JOIN banded c ON c.band = b.band AND c.bucket = b.bucket
+           |    AND c.id <> b.id),
+           |szs AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+           |shared AS (SELECT ca.qid, ca.did, count(*) AS n_shared
+           |  FROM cand ca
+           |  JOIN sh a ON a.id = ca.qid
+           |  JOIN sh b2 ON b2.id = ca.did AND b2.shingle = a.shingle
+           |  GROUP BY 1, 2)
+           |SELECT s.qid, s.did, s.n_shared, q.sz AS sz_q, d.sz AS sz_d
+           |FROM shared s
+           |JOIN szs q ON q.id = s.qid
+           |JOIN szs d ON d.id = s.did
+           |WHERE s.n_shared * 1000000 >= 500000 * (q.sz + d.sz - s.n_shared)""".stripMargin,
 
       "q107_dedup_increment" ->
         """WITH existing AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),

@@ -379,21 +379,72 @@ object Dedup {
   /** MinHash LSH candidate pairs: band the signature, bucket-join, emit
     * distinct candidate pairs. The all-pairs O(n²) comparison becomes an
     * equi-join on (band, bucket) — the scale path for near-dedup. */
-  def minhashCandidatePairs(docs: DataFrame, k: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** (id, band, bucket) LSH banding of the MinHash signatures — the
+    * shared candidate-generation frame of [[minhashCandidatePairs]] and
+    * [[nearDupSearch]]. */
+  private def bandedBuckets(docs: DataFrame, k: Int,
+      idCol: String, textCol: String): DataFrame = {
     val sigs = minhashSignatures(docs, k, idCol, textCol)
     val rows = numHashes / bands
-    val banded = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val key = md5(concat_ws("-",
         (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
       sigs.select(col("id"), lit(b).as("band"), key.as("bucket"))
     }.reduce(_ unionByName _)
+  }
+
+  def minhashCandidatePairs(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val banded = bandedBuckets(docs, k, idCol, textCol)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
+
+  /** NEAR-DUP SEARCH — the asymmetric production shape: a SMALL query
+    * set (a new batch, suspected benchmark contaminants, a takedown
+    * list) against a BIG corpus, instead of corpus × corpus.
+    * Candidates are corpus docs sharing a MinHash-LSH band bucket with
+    * a query — the query-side banded frame is tiny, so the candidate
+    * join broadcasts it and the corpus side is bucket-pruned; nothing
+    * all-pairs anywhere. Verification is exact: distinct-shingle
+    * intersection counts restricted to candidate docs only, decided by
+    * the INTEGER inequality n_shared·10⁶ ≥ t_ppm·(sz_q + sz_d −
+    * n_shared) (Jaccard ≥ t with no floating point in the gate).
+    * Returns (qid, did, n_shared, sz_q, sz_d). */
+  def nearDupSearch(corpus: DataFrame, queries: DataFrame,
+      thresholdPpm: Long = 500000L, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cb = bandedBuckets(corpus, k, idCol, textCol)
+    val qb = bandedBuckets(queries, k, idCol, textCol)
+    val cand = qb.as("q").join(cb.as("c"),
+        col("q.band") === col("c.band") &&
+        col("q.bucket") === col("c.bucket") &&
+        col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("qid"), col("c.id").as("did"))
+      .distinct()
+    val shQ = shingles(queries, k, idCol, textCol)
+    // corpus shingles pruned to candidate docs BEFORE the shingle join
+    val shC = shingles(corpus, k, idCol, textCol)
+      .join(cand.select(col("did").as("id")).distinct(), Seq("id"),
+        "left_semi")
+    val szQ = shQ.groupBy(col("id")).agg(count(lit(1)).as("sz_q"))
+    val szC = shC.groupBy(col("id")).agg(count(lit(1)).as("sz_d"))
+    val shared = shQ.toDF("qid", "shingle")
+      .join(shC.toDF("did", "shingle"), "shingle")
+      .join(cand, Seq("qid", "did"), "left_semi")
+      .groupBy(col("qid"), col("did"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(szQ.toDF("qid", "sz_q"), "qid")
+      .join(szC.toDF("did", "sz_d"), "did")
+      .filter(col("n_shared") * 1000000L >=
+        lit(thresholdPpm) * (col("sz_q") + col("sz_d") - col("n_shared")))
+      .select(col("qid"), col("did"), col("n_shared"),
+        col("sz_q"), col("sz_d"))
   }
 
   /** Near-duplicate CLUSTERS from candidate pairs: connected components

@@ -302,6 +302,38 @@ object Weave {
       s"weave: snapshot has $nNodes nodes, $nLinks links")
   }
 
+  /** Per-pair unification decision log — the reference Weaver's
+    * per-decision debug lines (Weaver.hs:186-189: "Unify link [a]-[b]:
+    * from N samples to M samples") re-expressed as a DataFrame instead
+    * of a Writer monad: one row per unordered node pair with its
+    * pre-unify sample count, the unifier's output count for the pair
+    * (before negation — exactly what the reference line reports), and
+    * the rendered `log_line` text. The pair renders in canonical
+    * (lo, hi) order rather than the reference's head-sample
+    * orientation — the unordered pair is the same. Lazy and fully
+    * distributed; complements [[snapshotWithStats]]'s summary counters
+    * when per-pair forensics are needed. */
+  def unificationLog(findings: DataFrame,
+      policy: FoundNodePolicy = PolicyOverwrite,
+      unifier: LinkUnifier = new StdUnifier()): DataFrame = {
+    val retained = retainFindings(findings, policy)
+    val nodes = snapshotNodes(retained)
+    val samples = linkSamples(retained)
+    def byPair(df: DataFrame, cnt: String) = df
+      .groupBy(LinkOps.pairLo(col("subject"), col("target")).as("pair_lo"),
+        LinkOps.pairHi(col("subject"), col("target")).as("pair_hi"))
+      .agg(count(lit(1)).as(cnt))
+    byPair(samples, "n_samples")
+      .join(byPair(unifier.unifyRaw(samples, nodes), "n_unified"),
+        Seq("pair_lo", "pair_hi"), "left")
+      .select(col("pair_lo"), col("pair_hi"), col("n_samples"),
+        coalesce(col("n_unified"), lit(0L)).as("n_unified"))
+      .withColumn("log_line", concat(
+        lit("Unify link ["), col("pair_lo"), lit("]-["), col("pair_hi"),
+        lit("]: from "), col("n_samples"), lit(" samples to "),
+        col("n_unified"), lit(" samples")))
+  }
+
   /** [[snapshot]] plus decision counters, logged at INFO. Counting
     * forces the intermediate frames, so this is the debugging path —
     * the plain [[snapshot]] stays single-job lazy. */

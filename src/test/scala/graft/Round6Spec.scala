@@ -163,6 +163,47 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  describe("nearDupSearch (asymmetric query set vs corpus)") {
+    it("finds exact dups of queries and respects the Jaccard threshold") {
+      val text1 = "alpha beta gamma delta epsilon zeta eta theta"
+      val text2 = "one two three four five six seven eight nine"
+      val corpus = Seq(
+        (100L, text1),                  // exact dup of query 1
+        (101L, text2 + " ten eleven"),  // superset of query 2
+        (102L, "totally different words here nothing shared at all"))
+        .toDF("doc_id", "text")
+      val queries = Seq((1L, text1), (2L, text2)).toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.nearDupSearch(corpus, queries)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // query 1 ↔ 100: identical 6 shingles → jaccard 1 ≥ 0.5
+      got.map(r => (r._1, r._2)) should contain((1L, 100L))
+      got.find(r => r._1 == 1L && r._2 == 100L).get shouldBe
+        (1L, 100L, 6L, 6L, 6L)
+      // no pair against the unrelated doc
+      got.map(_._2) should not contain 102L
+    }
+  }
+
+  describe("unificationLog (Weaver.hs:186-189 per-pair decision lines)") {
+    it("reports per-pair sample and unified counts with the rendered line") {
+      import graft.model.{FoundLink, FoundNode, Findings, LinkState}
+      // n1 observes n2 twice, n2 observes n1 once → 3 samples, 1 winner
+      val findings = Findings.fromSeq(spark, Seq(
+        FoundNode("n1", 1000L, Map.empty,
+          Seq(FoundLink("n2", LinkState.Bidirectional, Map.empty)), 0),
+        FoundNode("n1", 2000L, Map.empty,
+          Seq(FoundLink("n2", LinkState.Bidirectional, Map.empty)), 1),
+        FoundNode("n2", 1500L, Map.empty,
+          Seq(FoundLink("n1", LinkState.Bidirectional, Map.empty)), 2)))
+      // PolicyAppend keeps all three samples visible to the unifier
+      val log = graft.operators.Weave.unificationLog(findings,
+        graft.operators.PolicyAppend)
+        .as[(String, String, Long, Long, String)].collect().toSeq
+      log shouldBe Seq(("n1", "n2", 3L, 1L,
+        "Unify link [n1]-[n2]: from 3 samples to 1 samples"))
+    }
+  }
+
   describe("asOfJoinStream right-only state expiry") {
     it("drops idle right-only keys past the retention horizon") {
       implicit val sql = spark.sqlContext
