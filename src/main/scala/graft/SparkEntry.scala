@@ -1107,6 +1107,62 @@ object SparkEntry {
       graft.dedup.Dedup.nearDupSearch(doubledDocs(s, d), queries)
     }),
 
+    // PII audit (text/Pii.piiStats): per-doc email/IPv4/phone counts +
+    // redacted length, pure codegen regexp expressions. The synthetic
+    // corpus has no natural PII, so the gate plants deterministic PII
+    // derived from doc_id (emails on %2, IPs on %3, phones on %5) —
+    // the operator runs on the decorated text; the oracle decorates
+    // identically.
+    "q110_pii" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val decorated = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0, concat(lit(" Contact p"),
+          col("doc_id").cast("string"), lit("@example.com now.")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 250).cast("string"), lit(" up")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+          (col("doc_id") % 9000 + 1000).cast("string"), lit(" asap")))
+          .otherwise(lit(""))).as("text"))
+      graft.text.Pii.piiStats(decorated)
+    }),
+
+    // BENCHMARK decontamination (text/Decontaminate.overlapReport):
+    // corpus docs sharing any word n-gram with the benchmark set
+    // (GPT-3 appendix C / PaLM procedure). Benchmark = doc_id % 97
+    // docs; n = 3 because the synthetic vocab is ~30 words (real
+    // corpora use n = 8..13). Benchmark grams broadcast; the corpus is
+    // never shuffled on grams.
+    "q111_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.text.Decontaminate.overlapReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 3)
+    }),
+
+    // SLIDING-WINDOW chunking (text/Chunker.chunk): fixed-size
+    // overlapping token windows with provenance (chunk_idx, start_tok)
+    // — the long-doc → context-window training-prep step. Pure per-row
+    // explode, no shuffle.
+    "q112_chunk" -> ((s, d) => graft.text.Chunker.chunk(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      chunkSize = 16, overlap = 4)),
+
+    // BPE round-1 pair counts (text/Bpe.pairCounts): adjacent char-pair
+    // frequencies over the distinct-word table weighted by word count —
+    // the counting step of distributed tokenizer training (Sennrich et
+    // al. 2016); vocab-sized work after one corpus pass. lhs/rhs names
+    // because LEFT/RIGHT are SQL keywords.
+    "q113_bpe_pairs" -> ((s, d) =>
+      graft.text.Bpe.pairCounts(graft.text.Bpe.initSymbols(
+          graft.text.Bpe.wordCounts(
+            Tables.documents(s, d).select(col("doc_id"), col("text")))))
+        .select(col("left").as("lhs"), col("right").as("rhs"),
+          col("cnt"))),
+
     // EXACT 3σ outlier flags (pipeline/Stats): the decision inequality
     // is multiplied through by n² so NO floating point touches it — a
     // boundary value flags identically on every engine/partitioning.
@@ -2659,6 +2715,60 @@ object SparkEntry {
            |JOIN szs q ON q.id = s.qid
            |JOIN szs d ON d.id = s.did
            |WHERE s.n_shared * 1000000 >= 500000 * (q.sz + d.sz - s.n_shared)""".stripMargin,
+
+      "q110_pii" -> {
+        import graft.text.Pii.{EmailRe, Ipv4Re, PhoneRe}
+        s"""WITH dec AS (SELECT doc_id, text
+           |  || CASE WHEN doc_id % 2 = 0 THEN ' Contact p'
+           |       || CAST(doc_id AS VARCHAR) || '@example.com now.'
+           |     ELSE '' END
+           |  || CASE WHEN doc_id % 3 = 0 THEN ' host 10.'
+           |       || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+           |       || CAST(doc_id % 250 AS VARCHAR) || ' up'
+           |     ELSE '' END
+           |  || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+           |       || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' asap'
+           |     ELSE '' END AS text FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(text, '$EmailRe')) AS n_email,
+           |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ip,
+           |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phone,
+           |  CAST(length(regexp_replace(regexp_replace(regexp_replace(
+           |    text, '$EmailRe', '<EMAIL>', 'g'),
+           |    '$Ipv4Re', '<IP>', 'g'),
+           |    '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS red_len
+           |FROM dec""".stripMargin
+      },
+
+      "q111_decontaminate" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(0, len(t) - 2),
+           |    i -> array_to_string(t[i+1:i+3], ' ')))) AS gram
+           |  FROM base WHERE len(t) >= 3),
+           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+           |SELECT doc_id, count(*) AS n_shared_grams
+           |FROM g JOIN bench USING (gram)
+           |WHERE doc_id % 97 <> 0 GROUP BY 1""".stripMargin,
+
+      "q112_chunk" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |st AS (SELECT doc_id, t, unnest(range(0, len(t), 12))
+           |    AS start_tok FROM base WHERE len(t) > 0)
+           |SELECT doc_id, start_tok // 12 AS chunk_idx, start_tok,
+           |  CAST(len(t[start_tok+1:start_tok+16]) AS BIGINT) AS n_toks,
+           |  array_to_string(t[start_tok+1:start_tok+16], ' ')
+           |    AS chunk_text
+           |FROM st""".stripMargin,
+
+      "q113_bpe_pairs" ->
+        s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
+           |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+           |p AS (SELECT word, cnt, unnest(range(1, len(word))) AS i
+           |  FROM wc WHERE len(word) >= 2)
+           |SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs,
+           |  CAST(sum(cnt) AS BIGINT) AS cnt
+           |FROM p GROUP BY 1, 2""".stripMargin,
 
       "q107_dedup_increment" ->
         """WITH existing AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),

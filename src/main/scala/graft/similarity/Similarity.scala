@@ -640,4 +640,52 @@ object Similarity {
       .select(col("qid"), col("id").as("nid"), col("approx_d2"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embeddings, compute pairwise cosine ONLY within each cluster, and
+    * keep one representative (min id) per ≥ `eps` semantic-duplicate
+    * component. The clustering confines the quadratic pair step to
+    * cluster-local equi-join groups — corpus × corpus never exists,
+    * which is the paper's point and the 100 TB shape (cluster sizes
+    * are ~n/k; skewed clusters can be re-split by raising k).
+    *
+    * Returns (id, keep) for every input vector; `keep = false` rows
+    * are the semantic duplicates to drop. Deterministic: centroids are
+    * deterministic ([[kmeansCentroids]]), ties in the argmax break by
+    * centroid id, and representatives are component minima. */
+  def semDedup(embeddings: DataFrame, eps: Double = 0.97,
+      centroidStride: Int = 50, kmeansIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val unit = unitVectors(embeddings, idCol, vecCol).persist()
+    val centroids = kmeansCentroids(embeddings, centroidStride,
+      kmeansIters, idCol = idCol, vecCol = vecCol,
+      checkpointDir = checkpointDir)
+    // cluster assignment: broadcast centroids, fused VectorDot argmax
+    val assigned = unit.join(broadcast(centroids))
+      .select(col("id"), col("u"), col("cid"),
+        dot(col("u"), col("cu")).as("ccos"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("u")),
+        struct(col("ccos"), (-col("cid")).as("nc"))).as("w"))
+      .select(col("id"), col("w.cid").as("cid"), col("w.u").as("u"))
+      .persist()
+    // within-cluster pairs only: equi-join on cid
+    val dupPairs = assigned.select(col("cid"), col("id").as("id1"),
+        col("u").as("u1"))
+      .join(assigned.select(col("cid"), col("id").as("id2"),
+        col("u").as("u2")), Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .filter(dot(col("u1"), col("u2")) >= eps)
+      .select(col("id1"), col("id2"))
+    val labels = graft.dedup.Dedup.clusterLabelsStar(dupPairs,
+      checkpointDir)
+    val out = assigned.select(col("id"))
+      .join(labels.withColumnRenamed("cluster", "rep"), Seq("id"), "left")
+      .select(col("id"),
+        (col("rep").isNull || col("rep") === col("id")).as("keep"))
+    graft.util.Checkpoints.materialize(out,
+      unpersistAfter = Seq(unit, assigned))
+  }
 }

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding vocabulary induction (Sennrich et al.
+  * 2016) — tokenizer training over a corpus.
+  *
+  * Scale shape: all per-round work runs over the DISTINCT-WORD frequency
+  * table, not the corpus — the classic BPE trick that makes tokenizer
+  * training corpus-size-independent after one counting pass (vocab is
+  * ~10⁵-10⁶ rows at 100 TB while the corpus is 10¹¹ docs). Pair
+  * counting is a map-side-combinable hash aggregation; the only
+  * driver-side data per round is the single winning pair. Each round
+  * cuts lineage ([[graft.util.Checkpoints.cut]]) so `numMerges` rounds
+  * don't grow task binaries; pass `checkpointDir` on preemptible
+  * clusters.
+  */
+object Bpe {
+
+  /** Corpus → distinct-word frequency table (word, cnt), tokenized by
+    * [[TextOps.tokens]]. The one corpus-sized pass. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Character-split each word: (word, cnt, syms: array<string>). */
+  def initSymbols(words: DataFrame): DataFrame =
+    words.select(col("word"), col("cnt"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => substr(col("word"), i, lit(1))).as("syms"))
+
+  /** Adjacent symbol-pair counts weighted by word frequency:
+    * (left, right, cnt). Partial-aggregates map-side; the shuffle
+    * carries pair partials, not words. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(
+        transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("left"),
+            element_at(col("syms"), i + 2).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** One merge round: greedy non-overlapping left-to-right replacement
+    * of adjacent (l, r) with the concatenated symbol, as a single
+    * `aggregate` fold per word — no shuffle, no UDF. */
+  private[graft] def mergePair(words: DataFrame, l: String,
+      r: String): DataFrame = {
+    val emptyAcc = array().cast("array<string>")
+    val noPrev = lit(null).cast("string")
+    val merged = aggregate(
+      col("syms"),
+      struct(emptyAcc.as("acc"), noPrev.as("prev")),
+      (st, x) => {
+        val acc = st.getField("acc")
+        val prev = st.getField("prev")
+        when(prev.isNull, struct(acc.as("acc"), x.as("prev")))
+          .when(prev === lit(l) && x === lit(r),
+            struct(concat(acc, array(concat_ws("", prev, x))).as("acc"),
+              noPrev.as("prev")))
+          .otherwise(
+            struct(concat(acc, array(prev)).as("acc"), x.as("prev")))
+      },
+      st => when(st.getField("prev").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"),
+          array(st.getField("prev")))))
+    words.select(col("word"), col("cnt"), merged.as("syms"))
+  }
+
+  /** Learn up to `numMerges` merges; stops early when no pair reaches
+    * `minCount`. Returns the ordered merge table
+    * (rank, left, right, pair_cnt) — a tokenizer's merges.txt. Winner
+    * per round = max count, ties broken (left, right) ascending, so
+    * the result is deterministic under any partitioning. */
+  def learnMerges(docs: DataFrame, numMerges: Int = 10,
+      minCount: Long = 2L, textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    var words = initSymbols(wordCounts(docs, textCol)).persist()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < minCount) done = true
+      else {
+        val (l, r, c) = (top(0).getAs[String]("left"),
+          top(0).getAs[String]("right"), top(0).getAs[Long]("cnt"))
+        merges += ((rank, l, r, c))
+        val next = graft.util.Checkpoints.cut(
+          mergePair(words, l, r), checkpointDir).persist()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_cnt")
+  }
+
+  /** Segment words with a learned merge table: replays the merges in
+    * rank order over the distinct-word frame and returns
+    * (word, cnt, syms) — the subword segmentation a tokenizer applies.
+    * Merge application is vocab-sized work, like training. */
+  def segment(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    var words = initSymbols(wordCounts(docs, textCol))
+    var i = 0
+    merges.foreach { case (l, r) =>
+      words = mergePair(words, l, r)
+      i += 1
+      // cut every few rounds: the fold expressions nest otherwise
+      if (i % 4 == 0) words = graft.util.Checkpoints.cut(words, checkpointDir)
+    }
+    words
+  }
+}

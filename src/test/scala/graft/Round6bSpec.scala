@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Bpe, Chunker, Decontaminate, Pii}
+
+/** Round-6 additions: PII detect/redact, benchmark decontamination,
+  * sliding-window chunking, distributed BPE vocabulary induction, and
+  * SemDeDup (cluster-confined semantic dedup). */
+class Round6bSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Pii (codegen regexp detect + redact)") {
+    it("counts and redacts emails, IPv4s, and phones") {
+      val df = Seq((1L,
+        "mail a@b.co or x.y+z@ex.org, host 10.0.0.1 up, call +44-123-4567 now"),
+        (2L, "no pii here at all")).toDF("doc_id", "text")
+      val byId = Pii.piiStats(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      byId(1L) shouldBe ((2L, 1L, 1L))
+      byId(2L) shouldBe ((0L, 0L, 0L))
+      val red = Pii.redactDocs(df).as[(Long, String)].collect().toMap
+      red(1L) shouldBe
+        "mail <EMAIL> or <EMAIL>, host <IP> up, call <PHONE> now"
+      red(2L) shouldBe "no pii here at all"
+    }
+
+    it("a dotted-quad 'email' domain is not an email (letter TLD " +
+        "required); its IP still redacts") {
+      val df = Seq((1L, "x user@10.0.0.1 y")).toDF("doc_id", "text")
+      Pii.redactDocs(df).as[(Long, String)].collect().head._2 shouldBe
+        "x user@<IP> y"
+    }
+  }
+
+  describe("Decontaminate (benchmark n-gram overlap)") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma suffix words"),  // shares 1 3-gram
+      (2L, "completely unrelated text with nothing shared here"),
+      (3L, "beta gamma delta and alpha beta gamma too")) // shares 2
+      .toDF("doc_id", "text")
+
+    it("reports distinct shared-gram counts for contaminated docs only") {
+      Decontaminate.overlapReport(corpus, bench, n = 3)
+        .as[(Long, Long)].collect().toMap shouldBe
+          Map(1L -> 1L, 3L -> 2L)
+    }
+
+    it("decontaminate drops exactly the flagged docs") {
+      Decontaminate.decontaminate(corpus, bench, n = 3)
+        .select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
+    }
+  }
+
+  describe("Chunker (sliding token windows)") {
+    it("emits stepped windows with a short tail and provenance") {
+      val df = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"))
+        .toDF("doc_id", "text")
+      val got = Chunker.chunk(df, chunkSize = 4, overlap = 2)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq.sortBy(_._2)
+      got shouldBe Seq(
+        (7L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+        (7L, 1L, 2L, 4L, "t3 t4 t5 t6"),
+        (7L, 2L, 4L, 4L, "t5 t6 t7 t8"),
+        (7L, 3L, 6L, 4L, "t7 t8 t9 t10"),
+        (7L, 4L, 8L, 2L, "t9 t10"))
+    }
+
+    it("a doc shorter than one chunk yields exactly one window") {
+      val df = Seq((1L, "only two")).toDF("doc_id", "text")
+      Chunker.chunk(df, chunkSize = 16, overlap = 4)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq shouldBe
+          Seq((1L, 0L, 0L, 2L, "only two"))
+    }
+  }
+
+  describe("Bpe (distributed tokenizer training)") {
+    it("mergePair merges greedily left-to-right without re-merging") {
+      val words = Seq(("aaa", 1L)).toDF("word", "cnt")
+      val got = Bpe.mergePair(Bpe.initSymbols(words), "a", "a")
+        .select("syms").as[Seq[String]].collect().head
+      got shouldBe Seq("aa", "a")
+    }
+
+    it("learns the classic low/lower/newest/widest merge sequence") {
+      // Sennrich et al. 2016 running example (no </w> marker):
+      // counts low:5, lower:2, newest:6, widest:3
+      val docs = Seq((1L,
+        (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+         Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+        .toDF("doc_id", "text")
+      val merges = Bpe.learnMerges(docs, numMerges = 4)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      merges shouldBe Seq(
+        (0L, "e", "s", 9L),   // es: newest 6 + widest 3 (tie with st → lex)
+        (1L, "es", "t", 9L),  // est
+        (2L, "l", "o", 7L),   // lo: low 5 + lower 2 (tie with ow → lex)
+        (3L, "lo", "w", 7L))
+      // segmentation with the learned merges reproduces the subwords
+      val seg = Bpe.segment(docs, merges.map(m => (m._2, m._3)))
+        .as[(String, Long, Seq[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      seg("low") shouldBe Seq("low")
+      seg("newest") shouldBe Seq("n", "e", "w", "est")
+      seg("widest") shouldBe Seq("w", "i", "d", "est")
+      seg("lower") shouldBe Seq("low", "e", "r")
+    }
+
+    it("stops early when no pair reaches minCount") {
+      val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+      Bpe.learnMerges(docs, numMerges = 10, minCount = 2L)
+        .count() shouldBe 0L
+    }
+  }
+
+  describe("semDedup (cluster-confined semantic dedup)") {
+    it("drops exact/near duplicates, keeps the min id and distinct vectors") {
+      def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+      val emb = Seq(
+        (0L, v(1, 0, 0, 0)),
+        (1L, v(1, 0.001, 0, 0)),   // near-dup of 0
+        (2L, v(1, 0, 0.002, 0)),   // near-dup of 0
+        (3L, v(0, 1, 0, 0)),       // distinct
+        (4L, v(0, 0, 1, 0)))       // distinct
+        .toDF("vec_id", "embedding")
+      val keep = graft.similarity.Similarity
+        .semDedup(emb, eps = 0.99, centroidStride = 5, kmeansIters = 1)
+        .as[(Long, Boolean)].collect().toMap
+      keep shouldBe Map(0L -> true, 1L -> false, 2L -> false,
+        3L -> true, 4L -> true)
+    }
+  }
+}
