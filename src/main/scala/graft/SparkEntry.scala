@@ -1151,6 +1151,24 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"), col("text")),
       chunkSize = 16, overlap = 4)),
 
+    // PERSISTENT LSH dedup index (dedup/Dedup.writeLshIndex +
+    // searchLshIndex): the corpus is shingled/banded ONCE to disk;
+    // the daily batch searches the stored tables (broadcast query
+    // banding + candidate-id pushdown on the sorted shingle table).
+    // Same semantics as q109 — the oracle is q109's SQL verbatim,
+    // proving index-backed search == raw-corpus search.
+    "q114_lsh_index_search" -> ((s, d) => {
+      val idx = lshIndexCache.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx")
+          .toString
+        graft.dedup.Dedup.writeLshIndex(doubledDocs(s, d), dir)
+        dir
+      })
+      val queries = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+      graft.dedup.Dedup.searchLshIndex(s, idx, queries)
+    }),
+
     // BPE round-1 pair counts (text/Bpe.pairCounts): adjacent char-pair
     // frequencies over the distinct-word table weighted by word count —
     // the counting step of distributed tokenizer training (Sennrich et
@@ -1419,6 +1437,10 @@ object SparkEntry {
   private val ivfPqIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** On-disk LSH dedup index per sfDir, built once per process (q114). */
+  private val lshIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Documents self-unioned with shifted ids — gives the dedup operators
     * guaranteed true-duplicate pairs on synthetic data. */
   private def doubledDocs(s: SparkSession, d: String): DataFrame = {
@@ -1473,6 +1495,31 @@ object SparkEntry {
        |sig AS (SELECT id, $sigCols FROM hx GROUP BY id),
        |banded AS ($bandSelects)""".stripMargin
   }
+
+  /** DuckDB: asymmetric near-dup search of the doc_id<50 query set
+    * against the doubled corpus (Dedup.nearDupSearch's exact math).
+    * Shared by q109 (raw corpus) and q114 (stored LSH index) — the two
+    * must return identical rows by construction. */
+  private def nearDupSearchSql: String =
+    s"""WITH docs AS ($doubledSql),
+       |$bandedCtesSql,
+       |qids AS (SELECT DISTINCT doc_id AS id FROM documents
+       |  WHERE doc_id < 50),
+       |cand AS (SELECT DISTINCT b.id AS qid, c.id AS did
+       |  FROM banded b JOIN qids q ON b.id = q.id
+       |  JOIN banded c ON c.band = b.band AND c.bucket = b.bucket
+       |    AND c.id <> b.id),
+       |szs AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+       |shared AS (SELECT ca.qid, ca.did, count(*) AS n_shared
+       |  FROM cand ca
+       |  JOIN sh a ON a.id = ca.qid
+       |  JOIN sh b2 ON b2.id = ca.did AND b2.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT s.qid, s.did, s.n_shared, q.sz AS sz_q, d.sz AS sz_d
+       |FROM shared s
+       |JOIN szs q ON q.id = s.qid
+       |JOIN szs d ON d.id = s.did
+       |WHERE s.n_shared * 1000000 >= 500000 * (q.sz + d.sz - s.n_shared)""".stripMargin
 
   /** DuckDB: MinHash-LSH candidate pairs on the doubled corpus (states
     * Dedup.minhashCandidatePairs' exact math; shared by q23 and q36). */
@@ -2695,26 +2742,10 @@ object SparkEntry {
            |LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
            |LEFT JOIN dup3 d3 ON d3.doc_id = b.doc_id""".stripMargin,
 
-      "q109_neardup_search" ->
-        s"""WITH docs AS ($doubledSql),
-           |$bandedCtesSql,
-           |qids AS (SELECT DISTINCT doc_id AS id FROM documents
-           |  WHERE doc_id < 50),
-           |cand AS (SELECT DISTINCT b.id AS qid, c.id AS did
-           |  FROM banded b JOIN qids q ON b.id = q.id
-           |  JOIN banded c ON c.band = b.band AND c.bucket = b.bucket
-           |    AND c.id <> b.id),
-           |szs AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
-           |shared AS (SELECT ca.qid, ca.did, count(*) AS n_shared
-           |  FROM cand ca
-           |  JOIN sh a ON a.id = ca.qid
-           |  JOIN sh b2 ON b2.id = ca.did AND b2.shingle = a.shingle
-           |  GROUP BY 1, 2)
-           |SELECT s.qid, s.did, s.n_shared, q.sz AS sz_q, d.sz AS sz_d
-           |FROM shared s
-           |JOIN szs q ON q.id = s.qid
-           |JOIN szs d ON d.id = s.did
-           |WHERE s.n_shared * 1000000 >= 500000 * (q.sz + d.sz - s.n_shared)""".stripMargin,
+      "q109_neardup_search" -> nearDupSearchSql,
+
+      // index-backed search must equal raw-corpus search — same oracle
+      "q114_lsh_index_search" -> nearDupSearchSql,
 
       "q110_pii" -> {
         import graft.text.Pii.{EmailRe, Ipv4Re, PhoneRe}

@@ -447,6 +447,82 @@ object Dedup {
         col("sz_q"), col("sz_d"))
   }
 
+  /** PERSISTENT LSH dedup index — the text twin of the IVF disk index:
+    * shingle + band + bucket the corpus ONCE, store the result, and let
+    * every subsequent batch search the stored tables instead of
+    * re-shingling 100 TB per day. Layout under `outDir`:
+    *  - `buckets/`  (id, bucket) partitioned by `band`, sorted by
+    *    bucket within partitions so row-group stats prune probes;
+    *  - `shingles/` (id, shingle) range-partitioned and sorted by id so
+    *    a candidate-id pushdown skips row groups;
+    *  - `sizes/`    (id, sz) — per-doc distinct-shingle counts.
+    * [[searchLshIndex]] over this layout returns exactly what
+    * [[nearDupSearch]] returns on the raw corpus (same banding, same
+    * integer-exact verify) — gate-checked against the same oracle. */
+  def writeLshIndex(corpus: DataFrame, outDir: String, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    bandedBuckets(corpus, k, idCol, textCol)
+      .repartition(col("band")).sortWithinPartitions(col("bucket"))
+      .write.partitionBy("band").mode("overwrite")
+      .parquet(s"$outDir/buckets")
+    val sh = shingles(corpus, k, idCol, textCol)
+      .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+      .persist()
+    sh.write.mode("overwrite").parquet(s"$outDir/shingles")
+    sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .write.mode("overwrite").parquet(s"$outDir/sizes")
+    sh.unpersist()
+  }
+
+  /** [[nearDupSearch]] THROUGH a [[writeLshIndex]] layout: the query
+    * batch is banded in memory (tiny) and broadcast against the stored
+    * bucket table; candidate corpus ids, when ≤ `maxCandidateIds`, are
+    * collected and pushed down as an In() filter on the sorted shingle
+    * table (row-group skipping — the point-lookup path a daily batch
+    * wants), else verified via a distributed semi-join. Decision is the
+    * same integer inequality as [[nearDupSearch]]; columns identical:
+    * (qid, did, n_shared, sz_q, sz_d). */
+  def searchLshIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, thresholdPpm: Long = 500000L,
+      k: Int = 3, maxCandidateIds: Int = 100000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qb = bandedBuckets(queries, k, idCol, textCol)
+    val buckets = spark.read.parquet(s"$indexDir/buckets")
+    val cand = buckets.as("c")
+      .join(broadcast(qb.as("q")),
+        col("q.band") === col("c.band") &&
+        col("q.bucket") === col("c.bucket") &&
+        col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("qid"), col("c.id").as("did"))
+      .distinct().persist()
+    val candIds = cand.select(col("did")).distinct()
+      .limit(maxCandidateIds + 1).collect().map(_.getLong(0))
+    val shStored = spark.read.parquet(s"$indexDir/shingles")
+    // pushed-down In() when the candidate set is bounded, else a
+    // distributed semi-join — never silently collect an unbounded set
+    val shC =
+      if (candIds.length <= maxCandidateIds)
+        shStored.filter(col("id").isin(candIds.toIndexedSeq: _*))
+      else shStored.join(
+        cand.select(col("did").as("id")).distinct(), Seq("id"), "left_semi")
+    val shQ = shingles(queries, k, idCol, textCol)
+    val szQ = shQ.groupBy(col("id")).agg(count(lit(1)).as("sz_q"))
+    val shared = shQ.toDF("qid", "shingle")
+      .join(shC.toDF("did", "shingle"), "shingle")
+      .join(cand, Seq("qid", "did"), "left_semi")
+      .groupBy(col("qid"), col("did"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(szQ.toDF("qid", "sz_q"), "qid")
+      .join(spark.read.parquet(s"$indexDir/sizes").toDF("did", "sz_d"),
+        "did")
+      .filter(col("n_shared") * 1000000L >=
+        lit(thresholdPpm) * (col("sz_q") + col("sz_d") - col("n_shared")))
+      .select(col("qid"), col("did"), col("n_shared"),
+        col("sz_q"), col("sz_d"))
+    graft.util.Checkpoints.materialize(out, unpersistAfter = Seq(cand))
+  }
+
   /** Near-duplicate CLUSTERS from candidate pairs: connected components
     * by iterative min-label propagation, cluster id = min doc id in the
     * component. This is the corpus-dedup step AFTER pair generation —

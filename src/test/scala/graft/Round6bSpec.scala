@@ -114,6 +114,29 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("LSH disk index (writeLshIndex / searchLshIndex)") {
+    it("index-backed search equals nearDupSearch on both candidate paths") {
+      val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+      val t2 = "one two three four five six seven eight nine"
+      val corpus = Seq((100L, t1), (101L, t2 + " ten eleven"),
+        (102L, "totally different words here nothing shared at all"))
+        .toDF("doc_id", "text")
+      val queries = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val expect = graft.dedup.Dedup.nearDupSearch(corpus, queries)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+      graft.dedup.Dedup.writeLshIndex(corpus, dir)
+      // pushdown path (candidates fit the In() cap)...
+      graft.dedup.Dedup.searchLshIndex(spark, dir, queries)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet shouldBe expect
+      // ...and the distributed semi-join fallback (cap = 0)
+      graft.dedup.Dedup.searchLshIndex(spark, dir, queries,
+          maxCandidateIds = 0)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet shouldBe expect
+      expect.map(r => (r._1, r._2)) should contain((1L, 100L))
+    }
+  }
+
   describe("semDedup (cluster-confined semantic dedup)") {
     it("drops exact/near duplicates, keeps the min id and distinct vectors") {
       def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
