@@ -1169,6 +1169,60 @@ object SparkEntry {
       graft.dedup.Dedup.searchLshIndex(s, idx, queries)
     }),
 
+    // INTEGER linear quality classifier (text/QualityModel.scoreLinear):
+    // the "apply a learned quality filter to every doc" stage with an
+    // integer model — integer features × integer weights, per-token
+    // threshold decided by cross-multiplication. No FP in the decision.
+    "q115_quality_model" -> ((s, d) =>
+      graft.text.QualityModel.scoreLinear(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        weights = Map("f_tok" -> 2L, "f_uniq" -> 3L, "f_stop" -> 5L,
+          "f_digit" -> -4L, "f_chars" -> 1L),
+        bias = 10L, thresholdPpm = 4000000L)),
+
+    // DATA-MIXTURE planner (pipeline/Mixture.plan): target shares →
+    // per-language sampling rate / epoch factors at the corpus's own
+    // token budget. Overflow-safe q/r-decomposed integer arithmetic.
+    "q116_mixture_plan" -> ((s, d) =>
+      graft.pipeline.Mixture.plan(
+        Tables.documents(s, d).select(col("lang"), col("text")),
+        targetsPpm = Map("en" -> 300000L, "de" -> 250000L,
+          "es" -> 200000L, "fr" -> 150000L, "zh" -> 100000L))),
+
+    // SHUFFLE-SKEW preflight audit (pipeline/Skew.report): per-key count
+    // distribution summary (quantiles over the count HISTOGRAM — the
+    // only window runs over distinct count values, never keys) deciding
+    // whether a join/agg key needs salting.
+    "q117_skew_audit" -> ((s, d) =>
+      graft.pipeline.Skew.report(Tables.events(s, d), "user_id")),
+
+    // RAG-PREP e2e (Chunker → exact chunk dedup → per-lang packing):
+    // chunk docs into 16-token windows, keep the first (doc_id,
+    // chunk_idx) of each distinct chunk text, pack survivors into
+    // 64-token bins per language — one composed Catalyst plan.
+    "q118_rag_prep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val chunks = graft.text.Chunker
+        .chunk(docs, chunkSize = 16, overlap = 4)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val kept = chunks.groupBy(col("chunk_text"))
+        .agg(min_by(struct(col("doc_id"), col("chunk_idx"),
+            col("n_toks"), col("lang")),
+          struct(col("doc_id"), col("chunk_idx"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"),
+          col("w.chunk_idx").as("chunk_idx"),
+          col("w.lang").as("lang"), col("w.n_toks").as("n_toks"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      kept.withColumn("cum", sum(col("n_toks")).over(win))
+        .select(col("doc_id"), col("chunk_idx"), col("lang"),
+          col("n_toks"),
+          graft.time.Buckets.intDiv(col("cum") - col("n_toks"), lit(64L))
+            .as("bin"))
+    }),
+
     // BPE round-1 pair counts (text/Bpe.pairCounts): adjacent char-pair
     // frequencies over the distinct-word table weighted by word count —
     // the counting step of distributed tokenizer training (Sennrich et
@@ -2791,6 +2845,90 @@ object SparkEntry {
            |  array_to_string(t[start_tok+1:start_tok+16], ' ')
            |    AS chunk_text
            |FROM st""".stripMargin,
+
+      "q115_quality_model" -> {
+        val stops = sqlList(graft.text.TextOps.enStopwords)
+        s"""WITH f AS (SELECT doc_id,
+           |  CAST(len($toksSql) AS BIGINT) AS f_tok,
+           |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS f_uniq,
+           |  CAST(len(list_filter($toksSql,
+           |    t -> list_contains($stops, t))) AS BIGINT) AS f_stop,
+           |  CAST(length(text) - length(regexp_replace(text, '[0-9]',
+           |    '', 'g')) AS BIGINT) AS f_digit,
+           |  CAST(length(text) AS BIGINT) AS f_chars
+           |  FROM documents),
+           |sc AS (SELECT doc_id, 10 + 2 * f_tok + 3 * f_uniq +
+           |    5 * f_stop - 4 * f_digit + 1 * f_chars AS score,
+           |    f_tok FROM f)
+           |SELECT doc_id, score,
+           |  score * 1000000 >= 4000000 * greatest(f_tok, 1) AS keep
+           |FROM sc""".stripMargin
+      },
+
+      "q116_mixture_plan" ->
+        s"""WITH a AS (SELECT lang AS stratum,
+           |    CAST(sum(len($toksSql)) AS BIGINT) AS n_toks
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS b FROM a),
+           |tgt(stratum, target_ppm) AS (VALUES ('en', 300000),
+           |  ('de', 250000), ('es', 200000), ('fr', 150000),
+           |  ('zh', 100000)),
+           |j AS (SELECT a.stratum, a.n_toks, b,
+           |    CAST(coalesce(target_ppm, 0) AS BIGINT) AS ppm
+           |  FROM a CROSS JOIN tot
+           |  LEFT JOIN tgt ON tgt.stratum = a.stratum),
+           |w AS (SELECT stratum, n_toks,
+           |    (b // 1000000) * ppm + (b % 1000000) * ppm // 1000000
+           |      AS want_toks FROM j)
+           |SELECT stratum, n_toks, want_toks,
+           |  least(1000000, (want_toks // n_toks) * 1000000 +
+           |    (want_toks % n_toks) * 1000000 // n_toks) AS keep_ppm,
+           |  greatest((want_toks + n_toks - 1) // n_toks, 0) AS epochs
+           |FROM w""".stripMargin,
+
+      "q117_skew_audit" ->
+        """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k,
+          |    count(*) AS cnt FROM events GROUP BY 1),
+          |h AS (SELECT cnt, count(*) AS n_at FROM c GROUP BY 1),
+          |cm AS (SELECT cnt, sum(n_at) OVER (ORDER BY cnt) AS cum FROM h),
+          |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |    count(*) AS n_keys, max(cnt) AS max_cnt FROM c),
+          |top AS (SELECT k AS top_key, cnt AS top_cnt FROM c
+          |  ORDER BY cnt DESC, k ASC LIMIT 1),
+          |q AS (SELECT
+          |    min(CASE WHEN cum * 1000000 >= 500000 * n_keys
+          |      THEN cnt END) AS p50_cnt,
+          |    min(CASE WHEN cum * 1000000 >= 900000 * n_keys
+          |      THEN cnt END) AS p90_cnt,
+          |    min(CASE WHEN cum * 1000000 >= 990000 * n_keys
+          |      THEN cnt END) AS p99_cnt
+          |  FROM cm CROSS JOIN s)
+          |SELECT s.n_rows, s.n_keys, s.max_cnt, q.p50_cnt, q.p90_cnt,
+          |  q.p99_cnt, top.top_key, top.top_cnt,
+          |  (top.top_cnt // s.n_rows) * 1000000 +
+          |    (top.top_cnt % s.n_rows) * 1000000 // s.n_rows
+          |    AS top_share_ppm
+          |FROM s CROSS JOIN q CROSS JOIN top""".stripMargin,
+
+      "q118_rag_prep" ->
+        s"""WITH base AS (SELECT doc_id, lang, $toksSql AS t
+           |    FROM documents),
+           |st AS (SELECT doc_id, lang, t, unnest(range(0, len(t), 12))
+           |    AS start_tok FROM base WHERE len(t) > 0),
+           |ch AS (SELECT doc_id, lang, start_tok // 12 AS chunk_idx,
+           |    CAST(len(t[start_tok+1:start_tok+16]) AS BIGINT)
+           |      AS n_toks,
+           |    array_to_string(t[start_tok+1:start_tok+16], ' ')
+           |      AS chunk_text FROM st),
+           |k AS (SELECT *, row_number() OVER (PARTITION BY chunk_text
+           |    ORDER BY doc_id, chunk_idx) AS rn FROM ch),
+           |kept AS (SELECT doc_id, chunk_idx, lang, n_toks FROM k
+           |  WHERE rn = 1),
+           |p AS (SELECT *, sum(n_toks) OVER (PARTITION BY lang
+           |    ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING)
+           |    AS cum FROM kept)
+           |SELECT doc_id, chunk_idx, lang, n_toks,
+           |  CAST((cum - n_toks) // 64 AS BIGINT) AS bin FROM p""".stripMargin,
 
       "q113_bpe_pairs" ->
         s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),

@@ -52,6 +52,16 @@ object Buckets {
     * a resolvable column/SQL expression name. */
   def floorDiv(colName: String, width: Long): Column =
     expr(s"(($colName) - pmod($colName, ${width}L)) div ${width}L")
+
+  /** `a div b` (truncating INTEGER division) over Column operands —
+    * Spark's `/` on longs is DOUBLE division, inexact past 2⁵³; this
+    * stays integral end-to-end. For non-negative operands truncation
+    * equals floor, matching the oracles' `//`. */
+  def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftshim.Shim.expression(a),
+        org.apache.spark.sql.graftshim.Shim.expression(b)))
 }
 
 /** One end of an interval: None = infinite. */

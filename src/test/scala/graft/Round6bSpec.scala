@@ -137,6 +137,84 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("Buckets.intDiv (integral division past 2^53)") {
+    it("stays exact where double division rounds") {
+      // 2^60 + 1 over 2: double math yields 2^59, intDiv (2^60+1) div 2
+      val big = (1L << 60) + 1L
+      val got = Seq((big, 2L)).toDF("a", "b")
+        .select(graft.time.Buckets.intDiv(col("a"), col("b")).as("d"))
+        .as[Long].collect().head
+      got shouldBe big / 2
+    }
+  }
+
+  describe("QualityModel (integer linear quality classifier)") {
+    it("scores bias + weighted integer features, thresholds per token") {
+      val df = Seq((1L, "the the zz"), (2L, "99")).toDF("doc_id", "text")
+      // doc 1: f_tok=3 f_uniq=2 f_stop=2 f_digit=0 f_chars=10
+      // doc 2: f_tok=1 f_uniq=1 f_stop=0 f_digit=2 f_chars=2
+      val byId = graft.text.QualityModel.scoreLinear(df,
+        Map("f_tok" -> 2L, "f_uniq" -> 3L, "f_stop" -> 5L,
+          "f_digit" -> -4L, "f_chars" -> 1L),
+        bias = 10L, thresholdPpm = 4000000L).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      // doc1: 10+6+6+10+0+10 = 42; 42 >= 4*3 → keep
+      byId(1L) shouldBe ((42L, true))
+      // doc2: 10+2+3+0-8+2 = 9; 9 >= 4*1 → keep
+      byId(2L) shouldBe ((9L, true))
+    }
+
+    it("rejects unknown feature names eagerly") {
+      val df = Seq((1L, "x")).toDF("doc_id", "text")
+      an[IllegalArgumentException] should be thrownBy
+        graft.text.QualityModel.scoreLinear(df, Map("nope" -> 1L))
+    }
+  }
+
+  describe("Mixture (data-mixture planner)") {
+    it("computes downsample rates and epoch factors per stratum") {
+      // en: 6 toks, zh: 2 toks; budget 8 (the corpus total)
+      val df = Seq(("en", "a b c"), ("en", "d e f"), ("zh", "g h"))
+        .toDF("lang", "text")
+      val got = graft.pipeline.Mixture.plan(df,
+        Map("en" -> 250000L, "zh" -> 750000L))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      // en: want 2 of 6 → keep 333333 ppm, 1 epoch
+      got("en") shouldBe ((6L, 2L, 333333L, 1L))
+      // zh: want 6 of 2 → keep capped at 1e6, 3 epochs
+      got("zh") shouldBe ((2L, 6L, 1000000L, 3L))
+    }
+
+    it("gives absent strata target 0 and honors an explicit budget") {
+      val df = Seq(("en", "a b"), ("xx", "c d")).toDF("lang", "text")
+      val got = graft.pipeline.Mixture.plan(df, Map("en" -> 1000000L),
+          budgetTokens = Some(10L))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      got("en") shouldBe ((2L, 10L, 1000000L, 5L))
+      got("xx") shouldBe ((2L, 0L, 0L, 0L))
+    }
+  }
+
+  describe("Skew (pre-shuffle key audit)") {
+    it("summarizes the per-key count distribution with a deterministic top") {
+      // keys: a×4, b×4, c×1, d×1 → top tie (a,b) breaks to 'a'
+      val df = (Seq.fill(4)("a") ++ Seq.fill(4)("b") ++ Seq("c", "d"))
+        .toDF("k")
+      val r = graft.pipeline.Skew.report(df, "k").collect().head
+      r.getLong(0) shouldBe 10L           // n_rows
+      r.getLong(1) shouldBe 4L            // n_keys
+      r.getLong(2) shouldBe 4L            // max_cnt
+      r.getLong(3) shouldBe 1L            // p50: cum 2/4 at cnt=1
+      r.getLong(4) shouldBe 4L            // p90
+      r.getLong(5) shouldBe 4L            // p99
+      r.getString(6) shouldBe "a"         // top_key (tie → smallest)
+      r.getLong(7) shouldBe 4L            // top_cnt
+      r.getLong(8) shouldBe 400000L       // top_share_ppm
+    }
+  }
+
   describe("semDedup (cluster-confined semantic dedup)") {
     it("drops exact/near duplicates, keeps the min id and distinct vectors") {
       def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
