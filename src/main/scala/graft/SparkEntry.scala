@@ -1189,6 +1189,21 @@ object SparkEntry {
         targetsPpm = Map("en" -> 300000L, "de" -> 250000L,
           "es" -> 200000L, "fr" -> 150000L, "zh" -> 100000L))),
 
+    // MIXTURE MATERIALIZATION (pipeline/Mixture.applyPlan): the q116
+    // plan applied — full epochs by explode, the remainder epoch by
+    // deterministic hash draw; downsampling is the epochs=0 case of the
+    // same formula. Output rows = (doc_id, lang, copy).
+    "q119_mixture_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val plan = graft.pipeline.Mixture.plan(docs,
+        targetsPpm = Map("en" -> 300000L, "de" -> 250000L,
+          "es" -> 200000L, "fr" -> 150000L, "zh" -> 100000L))
+      graft.pipeline.Mixture.applyPlan(
+          docs.select(col("doc_id"), col("lang")), plan)
+        .select(col("doc_id"), col("lang"), col("copy"))
+    }),
+
     // SHUFFLE-SKEW preflight audit (pipeline/Skew.report): per-key count
     // distribution summary (quantiles over the count HISTOGRAM — the
     // only window runs over distinct count values, never keys) deciding
@@ -1549,6 +1564,25 @@ object SparkEntry {
        |sig AS (SELECT id, $sigCols FROM hx GROUP BY id),
        |banded AS ($bandSelects)""".stripMargin
   }
+
+  /** DuckDB: the q116 mixture-plan CTE chain ending in `w(stratum,
+    * n_toks, want_toks)` — shared by q116 (the plan) and q119 (the
+    * materialization). States Mixture.plan's q/r-decomposed math. */
+  private def mixturePlanCtes: String =
+    s"""a AS (SELECT lang AS stratum,
+       |    CAST(sum(len($toksSql)) AS BIGINT) AS n_toks
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS b FROM a),
+       |tgt(stratum, target_ppm) AS (VALUES ('en', 300000),
+       |  ('de', 250000), ('es', 200000), ('fr', 150000),
+       |  ('zh', 100000)),
+       |j AS (SELECT a.stratum, a.n_toks, b,
+       |    CAST(coalesce(target_ppm, 0) AS BIGINT) AS ppm
+       |  FROM a CROSS JOIN tot
+       |  LEFT JOIN tgt ON tgt.stratum = a.stratum),
+       |w AS (SELECT stratum, n_toks,
+       |    (b // 1000000) * ppm + (b % 1000000) * ppm // 1000000
+       |      AS want_toks FROM j)""".stripMargin
 
   /** DuckDB: asymmetric near-dup search of the doc_id<50 query set
     * against the doubled corpus (Dedup.nearDupSearch's exact math).
@@ -2866,25 +2900,27 @@ object SparkEntry {
       },
 
       "q116_mixture_plan" ->
-        s"""WITH a AS (SELECT lang AS stratum,
-           |    CAST(sum(len($toksSql)) AS BIGINT) AS n_toks
-           |  FROM documents GROUP BY 1),
-           |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS b FROM a),
-           |tgt(stratum, target_ppm) AS (VALUES ('en', 300000),
-           |  ('de', 250000), ('es', 200000), ('fr', 150000),
-           |  ('zh', 100000)),
-           |j AS (SELECT a.stratum, a.n_toks, b,
-           |    CAST(coalesce(target_ppm, 0) AS BIGINT) AS ppm
-           |  FROM a CROSS JOIN tot
-           |  LEFT JOIN tgt ON tgt.stratum = a.stratum),
-           |w AS (SELECT stratum, n_toks,
-           |    (b // 1000000) * ppm + (b % 1000000) * ppm // 1000000
-           |      AS want_toks FROM j)
+        s"""WITH $mixturePlanCtes
            |SELECT stratum, n_toks, want_toks,
            |  least(1000000, (want_toks // n_toks) * 1000000 +
            |    (want_toks % n_toks) * 1000000 // n_toks) AS keep_ppm,
            |  greatest((want_toks + n_toks - 1) // n_toks, 0) AS epochs
            |FROM w""".stripMargin,
+
+      "q119_mixture_apply" ->
+        s"""WITH $mixturePlanCtes,
+           |docs AS (SELECT doc_id, lang,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           |      ::BIGINT % 1000000 AS draw FROM documents),
+           |jn AS (SELECT d.doc_id, d.lang,
+           |    (w.want_toks // w.n_toks) +
+           |      CASE WHEN d.draw <
+           |        (w.want_toks % w.n_toks) * 1000000 // w.n_toks
+           |      THEN 1 ELSE 0 END AS n_copies
+           |  FROM docs d JOIN w ON w.stratum = d.lang)
+           |SELECT doc_id, lang,
+           |  CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
+           |FROM jn WHERE n_copies > 0""".stripMargin,
 
       "q117_skew_audit" ->
         """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k,

@@ -474,6 +474,29 @@ object Dedup {
     sh.unpersist()
   }
 
+  /** Append a new batch to a [[writeLshIndex]] layout — the daily index
+    * maintenance write: the batch (alone) is shingled/banded and its
+    * buckets/shingles/sizes APPEND to the stored tables, so the corpus
+    * is never re-shingled. Precondition: batch ids are new (an id
+    * present in both the index and the batch would double-count its
+    * size row — run [[dedupIncrement]] first, which is the same daily
+    * shape). Appended files carry their own row-group stats, so the
+    * candidate-id pushdown keeps pruning. */
+  def appendLshIndex(batch: DataFrame, indexDir: String, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    bandedBuckets(batch, k, idCol, textCol)
+      .repartition(col("band")).sortWithinPartitions(col("bucket"))
+      .write.partitionBy("band").mode("append")
+      .parquet(s"$indexDir/buckets")
+    val sh = shingles(batch, k, idCol, textCol)
+      .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+      .persist()
+    sh.write.mode("append").parquet(s"$indexDir/shingles")
+    sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .write.mode("append").parquet(s"$indexDir/sizes")
+    sh.unpersist()
+  }
+
   /** [[nearDupSearch]] THROUGH a [[writeLshIndex]] layout: the query
     * batch is banded in memory (tiny) and broadcast against the stored
     * bucket table; candidate corpus ids, when ≤ `maxCandidateIds`, are

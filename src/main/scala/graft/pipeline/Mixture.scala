@@ -62,4 +62,31 @@ object Mixture {
     planned.select(col("stratum"), col("n_toks"), col("want_toks"),
       keep.as("keep_ppm"), greatest(epochs, lit(0L)).as("epochs"))
   }
+
+  /** MATERIALIZE a [[plan]]: each doc appears `floor(want/actual)` full
+    * epochs plus one more iff its deterministic hash draw falls under
+    * the remainder rate — so per stratum the expected token mass equals
+    * `want_toks` (row-level sampling approximates token-level; the
+    * standard trade). Downsampling is the epochs = 0 case of the same
+    * formula. Output = input columns + `copy` (0-based epoch index);
+    * deterministic under any partitioning ([[PipelineOps.hashDraw]]).
+    * The plan broadcasts (strata-sized). */
+  def applyPlan(docs: DataFrame, planDf: DataFrame,
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val M = lit(1000000L)
+    val p = planDf.select(col("stratum").as(strataCol),
+      col("n_toks"), col("want_toks"))
+    val joined = docs.join(broadcast(p), Seq(strataCol))
+    val full = intDiv(col("want_toks"), col("n_toks"))
+    val remPpm = intDiv(pmod(col("want_toks"), col("n_toks")) * M,
+      col("n_toks"))
+    val nCopies = (full + when(
+      PipelineOps.hashDraw(col(idCol)) < remPpm, 1L).otherwise(0L))
+      .as("n_copies")
+    joined.withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .select(docs.columns.map(col).toIndexedSeq :+
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"): _*)
+  }
 }

@@ -197,6 +197,59 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("Mixture.applyPlan (materialized mixture)") {
+    it("emits full epochs plus a hash-drawn remainder epoch") {
+      val df = Seq(("en", 1L, "a b"), ("en", 2L, "c d"), ("zh", 3L, "e f"))
+        .toDF("lang", "doc_id", "text")
+      // en: 4 toks, zh: 2; budget 6. en target 1/3 → want 2 (downsample);
+      // zh target 2/3 → want 4 = 2 full epochs of its 2 toks
+      val plan = graft.pipeline.Mixture.plan(df,
+        Map("en" -> 333333L, "zh" -> 666666L))
+      val out = graft.pipeline.Mixture.applyPlan(
+          df.select(col("lang"), col("doc_id")), plan)
+        .as[(String, Long, Long)].collect().toSeq
+      // zh doc 3 must appear at least its 1 full epoch (want 3 of 2
+      // toks → full = 1, remainder by draw); copies are 0-based
+      val zh = out.filter(_._1 == "zh")
+      zh.map(_._3).min shouldBe 0L
+      zh.size should (be >= 1 and be <= 2)
+      // en downsample: full = 0, so each en doc appears 0 or 1 times
+      val en = out.filter(_._1 == "en")
+      en.groupBy(_._2).values.foreach(_.size shouldBe 1)
+      // deterministic: second run identical
+      graft.pipeline.Mixture.applyPlan(
+          df.select(col("lang"), col("doc_id")), plan)
+        .as[(String, Long, Long)].collect().toSeq
+        .sorted shouldBe out.sorted
+    }
+  }
+
+  describe("appendLshIndex (daily index maintenance)") {
+    it("append(B) to index(A) searches identically to index(A ∪ B)") {
+      val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+      val a = Seq((100L, t1),
+        (102L, "totally different words here nothing shared at all"))
+        .toDF("doc_id", "text")
+      val b = Seq((200L, t1 + " iota"),
+        (201L, "more unrelated filler content beyond sharing"))
+        .toDF("doc_id", "text")
+      val queries = Seq((1L, t1)).toDF("doc_id", "text")
+      val incDir = java.nio.file.Files
+        .createTempDirectory("lsh_inc").toString
+      graft.dedup.Dedup.writeLshIndex(a, incDir)
+      graft.dedup.Dedup.appendLshIndex(b, incDir)
+      val fullDir = java.nio.file.Files
+        .createTempDirectory("lsh_full").toString
+      graft.dedup.Dedup.writeLshIndex(a.unionByName(b), fullDir)
+      val inc = graft.dedup.Dedup.searchLshIndex(spark, incDir, queries)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val full = graft.dedup.Dedup.searchLshIndex(spark, fullDir, queries)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      inc shouldBe full
+      inc.map(_._2) should contain allOf (100L, 200L)
+    }
+  }
+
   describe("Skew (pre-shuffle key audit)") {
     it("summarizes the per-key count distribution with a deterministic top") {
       // keys: a×4, b×4, c×1, d×1 → top tie (a,b) breaks to 'a'
