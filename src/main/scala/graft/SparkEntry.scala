@@ -1189,6 +1189,16 @@ object SparkEntry {
         targetsPpm = Map("en" -> 300000L, "de" -> 250000L,
           "es" -> 200000L, "fr" -> 150000L, "zh" -> 100000L))),
 
+    // N-GRAM LM quality components (text/NgramLm): the CCNet "LM-score
+    // and filter" stage as integer sufficient statistics — per doc:
+    // bigram occurrences, RARE occurrences (corpus count < 3), summed
+    // corpus counts. Model = the corpus's own bigram table.
+    "q120_lm_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.text.NgramLm.docComponents(docs,
+        graft.text.NgramLm.bigramCounts(docs))
+    }),
+
     // MIXTURE MATERIALIZATION (pipeline/Mixture.applyPlan): the q116
     // plan applied — full epochs by explode, the remainder epoch by
     // deterministic hash draw; downsampling is the epochs=0 case of the
@@ -2906,6 +2916,24 @@ object SparkEntry {
            |    (want_toks % n_toks) * 1000000 // n_toks) AS keep_ppm,
            |  greatest((want_toks + n_toks - 1) // n_toks, 0) AS epochs
            |FROM w""".stripMargin,
+
+      "q120_lm_components" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(
+           |    range(0, len(t) - 1),
+           |    i -> array_to_string(t[i+1:i+2], ' '))) AS gram
+           |  FROM base WHERE len(t) >= 2),
+           |m AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+           |sc AS (SELECT g.doc_id, count(*) AS n_bigrams,
+           |    CAST(sum(CASE WHEN m.cnt < 3 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_rare,
+           |    CAST(sum(m.cnt) AS BIGINT) AS sum_cnt
+           |  FROM g JOIN m USING (gram) GROUP BY 1)
+           |SELECT b.doc_id,
+           |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+           |  CAST(coalesce(sum_cnt, 0) AS BIGINT) AS sum_cnt
+           |FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id""".stripMargin,
 
       "q119_mixture_apply" ->
         s"""WITH $mixturePlanCtes,

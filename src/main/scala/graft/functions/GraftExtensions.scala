@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("predict_lang"),
       GraftExtensions.predictLangInfo,
       GraftExtensions.predictLangBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("pii_redact"),
+      GraftExtensions.piiRedactInfo,
+      GraftExtensions.piiRedactBuilder))
     // top-1-per-group window → max_by/min_by hash aggregation
     ext.injectOptimizerRule(_ => graft.plans.TopOneWindowToMaxBy)
   }
@@ -85,6 +89,24 @@ object GraftExtensions {
       WordShingles(children.head, k)
     }
 
+  private[functions] val piiRedactInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace]
+      .getName, "pii_redact")
+  /** `pii_redact(text)` — [[graft.text.Pii.redact]]'s chained
+    * email→IP→phone replacement as a SQL-callable composition of the
+    * native codegen RegExpReplace. */
+  private[functions] val piiRedactBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 1, "pii_redact requires exactly 1 argument")
+      import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+      def rep(e: Expression, re: String, r: String): Expression =
+        new RegExpReplace(e, Literal(re), Literal(r))
+      rep(rep(rep(children.head,
+        graft.text.Pii.EmailRe, "<EMAIL>"),
+        graft.text.Pii.Ipv4Re, "<IP>"),
+        graft.text.Pii.PhoneRe, "<PHONE>")
+    }
+
   /** Register into an already-built session (config-based extensions
     * only apply at build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -98,6 +120,8 @@ object GraftExtensions {
       spark, "word_shingles", shinglesInfo, shinglesBuilder)
     org.apache.spark.sql.graftshim.Shim.registerFunction(
       spark, "predict_lang", predictLangInfo, predictLangBuilder)
+    org.apache.spark.sql.graftshim.Shim.registerFunction(
+      spark, "pii_redact", piiRedactInfo, piiRedactBuilder)
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.TopOneWindowToMaxBy))
       spark.experimental.extraOptimizations =

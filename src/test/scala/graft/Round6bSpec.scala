@@ -197,6 +197,41 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("NgramLm (count-LM quality components)") {
+    it("counts rare occurrences and treats model-absent grams as cnt 0") {
+      val corpus = Seq((1L, "a b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+      // model: "a b"×4, "b a"×2, "b c"×1
+      val model = graft.text.NgramLm.bigramCounts(corpus)
+      model.as[(String, Long)].collect().toMap shouldBe
+        Map("a b" -> 4L, "b a" -> 2L, "b c" -> 1L)
+      val got = graft.text.NgramLm
+        .docComponents(corpus, model, rareBelow = 3L)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // doc1: 5 bigrams: ab,ba,ab,ba,ab → rare = the 2 "b a"; sum = 3·4+2·2
+      got(1L) shouldBe ((5L, 2L, 16L))
+      // doc2: ab(4), bc(1) → 1 rare; sum 5
+      got(2L) shouldBe ((2L, 1L, 5L))
+      // scoring NEW docs against the old model: absent gram = rare, cnt 0
+      val newDocs = Seq((9L, "z z"), (10L, "solo")).toDF("doc_id", "text")
+      val nd = graft.text.NgramLm.docComponents(newDocs, model)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      nd(9L) shouldBe ((1L, 1L, 0L))
+      nd(10L) shouldBe ((0L, 0L, 0L))   // < 2 tokens → all zero
+    }
+  }
+
+  describe("pii_redact SQL function (GraftExtensions)") {
+    it("is callable from SQL after register()") {
+      graft.functions.GraftExtensions.register(spark)
+      spark.sql("SELECT pii_redact('mail a@b.co ip 10.0.0.1 tel " +
+          "+44-123-4567') AS r")
+        .as[String].collect().head shouldBe
+          "mail <EMAIL> ip <IP> tel <PHONE>"
+    }
+  }
+
   describe("Mixture.applyPlan (materialized mixture)") {
     it("emits full epochs plus a hash-drawn remainder epoch") {
       val df = Seq(("en", 1L, "a b"), ("en", 2L, "c d"), ("zh", 3L, "e f"))
