@@ -1113,22 +1113,8 @@ object SparkEntry {
     // derived from doc_id (emails on %2, IPs on %3, phones on %5) —
     // the operator runs on the decorated text; the oracle decorates
     // identically.
-    "q110_pii" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val decorated = docs.select(col("doc_id"), concat(
-        col("text"),
-        when(col("doc_id") % 2 === 0, concat(lit(" Contact p"),
-          col("doc_id").cast("string"), lit("@example.com now.")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0, concat(lit(" host 10."),
-          (col("doc_id") % 200).cast("string"), lit(".0."),
-          (col("doc_id") % 250).cast("string"), lit(" up")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
-          (col("doc_id") % 9000 + 1000).cast("string"), lit(" asap")))
-          .otherwise(lit(""))).as("text"))
-      graft.text.Pii.piiStats(decorated)
-    }),
+    "q110_pii" -> ((s, d) => graft.text.Pii.piiStats(piiDecorated(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))),
 
     // BENCHMARK decontamination (text/Decontaminate.overlapReport):
     // corpus docs sharing any word n-gram with the benchmark set
@@ -1188,6 +1174,29 @@ object SparkEntry {
         Tables.documents(s, d).select(col("lang"), col("text")),
         targetsPpm = Map("en" -> 300000L, "de" -> 250000L,
           "es" -> 200000L, "fr" -> 150000L, "zh" -> 100000L))),
+
+    // DAILY-INGEST e2e (the flagship pipeline composition): incoming
+    // batch → exact dedup vs the existing corpus (Dedup.dedupIncrement)
+    // → benchmark decontamination (Decontaminate) → PII redaction (Pii,
+    // over q110's planted PII) → integer quality classifier
+    // (QualityModel) — ONE composed Catalyst plan, no materialization
+    // between stages. Output: every surviving doc with its score + the
+    // keep verdict.
+    "q121_daily_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val existing = docs.filter(col("doc_id") % 3 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+      val survivors = incoming.join(
+        graft.dedup.Dedup.dedupIncrement(existing, incoming),
+        Seq("doc_id"), "left_semi")
+      val clean = graft.text.Decontaminate.decontaminate(
+        survivors, docs.filter(col("doc_id") % 97 === 0), n = 3)
+      val red = graft.text.Pii.redactDocs(piiDecorated(clean))
+      graft.text.QualityModel.scoreLinear(red,
+        Map("f_tok" -> 2L, "f_uniq" -> 3L, "f_stop" -> 5L,
+          "f_digit" -> -4L, "f_chars" -> 1L),
+        bias = 10L, thresholdPpm = 4000000L)
+    }),
 
     // N-GRAM LM quality components (text/NgramLm): the CCNet "LM-score
     // and filter" stage as integer sufficient statistics — per doc:
@@ -1520,6 +1529,24 @@ object SparkEntry {
   private val lshIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Deterministic doc_id-derived PII planted onto the text (the
+    * synthetic corpus has none): emails on %2, IPv4s on %3, phones on
+    * %5. Shared by q110 and q121; `piiDecorationSql` is its oracle
+    * twin. */
+  private def piiDecorated(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 2 === 0, concat(lit(" Contact p"),
+        col("doc_id").cast("string"), lit("@example.com now.")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, concat(lit(" host 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"), lit(" up")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+        (col("doc_id") % 9000 + 1000).cast("string"), lit(" asap")))
+        .otherwise(lit(""))))
+
   /** Documents self-unioned with shifted ids — gives the dedup operators
     * guaranteed true-duplicate pairs on synthetic data. */
   private def doubledDocs(s: SparkSession, d: String): DataFrame = {
@@ -1573,6 +1600,32 @@ object SparkEntry {
        |hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh),
        |sig AS (SELECT id, $sigCols FROM hx GROUP BY id),
        |banded AS ($bandSelects)""".stripMargin
+  }
+
+  /** DuckDB: the q110/q121 PII decoration expression over (doc_id,
+    * text) — `piiDecorated`'s oracle twin. NOTE: no line may START
+    * with `||` — this fragment interpolates into stripMargin strings,
+    * which would eat one pipe. */
+  private def piiDecorationSql: String =
+    """text ||
+      | CASE WHEN doc_id % 2 = 0 THEN ' Contact p' ||
+      |   CAST(doc_id AS VARCHAR) || '@example.com now.'
+      |  ELSE '' END ||
+      | CASE WHEN doc_id % 3 = 0 THEN ' host 10.' ||
+      |   CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+      |   CAST(doc_id % 250 AS VARCHAR) || ' up'
+      |  ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+      |   CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' asap'
+      |  ELSE '' END""".stripMargin
+
+  /** DuckDB: Pii.redact's chained replace over a column expression. */
+  private def piiRedactSql(c: String): String = {
+    import graft.text.Pii.{EmailRe, Ipv4Re, PhoneRe}
+    s"""regexp_replace(regexp_replace(regexp_replace(
+       |    $c, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')""".stripMargin
   }
 
   /** DuckDB: the q116 mixture-plan CTE chain ending in `w(stratum,
@@ -2847,25 +2900,13 @@ object SparkEntry {
 
       "q110_pii" -> {
         import graft.text.Pii.{EmailRe, Ipv4Re, PhoneRe}
-        s"""WITH dec AS (SELECT doc_id, text
-           |  || CASE WHEN doc_id % 2 = 0 THEN ' Contact p'
-           |       || CAST(doc_id AS VARCHAR) || '@example.com now.'
-           |     ELSE '' END
-           |  || CASE WHEN doc_id % 3 = 0 THEN ' host 10.'
-           |       || CAST(doc_id % 200 AS VARCHAR) || '.0.'
-           |       || CAST(doc_id % 250 AS VARCHAR) || ' up'
-           |     ELSE '' END
-           |  || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
-           |       || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' asap'
-           |     ELSE '' END AS text FROM documents)
+        s"""WITH dec AS (SELECT doc_id, $piiDecorationSql AS text
+           |  FROM documents)
            |SELECT doc_id,
            |  len(regexp_extract_all(text, '$EmailRe')) AS n_email,
            |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ip,
            |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phone,
-           |  CAST(length(regexp_replace(regexp_replace(regexp_replace(
-           |    text, '$EmailRe', '<EMAIL>', 'g'),
-           |    '$Ipv4Re', '<IP>', 'g'),
-           |    '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS red_len
+           |  CAST(length(${piiRedactSql("text")}) AS BIGINT) AS red_len
            |FROM dec""".stripMargin
       },
 
@@ -2916,6 +2957,46 @@ object SparkEntry {
            |    (want_toks % n_toks) * 1000000 // n_toks) AS keep_ppm,
            |  greatest((want_toks + n_toks - 1) // n_toks, 0) AS epochs
            |FROM w""".stripMargin,
+
+      "q121_daily_ingest" -> {
+        val stops = sqlList(graft.text.TextOps.enStopwords)
+        s"""WITH exh AS (SELECT DISTINCT md5(text) AS h FROM documents
+           |  WHERE doc_id % 3 <> 0),
+           |inh AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+           |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+           |surv AS (SELECT d.doc_id, d.text FROM documents d
+           |  JOIN (SELECT doc_id FROM inh
+           |    WHERE h NOT IN (SELECT h FROM exh)) k
+           |  ON k.doc_id = d.doc_id),
+           |tb AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(0, len(t) - 2),
+           |    i -> array_to_string(t[i+1:i+3], ' ')))) AS gram
+           |  FROM tb WHERE len(t) >= 3),
+           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+           |flagged AS (SELECT DISTINCT doc_id FROM g
+           |  JOIN bench USING (gram)),
+           |clean AS (SELECT doc_id, text FROM surv
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+           |dec AS (SELECT doc_id, $piiDecorationSql AS text FROM clean),
+           |red AS (SELECT doc_id, ${piiRedactSql("text")} AS text
+           |  FROM dec),
+           |f AS (SELECT doc_id,
+           |  CAST(len($toksSql) AS BIGINT) AS f_tok,
+           |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS f_uniq,
+           |  CAST(len(list_filter($toksSql,
+           |    t -> list_contains($stops, t))) AS BIGINT) AS f_stop,
+           |  CAST(length(text) - length(regexp_replace(text, '[0-9]',
+           |    '', 'g')) AS BIGINT) AS f_digit,
+           |  CAST(length(text) AS BIGINT) AS f_chars
+           |  FROM red),
+           |sc AS (SELECT doc_id, 10 + 2 * f_tok + 3 * f_uniq +
+           |    5 * f_stop - 4 * f_digit + 1 * f_chars AS score,
+           |    f_tok FROM f)
+           |SELECT doc_id, score,
+           |  score * 1000000 >= 4000000 * greatest(f_tok, 1) AS keep
+           |FROM sc""".stripMargin
+      },
 
       "q120_lm_components" ->
         s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -112,6 +112,27 @@ object StreamingIngest {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming training-data ingest — the q121 daily-ingest chain as a
+    * continuous pipeline: PII redaction ([[graft.text.Pii.redact]]) →
+    * integer quality gate ([[graft.text.QualityModel.keepColumn]]) →
+    * watermarked exact dedup ([[dedupDocStream]]'s state, bounded by
+    * the watermark). Redaction and scoring are stateless codegen
+    * projections, so the only streaming state is the dedup hash set.
+    * Input columns: doc_id, text, epoch_ms; output adds score and
+    * content_hash/event_time from the dedup stage. */
+  def ingestDocStream(docs: DataFrame, weights: Map[String, Long],
+      bias: Long = 0L, thresholdPpm: Long = 0L,
+      watermark: String = "10 minutes"): DataFrame = {
+    val red = docs.withColumn("text",
+      graft.text.Pii.redact(col("text")))
+    val gated = red
+      .withColumn("score", graft.text.QualityModel.scoreColumn(
+        col("text"), weights, bias))
+      .filter(graft.text.QualityModel.keepColumn(
+        col("text"), weights, bias, thresholdPpm))
+    dedupDocStream(gated, watermark)
+  }
+
   /** Stream-stream DIO⋈DAO combine: the J3 per-node two-layer merge as a
     * windowed stream-stream inner join — each side watermarked, the join
     * condition bounding |dio_time − dao_time| ≤ `tolerance` so Spark can

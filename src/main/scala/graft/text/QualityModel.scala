@@ -20,19 +20,44 @@ object QualityModel {
   val FeatureNames: Seq[String] =
     Seq("f_tok", "f_uniq", "f_stop", "f_digit", "f_chars")
 
+  /** Unaliased feature expressions by name. */
+  private def rawFeatures(text: Column): Map[String, Column] = {
+    val toks = TextOps.tokens(text)
+    Map(
+      "f_tok" -> size(toks).cast("long"),
+      "f_uniq" -> size(array_distinct(toks)).cast("long"),
+      "f_stop" -> size(filter(toks, t =>
+        t.isin(TextOps.enStopwords.map(x => x: Any): _*))).cast("long"),
+      "f_digit" -> (length(text) -
+        length(regexp_replace(text, "[0-9]", ""))).cast("long"),
+      "f_chars" -> length(text).cast("long"))
+  }
+
   /** Integer feature columns per document. */
   def featureColumns(text: Column): Seq[Column] = {
-    val toks = TextOps.tokens(text)
-    Seq(
-      size(toks).cast("long").as("f_tok"),
-      size(array_distinct(toks)).cast("long").as("f_uniq"),
-      size(filter(toks, t =>
-        t.isin(TextOps.enStopwords.map(x => x: Any): _*)))
-        .cast("long").as("f_stop"),
-      (length(text) - length(regexp_replace(text, "[0-9]", "")))
-        .cast("long").as("f_digit"),
-      length(text).cast("long").as("f_chars"))
+    val raw = rawFeatures(text)
+    FeatureNames.map(n => raw(n).as(n))
   }
+
+  /** The linear score as a single column expression — for composing
+    * into arbitrary (incl. streaming) frames without the [[features]]
+    * projection. */
+  def scoreColumn(text: Column, weights: Map[String, Long],
+      bias: Long = 0L): Column = {
+    val unknown = weights.keySet -- FeatureNames.toSet
+    require(unknown.isEmpty, s"unknown feature weights: $unknown")
+    val raw = rawFeatures(text)
+    weights.foldLeft(lit(bias): Column) { case (acc, (k, w)) =>
+      acc + raw(k) * lit(w)
+    }
+  }
+
+  /** The keep decision as a single column expression (see
+    * [[scoreLinear]] for the semantics). */
+  def keepColumn(text: Column, weights: Map[String, Long],
+      bias: Long = 0L, thresholdPpm: Long = 0L): Column =
+    scoreColumn(text, weights, bias) * 1000000L >=
+      lit(thresholdPpm) * greatest(rawFeatures(text)("f_tok"), lit(1L))
 
   /** (doc_id, f_tok, f_uniq, f_stop, f_digit, f_chars). */
   def features(docs: DataFrame, idCol: String = "doc_id",

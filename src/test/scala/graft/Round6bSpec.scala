@@ -197,6 +197,31 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("ingestDocStream (streaming daily-ingest chain)") {
+    it("redacts, quality-gates, and dedups a doc stream") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sql = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.StreamingIngest.ingestDocStream(
+          input.toDF().toDF("doc_id", "text", "epoch_ms"),
+          weights = Map("f_tok" -> 1L), thresholdPpm = 1000000L)
+        .writeStream.format("memory").queryName("ingest_r6")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          (1L, "good words mail a@b.co here", 1000L),
+          (2L, "good words mail a@b.co here", 2000L),  // dup of 1
+          (3L, "", 3000L))                             // 0 tokens → dropped
+        q.processAllAvailable()
+        val out = spark.table("ingest_r6")
+          .select("doc_id", "text").as[(Long, String)].collect().toSeq
+        out.map(_._1) shouldBe Seq(1L)
+        out.head._2 shouldBe "good words mail <EMAIL> here"
+      } finally q.stop()
+    }
+  }
+
   describe("NgramLm (count-LM quality components)") {
     it("counts rare occurrences and treats model-absent grams as cnt 0") {
       val corpus = Seq((1L, "a b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
