@@ -104,6 +104,58 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_cnt")
   }
 
+  /** Subword vocabulary from a segmented word table: (sym, sym_id, n)
+    * ranked by (total count desc, symbol asc), ids dense from 0 — a
+    * tokenizer's vocab.json. Id assignment is the J5 SeqID pattern
+    * (range-partitioned sort + zipWithIndex): globally dense ids with
+    * per-partition counting only, no global window. */
+  def vocab(segmented: DataFrame): DataFrame = {
+    val spark = segmented.sparkSession
+    val counts = segmented
+      .select(explode(col("syms")).as("sym"), col("cnt"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
+    val sorted = counts.sort(col("n").desc, col("sym"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("sym_id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema).select(col("sym"), col("sym_id"), col("n"))
+  }
+
+  /** ENCODE the corpus with a learned merge table: every doc becomes
+    * its subword-id sequence (doc_id, ids: array<long>) — the
+    * tokenize-the-corpus end stage. The heavy lifting rides the
+    * distinct-word trick twice: segmentation and the vocab are
+    * vocab-sized frames that broadcast into the corpus-sized joins;
+    * per-doc order is restored by sorting (word position, subword
+    * position) pairs inside the final aggregation, not with a window. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val seg = segment(docs, merges, textCol, checkpointDir)
+    val v = vocab(seg)
+    // resolve each word's subword ids IN ORDER via posexplode (a
+    // symbol may repeat within a word)
+    val wordIds = seg
+      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(v.select(col("sym"), col("sym_id")), Seq("sym"))
+      .groupBy(col("word"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("spos"), col("sym_id")))),
+        p => p.getField("sym_id")).as("wids"))
+    val positioned = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("wpos", "word")))
+      .join(wordIds, Seq("word"))
+    positioned.groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("wpos"), col("wids")))),
+        p => p.getField("wids"))).as("ids"))
+  }
+
   /** Segment words with a learned merge table: replays the merges in
     * rank order over the distinct-word frame and returns
     * (word, cnt, syms) — the subword segmentation a tokenizer applies.

@@ -197,6 +197,51 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("Bpe.encode (tokenize the corpus with learned merges)") {
+    it("emits ordered dense subword ids consistent with the vocab") {
+      val docs = Seq((1L,
+        (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+         Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+        .toDF("doc_id", "text")
+      val merges = graft.text.Bpe.learnMerges(docs, numMerges = 4)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+        .map(m => (m._2, m._3))
+      val seg = graft.text.Bpe.segment(docs, merges)
+      val v = graft.text.Bpe.vocab(seg)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      // vocab ranked by weighted count desc then sym: est (9·1=newest6
+      // +widest3), low (5+2=7 as "low"), e/n/w/... spot-check ordering
+      v.keySet should contain allOf ("est", "low", "e", "n", "w")
+      val ids = graft.text.Bpe.encode(docs, merges)
+        .filter(col("doc_id") === 1L)
+        .as[(Long, Seq[Long])].collect().head._2
+      // doc 1 = 16 words; token count: low→1 sym, lower→3 ("low","e","r"),
+      // newest→4 ("n","e","w","est"), widest→4 ("w","i","d","est")
+      // ⇒ 5·1 + 2·3 + 6·4 + 3·4 = 47 ids
+      ids.length shouldBe 47
+      // first word is "low" → its single id must be vocab("low")
+      ids.head shouldBe v("low")
+    }
+  }
+
+  describe("ShardWriter (train-ready output + manifest)") {
+    it("round-trips data by stratum and reports an accurate manifest") {
+      val packed = Seq(
+        ("en", 0L, 1L, 30L), ("en", 0L, 2L, 30L), ("en", 1L, 3L, 10L),
+        ("zh", 0L, 4L, 20L))
+        .toDF("lang", "bin", "doc_id", "n_tokens")
+      val dir = java.nio.file.Files.createTempDirectory("shards").toString
+      val manifest = graft.pipeline.ShardWriter.writeShards(packed, dir)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      manifest("en") shouldBe ((2L, 3L, 70L))
+      manifest("zh") shouldBe ((1L, 1L, 20L))
+      graft.pipeline.ShardWriter.readStratum(spark, dir, "en")
+        .count() shouldBe 3L
+    }
+  }
+
   describe("ingestDocStream (streaming daily-ingest chain)") {
     it("redacts, quality-gates, and dedups a doc stream") {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
