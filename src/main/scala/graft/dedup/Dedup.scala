@@ -507,7 +507,7 @@ object Dedup {
     * (qid, did, n_shared, sz_q, sz_d). */
   def searchLshIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, thresholdPpm: Long = 500000L,
-      k: Int = 3, maxCandidateIds: Int = 100000,
+      k: Int = 3, maxCandidateIds: Int = 10000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val qb = bandedBuckets(queries, k, idCol, textCol)
     val buckets = spark.read.parquet(s"$indexDir/buckets")

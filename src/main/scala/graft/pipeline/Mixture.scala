@@ -53,12 +53,14 @@ object Mixture {
     val want = intDiv(col("b"), M) * col("target_ppm") +
       intDiv(pmod(col("b"), M) * col("target_ppm"), M)
     val planned = t.withColumn("want_toks", want)
-    // keep_ppm = min(1e6, floor(1e6 · want / actual)), same decomposition
-    val keep = least(M,
+    // keep_ppm = min(1e6, floor(1e6 · want / actual)), same decomposition;
+    // a zero-token stratum (all-empty texts) plans to 0/0 instead of
+    // dividing by zero (ANSI division would throw)
+    val keep = when(col("n_toks") === 0L, 0L).otherwise(least(M,
       intDiv(col("want_toks"), col("n_toks")) * M +
-        intDiv(pmod(col("want_toks"), col("n_toks")) * M, col("n_toks")))
-    val epochs =
-      intDiv(col("want_toks") + col("n_toks") - 1, col("n_toks"))
+        intDiv(pmod(col("want_toks"), col("n_toks")) * M, col("n_toks"))))
+    val epochs = when(col("n_toks") === 0L, 0L).otherwise(
+      intDiv(col("want_toks") + col("n_toks") - 1, col("n_toks")))
     planned.select(col("stratum"), col("n_toks"), col("want_toks"),
       keep.as("keep_ppm"), greatest(epochs, lit(0L)).as("epochs"))
   }
@@ -77,6 +79,7 @@ object Mixture {
     val M = lit(1000000L)
     val p = planDf.select(col("stratum").as(strataCol),
       col("n_toks"), col("want_toks"))
+      .filter(col("n_toks") > 0)  // zero-token strata emit nothing
     val joined = docs.join(broadcast(p), Seq(strataCol))
     val full = intDiv(col("want_toks"), col("n_toks"))
     val remPpm = intDiv(pmod(col("want_toks"), col("n_toks")) * M,

@@ -197,6 +197,37 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("edge cases: null text and zero-token strata") {
+    it("null-text rows flow through the text operators without crashing") {
+      val df = Seq((1L, "some words"), (2L, null))
+        .toDF("doc_id", "text")
+      // chunker: null tokens filter out
+      graft.text.Chunker.chunk(df).select("doc_id")
+        .as[Long].collect().toSeq shouldBe Seq(1L)
+      // piiStats: null counts for the null row, no exception
+      graft.text.Pii.piiStats(df).count() shouldBe 2L
+      // NgramLm: null doc reports zeros via the coalesce path
+      graft.text.NgramLm.docComponents(df,
+          graft.text.NgramLm.bigramCounts(df))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap.apply(2L) shouldBe 0L
+    }
+
+    it("a zero-token stratum plans to 0 instead of dividing by zero") {
+      val df = Seq(("en", 1L, "a b"), ("xx", 2L, "")).toDF(
+        "lang", "doc_id", "text")
+      val plan = graft.pipeline.Mixture.plan(df,
+        Map("en" -> 500000L, "xx" -> 500000L))
+      plan.as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._4, r._5)).toMap
+        .apply("xx") shouldBe ((0L, 0L))
+      // and applyPlan emits nothing for it
+      graft.pipeline.Mixture.applyPlan(
+          df.select(col("lang"), col("doc_id")), plan)
+        .filter(col("lang") === "xx").count() shouldBe 0L
+    }
+  }
+
   describe("Bpe.encode (tokenize the corpus with learned merges)") {
     it("emits ordered dense subword ids consistent with the vocab") {
       val docs = Seq((1L,
