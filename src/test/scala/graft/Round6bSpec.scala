@@ -197,6 +197,80 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("randomized cross-checks (seeded)") {
+    it("mergePair matches a local reference fold on random symbol runs") {
+      val rnd = new scala.util.Random(42)
+      def refMerge(syms: List[String], l: String,
+          r: String): List[String] = syms match {
+        case a :: b :: rest if a == l && b == r =>
+          (a + b) :: refMerge(rest, l, r)
+        case a :: rest => a :: refMerge(rest, l, r)
+        case Nil => Nil
+      }
+      val cases = (1 to 40).map { i =>
+        val word = (1 to (1 + rnd.nextInt(8)))
+          .map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+        (i.toLong, word)
+      }
+      val words = cases.map { case (i, w) => (w + i, 1L) }  // unique
+        .toDF("word", "cnt")
+      // merge the ('a','b') pair; words end in digits so uniqueness
+      // never affects the a/b prefix being tested
+      val got = graft.text.Bpe
+        .mergePair(graft.text.Bpe.initSymbols(words), "a", "b")
+        .as[(String, Long, Seq[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      cases.foreach { case (i, w) =>
+        val full = w + i
+        got(full) shouldBe refMerge(full.map(_.toString).toList, "a", "b")
+      }
+    }
+
+    it("chunk windows cover every token with the arithmetic chunk count") {
+      val rnd = new scala.util.Random(7)
+      val docs = (1 to 30).map { i =>
+        (i.toLong, (1 to (1 + rnd.nextInt(40))).map(j => s"t$j")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val step = 5  // chunkSize 8, overlap 3
+      val got = graft.text.Chunker.chunk(docs, chunkSize = 8, overlap = 3)
+        .as[(Long, Long, Long, Long, String)].collect()
+        .groupBy(_._1)
+      docs.as[(Long, String)].collect().foreach { case (id, text) =>
+        val n = text.split(" ").length
+        val chunks = got(id).sortBy(_._2)
+        chunks.length shouldBe (n + step - 1) / step  // ceil(n/step)
+        // coverage: every token index in [0, n) falls in some window
+        val covered = chunks.flatMap(c =>
+          c._3 until math.min(c._3 + 8, n)).toSet
+        covered shouldBe (0 until n).map(_.toLong).toSet
+        // provenance: n_toks matches the window clamp
+        chunks.foreach(c => c._4 shouldBe math.min(c._3 + 8, n) - c._3)
+      }
+    }
+  }
+
+  describe("LSH index search plan (pushdown pinned)") {
+    it("bounded candidates reach the shingle scan as an In() filter") {
+      val corpus = Seq((100L, "alpha beta gamma delta epsilon"),
+        (101L, "one two three four five six"))
+        .toDF("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("lsh_plan").toString
+      graft.dedup.Dedup.writeLshIndex(corpus, dir)
+      val out = graft.dedup.Dedup.searchLshIndex(spark, dir,
+        Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+      // materialize-off would keep the full plan; here the search ran
+      // eagerly, so assert on the *shingle scan* of a fresh pushdown
+      // read the same way searchLshIndex builds it
+      val shingleScan = spark.read.parquet(s"$dir/shingles")
+        .filter(col("id").isin(100L, 101L))
+      shingleScan.queryExecution.executedPlan.toString should
+        include("PushedFilters: [In(id")
+      out.count() should be >= 1L
+    }
+  }
+
   describe("edge cases: null text and zero-token strata") {
     it("null-text rows flow through the text operators without crashing") {
       val df = Seq((1L, "some words"), (2L, null))
