@@ -1198,6 +1198,22 @@ object SparkEntry {
         bias = 10L, thresholdPpm = 4000000L)
     }),
 
+    // URL/DOMAIN ops (text/Urls): host extraction + per-host doc caps +
+    // blocklist — the C4/RefinedWeb pre-text stages. Synthetic URLs are
+    // derived from (source, doc_id) since the corpus has none; cap 3
+    // per host, two hosts blocklisted. Output: survivors (doc_id, host).
+    "q122_domain_ops" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit("-"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/doc/"), col("doc_id").cast("string")))
+      val capped = graft.text.Urls.capPerHost(docs, n = 3)
+      graft.text.Urls.blocklistFilter(capped,
+          Seq("src3-2.example.com", "src5-0.example.com"))
+        .select(col("doc_id"), col("host"))
+    }),
+
     // N-GRAM LM quality components (text/NgramLm): the CCNet "LM-score
     // and filter" stage as integer sufficient statistics — per doc:
     // bigram occurrences, RARE occurrences (corpus count < 3), summed
@@ -2997,6 +3013,24 @@ object SparkEntry {
            |  score * 1000000 >= 4000000 * greatest(f_tok, 1) AS keep
            |FROM sc""".stripMargin
       },
+
+      "q122_domain_ops" ->
+        """WITH u AS (SELECT doc_id,
+          |    'https://www.' || source || '-' ||
+          |      CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' ||
+          |      CAST(doc_id AS VARCHAR) AS url FROM documents),
+          |h AS (SELECT doc_id,
+          |    regexp_replace(regexp_extract(lower(url),
+          |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+          |      '^www\.', '') AS host FROM u),
+          |r AS (SELECT doc_id, host, row_number() OVER (
+          |    PARTITION BY host ORDER BY
+          |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |        ::BIGINT % 1000000, doc_id) AS rk FROM h
+          |  WHERE host IS NOT NULL AND host <> '')
+          |SELECT doc_id, host FROM r WHERE rk <= 3
+          |  AND host NOT IN ('src3-2.example.com',
+          |    'src5-0.example.com')""".stripMargin,
 
       "q120_lm_components" ->
         s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),

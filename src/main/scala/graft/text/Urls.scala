@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain handling for web-corpus pipelines — the C4/RefinedWeb
+  * stages that run before any text look: host extraction and
+  * normalization (codegen regexp), per-host document caps (domain
+  * diversity — one mega-site must not dominate the corpus), and host
+  * blocklist filtering. The cap's rank is a per-host partitioned window
+  * (WindowGroupLimit pushes the `≤ n` filter into the sort); the
+  * blocklist broadcasts.
+  */
+object Urls {
+
+  /** Normalized host of a URL: the authority up to the first `/:?#`,
+    * lowercased, a leading `www.` stripped; null when the value does
+    * not parse as a scheme://host URL. Regex kept in the Java∩RE2
+    * common subset for oracle parity. */
+  def host(url: Column): Column = {
+    val h = regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    when(h === "", lit(null).cast("string"))
+      .otherwise(regexp_replace(h, "^www\\.", ""))
+  }
+
+  /** Keep at most `n` docs per host, chosen by deterministic hash draw
+    * (ties by id) — reproducible domain-diversity capping, the
+    * [[graft.pipeline.PipelineOps.sampleNPerStratum]] shape keyed on
+    * the EXTRACTED host. Rows with un-parseable URLs are dropped. */
+  def capPerHost(docs: DataFrame, n: Int, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withHost = docs.withColumn("host", host(col(urlCol)))
+      .filter(col("host").isNotNull)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(graft.pipeline.PipelineOps.hashDraw(col(idCol)), col(idCol))
+    withHost.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Drop docs whose normalized host is on the blocklist (broadcast
+    * anti-join; hosts compared exactly, post-normalization). */
+  def blocklistFilter(docs: DataFrame, blockedHosts: Seq[String],
+      urlCol: String = "url"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocked = broadcast(blockedHosts.toDF("__blocked_host"))
+    docs.join(blocked,
+        host(col(urlCol)) === col("__blocked_host"), "left_anti")
+  }
+}

@@ -197,6 +197,37 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("Urls (host extraction, caps, blocklists)") {
+    it("normalizes hosts and returns null for non-URLs") {
+      val df = Seq(
+        (1L, "https://www.Example.COM/path?q=1"),
+        (2L, "http://sub.site.org:8080/x"),
+        (3L, "ftp+ssh://www.w.net"),
+        (4L, "not a url"),
+        (5L, "www.bare.com/no-scheme"))
+        .toDF("doc_id", "url")
+      df.select(col("doc_id"), graft.text.Urls.host(col("url")))
+        .as[(Long, Option[String])].collect().toMap shouldBe Map(
+          1L -> Some("example.com"), 2L -> Some("sub.site.org"),
+          3L -> Some("w.net"), 4L -> None, 5L -> None)
+    }
+
+    it("caps per host deterministically and blocklists exactly") {
+      val df = (1L to 10L).map(i =>
+        (i, s"https://host${i % 2}.com/p$i")).toDF("doc_id", "url")
+      val capped = graft.text.Urls.capPerHost(df, n = 2)
+      capped.groupBy("host").count().as[(String, Long)].collect()
+        .toMap.values.toSet shouldBe Set(2L)
+      // identical on re-run (hash order, not rand)
+      graft.text.Urls.capPerHost(df, n = 2).select("doc_id")
+        .as[Long].collect().sorted shouldBe
+          capped.select("doc_id").as[Long].collect().sorted
+      graft.text.Urls.blocklistFilter(df, Seq("host0.com"))
+        .select(graft.text.Urls.host(col("url"))).distinct()
+        .as[String].collect().toSeq shouldBe Seq("host1.com")
+    }
+  }
+
   describe("randomized cross-checks (seeded)") {
     it("mergePair matches a local reference fold on random symbol runs") {
       val rnd = new scala.util.Random(42)
