@@ -1198,6 +1198,14 @@ object SparkEntry {
         bias = 10L, thresholdPpm = 4000000L)
     }),
 
+    // DETERMINISTIC corpus shuffle (PipelineOps.shuffleDeterministic):
+    // the reproducible pre-training permutation — dense shuffle_idx in
+    // (hash draw, id) order via range-sort + zipWithIndex, no global
+    // window, identical on every re-run and engine.
+    "q123_corpus_shuffle" -> ((s, d) =>
+      graft.pipeline.PipelineOps.shuffleDeterministic(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")))),
+
     // URL/DOMAIN ops (text/Urls): host extraction + per-host doc caps +
     // blocklist — the C4/RefinedWeb pre-text stages. Synthetic URLs are
     // derived from (source, doc_id) since the corpus has none; cap 3
@@ -3013,6 +3021,13 @@ object SparkEntry {
            |  score * 1000000 >= 4000000 * greatest(f_tok, 1) AS keep
            |FROM sc""".stripMargin
       },
+
+      "q123_corpus_shuffle" ->
+        """SELECT doc_id, lang,
+          |  row_number() OVER (ORDER BY
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |      ::BIGINT % 1000000, doc_id) - 1 AS shuffle_idx
+          |FROM documents""".stripMargin,
 
       "q122_domain_ops" ->
         """WITH u AS (SELECT doc_id,

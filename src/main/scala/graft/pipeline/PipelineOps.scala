@@ -78,6 +78,26 @@ object PipelineOps {
     * longer than `capacity` span bins by construction (they must be
     * chunked downstream either way). Returns (id, stratum, n_tokens,
     * bin). */
+  /** Deterministic global shuffle — the reproducible "shuffle the
+    * corpus before training" step: every row gets a dense 0-based
+    * `shuffle_idx` in (hash draw, id) order. Same discipline as the J5
+    * SeqID relabel: range-partitioned sort + zipWithIndex, so the order
+    * is global and dense without any single-partition window, and any
+    * re-run (or engine) produces the identical permutation. */
+  def shuffleDeterministic(df: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(hashDraw(col(idCol)), col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("shuffle_idx",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
   def packSequences(docs: DataFrame, capacity: Int = 2048,
       strataCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -197,6 +197,21 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("shuffleDeterministic (reproducible pre-training permutation)") {
+    it("assigns a dense 0-based permutation, identical across re-runs") {
+      val df = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+      val a = graft.pipeline.PipelineOps.shuffleDeterministic(df)
+        .select("doc_id", "shuffle_idx").as[(Long, Long)].collect()
+      a.map(_._2).sorted shouldBe (0L until 50L)
+      // not the identity order (it IS a shuffle)
+      a.sortBy(_._2).map(_._1).toSeq should not be (1L to 50L)
+      val b = graft.pipeline.PipelineOps.shuffleDeterministic(
+          df.repartition(7))
+        .select("doc_id", "shuffle_idx").as[(Long, Long)].collect()
+      b.toSet shouldBe a.toSet  // partitioning-independent
+    }
+  }
+
   describe("Urls (host extraction, caps, blocklists)") {
     it("normalizes hosts and returns null for non-URLs") {
       val df = Seq(
