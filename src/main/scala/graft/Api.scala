@@ -47,11 +47,23 @@ class Weaver(spark: SparkSession,
       val d = java.nio.file.Files.createTempDirectory("graft_weaver_spill_")
         .toString
       spillDir = Some(d)
+      Weaver.registerSpillCleanup(d)
       d
     }
     Findings.fromSeq(spark, buf.toSeq)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
     buf.clear()
+  }
+
+  /** Release the spill directory (if any) and reset the weaver. Spill
+    * dirs are also removed by a JVM shutdown hook, but a long-lived
+    * driver cycling many Weavers should close each one. */
+  def close(): Unit = {
+    spillDir.foreach(Weaver.deleteRecursively)
+    spillDir = None
+    buf.clear()
+    visited.clear()
+    nextSeq = 0L
   }
 
   /** Weaver.hs markAsVisited. */
@@ -68,6 +80,31 @@ class Weaver(spark: SparkSession,
       case None => inMem
     }
     Weave.snapshot(findings, policy, unifier, extra)
+  }
+}
+
+object Weaver {
+  private val spillDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Unit =
+    sys.addShutdownHook {
+      spillDirs.forEach(d => deleteRecursively(d))
+    }
+
+  private[graft] def registerSpillCleanup(dir: String): Unit = {
+    hookInstalled
+    spillDirs.add(dir)
+  }
+
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try Files.delete(f) catch { case _: Throwable => () })
+    }
+    spillDirs.remove(dir)
   }
 }
 

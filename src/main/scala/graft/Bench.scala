@@ -40,9 +40,13 @@ object Bench {
     // for no measurement benefit — per-query codegen lands in pass 1
     // and the min() below picks the steady-state pass anyway.
     val t0 = System.nanoTime()
+    // guarded like run(): a partial sf dir (older generation missing a
+    // table) must not abort the whole bench before anything is measured
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      .foreach(t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () })
     Seq("q01", "q17", "q25")
       .foreach(p => names.find(_.startsWith(p)).foreach(run))
     val warmup = (System.nanoTime() - t0) / 1e9

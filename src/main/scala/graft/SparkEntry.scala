@@ -2910,7 +2910,8 @@ object SparkEntry {
            |    CAST(sum(cnt * (len(g) - 2)) AS BIGINT) AS dup3_chars
            |  FROM c3 WHERE cnt >= 2 GROUP BY 1)
            |SELECT b.doc_id,
-           |  CAST(len(array_to_string(b.t, '')) AS BIGINT) AS tok_chars,
+           |  CAST(coalesce(len(array_to_string(b.t, '')), 0) AS BIGINT)
+           |    AS tok_chars,
            |  coalesce(t2.top2_chars, 0) AS top2_chars,
            |  coalesce(d3.dup3_chars, 0) AS dup3_chars
            |FROM base b
@@ -2977,9 +2978,13 @@ object SparkEntry {
       "q116_mixture_plan" ->
         s"""WITH $mixturePlanCtes
            |SELECT stratum, n_toks, want_toks,
-           |  least(1000000, (want_toks // n_toks) * 1000000 +
-           |    (want_toks % n_toks) * 1000000 // n_toks) AS keep_ppm,
-           |  greatest((want_toks + n_toks - 1) // n_toks, 0) AS epochs
+           |  CASE WHEN n_toks = 0 THEN 0
+           |    WHEN want_toks >= n_toks THEN 1000000
+           |    ELSE (want_toks % n_toks) * 1000000 // n_toks
+           |  END AS keep_ppm,
+           |  CASE WHEN n_toks = 0 THEN 0
+           |    ELSE greatest((want_toks + n_toks - 1) // n_toks, 0)
+           |  END AS epochs
            |FROM w""".stripMargin,
 
       "q121_daily_ingest" -> {

@@ -518,8 +518,9 @@ object Dedup {
         col("q.id") =!= col("c.id"))
       .select(col("q.id").as("qid"), col("c.id").as("did"))
       .distinct().persist()
+    // id-type-generic (string/long/... ids all work in isin)
     val candIds = cand.select(col("did")).distinct()
-      .limit(maxCandidateIds + 1).collect().map(_.getLong(0))
+      .limit(maxCandidateIds + 1).collect().map(_.get(0))
     val shStored = spark.read.parquet(s"$indexDir/shingles")
     // pushed-down In() when the candidate set is bounded, else a
     // distributed semi-join — never silently collect an unbounded set

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-mixture planning: given target corpus shares per stratum
@@ -10,13 +10,23 @@ import org.apache.spark.sql.functions._
   * Wikipedia, what downsample of CommonCrawl" table every pre-training
   * run starts from.
   *
-  * All decisions are integer-exact. Products that could overflow at
-  * trillion-token scale are computed by quotient/remainder
-  * decomposition — floor(a·p/10⁶) = (a div 10⁶)·p + (a mod 10⁶)·p div
-  * 10⁶ — which is exact while keeping every intermediate ≤ max(a, 10¹²).
-  * One aggregation over the corpus; the targets broadcast.
+  * All decisions are integer-exact. The two places a product could
+  * overflow Long at trillion-token scale are handled differently:
+  * `budget · ppm` by quotient/remainder decomposition (the remainder
+  * product is < 10¹²), and the fractional rate `(want mod actual)·10⁶ /
+  * actual` — whose remainder can itself be ~10¹³ — through DECIMAL(38)
+  * arithmetic, which is exact for these magnitudes. One aggregation
+  * over the corpus; the targets broadcast.
   */
 object Mixture {
+
+  /** floor(a·10⁶ / b) for 0 ≤ a < b, overflow-safe: the product runs in
+    * DECIMAL(38,0) (exact — a·10⁶ < 10²⁵ ≪ 10³⁸), the integral divide
+    * returns a Long < 10⁶. */
+  private def fracPpm(a: Column, b: Column): Column =
+    graft.time.Buckets.intDiv(
+      a.cast("decimal(38,0)") * lit(1000000L),
+      b.cast("decimal(38,0)")).cast("long")
 
   /** Plan rows: (stratum, n_toks actual, want_toks, keep_ppm, epochs).
     *  - `want_toks`  = floor(budget · target_ppm / 10⁶);
@@ -25,7 +35,10 @@ object Mixture {
     *  - `epochs`     = ceil(want / actual) — the repeat factor when it
     *    is under-represented (0 when the target is 0).
     * `budgetTokens = None` re-mixes at the corpus's own total size.
-    * Strata absent from `targetsPpm` get target 0 (dropped strata). */
+    * Strata absent from `targetsPpm` get target 0 (dropped strata);
+    * target strata absent from the CORPUS still get a plan row
+    * (n_toks 0, keep 0, epochs 0) so a misspelled target key is
+    * visible instead of silently vanishing. */
   def plan(docs: DataFrame, targetsPpm: Map[String, Long],
       budgetTokens: Option[Long] = None, strataCol: String = "lang",
       textCol: String = "text"): DataFrame = {
@@ -35,30 +48,37 @@ object Mixture {
       .groupBy(col(strataCol).as("stratum"))
       .agg(sum(graft.text.TextOps.tokenCount(col(textCol)).cast("long"))
         .as("n_toks"))
+    val targets = broadcast(
+      targetsPpm.toSeq.toDF("stratum", "target_ppm"))
+    // full outer: corpus-only strata get target 0; target-only strata
+    // surface as (n_toks 0) rows rather than disappearing
+    val merged = actual.join(targets, Seq("stratum"), "full_outer")
+      .select(col("stratum"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("target_ppm"), lit(0L)).as("target_ppm"))
     val withBudget = budgetTokens match {
-      case Some(b) => actual.withColumn("b", lit(b))
+      case Some(b) => merged.withColumn("b", lit(b))
       case None =>
         // 1×1 scalar-summary combine (same pattern as the other
         // whole-corpus scalars) — not a data cross join
-        actual.crossJoin(
-          actual.agg(sum(col("n_toks")).as("b")))
+        merged.crossJoin(
+          actual.agg(coalesce(sum(col("n_toks")), lit(0L)).as("b")))
     }
-    val targets = broadcast(
-      targetsPpm.toSeq.toDF("stratum", "target_ppm"))
-    val t = withBudget.join(targets, Seq("stratum"), "left")
-      .withColumn("target_ppm", coalesce(col("target_ppm"), lit(0L)))
     import graft.time.Buckets.intDiv
     val M = lit(1000000L)
-    // want = floor(b · ppm / 1e6) via q/r decomposition (overflow-safe)
+    // want = floor(b · ppm / 1e6) via q/r decomposition (overflow-safe:
+    // the remainder product is < 1e6 · 1e6 = 1e12)
     val want = intDiv(col("b"), M) * col("target_ppm") +
       intDiv(pmod(col("b"), M) * col("target_ppm"), M)
-    val planned = t.withColumn("want_toks", want)
-    // keep_ppm = min(1e6, floor(1e6 · want / actual)), same decomposition;
-    // a zero-token stratum (all-empty texts) plans to 0/0 instead of
-    // dividing by zero (ANSI division would throw)
-    val keep = when(col("n_toks") === 0L, 0L).otherwise(least(M,
-      intDiv(col("want_toks"), col("n_toks")) * M +
-        intDiv(pmod(col("want_toks"), col("n_toks")) * M, col("n_toks"))))
+    val planned = withBudget.withColumn("want_toks", want)
+    // keep_ppm: saturate at 1e6 whenever want >= actual (any full epoch
+    // keeps everything), else the exact fractional rate — no quotient
+    // multiply, so nothing can wrap; a zero-token stratum (all-empty
+    // texts or absent from the corpus) plans to 0/0 instead of
+    // dividing by zero
+    val keep = when(col("n_toks") === 0L, 0L)
+      .when(col("want_toks") >= col("n_toks"), M)
+      .otherwise(fracPpm(col("want_toks"), col("n_toks")))
     val epochs = when(col("n_toks") === 0L, 0L).otherwise(
       intDiv(col("want_toks") + col("n_toks") - 1, col("n_toks")))
     planned.select(col("stratum"), col("n_toks"), col("want_toks"),
@@ -76,13 +96,13 @@ object Mixture {
   def applyPlan(docs: DataFrame, planDf: DataFrame,
       strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
     import graft.time.Buckets.intDiv
-    val M = lit(1000000L)
     val p = planDf.select(col("stratum").as(strataCol),
       col("n_toks"), col("want_toks"))
       .filter(col("n_toks") > 0)  // zero-token strata emit nothing
     val joined = docs.join(broadcast(p), Seq(strataCol))
     val full = intDiv(col("want_toks"), col("n_toks"))
-    val remPpm = intDiv(pmod(col("want_toks"), col("n_toks")) * M,
+    // overflow-safe fractional remainder rate (DECIMAL product)
+    val remPpm = fracPpm(pmod(col("want_toks"), col("n_toks")),
       col("n_toks"))
     val nCopies = (full + when(
       PipelineOps.hashDraw(col(idCol)) < remPpm, 1L).otherwise(0L))

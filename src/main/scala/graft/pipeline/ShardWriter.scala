@@ -28,10 +28,14 @@ object ShardWriter {
       .sortWithinPartitions(col(strataCol), col(binCol))
       .write.partitionBy(strataCol).mode("overwrite")
       .parquet(s"$outDir/data")
+    // manifest aggregates the files JUST WRITTEN, not `packed` — the
+    // upstream lineage (pack/dedup/mixture chains) would otherwise
+    // recompute in full a second time
+    val written = packed.sparkSession.read.parquet(s"$outDir/data")
     val toks: org.apache.spark.sql.Column =
-      if (packed.columns.contains(tokCol)) sum(col(tokCol))
+      if (written.columns.contains(tokCol)) sum(col(tokCol))
       else lit(null).cast("long")
-    packed.groupBy(col(strataCol).as("stratum"))
+    written.groupBy(col(strataCol).as("stratum"))
       .agg(countDistinct(col(binCol)).as("n_bins"),
         count(lit(1)).as("n_rows"),
         toks.as("n_toks"))

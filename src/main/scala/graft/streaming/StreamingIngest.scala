@@ -113,24 +113,40 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Streaming training-data ingest — the q121 daily-ingest chain as a
-    * continuous pipeline: PII redaction ([[graft.text.Pii.redact]]) →
-    * integer quality gate ([[graft.text.QualityModel.keepColumn]]) →
-    * watermarked exact dedup ([[dedupDocStream]]'s state, bounded by
-    * the watermark). Redaction and scoring are stateless codegen
-    * projections, so the only streaming state is the dedup hash set.
-    * Input columns: doc_id, text, epoch_ms; output adds score and
-    * content_hash/event_time from the dedup stage. */
+    * continuous pipeline, in the SAME stage order as the batch gate so
+    * the two paths agree on which docs survive: watermarked exact dedup
+    * on the RAW text ([[dedupDocStream]]'s state, bounded by the
+    * watermark) → optional benchmark decontamination (drop docs sharing
+    * any word n-gram with `benchGrams` — an eval set is small, so its
+    * distinct grams travel as a literal array, keeping the stage
+    * stateless and append-mode-safe) → PII redaction
+    * ([[graft.text.Pii.redact]]) → integer quality gate
+    * ([[graft.text.QualityModel.keepColumn]], applied to the redacted
+    * text, as in q121). Input columns: doc_id, text, epoch_ms; output
+    * adds score and content_hash/event_time from the dedup stage. */
   def ingestDocStream(docs: DataFrame, weights: Map[String, Long],
       bias: Long = 0L, thresholdPpm: Long = 0L,
-      watermark: String = "10 minutes"): DataFrame = {
-    val red = docs.withColumn("text",
-      graft.text.Pii.redact(col("text")))
-    val gated = red
+      watermark: String = "10 minutes",
+      benchGrams: Seq[String] = Nil, benchN: Int = 3): DataFrame = {
+    val deduped = dedupDocStream(docs, watermark)
+    val decontaminated =
+      if (benchGrams.isEmpty) deduped
+      else {
+        val toks = graft.text.TextOps.tokens(col("text"))
+        // guard: sequence(0, -1) would infer step -1, not emit empty
+        val grams = when(size(toks) >= benchN,
+          transform(sequence(lit(0), size(toks) - benchN),
+            i => array_join(slice(toks, i + 1, lit(benchN)), " ")))
+          .otherwise(array().cast("array<string>"))
+        deduped.filter(!exists(grams,
+          g => array_contains(lit(benchGrams.toArray), g)))
+      }
+    decontaminated
+      .withColumn("text", graft.text.Pii.redact(col("text")))
       .withColumn("score", graft.text.QualityModel.scoreColumn(
         col("text"), weights, bias))
       .filter(graft.text.QualityModel.keepColumn(
         col("text"), weights, bias, thresholdPpm))
-    dedupDocStream(gated, watermark)
   }
 
   /** Stream-stream DIO⋈DAO combine: the J3 per-node two-layer merge as a
@@ -197,7 +213,15 @@ object StreamingIngest {
     * so buffered probes emit even when their key receives no further
     * traffic. Ties on right event time resolve to the greatest id.
     * Callers must `withWatermark("event_time", ...)` — see
-    * [[asOfInput]]. Output mode: append. */
+    * [[asOfInput]]. Output mode: append.
+    *
+    * BEHAVIOR CHANGE (round 6): right-only state now EXPIRES once the
+    * watermark is `rightRetentionMs` (default 1 day of event time) past
+    * a key's newest right — previously it was held forever, a slow
+    * state leak across short-lived keys. A probe arriving later than
+    * the horizon after its key's last right now emits None where it
+    * used to match; pass `rightRetentionMs = Long.MaxValue` to restore
+    * the old retain-forever semantics where that lateness is real. */
   def asOfJoinStream(tagged: Dataset[AsOfIn],
       rightRetentionMs: Long = 86400000L): Dataset[AsOfOut] = {
     val spark = tagged.sparkSession
@@ -230,14 +254,20 @@ object StreamingIngest {
           // would hold its newest right forever (slow state leak across
           // many short-lived keys). A probe arriving later than the
           // retention horizon after the last right finds no match.
+          // subtraction form so rightRetentionMs = Long.MaxValue
+          // (retain-forever) cannot overflow the comparison
           val rightsExpired = still.isEmpty && kept.nonEmpty &&
-            wm > kept.map(_._1).max + rightRetentionMs
+            wm - kept.map(_._1).max > rightRetentionMs
           if (still.isEmpty && (kept.isEmpty || rightsExpired)) state.remove()
           else {
             state.update((still, kept))
             val wake =
               if (still.nonEmpty) still.map(_._1).min
-              else kept.map(_._1).max + rightRetentionMs // expiry sweep
+              else { // expiry sweep (kept nonEmpty here, else removed)
+                val newest = kept.map(_._1).max
+                val h = newest + rightRetentionMs
+                if (h < newest) Long.MaxValue - 1 else h // overflow-safe
+              }
             state.setTimeoutTimestamp(math.max(wake, wm + 1))
           }
           out.iterator

@@ -131,12 +131,21 @@ object Bpe {
     * distinct-word trick twice: segmentation and the vocab are
     * vocab-sized frames that broadcast into the corpus-sized joins;
     * per-doc order is restored by sorting (word position, subword
-    * position) pairs inside the final aggregation, not with a window. */
+    * position) pairs inside the final aggregation, not with a window.
+    *
+    * `fixedVocab`: pass the TRAINING corpus's [[vocab]] when encoding
+    * later batches, so sym_ids stay stable across batches (a
+    * batch-derived vocab would re-rank by that batch's frequencies and
+    * silently mix id spaces in concatenated shards). Subwords absent
+    * from a fixed vocab are dropped (OOV) — train the merges on the
+    * same corpus as the vocab and every subword is covered. Docs with
+    * no tokens emit (doc_id, []) rather than disappearing. */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      fixedVocab: Option[DataFrame] = None): DataFrame = {
     val seg = segment(docs, merges, textCol, checkpointDir)
-    val v = vocab(seg)
+    val v = fixedVocab.getOrElse(vocab(seg))
     // resolve each word's subword ids IN ORDER via posexplode (a
     // symbol may repeat within a word)
     val wordIds = seg
@@ -150,10 +159,15 @@ object Bpe {
       .select(col(idCol).as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("wpos", "word")))
       .join(wordIds, Seq("word"))
-    positioned.groupBy(col("doc_id"))
+    val encoded = positioned.groupBy(col("doc_id"))
       .agg(flatten(transform(
         sort_array(collect_list(struct(col("wpos"), col("wids")))),
         p => p.getField("wids"))).as("ids"))
+    // token-less docs (empty/null text) keep a row with an empty array
+    docs.select(col(idCol).as("doc_id"))
+      .join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
   }
 
   /** Segment words with a learned merge table: replays the merges in

@@ -60,7 +60,11 @@ object TextOps {
     tokChars
       .join(top2, Seq("doc_id"), "left")
       .join(dup3, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("tok_chars"),
+      .select(col("doc_id"),
+        // null-text docs report 0, keeping the all-exact-integer
+        // contract (a null tok_chars would make the downstream filter
+        // ratio null and the doc fall through the Gopher gate unseen)
+        coalesce(col("tok_chars"), lit(0L)).as("tok_chars"),
         coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
         coalesce(col("dup3_chars"), lit(0L)).as("dup3_chars"))
   }
