@@ -418,6 +418,75 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  describe("review-fix behaviors pinned") {
+    it("ingestDocStream keeps docs that differ only in their PII spans") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sql = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.StreamingIngest.ingestDocStream(
+          input.toDF().toDF("doc_id", "text", "epoch_ms"),
+          weights = Map("f_tok" -> 1L), thresholdPpm = 1000000L)
+        .writeStream.format("memory").queryName("ingest_pii_r6")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // identical AFTER redaction, distinct raw → batch (q121) keeps
+        // both, so the stream must too (dedup runs on raw text first)
+        input.addData(
+          (1L, "mail a@b.co here", 1000L),
+          (2L, "mail c@d.co here", 2000L))
+        q.processAllAvailable()
+        spark.table("ingest_pii_r6").select("doc_id")
+          .as[Long].collect().sorted shouldBe Seq(1L, 2L)
+      } finally q.stop()
+    }
+
+    it("ingestDocStream benchmark grams drop contaminated docs") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sql = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.StreamingIngest.ingestDocStream(
+          input.toDF().toDF("doc_id", "text", "epoch_ms"),
+          weights = Map("f_tok" -> 1L), thresholdPpm = 1000000L,
+          benchGrams = Seq("alpha beta gamma"))
+        .writeStream.format("memory").queryName("ingest_bench_r6")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          (1L, "prefix alpha beta gamma suffix", 1000L),  // contaminated
+          (2L, "clean words entirely here", 2000L),
+          (3L, "ab", 3000L))  // shorter than one gram — kept
+        q.processAllAvailable()
+        spark.table("ingest_bench_r6").select("doc_id")
+          .as[Long].collect().sorted shouldBe Seq(2L, 3L)
+      } finally q.stop()
+    }
+
+    it("Mixture.plan surfaces target strata absent from the corpus") {
+      val df = Seq(("en", "a b")).toDF("lang", "text")
+      val got = graft.pipeline.Mixture.plan(df,
+          Map("en" -> 500000L, "tyop" -> 500000L))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      got.keySet shouldBe Set("en", "tyop")
+      got("tyop") shouldBe 0L
+    }
+
+    it("Bpe.encode with a fixedVocab keeps ids stable; empty docs " +
+        "emit empty arrays") {
+      val train = Seq((1L, "low low newest")).toDF("doc_id", "text")
+      val fixed = graft.text.Bpe.vocab(graft.text.Bpe.segment(train, Nil))
+      val batch = Seq((9L, "low"), (10L, "")).toDF("doc_id", "text")
+      val got = graft.text.Bpe.encode(batch, Nil, fixedVocab = Some(fixed))
+        .as[(Long, Seq[Long])].collect().toMap
+      val vmap = fixed.as[(String, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      got(9L) shouldBe "low".map(c => vmap(c.toString))
+      got(10L) shouldBe Seq.empty
+    }
+  }
+
   describe("NgramLm (count-LM quality components)") {
     it("counts rare occurrences and treats model-absent grams as cnt 0") {
       val corpus = Seq((1L, "a b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
