@@ -70,14 +70,6 @@ object PipelineOps {
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Contiguous sequence packing: assign documents to fixed-capacity
-    * token bins, per stratum, in id order — bin = exclusive-prefix token
-    * count ÷ capacity. The deterministic streaming-concat packing used
-    * when assembling fixed-length training sequences; a per-stratum
-    * PARTITIONED window (running sum), never a global one. Documents
-    * longer than `capacity` span bins by construction (they must be
-    * chunked downstream either way). Returns (id, stratum, n_tokens,
-    * bin). */
   /** Deterministic global shuffle — the reproducible "shuffle the
     * corpus before training" step: every row gets a dense 0-based
     * `shuffle_idx` in (hash draw, id) order. Same discipline as the J5
@@ -98,17 +90,80 @@ object PipelineOps {
       schema)
   }
 
+  /** Contiguous sequence packing: assign documents to fixed-capacity
+    * token bins, per stratum, in id order — bin = exclusive-prefix token
+    * count ÷ capacity. The deterministic streaming-concat packing used
+    * when assembling fixed-length training sequences. Documents longer
+    * than `capacity` span bins by construction (they must be chunked
+    * downstream either way). Returns (id, stratum, n_tokens, bin).
+    *
+    * Scale shape: the running token sum is NOT a per-stratum window —
+    * with ~30 language strata over a 100 TB corpus, a
+    * `Window.partitionBy(lang)` sort would funnel 1/30 of the corpus
+    * through one task. Instead this is the two-pass range-sort prefix
+    * scan already used by [[graft.operators.Pareto.skyline2]] and
+    * `LinkOps.seqIds`: range-sort by (stratum, id) so each stratum spans
+    * many ordinary range partitions, pass 1 reduces each partition to
+    * per-stratum token subtotals (≤ P + #strata SCALARS to the driver,
+    * never rows), the driver prefix-sums those, and pass 2 re-walks each
+    * partition seeded with its cross-partition exclusive prefix. The
+    * widest task is one range partition, independent of stratum skew. */
   def packSequences(docs: DataFrame, capacity: Int = 2048,
       strataCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
     val toks = docs.select(col(idCol), col(strataCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
-    toks
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin",
-        floor((col("cum") - col("n_tokens")) / lit(capacity)).cast("long"))
-      .drop("cum")
+    val schema = org.apache.spark.sql.types.StructType(
+      toks.schema.fields :+
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    // Range-sort by (stratum, id): every partition holds a contiguous
+    // (stratum, id) slice, so strata are contiguous runs across
+    // partitions and a seeded local scan reproduces the global order.
+    // Persisted across the two passes so pass 2 sees the exact
+    // partitioning pass 1 summarized (same discipline as skyline2).
+    val sorted = toks
+      .repartitionByRange(col(strataCol), col(idCol))
+      .sortWithinPartitions(col(strataCol), col(idCol))
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition, per-stratum token subtotals — at most
+    // P + #strata tuples (a stratum entirely inside one partition adds
+    // one; each partition adds at most one straddling stratum).
+    val subtotals = sorted.mapPartitionsWithIndex { (i, it) =>
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val s = String.valueOf(r.get(1))
+        acc(s) = acc.getOrElse(s, 0L) + r.getLong(2)
+      }
+      acc.iterator.map { case (s, t) => (i, s, t) }
+    }.collect()
+    // exclusive prefix per (partition, stratum): tokens of this stratum
+    // in all earlier partitions
+    val prefix: Map[(Int, String), Long] =
+      subtotals.groupBy(_._2).flatMap { case (s, arr) =>
+        var run = 0L
+        arr.sortBy(_._1).map { case (i, _, t) =>
+          val p = ((i, s), run); run += t; p
+        }
+      }
+    val cap = capacity.toLong
+    // pass 2: seeded local running sum; bin = exclusive prefix ÷ capacity
+    val out = sorted.mapPartitionsWithIndex { (i, it) =>
+      var cur: String = null
+      var run = 0L
+      it.map { r =>
+        val s = String.valueOf(r.get(1))
+        if (cur == null || s != cur) {
+          cur = s
+          run = prefix.getOrElse((i, s), 0L)
+        }
+        val bin = run / cap
+        run += r.getLong(2)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    spark.createDataFrame(out, schema)
   }
 }

@@ -237,7 +237,7 @@ class PipelineOpsSpec extends SparkSpec {
     buckets should be >= 4L
   }
 
-  it("packSequences bins per stratum in id order, window partitioned") {
+  it("packSequences bins per stratum in id order, no per-stratum window") {
     import spark.implicits._
     val docs = Seq(
       (1L, "a", "one two three"),          // 3 tokens, bin 0
@@ -245,11 +245,40 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, "a", "tail tokens here"),       // after 2053 → bin 1
       (10L, "b", "other stratum")).toDF("doc_id", "lang", "text")
     val got = PipelineOps.packSequences(docs, capacity = 2048)
+    // the scale contract: the running sum is the two-pass prefix scan,
+    // not a Window.partitionBy(lang) sort funnelling a whole stratum
+    // through one task
     val plan = got.queryExecution.executedPlan.toString
-    plan should not include "No Partition Defined"
+    plan should not include "Window"
     val rows = got.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
     rows shouldBe Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "a", 1L),
       (10L, "b", 0L))
+  }
+
+  it("packSequences prefix scan matches a local cumsum across many " +
+      "partitions and skewed strata") {
+    import spark.implicits._
+    // one hot stratum (most rows) + several small ones, spread over many
+    // input partitions so strata straddle range-partition boundaries
+    val docs = (0L until 3000L).map { i =>
+      val lang = if (i % 5 != 0) "hot" else s"l${i % 4}"
+      val words = (i % 37 + 1).toInt
+      (i, lang, Seq.fill(words)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(17)
+    val cap = 64
+    val got = PipelineOps.packSequences(docs, capacity = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // local oracle: per stratum, id-ordered exclusive prefix ÷ capacity
+    val expected = (0L until 3000L).map { i =>
+      val lang = if (i % 5 != 0) "hot" else s"l${i % 4}"
+      (i, lang, (i % 37 + 1))
+    }.groupBy(_._2).flatMap { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._1).map { case (id, _, n) =>
+        val bin = run / cap; run += n; (id, bin)
+      }
+    }
+    got shouldBe expected
   }
 }
