@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
 /** Corpus-shaping operators for training-data pipelines: deterministic
-  * stratified sampling and contiguous sequence packing. Both are pure
-  * column/window plans — no collect, no RNG state: sampling keys off a
-  * content hash so every executor (and the DuckDB oracle) agrees on the
-  * kept set, and packing uses per-stratum partitioned windows so no
-  * single task sees the whole corpus.
+  * stratified sampling and contiguous sequence packing. Sampling keys
+  * off a content hash so every executor (and the DuckDB oracle) agrees
+  * on the kept set (seeded RNG is not reproducible across
+  * partitionings; hash sampling is). Packing's running token sum is the
+  * two-pass range-sort prefix scan ([[packSequences]]): per-partition
+  * local sums with only P+#strata scalar subtotals collected to the
+  * driver — no per-stratum window, so no single task ever sees a whole
+  * stratum.
   */
 object PipelineOps {
 
@@ -113,8 +116,11 @@ object PipelineOps {
       textCol: String = "text"): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = docs.sparkSession
+    // coalesce: tokenCount is null for null text; a null would NPE the
+    // per-partition scans below, so degrade to a zero-token doc instead.
     val toks = docs.select(col(idCol), col(strataCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      coalesce(TextOps.tokenCount(col(textCol)).cast("long"), lit(0L))
+        .as("n_tokens"))
     val schema = org.apache.spark.sql.types.StructType(
       toks.schema.fields :+
         org.apache.spark.sql.types.StructField("bin",
@@ -131,17 +137,22 @@ object PipelineOps {
     // pass 1: per-partition, per-stratum token subtotals — at most
     // P + #strata tuples (a stratum entirely inside one partition adds
     // one; each partition adds at most one straddling stratum).
+    // Strata are keyed by the RAW column value wrapped in Option (null →
+    // None) — String.valueOf would merge a NULL stratum with the literal
+    // string "null" (and any values with equal renderings), and the
+    // range sort keeps those as SEPARATE runs, so the merged running sum
+    // would be non-contiguous and the bins wrong.
     val subtotals = sorted.mapPartitionsWithIndex { (i, it) =>
-      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Option[Any], Long]
       it.foreach { r =>
-        val s = String.valueOf(r.get(1))
+        val s = Option(r.get(1))
         acc(s) = acc.getOrElse(s, 0L) + r.getLong(2)
       }
       acc.iterator.map { case (s, t) => (i, s, t) }
     }.collect()
     // exclusive prefix per (partition, stratum): tokens of this stratum
     // in all earlier partitions
-    val prefix: Map[(Int, String), Long] =
+    val prefix: Map[(Int, Option[Any]), Long] =
       subtotals.groupBy(_._2).flatMap { case (s, arr) =>
         var run = 0L
         arr.sortBy(_._1).map { case (i, _, t) =>
@@ -151,10 +162,10 @@ object PipelineOps {
     val cap = capacity.toLong
     // pass 2: seeded local running sum; bin = exclusive prefix ÷ capacity
     val out = sorted.mapPartitionsWithIndex { (i, it) =>
-      var cur: String = null
+      var cur: Option[Any] = null
       var run = 0L
       it.map { r =>
-        val s = String.valueOf(r.get(1))
+        val s = Option(r.get(1))
         if (cur == null || s != cur) {
           cur = s
           run = prefix.getOrElse((i, s), 0L)
@@ -164,6 +175,15 @@ object PipelineOps {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
       }
     }
-    spark.createDataFrame(out, schema)
+    // Cache hygiene (skyline2 discipline): the result is a narrow
+    // per-doc frame — materialize it, then release the sorted cache.
+    // When materialize is conf'd off it returns the lazy plan unchanged;
+    // the cache must then stay live, because pass 2's correctness
+    // depends on re-reading the exact partitioning pass 1 summarized
+    // (repartitionByRange re-samples boundaries on recompute).
+    val result = spark.createDataFrame(out, schema)
+    val mat = graft.util.Checkpoints.materialize(result)
+    if (mat ne result) sorted.unpersist(false)
+    mat
   }
 }

@@ -256,6 +256,44 @@ class PipelineOpsSpec extends SparkSpec {
       (10L, "b", 0L))
   }
 
+  it("packSequences keeps a NULL stratum distinct from the string " +
+      "\"null\" and zero-fills null text instead of crashing") {
+    import spark.implicits._
+    // 40 docs of 1000 tokens in the NULL stratum and 40 in the literal
+    // "null" stratum: if the two merged (the old String.valueOf key),
+    // the running sum would double and the bin numbers halve apart.
+    val docs = (0L until 40L).flatMap { i =>
+      val words = Seq.fill(1000)("w").mkString(" ")
+      Seq((i, null: String, words), (100L + i, "null", words))
+    } :+ ((500L, "null", null: String)) // null text → 0 tokens, binned
+    val df = docs.toDF("doc_id", "lang", "text").repartition(7)
+    val got = PipelineOps.packSequences(df, capacity = 2048)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // each stratum independently: 1000-token docs, capacity 2048 → two
+    // docs per bin (ids in order), 40 docs → bins 0..19 twice over
+    (0L until 40L).foreach { i =>
+      got(i) shouldBe (i * 1000L) / 2048L
+      got(100L + i) shouldBe (i * 1000L) / 2048L
+    }
+    // the null-text doc sorts after id 139 in "null": prefix 40_000
+    got(500L) shouldBe 40000L / 2048L
+  }
+
+  it("packSequences releases its sorted cache after materializing") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, "a", "w x y"))
+      .toDF("doc_id", "lang", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    PipelineOps.packSequences(docs, capacity = 8).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // localCheckpoint legitimately pins the (narrow) RESULT; the
+    // corpus-sized sorted intermediate must not survive. The two are
+    // distinguishable: the checkpoint RDD reports isCheckpointed, the
+    // leaked cache would not.
+    leaked.toSeq.map(spark.sparkContext.getPersistentRDDs(_))
+      .count(r => !r.isCheckpointed) shouldBe 0
+  }
+
   it("packSequences prefix scan matches a local cumsum across many " +
       "partitions and skewed strata") {
     import spark.implicits._
