@@ -880,11 +880,11 @@ object SparkEntry {
     // EXACT heavy hitters (sketch/Frequent): tokens in ≥5% of docs.
     // CMS candidate pass (never undercounts ⇒ superset) + exact count
     // of candidates only — the full vocabulary long tail never shuffles.
-    "q83_heavy_hitters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val minDf = math.ceil(0.05 * docs.count()).toLong
-      graft.sketch.Frequent.frequentTokens(docs, minDf)
-    }),
+    // The 5%-of-corpus threshold is a 1×1 scalar summary inside the
+    // plan: ONE lazy job, no eager count() in the gate builder.
+    "q83_heavy_hitters" -> ((s, d) =>
+      graft.sketch.Frequent.frequentTokensFrac(Tables.documents(s, d),
+        minDocFrac = 0.05)),
 
     // EXACT shared-substring spans (Dedup.sharedSpanPairs): doc pairs
     // sharing a literal token span ≥ 8, via positioned-shingle diagonal
@@ -983,14 +983,10 @@ object SparkEntry {
     // collocation/embedding-prep statistics; log() stays consumer-side
     // (the q87 exact-components discipline). Bands are relative to
     // corpus size so the operator is scale-invariant.
-    "q92_pmi" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      graft.text.Cooccur.pmiComponents(docs,
-        minDf = math.ceil(0.2 * n).toLong,
-        maxDf = math.floor(0.8 * n).toLong,
-        minPairCount = math.ceil(0.05 * n).toLong)
-    }),
+    // Corpus-relative df bands as 1×1 in-plan scalars — one lazy job.
+    "q92_pmi" -> ((s, d) =>
+      graft.text.Cooccur.pmiComponentsFrac(Tables.documents(s, d),
+        minDfFrac = 0.2, maxDfFrac = 0.8, minPairFrac = 0.05)),
 
     // PolicyKeepN retention — the natural generalization between the
     // reference's overwrite (n=1) and append policies: the latest 3

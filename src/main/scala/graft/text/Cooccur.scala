@@ -45,4 +45,36 @@ object Cooccur {
     pairs.select(col("t1"), col("t2"), col("n_ab"),
       col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
   }
+
+  /** [[pmiComponents]] with corpus-RELATIVE bands: the df band and pair
+    * floor are fractions of the document count, computed INSIDE the
+    * plan as a 1×1 scalar summary (ceil/floor to match the absolute
+    * form exactly) — one lazy job, no driver-side `docs.count()`.
+    * Thresholds relative to corpus size make the operator
+    * scale-invariant: the same fractions hold at sf0.01 and 100 TB. */
+  def pmiComponentsFrac(docs: DataFrame, minDfFrac: Double,
+      maxDfFrac: Double, minPairFrac: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val thr = docs.agg(
+      ceil(count(lit(1)) * minDfFrac).cast("long").as("min_df"),
+      floor(count(lit(1)) * maxDfFrac).cast("long").as("max_df"),
+      ceil(count(lit(1)) * minPairFrac).cast("long").as("min_pair"))
+    val toks = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val band = toks.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(thr) // 1×1 scalar combine, not a data cross join
+      .filter(col("df") >= col("min_df") && col("df") <= col("max_df"))
+      .drop("min_df", "max_df", "min_pair")
+    val pairs = band.as("a").join(band.as("b"),
+        col("a.id") === col("b.id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("t1"), col("b.token").as("t2"))
+      .agg(count(lit(1)).as("n_ab"),
+        first(col("a.df")).as("n_a"), first(col("b.df")).as("n_b"))
+      .crossJoin(thr.select(col("min_pair")))
+      .filter(col("n_ab") >= col("min_pair"))
+    pairs.select(col("t1"), col("t2"), col("n_ab"),
+      col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+  }
 }
