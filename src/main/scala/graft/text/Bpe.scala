@@ -72,13 +72,109 @@ object Bpe {
   /** Learn up to `numMerges` merges; stops early when no pair reaches
     * `minCount`. Returns the ordered merge table
     * (rank, left, right, pair_cnt) — a tokenizer's merges.txt. Winner
-    * per round = max count, ties broken (left, right) ascending, so
-    * the result is deterministic under any partitioning. */
+    * per round = max count, ties broken (left, right) ascending (as
+    * UTF-8 bytes, Spark's string order), so the result is deterministic
+    * under any partitioning.
+    *
+    * Runtime adaptation (the `clusterLabelsStar` discipline): the merge
+    * loop is inherently sequential — one Spark job per round is 32k
+    * scheduler round-trips for a real vocab, pure latency on a cluster.
+    * When the distinct-word table has at most `localThreshold` rows
+    * (checked with a single `limit(n+1).collect()` probe that doubles
+    * as the data fetch), ALL rounds run in one driver-local loop with
+    * bit-identical results (spec-pinned parity, including UTF-8
+    * tie-break order). The distinct-word table is vocab-sized
+    * (~10⁵-10⁶ rows even at 100 TB corpus scale), so the local path is
+    * the common case; the distributed loop remains for degenerate
+    * vocabularies past the threshold. */
   def learnMerges(docs: DataFrame, numMerges: Int = 10,
       minCount: Long = 2L, textCol: String = "text",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localThreshold: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
-    var words = initSymbols(wordCounts(docs, textCol)).persist()
+    import spark.implicits._
+    val words0 = initSymbols(wordCounts(docs, textCol))
+    val probe =
+      if (localThreshold <= 0) Array.empty[org.apache.spark.sql.Row]
+      else words0.select(col("cnt"), col("syms"))
+        .limit(localThreshold + 1).collect()
+    val merges: Seq[(Long, String, String, Long)] =
+      if (localThreshold > 0 && probe.length <= localThreshold) {
+        // probe returned strictly fewer rows than its limit ⇒ it IS the
+        // whole table
+        localLearn(probe.map(r =>
+          (r.getLong(0), r.getSeq[String](1).toArray)), numMerges, minCount)
+      } else distributedLearn(words0, numMerges, minCount, checkpointDir)
+    merges.toDF("rank", "left", "right", "pair_cnt")
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String order, so the
+    * local loop's tie-break matches `orderBy(col("left"), col("right"))`
+    * exactly, supplementary-plane symbols included. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Greedy non-overlapping left-to-right replacement — the local twin
+    * of [[mergePair]]'s fold (same prev/emit state machine). */
+  private def applyMergeLocal(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-local merge loop over the collected word table: identical
+    * winner selection (max cnt, ties (left, right) ascending by UTF-8
+    * bytes) and merge application as the distributed rounds. */
+  private def localLearn(words0: Array[(Long, Array[String])],
+      numMerges: Int, minCount: Long): Seq[(Long, String, String, Long)] = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (cnt, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.merge(k, cnt, _ + _)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestCnt = Long.MinValue
+      counts.forEach { (k, c) =>
+        if (c > bestCnt || (c == bestCnt &&
+            (utf8Lt(k._1, best._1) ||
+             (k._1 == best._1 && utf8Lt(k._2, best._2)))))
+          { best = k; bestCnt = c }
+      }
+      if (best == null || bestCnt < minCount) done = true
+      else {
+        merges += ((rank, best._1, best._2, bestCnt))
+        words = words.map { case (cnt, syms) =>
+          (cnt, applyMergeLocal(syms, best._1, best._2))
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One-Spark-job-per-round merge loop — the past-threshold path. */
+  private def distributedLearn(words0: DataFrame, numMerges: Int,
+      minCount: Long, checkpointDir: Option[String])
+      : Seq[(Long, String, String, Long)] = {
+    var words = words0.persist()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var rank = 0L
@@ -100,8 +196,7 @@ object Bpe {
       }
     }
     words.unpersist()
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "left", "right", "pair_cnt")
+    merges.toSeq
   }
 
   /** Subword vocabulary from a segmented word table: (sym, sym_id, n)
