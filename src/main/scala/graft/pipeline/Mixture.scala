@@ -112,4 +112,48 @@ object Mixture {
       .select(docs.columns.map(col).toIndexedSeq :+
         explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"): _*)
   }
+
+  /** TOKEN-EXACT [[applyPlan]]: the partial-epoch remainder keeps docs
+    * by a token-budget prefix instead of an independent per-doc coin.
+    *
+    * [[applyPlan]]'s row-level draw is unbiased in token mass (each
+    * doc's extra-copy probability is the remainder rate, so expected
+    * kept tokens = want exactly), but its VARIANCE is Σtᵢ² over the
+    * stratum — a long-doc-skewed stratum can realize far off `want` on
+    * any given corpus. Here docs are ordered by the SAME deterministic
+    * hash draw (then id) and the extra copy goes to the prefix whose
+    * exclusive cumulative token count is under the remainder — kept
+    * token mass lands within ONE document of `want_toks`
+    * (systematic ∝-token sampling; spec-pinned under pathological
+    * skew). Determinism carries over: same corpus + plan ⇒ same rows
+    * on any partitioning or engine.
+    *
+    * Needs `textCol` (token counts) where applyPlan does not; the
+    * per-stratum running sum is [[PipelineOps.exclusivePrefixSum]] —
+    * two-pass range-sort, no per-stratum window task. */
+  def applyPlanTokenExact(docs: DataFrame, planDf: DataFrame,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val p = planDf.select(col("stratum").as(strataCol),
+      col("n_toks"), col("want_toks"))
+      .filter(col("n_toks") > 0)
+    val toks = docs.select(col(idCol), col(strataCol),
+      coalesce(graft.text.TextOps.tokenCount(col(textCol)).cast("long"),
+        lit(0L)).as("__t"),
+      PipelineOps.hashDraw(col(idCol)).as("__draw"))
+    val cum = PipelineOps.exclusivePrefixSum(toks, strataCol,
+      Seq("__draw", idCol), "__t", "__cum")
+      .select(col(idCol), col("__cum"))
+    val joined = docs.join(broadcast(p), Seq(strataCol))
+      .join(cum, Seq(idCol))
+    val full = intDiv(col("want_toks"), col("n_toks"))
+    val rem = pmod(col("want_toks"), col("n_toks"))
+    val nCopies = (full +
+      when(col("__cum") < rem, 1L).otherwise(0L)).as("n_copies")
+    joined.withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .select(docs.columns.map(col).toIndexedSeq :+
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"): _*)
+  }
 }

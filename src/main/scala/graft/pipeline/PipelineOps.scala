@@ -115,43 +115,74 @@ object PipelineOps {
       strataCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val spark = docs.sparkSession
     // coalesce: tokenCount is null for null text; a null would NPE the
-    // per-partition scans below, so degrade to a zero-token doc instead.
+    // per-partition scans, so degrade to a zero-token doc instead.
     val toks = docs.select(col(idCol), col(strataCol),
       coalesce(TextOps.tokenCount(col(textCol)).cast("long"), lit(0L))
         .as("n_tokens"))
+    exclusivePrefixSum(toks, strataCol, Seq(idCol), "n_tokens", "__cum")
+      .withColumn("bin", graft.time.Buckets.intDiv(col("__cum"),
+        lit(capacity.toLong)).cast("long"))
+      .drop("__cum")
+  }
+
+  /** EXCLUSIVE per-stratum running sum of `valueCol` in
+    * (`strataCol`, `orderCols`) order, appended as `outCol` — the
+    * two-pass range-sort prefix scan shared by [[packSequences]],
+    * [[Mixture.applyPlanTokenExact]], `Pareto.skyline2` and
+    * `LinkOps.seqIds`.
+    *
+    * Scale shape: a `Window.partitionBy(stratum)` running sum funnels
+    * each stratum through ONE task (1/30 of a 100 TB corpus for a
+    * language stratum). Here the frame is range-sorted on
+    * (stratum, orderCols) so a stratum spans many ordinary range
+    * partitions; pass 1 reduces each partition to per-stratum
+    * subtotals (≤ P + #strata SCALARS to the driver, never rows), the
+    * driver prefix-sums those, and pass 2 re-walks each partition
+    * seeded with its cross-partition exclusive prefix. The widest task
+    * is one range partition, independent of stratum skew.
+    *
+    * Strata are keyed by the RAW column value wrapped in Option (null →
+    * None): a rendered-string key would merge a NULL stratum with the
+    * literal string "null" — and the range sort keeps those as separate
+    * runs, so the merged running sum would be non-contiguous and wrong.
+    * `valueCol` must be a non-null LongType (callers coalesce).
+    *
+    * Cache hygiene (skyline2 discipline): the sorted intermediate is
+    * persisted across the two passes — pass 2 must re-read the exact
+    * partitioning pass 1 summarized (repartitionByRange re-samples
+    * boundaries on recompute) — then released once the result is
+    * materialized. When materialization is conf'd off
+    * ([[graft.util.Checkpoints.MaterializeConf]]) the cache must stay
+    * live for the returned lazy plan, for the same reason. */
+  def exclusivePrefixSum(df: DataFrame, strataCol: String,
+      orderCols: Seq[String], valueCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val si = df.schema.fieldIndex(strataCol)
+    val vi = df.schema.fieldIndex(valueCol)
+    val sortCols = (strataCol +: orderCols).map(col)
     val schema = org.apache.spark.sql.types.StructType(
-      toks.schema.fields :+
-        org.apache.spark.sql.types.StructField("bin",
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
           org.apache.spark.sql.types.LongType, nullable = false))
-    // Range-sort by (stratum, id): every partition holds a contiguous
-    // (stratum, id) slice, so strata are contiguous runs across
-    // partitions and a seeded local scan reproduces the global order.
-    // Persisted across the two passes so pass 2 sees the exact
-    // partitioning pass 1 summarized (same discipline as skyline2).
-    val sorted = toks
-      .repartitionByRange(col(strataCol), col(idCol))
-      .sortWithinPartitions(col(strataCol), col(idCol))
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition, per-stratum token subtotals — at most
+    // pass 1: per-partition, per-stratum subtotals — at most
     // P + #strata tuples (a stratum entirely inside one partition adds
-    // one; each partition adds at most one straddling stratum).
-    // Strata are keyed by the RAW column value wrapped in Option (null →
-    // None) — String.valueOf would merge a NULL stratum with the literal
-    // string "null" (and any values with equal renderings), and the
-    // range sort keeps those as SEPARATE runs, so the merged running sum
-    // would be non-contiguous and the bins wrong.
+    // one; each partition adds at most one straddling stratum)
     val subtotals = sorted.mapPartitionsWithIndex { (i, it) =>
       val acc = scala.collection.mutable.LinkedHashMap.empty[Option[Any], Long]
       it.foreach { r =>
-        val s = Option(r.get(1))
-        acc(s) = acc.getOrElse(s, 0L) + r.getLong(2)
+        val s = Option(r.get(si))
+        acc(s) = acc.getOrElse(s, 0L) + r.getLong(vi)
       }
       acc.iterator.map { case (s, t) => (i, s, t) }
     }.collect()
-    // exclusive prefix per (partition, stratum): tokens of this stratum
-    // in all earlier partitions
+    // exclusive prefix per (partition, stratum): this stratum's value
+    // mass in all earlier partitions
     val prefix: Map[(Int, Option[Any]), Long] =
       subtotals.groupBy(_._2).flatMap { case (s, arr) =>
         var run = 0L
@@ -159,28 +190,21 @@ object PipelineOps {
           val p = ((i, s), run); run += t; p
         }
       }
-    val cap = capacity.toLong
-    // pass 2: seeded local running sum; bin = exclusive prefix ÷ capacity
+    // pass 2: seeded local running sum
     val out = sorted.mapPartitionsWithIndex { (i, it) =>
       var cur: Option[Any] = null
       var run = 0L
       it.map { r =>
-        val s = Option(r.get(1))
+        val s = Option(r.get(si))
         if (cur == null || s != cur) {
           cur = s
           run = prefix.getOrElse((i, s), 0L)
         }
-        val bin = run / cap
-        run += r.getLong(2)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+        val c = run
+        run += r.getLong(vi)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
       }
     }
-    // Cache hygiene (skyline2 discipline): the result is a narrow
-    // per-doc frame — materialize it, then release the sorted cache.
-    // When materialize is conf'd off it returns the lazy plan unchanged;
-    // the cache must then stay live, because pass 2's correctness
-    // depends on re-reading the exact partitioning pass 1 summarized
-    // (repartitionByRange re-samples boundaries on recompute).
     val result = spark.createDataFrame(out, schema)
     val mat = graft.util.Checkpoints.materialize(result)
     if (mat ne result) sorted.unpersist(false)

@@ -107,4 +107,93 @@ class Round8Spec extends SparkSpec {
       frac.map(t => (t._1, t._2)) should contain(("a", "b"))
     }
   }
+
+  describe("BPE local merge fallback") {
+    it("local and distributed loops learn the identical merge table") {
+      import spark.implicits._
+      // ties at several ranks + repeated symbols ("aaa" exercises the
+      // greedy non-overlap state machine) + multi-round cascades
+      val docs = Seq((1L,
+        (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+         Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+         Seq.fill(4)("aaa") ++ Seq.fill(4)("bab")).mkString(" ")))
+        .toDF("doc_id", "text")
+      val local = graft.text.Bpe.learnMerges(docs, numMerges = 12)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      val dist = graft.text.Bpe
+        .learnMerges(docs, numMerges = 12, localThreshold = 0)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      local shouldBe dist
+      local.size should be > 4
+    }
+
+    it("200 local merge rounds complete in one probe job") {
+      import spark.implicits._
+      // enough distinct pair mass for 200 rounds: words of varied
+      // letters so merges keep finding count-2 pairs
+      val docs = (0 until 400).map { i =>
+        (i.toLong, s"w${i % 97}x${(i * 7) % 89}y${(i * 13) % 83}")
+      }.toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      val merges = graft.text.Bpe
+        .learnMerges(docs, numMerges = 200, minCount = 2L)
+      val n = merges.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      n should be > 50L
+      // the one-job-per-round loop took minutes at this merge count;
+      // the local loop is bounded by a single collect + driver work
+      secs should be < 60.0
+    }
+  }
+
+  describe("token-exact mixture draws") {
+    import graft.pipeline.Mixture
+
+    def tokensOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(graft.text.TextOps.tokenCount(col("text"))
+        .cast("long"))).collect()(0).getLong(0)
+
+    it("realized token mass lands within one document of want_toks " +
+        "under pathological length skew") {
+      import spark.implicits._
+      // one 10k-token monster + 500 ten-token docs: n_toks = 15_000.
+      // Row-level draws put ±10k variance on the monster's coin; the
+      // token-exact prefix guarantees want ≤ realized < want + max_doc.
+      val docs = ((0L until 500L).map { i =>
+        (i, "x", Seq.fill(10)("w").mkString(" "))
+      } :+ ((9999L, "x", Seq.fill(10000)("m").mkString(" "))))
+        .toDF("doc_id", "lang", "text")
+      val want = 6000L
+      val planDf = Mixture.plan(docs, Map("x" -> 1000000L),
+        budgetTokens = Some(want))
+      val kept = Mixture.applyPlanTokenExact(docs, planDf)
+      val realized = tokensOf(kept)
+      realized should be >= want
+      realized should be < (want + 10000L)
+      // deterministic under re-evaluation and re-partitioning
+      val again = Mixture
+        .applyPlanTokenExact(docs.repartition(13), planDf)
+      tokensOf(again) shouldBe realized
+      again.select("doc_id", "copy").collect().toSet shouldBe
+        kept.select("doc_id", "copy").collect().toSet
+    }
+
+    it("full epochs still replicate every doc; the remainder rides the " +
+        "token prefix") {
+      import spark.implicits._
+      val docs = (0L until 100L).map { i =>
+        (i, "x", Seq.fill(5)("w").mkString(" "))
+      }.toDF("doc_id", "lang", "text") // n_toks = 500
+      val planDf = Mixture.plan(docs, Map("x" -> 1000000L),
+        budgetTokens = Some(1200L)) // 2 full epochs + 200-token remainder
+      val kept = Mixture.applyPlanTokenExact(docs, planDf)
+      val copies = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      copies.size shouldBe 100 // every doc present with ≥2 copies
+      copies.values.foreach(_ should be >= 2L)
+      copies.values.count(_ == 3L) shouldBe 40 // 200 tokens / 5 per doc
+      tokensOf(kept) shouldBe 1200L
+    }
+  }
 }
