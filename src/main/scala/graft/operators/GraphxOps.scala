@@ -102,8 +102,19 @@ object GraphxOps {
     * assigned in sorted order, and GraphX labels with the min vertex
     * id). */
   def stronglyConnectedComponents(edges: DataFrame,
-      numIter: Int = 64): DataFrame = {
+      numIter: Int = 64, localEdgeThreshold: Int = 1 << 20): DataFrame = {
     val spark = edges.sparkSession
+    // Runtime adaptation (clusterLabelsStar discipline): GraphX's
+    // FW-BW peeling costs dozens of jobs; when the DISTINCT edge frame
+    // fits one task, an iterative driver-local Tarjan gives the same
+    // labels (min member under Spark's value order) in one pass. The
+    // limit(n+1) probe doubles as the edge fetch.
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val probe =
+      if (localEdgeThreshold <= 0) null
+      else e0.limit(localEdgeThreshold + 1).collect()
+    if (probe != null && probe.length <= localEdgeThreshold)
+      return localScc(spark, e0, probe)
     val ids = LinkOps.seqIds(
       edges.select(col("src")).union(edges.select(col("dst"))))
       .toDF("node_id", "seq_id")
@@ -122,6 +133,103 @@ object GraphxOps {
       .join(ids.select(col("seq_id").as("comp_id"),
         col("node_id").as("scc")), Seq("comp_id"))
       .select("node_id", "scc")
+  }
+
+  /** Driver-local iterative Tarjan — the small-graph path of
+    * [[stronglyConnectedComponents]]. Explicit stack (no recursion
+    * depth limit); component label = min member under SPARK's value
+    * ordering (strings as UTF-8 bytes, like UTF8String), so labels are
+    * bit-identical to the SeqID/GraphX path. Vertex set = edge
+    * endpoints, matching Graph.fromEdges. */
+  private def localScc(spark: SparkSession, e0: DataFrame,
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val ord: Ordering[Any] = e0.schema("src").dataType match {
+      case org.apache.spark.sql.types.StringType => new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          java.util.Arrays.compareUnsigned(
+            a.asInstanceOf[String].getBytes(
+              java.nio.charset.StandardCharsets.UTF_8),
+            b.asInstanceOf[String].getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+      }
+      case _ => new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
+    }
+    val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
+    val nodes = new java.util.LinkedHashSet[Any]()
+    edgeRows.foreach { r =>
+      val u = r.get(0); val v = r.get(1)
+      nodes.add(u): Unit; nodes.add(v): Unit
+      adj.computeIfAbsent(u,
+        _ => scala.collection.mutable.ArrayBuffer.empty[Any]) += v
+    }
+    // iterative Tarjan
+    val index = new java.util.HashMap[Any, Int]()
+    val lowlink = new java.util.HashMap[Any, Int]()
+    val onStack = new java.util.HashSet[Any]()
+    val stack = new java.util.ArrayDeque[Any]()
+    val comp = new java.util.HashMap[Any, Any]() // node -> min member
+    var counter = 0
+    val it0 = nodes.iterator()
+    while (it0.hasNext) {
+      val root = it0.next()
+      if (!index.containsKey(root)) {
+        // work stack of (node, next-child-index)
+        val work = new java.util.ArrayDeque[(Any, Int)]()
+        work.push((root, 0))
+        while (!work.isEmpty) {
+          val (v, ci) = work.pop()
+          if (ci == 0) {
+            index.put(v, counter); lowlink.put(v, counter); counter += 1
+            stack.push(v); onStack.add(v): Unit
+          }
+          val out = adj.get(v)
+          var i = ci
+          var descended = false
+          while (!descended && out != null && i < out.length) {
+            val w = out(i)
+            if (!index.containsKey(w)) {
+              work.push((v, i + 1)); work.push((w, 0)); descended = true
+            } else {
+              if (onStack.contains(w) && index.get(w) < lowlink.get(v))
+                lowlink.put(v, index.get(w))
+              i += 1
+            }
+          }
+          if (!descended) {
+            if (lowlink.get(v) == index.get(v)) {
+              // pop the component rooted at v; label = min member
+              val members = scala.collection.mutable.ArrayBuffer.empty[Any]
+              var w: Any = null
+              while (w != v) {
+                w = stack.pop(); onStack.remove(w): Unit; members += w
+              }
+              val label = members.min(ord)
+              members.foreach(m => comp.put(m, label))
+            }
+            // propagate lowlink to parent if any
+            if (!work.isEmpty) {
+              val (p, _) = work.peek()
+              if (lowlink.get(v) < lowlink.get(p))
+                lowlink.put(p, lowlink.get(v))
+            }
+          }
+        }
+      }
+    }
+    val dt = e0.schema("src").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node_id", dt),
+      org.apache.spark.sql.types.StructField("scc", dt)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val it1 = nodes.iterator()
+    while (it1.hasNext) {
+      val n = it1.next()
+      rows.add(org.apache.spark.sql.Row(n, comp.get(n))): Unit
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Connected components over the snapshot (undirected view):

@@ -27,13 +27,34 @@ import org.apache.spark.sql.functions._
 object TemporalReach {
 
   /** Returns (node_id, arrival_ms): earliest arrival per temporally
-    * reachable node. `edges` columns: (src, dst, edge_ms). */
+    * reachable node. `edges` columns: (src, dst, edge_ms).
+    *
+    * Runtime adaptation (the `clusterLabelsStar` single-task-fallback
+    * discipline): each distributed round costs several scheduler
+    * round-trips (join + checkpoint + convergence probe) regardless of
+    * frontier size — on a graph whose DISTINCT edge frame fits in one
+    * task, the whole label-correcting fixpoint runs driver-locally in
+    * round-synchronous order (bit-identical: same per-round min merge,
+    * same maxHops semantics, and the earliest-arrival fixpoint is
+    * unique regardless of work order). The probe `limit(n+1).collect()`
+    * doubles as the edge fetch. Past `localEdgeThreshold` (or with it
+    * ≤ 0) the distributed frontier loop runs as before. */
   def earliestArrival(edges: DataFrame, starts: DataFrame,
       startTs: Long = Long.MinValue,
       maxHops: Option[Int] = None,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localEdgeThreshold: Int = 1 << 20): DataFrame = {
     import graft.util.Checkpoints.cut
-    val e = edges.toDF("src", "dst", "edge_ms").distinct().persist()
+    val spark = edges.sparkSession
+    val e0 = edges.toDF("src", "dst", "edge_ms").distinct()
+    val probe =
+      if (localEdgeThreshold <= 0) null
+      else e0.limit(localEdgeThreshold + 1).collect()
+    if (probe != null && probe.length <= localEdgeThreshold) {
+      val ss = starts.toDF("node_id").distinct().collect().map(_.get(0))
+      return localEarliest(spark, e0, probe, ss, startTs, maxHops)
+    }
+    val e = e0.persist()
     var best = cut(starts.toDF("node_id").distinct()
       .withColumn("arrival_ms", lit(startTs)), checkpointDir)
     var frontier = best
@@ -70,5 +91,64 @@ object TemporalReach {
     }
     e.unpersist()
     best
+  }
+
+  /** Driver-local round-synchronous label correction — the small-graph
+    * path of [[earliestArrival]]. Per round: min candidate arrival per
+    * target over the whole frontier, kept only on strict improvement —
+    * exactly the distributed rounds' merge, so maxHops cuts at the
+    * same place. Edges are bucketed by src and sorted by timestamp for
+    * a binary-searched `ts ≥ arrival` suffix scan. */
+  private def localEarliest(spark: org.apache.spark.sql.SparkSession,
+      e0: DataFrame, edgeRows: Array[org.apache.spark.sql.Row],
+      starts: Array[Any], startTs: Long,
+      maxHops: Option[Int]): DataFrame = {
+    val bySrc = new java.util.HashMap[Any, Array[(Long, Any)]]()
+    edgeRows.groupBy(_.get(0)).foreach { case (s, rows) =>
+      bySrc.put(s, rows.map(r => (r.getLong(2), r.get(1))).sortBy(_._1))
+    }
+    val best = new java.util.HashMap[Any, Long]()
+    starts.foreach(s => best.put(s, startTs))
+    var frontier: Map[Any, Long] = starts.map(_ -> startTs).toMap
+    var level = 0
+    while (frontier.nonEmpty && !maxHops.exists(level + 1 > _)) {
+      level += 1
+      val round = new java.util.HashMap[Any, Long]()
+      frontier.foreach { case (v, a) =>
+        val out = bySrc.get(v)
+        if (out != null) {
+          // first index with ts >= a (lower bound)
+          var lo = 0; var hi = out.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (out(mid)._1 >= a) hi = mid else lo = mid + 1
+          }
+          var i = lo
+          while (i < out.length) {
+            val (ts, dst) = out(i)
+            val cur = round.get(dst)
+            if (!round.containsKey(dst) || ts < cur) round.put(dst, ts)
+            i += 1
+          }
+        }
+      }
+      val improved = scala.collection.mutable.Map.empty[Any, Long]
+      round.forEach { (v, a) =>
+        if (!best.containsKey(v) || a < best.get(v)) {
+          best.put(v, a); improved(v) = a
+        }
+      }
+      frontier = improved.toMap
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node_id",
+        e0.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("arrival_ms",
+        org.apache.spark.sql.types.LongType)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    best.forEach { (v, a) =>
+      rows.add(org.apache.spark.sql.Row(v, a)): Unit
+    }
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -196,4 +196,50 @@ class Round8Spec extends SparkSpec {
       tokensOf(kept) shouldBe 1200L
     }
   }
+
+  describe("small-graph local fallbacks (q77/q97 latency)") {
+    // seeded random digraphs: local and distributed fixpoints must be
+    // row-identical (labels, arrivals) — same contract as the
+    // clusterLabelsStar union-find fallback
+    def randomEdges(seed: Int, n: Int, m: Int): Seq[(String, String, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until m).map { _ =>
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}",
+          (rnd.nextInt(50) * 1000L))
+      }.filter(e => e._1 != e._2)
+    }
+
+    it("SCC: local Tarjan equals the GraphX path on random digraphs") {
+      import spark.implicits._
+      for (seed <- Seq(1, 7, 42)) {
+        val edges = randomEdges(seed, 18, 60)
+          .map(e => (e._1, e._2)).toDF("src", "dst")
+        val local = graft.operators.GraphxOps
+          .stronglyConnectedComponents(edges)
+          .as[(String, String)].collect().toSet
+        val dist = graft.operators.GraphxOps
+          .stronglyConnectedComponents(edges, localEdgeThreshold = 0)
+          .as[(String, String)].collect().toSet
+        withClue(s"seed=$seed") { local shouldBe dist }
+      }
+    }
+
+    it("temporal reach: local label correction equals the frontier " +
+        "loop, maxHops included") {
+      import spark.implicits._
+      for (seed <- Seq(3, 11); hops <- Seq(None, Some(2))) {
+        val edges = randomEdges(seed, 15, 80)
+          .toDF("src", "dst", "edge_ms")
+        val starts = Seq("v0", "v1").toDF("node_id")
+        val local = graft.operators.TemporalReach
+          .earliestArrival(edges, starts, maxHops = hops)
+          .as[(String, Long)].collect().toSet
+        val dist = graft.operators.TemporalReach
+          .earliestArrival(edges, starts, maxHops = hops,
+            localEdgeThreshold = 0)
+          .as[(String, Long)].collect().toSet
+        withClue(s"seed=$seed hops=$hops") { local shouldBe dist }
+      }
+    }
+  }
 }
