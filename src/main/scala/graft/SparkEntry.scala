@@ -1507,6 +1507,20 @@ object SparkEntry {
         emb.filter(col("vec_id") < 500), k = 3, nprobe = 2)
     }),
 
+    // IMAGE NEAR-DUP CLUSTERING (multimodal/ImageDedup): perceptual
+    // dHash over batched partition-local decode → pigeonhole-banded
+    // candidate join → large/small-star clustering — the image twin of
+    // the q24/q29 SimHash text path. Deterministic stub thumbnails
+    // (md5-expanded; the multi-round digest has no tractable SQL form,
+    // so this is a rows-only gate — the REAL ImageIO decode path and
+    // the planted-near-dup clustering behavior are spec-verified in
+    // MediaSpec).
+    "q124_image_neardup" -> ((s, d) => {
+      val media = graft.multimodal.Media.fromDocuments(Tables.documents(s, d))
+      graft.multimodal.ImageDedup.nearDupClusters(media,
+        graft.multimodal.ImageDedup.StubGrayDecoder)
+    }),
+
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
     "q27_media_features" -> ((s, d) => {

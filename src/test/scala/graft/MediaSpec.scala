@@ -103,4 +103,72 @@ class MediaSpec extends SparkSpec {
     // 1024 bytes → 4 chunks of 256; stride 2 keeps idx 0 and 2
     frames.select("frame_idx").as[Long].collect().sorted shouldBe Array(0L, 2L)
   }
+
+  describe("ImageDedup (perceptual-hash near-dup clustering)") {
+    import graft.multimodal.ImageDedup
+
+    /** 64×64 PNG from a pixel function (row-major luma 0-255). */
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(x => (0 until 64).foreach { y =>
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    it("aHash/dHash: identical inputs hash identically; inverted " +
+        "gradients differ maximally") {
+      val ramp = Array.tabulate(64)(i => (i % 8) * 30)
+      ImageDedup.aHash64(ramp) shouldBe ImageDedup.aHash64(ramp.clone())
+      val ramp9 = Array.tabulate(72)(i => (i % 9) * 25)
+      val inv9 = ramp9.map(255 - _)
+      val d1 = ImageDedup.dHash64(ramp9)
+      val d2 = ImageDedup.dHash64(inv9)
+      java.lang.Long.bitCount(d1 ^ d2) shouldBe 64
+    }
+
+    it("planted near-identical PNGs cluster together; a distinct image " +
+        "stays apart (real ImageIO decode path)") {
+      import spark.implicits._
+      val base = png((x, _) => x * 4)              // horizontal ramp
+      val near = png((x, y) =>                      // same + sparse noise
+        x * 4 + (if ((x * 64 + y) % 97 == 0) 6 else 0))
+      val far = png((x, _) => 255 - x * 4)          // inverted ramp
+      val rows = spark.createDataset(Seq(
+        Media.MediaRow(1L, "image", base, "a.png", "image/png"),
+        Media.MediaRow(2L, "image", near, "b.png", "image/png"),
+        Media.MediaRow(3L, "image", far, "c.png", "image/png"),
+        Media.MediaRow(4L, "image", Array.fill[Byte](32)(7), "bad.png",
+          "image/png"))) // undecodable: absent from the output
+      val got = ImageDedup.nearDupClusters(rows)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      got.keySet shouldBe Set(1L, 2L, 3L)
+      got(1L) shouldBe 1L
+      got(2L) shouldBe 1L   // near-dup of 1 → min-id label
+      got(3L) shouldBe 3L   // own singleton cluster
+    }
+
+    it("stub decoder keeps the whole stack deterministic without codecs") {
+      import spark.implicits._
+      val payload = Array.tabulate[Byte](100)(_.toByte)
+      val rows = spark.createDataset(Seq(
+        Media.MediaRow(10L, "image", payload, "x.bin", "image/png"),
+        Media.MediaRow(11L, "image", payload.clone(), "y.bin", "image/png")))
+      val hashes = ImageDedup
+        .imageHashes(rows, ImageDedup.StubGrayDecoder)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      // identical bytes → identical perceptual hashes, any decoder
+      hashes(0)._2 shouldBe hashes(1)._2
+      hashes(0)._3 shouldBe hashes(1)._3
+      val clusters = ImageDedup
+        .nearDupClusters(rows, ImageDedup.StubGrayDecoder)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      clusters shouldBe Map(10L -> 10L, 11L -> 10L)
+    }
+  }
 }
