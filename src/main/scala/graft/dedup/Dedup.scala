@@ -748,39 +748,46 @@ object Dedup {
     * duplications (the dedup target) are unaffected, boilerplate
     * stop-phrases stop feeding the join. */
   def sharedSpanPairs(docs: DataFrame, minSpanTokens: Int = 8, k: Int = 3,
-      maxOcc: Long = 64, idCol: String = "doc_id",
+      maxOcc: Int = 64, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.CollectCapped.collectCapped
     require(minSpanTokens >= k, s"minSpanTokens must be >= k=$k")
-    // hot-shingle exclusion via a partition-only window: the occ count
-    // shares the SAME shingle-keyed exchange the candidate join needs
-    // next. occ counts ALL occurrences corpus-wide — the oracle states
-    // the identical window. The capped frame is persist()ed because the
-    // self-join consumes it TWICE and Catalyst does not reuse the
-    // exchange across the join's broadcast side (audited r5 plan: two
-    // full scan→tokenize→posexplode→window subtrees); with the persist
-    // the expensive subtree runs once and both join sides read the
-    // cache. Released via materialize() below (result ≪ intermediate).
-    val ps = positionedShingles(docs, k, idCol, textCol)
-      .withColumn("occ",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("occ") <= maxOcc)
-      .drop("occ")
-      .persist()
-    val m = ps.as("a").join(ps.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    // ONE shuffle groups each shingle's occurrence list AND applies the
+    // hot-shingle cap: collect_capped is a bounded-memory custom
+    // aggregate that returns NULL for any shingle with occ > maxOcc
+    // (partial buffers stop storing past the cap, so a stop-phrase
+    // shingle costs one counter per map task, never a giant array).
+    // This replaces the r5–r7 shape (full-width count window + shingle
+    // self-join over a persisted frame): the expensive
+    // scan→tokenize→posexplode subtree now runs once with no cache, no
+    // sort, and no join — match pairs come from exploding each
+    // surviving (≤ maxOcc-element) list against itself.
+    val grouped = positionedShingles(docs, k, idCol, textCol)
+      .groupBy(col("shingle"))
+      .agg(collectCapped(struct(col("id"), col("pos")), maxOcc).as("occs"))
+      .filter(col("occs").isNotNull)
+      .select(col("occs"))
+    val m = grouped
+      .select(explode(col("occs")).as("a"), col("occs"))
+      .select(col("a"), explode(col("occs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+    // gaps-and-islands per (pair, diagonal): island = p1 − row_number.
+    // (Measured alternative: per-group sort_array(collect_list)+HOF run
+    // scan was ~1.7× SLOWER here — millions of tiny array allocations
+    // and interpreted lambdas lose to one codegen sort + streaming
+    // window + hash aggs.) span_tokens = island size + k − 1.
     val isl = m.withColumn("island",
-      col("p1") - row_number().over(Window
-        .partitionBy(col("id1"), col("id2"), col("diag"))
-        .orderBy(col("p1"))))
-    val out = isl
+      col("p1") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id1"), col("id2"), col("diag"))
+          .orderBy(col("p1"))))
+    isl
       .groupBy(col("id1"), col("id2"), col("diag"), col("island"))
       .agg((count(lit(1)) + (k - 1)).as("span"))
       .groupBy(col("id1"), col("id2"))
       .agg(max(col("span")).as("max_span_tokens"))
       .filter(col("max_span_tokens") >= minSpanTokens)
-    graft.util.Checkpoints.materialize(out, unpersistAfter = Seq(ps))
   }
 }

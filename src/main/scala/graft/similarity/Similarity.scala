@@ -322,6 +322,31 @@ object Similarity {
       // is also the read-side layout the probe scan wants
       .repartition(col("centroid"))
       .write.partitionBy("centroid").mode("overwrite").parquet(outDir)
+    // centroid sidecar: the (tiny) unit centroid table, written once at
+    // build time so every search reads N_centroid rows instead of
+    // re-deriving them with two full-index scans. The underscore prefix
+    // hides the dir from the partitioned read of outDir (Hadoop
+    // hiddenFileFilter), so the layout stays a plain parquet dataset.
+    // Only centroids that actually RECEIVED a list are kept (same
+    // candidate set a search would see in the index itself) — read back
+    // from the partition dirs just written: pure FS listing, no data I/O.
+    val present = {
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(
+        embeddings.sparkSession.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("centroid="))
+        .map(n => n.substring("centroid=".length).toLong).toSet
+    }
+    val presentDf = embeddings.sparkSession
+      .createDataset(present.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("id")
+    unitVectors(embeddings, idCol, vecCol)
+      .filter(col("id") % centroidStride === 0)
+      .join(broadcast(presentDf), Seq("id"), "left_semi")
+      .select(col("id").as("cid"), col("u").as("cu"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_centroids")
   }
 
   /** Read only the given centroid lists from a [[writeIvfIndex]] layout
@@ -346,20 +371,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val qUnit = unitVectors(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("u").as("qu")).persist()
-    // the index partitions carry the centroid ids (centroid id = vec id
-    // of the stride-sampled vector, which lives in its own list) — read
-    // the centroid VECTORS back from the index rows themselves, so the
-    // search needs no side-channel centroid table
-    val centroidIds = spark.read.parquet(indexDir)
-      .select(col("centroid")).distinct()
-    val centroidVecs = spark.read.parquet(indexDir)
-      .join(centroidIds.withColumnRenamed("centroid", "cid"),
-        col("id") === col("cid"))
-      .select(col("cid"), transform(col(vecCol), x => x.cast("double"))
-        .as("cv"))
-    val centroidUnit = centroidVecs.select(col("cid"),
-      transform(col("cv"), x => x / sqrt(dot(col("cv"), col("cv"))))
-        .as("cu"))
+    // centroid vectors come from the `_centroids` sidecar the index
+    // build wrote (N_centroid rows) — NOT from scanning the index
+    // itself, which at 100 TB would mean touching every list twice
+    // just to recover what the build already knew
+    val centroidUnit = spark.read.parquet(s"$indexDir/_centroids")
     val probes = qUnit
       .join(broadcast(centroidUnit))
       .select(col("qid"), col("qu"), col("cid"),

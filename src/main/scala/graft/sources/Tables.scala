@@ -22,7 +22,17 @@ object Tables {
     * so table loads have no hidden session side effects (ADVICE r01). */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // ObjectHashAggregate (collect_list / collect_capped / max_by-struct
+    // plans) falls back to SORT-based aggregation after only 128
+    // in-memory groups by default — every grouped-collection operator
+    // here (shingle occurrence lists, minhash signatures, k-means
+    // coordinate gathers) has far more groups per partition than that
+    // and was silently paying a full sort per exchange. All such
+    // buffers in this engine are bounded (collect_capped by its cap,
+    // the rest by fixed arity: 16 sigs, 64 dims), so 16k groups ×
+    // a-few-KB worst case stays well inside executor memory.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16384")
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

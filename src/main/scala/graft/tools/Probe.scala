@@ -19,6 +19,27 @@ object Probe {
       f; val t0 = System.nanoTime(); val n = f
       println(f"STAGE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
+    if (args.length > 1 && args(1) == "q84") {
+      import graft.dedup.Dedup
+      import graft.functions.CollectCapped.collectCapped
+      val doubled = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val ps = Dedup.positionedShingles(doubled, 3, "doc_id", "text")
+      time("positioned-shingles")(ps.agg(count(lit(1))).collect()(0).getLong(0))
+      val grouped = ps.groupBy(col("shingle"))
+        .agg(collectCapped(struct(col("id"), col("pos")), 64).as("occs"))
+        .filter(col("occs").isNotNull)
+      time("grouped-capped")(grouped.agg(count(lit(1))).collect()(0).getLong(0))
+      val m = grouped.select(col("occs"))
+        .select(explode(col("occs")).as("a"), col("occs"))
+        .select(col("a"), explode(col("occs")).as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+      time("pairs")(m.agg(count(lit(1))).collect()(0).getLong(0))
+      time("full-q84")(graft.SparkEntry.queries("q84_span_dedup")(spark, d).count())
+      time("full-q84-again")(graft.SparkEntry.queries("q84_span_dedup")(spark, d).count())
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "q21") {
       import graft.dedup.Dedup
       val doubled = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
