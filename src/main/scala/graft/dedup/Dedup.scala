@@ -693,6 +693,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, k, idCol, textCol)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // df cap via a partition-only window on the shingle key: the window's
+    // exchange is REUSED by the self-join below (both sides arrive
+    // shuffled+sorted by shingle — one shuffle, one sort, streaming
+    // SortMergeJoin). Measured alternative (r8): collect_capped grouped
+    // lists + double explode benched 2.7× slower here — the
+    // ObjectHashAgg buffers and nested Generates lose to exchange reuse.
+    // (sharedSpanPairs differs: its join never reused the exchange, so
+    // the grouped-list shape wins there.)
     val capped = sh.withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)

@@ -19,6 +19,32 @@ object Probe {
       f; val t0 = System.nanoTime(); val n = f
       println(f"STAGE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
+    if (args.length > 1 && args(1) == "q102") {
+      import org.apache.spark.sql.expressions.Window
+      import graft.dedup.Dedup
+      import graft.functions.CollectCapped.collectCapped
+      val doubled = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      def oldShape(): Long = {
+        val sh = Dedup.shingles(doubled, 3, "doc_id", "text")
+        val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+        val capped = sh.withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("shingle"))))
+          .filter(col("df") <= 64).drop("df")
+        val shared = capped.as("a").join(capped.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+          .groupBy(col("a.id").as("id_contained"), col("b.id").as("id_container"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared.join(sizes.select(col("id").as("id_contained"), col("sz").as("sz_contained")), Seq("id_contained"))
+          .filter(col("sz_contained") >= 4 &&
+            col("n_shared") * 1000000L >= lit(800000L) * col("sz_contained"))
+          .count()
+      }
+      time("old-window-join")(oldShape())
+      time("new-collect-capped")(Dedup.containmentPairs(doubled).count())
+      time("old-again")(oldShape())
+      time("new-again")(Dedup.containmentPairs(doubled).count())
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "q84") {
       import graft.dedup.Dedup
       import graft.functions.CollectCapped.collectCapped
@@ -36,7 +62,26 @@ object Probe {
         .select(col("a.id").as("id1"), col("b.id").as("id2"),
           col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
       time("pairs")(m.agg(count(lit(1))).collect()(0).getLong(0))
+      def windowShape(): Long = {
+        import org.apache.spark.sql.expressions.Window
+        val psw = Dedup.positionedShingles(doubled, 3, "doc_id", "text")
+          .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+          .filter(col("occ") <= 64).drop("occ")
+        val mw = psw.as("a").join(psw.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"),
+            col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+        mw.withColumn("island", col("p1") - row_number().over(Window
+            .partitionBy(col("id1"), col("id2"), col("diag")).orderBy(col("p1"))))
+          .groupBy(col("id1"), col("id2"), col("diag"), col("island"))
+          .agg((count(lit(1)) + 2).as("span"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(max(col("span")).as("max_span_tokens"))
+          .filter(col("max_span_tokens") >= 8).count()
+      }
+      time("window-nopersist")(windowShape())
       time("full-q84")(graft.SparkEntry.queries("q84_span_dedup")(spark, d).count())
+      time("window-nopersist-again")(windowShape())
       time("full-q84-again")(graft.SparkEntry.queries("q84_span_dedup")(spark, d).count())
       spark.stop(); return
     }
