@@ -1521,6 +1521,19 @@ object SparkEntry {
         graft.multimodal.ImageDedup.StubGrayDecoder)
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
+    // to k-means cells — deterministic centroid assignment (max cosine,
+    // ties → lowest cid) turns the O(n²) cosine matrix into an
+    // equi-join on the cell key. On the doubled collection every twin
+    // pair shares a cell and scores 1.0; the full prune (components →
+    // min-id survivor) is semanticPrune, spec-verified.
+    "q125_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val doubled = emb.unionByName(emb.select(
+        (col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      graft.similarity.Similarity.semanticDupPairs(doubled)
+    }),
+
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
     "q27_media_features" -> ((s, d) => {
@@ -2122,6 +2135,32 @@ object SparkEntry {
       // hyperplane bands on the RAW vector (global plane index =
       // band*8 + p, same md5 weight formula as q26), candidates share
       // (band, bucket), exact cosine verify on candidates only.
+      "q125_semdedup" ->
+        s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+           |unit AS (SELECT vec_id AS id, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM emb),
+           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+           |scored AS (SELECT v.id, c.cid,
+           |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
+           |      (x, y) -> x + y) AS ccos
+           |  FROM unit v CROSS JOIN cent c),
+           |assigned AS (SELECT id, cid AS centroid FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
+           |  WHERE rn = 1)
+           |SELECT a.centroid, a.id AS id1, b.id AS id2,
+           |  round(list_reduce(list_transform(range(1, 65),
+           |    i -> ua.u[i] * ub.u[i]), (x, y) -> x + y), 6) AS cos
+           |FROM assigned a
+           |JOIN assigned b ON a.centroid = b.centroid AND a.id < b.id
+           |JOIN unit ua ON ua.id = a.id
+           |JOIN unit ub ON ub.id = b.id
+           |WHERE round(list_reduce(list_transform(range(1, 65),
+           |    i -> ua.u[i] * ub.u[i]), (x, y) -> x + y), 6) >= 0.97""".stripMargin,
+
       "q28_embed_neardup" ->
         s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
            |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),

@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pii_redact"),
       GraftExtensions.piiRedactInfo,
       GraftExtensions.piiRedactBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("collect_capped"),
+      GraftExtensions.collectCappedInfo,
+      GraftExtensions.collectCappedBuilder))
     // top-1-per-group window → max_by/min_by hash aggregation
     ext.injectOptimizerRule(_ => graft.plans.TopOneWindowToMaxBy)
   }
@@ -107,6 +111,24 @@ object GraftExtensions {
         graft.text.Pii.PhoneRe, "<PHONE>")
     }
 
+  private[functions] val collectCappedInfo =
+    new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped")
+  /** `collect_capped(e, cap)` — bounded-memory grouped collection:
+    * array_agg(e) when the group has ≤ cap non-null elements, else
+    * NULL; partial buffers never hold more than cap elements. */
+  private[functions] val collectCappedBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2,
+        "collect_capped requires (expr, cap) arguments")
+      val cap = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"collect_capped cap must be an integer literal, got $other")
+      }
+      CollectCapped(children.head, cap).toAggregateExpression()
+    }
+
   /** Register into an already-built session (config-based extensions
     * only apply at build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -122,6 +144,8 @@ object GraftExtensions {
       spark, "predict_lang", predictLangInfo, predictLangBuilder)
     org.apache.spark.sql.graftshim.Shim.registerFunction(
       spark, "pii_redact", piiRedactInfo, piiRedactBuilder)
+    org.apache.spark.sql.graftshim.Shim.registerFunction(
+      spark, "collect_capped", collectCappedInfo, collectCappedBuilder)
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.TopOneWindowToMaxBy))
       spark.experimental.extraOptimizations =

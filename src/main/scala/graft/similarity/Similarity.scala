@@ -407,6 +407,54 @@ object Similarity {
       unpersistAfter = Seq(qUnit))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantically-redundant
+    * pair detection restricted to k-means cells. Every vector is
+    * assigned to its max-cosine stride-sampled centroid ([[ivfAssign]]
+    * — deterministic, ties → lowest cid), and near-duplicate pairs are
+    * searched WITHIN each cell only: the all-pairs O(n²) cosine matrix
+    * becomes one equi-join on the centroid key, which is exactly what
+    * makes semantic dedup tractable at corpus scale (cells bound the
+    * quadratic term to cell_size², and the same centroid-partitioned
+    * disk layout as [[writeIvfIndex]] co-locates each cell's join).
+    * Returns (centroid, id1, id2, cos) with unit-cosine ≥ `threshold`,
+    * rounded to 6 — the DuckDB oracle states identical math. */
+  def semanticDupPairs(embeddings: DataFrame, threshold: Double = 0.97,
+      centroidStride: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
+    val withC = unitVectors(embeddings, idCol, vecCol)
+      .join(assigned, Seq("id"))
+    // self-join on the cell key: both sides are the same subtree
+    // shuffled on `centroid`, so Catalyst reuses one exchange
+    withC.as("a").join(withC.as("b"),
+        col("a.centroid") === col("b.centroid") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.centroid").as("centroid"),
+        col("a.id").as("id1"), col("b.id").as("id2"),
+        round(dot(col("a.u"), col("b.u")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Full SemDeDup prune: connected groups of [[semanticDupPairs]]
+    * (within-cell cosine ≥ threshold) keep only their min-id member —
+    * survivors are returned with all input columns. Components via the
+    * O(log n) star rounds ([[graft.dedup.Dedup.clusterLabelsStar]]),
+    * so a redundancy chain a≈b≈c collapses to one representative even
+    * when a and c are not themselves a qualifying pair. */
+  def semanticPrune(embeddings: DataFrame, threshold: Double = 0.97,
+      centroidStride: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = semanticDupPairs(embeddings, threshold, centroidStride,
+      idCol, vecCol).select(col("id1"), col("id2"))
+    val dropped = graft.dedup.Dedup.clusterLabelsStar(pairs, checkpointDir)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop_id"))
+    embeddings.join(dropped,
+        col(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
+
   /** Recall of an approximate top-k result against the exact one — the
     * standard ANN quality dial a pipeline monitors when trading nprobe/
     * bands against cost. Input frames carry (qid, nid[, ...]); output

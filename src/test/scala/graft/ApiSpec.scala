@@ -56,6 +56,18 @@ class ApiSpec extends SparkSpec {
     got shouldBe 11.0
   }
 
+  it("collect_capped is SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT k, collect_capped(v, 2) AS vs FROM VALUES
+        |  ('a', 1), ('a', 2), ('b', 1), ('b', 2), ('b', 3) t(k, v)
+        |GROUP BY k""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Int](1)).map(_.sorted)).toMap
+    rows("a") shouldBe Some(Seq(1, 2))
+    rows("b") shouldBe None // 3 > cap → NULL
+  }
+
   it("nfc_normalize is SQL-callable after registration") {
     graft.functions.GraftExtensions.register(spark)
     val got = spark.sql("SELECT nfc_normalize('éclair') AS n")

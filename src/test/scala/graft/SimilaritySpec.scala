@@ -271,6 +271,32 @@ class SimilaritySpec extends SparkSpec {
     hits.toDouble / (50 * 5) should be > 0.4
   }
 
+  it("semanticDupPairs finds every twin inside its cell; semanticPrune " +
+      "keeps one representative per redundancy chain") {
+    if (!haveData) cancel("testdata missing")
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val doubled = emb.unionByName(emb.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val n = emb.count()
+    val pairs = Similarity.semanticDupPairs(doubled).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    // every (v, v+10000) twin is assigned to the same cell (identical
+    // vectors, deterministic tie-break) and scores cosine 1.0
+    (0L until n).foreach { i => pairs.get((i, i + 10000)) shouldBe Some(1.0) }
+    // prune on a TRIPLED collection: {v, v+10000, v+20000} chains must
+    // collapse to the min id even though all three are pairwise dups
+    val tripled = doubled.unionByName(emb.select(
+      (col("vec_id") + 20000).as("vec_id"), col("embedding")))
+    val kept = Similarity.semanticPrune(tripled).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    (0L until n).foreach { i =>
+      kept should contain(i)
+      kept should not contain (i + 10000)
+      kept should not contain (i + 20000)
+    }
+  }
+
   it("lshCandidatePairs puts identical vectors in one bucket") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)
