@@ -386,11 +386,17 @@ object Dedup {
       idCol: String, textCol: String): DataFrame = {
     val sigs = minhashSignatures(docs, k, idCol, textCol)
     val rows = numHashes / bands
-    (0 until bands).map { b =>
-      val key = md5(concat_ws("-",
-        (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
-      sigs.select(col("id"), lit(b).as("band"), key.as("bucket"))
-    }.reduce(_ unionByName _)
+    // ONE pass over the signature frame: explode the 4 band structs
+    // instead of a 4-way union of the same aggregate subtree (the union
+    // re-ran the post-shuffle agg per branch; downstream self-joins then
+    // doubled that again)
+    sigs.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), md5(concat_ws("-",
+          (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+          .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
   }
 
   def minhashCandidatePairs(docs: DataFrame, k: Int = 3,

@@ -19,6 +19,17 @@ object Probe {
       f; val t0 = System.nanoTime(); val n = f
       println(f"STAGE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
+    if (args.length > 1 && args(1) == "q50") {
+      import graft.dedup.Dedup
+      val doubled = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val sigs = Dedup.minhashSignatures(doubled, 3, "doc_id", "text")
+      time("minhash-sigs")(sigs.agg(count(lit(1))).collect()(0).getLong(0))
+      val pairs = Dedup.minhashCandidatePairs(doubled, 3, "doc_id", "text")
+      time("candidate-pairs")(pairs.count())
+      time("cc+antijoin=full-q50")(Dedup.dedupCorpus(doubled).count())
+      time("full-q50-again")(Dedup.dedupCorpus(doubled).count())
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "q102") {
       import org.apache.spark.sql.expressions.Window
       import graft.dedup.Dedup
