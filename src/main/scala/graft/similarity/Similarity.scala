@@ -423,17 +423,22 @@ object Similarity {
       centroidStride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
+    // persisted: the (unit, centroid) frame feeds BOTH sides of the
+    // cell self-join, and the assignment's centroid cross-score is the
+    // expensive subtree — one computation, two cache reads (the q28
+    // cosineNearDupPairs discipline); released via materialize below
+    // (the pair list ≪ the collection).
     val withC = unitVectors(embeddings, idCol, vecCol)
       .join(assigned, Seq("id"))
-    // self-join on the cell key: both sides are the same subtree
-    // shuffled on `centroid`, so Catalyst reuses one exchange
-    withC.as("a").join(withC.as("b"),
+      .persist()
+    val pairs = withC.as("a").join(withC.as("b"),
         col("a.centroid") === col("b.centroid") &&
         col("a.id") < col("b.id"))
       .select(col("a.centroid").as("centroid"),
         col("a.id").as("id1"), col("b.id").as("id2"),
         round(dot(col("a.u"), col("b.u")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+    graft.util.Checkpoints.materialize(pairs, unpersistAfter = Seq(withC))
   }
 
   /** Full SemDeDup prune: connected groups of [[semanticDupPairs]]
