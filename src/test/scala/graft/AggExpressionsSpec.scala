@@ -46,6 +46,19 @@ class AggExpressionsSpec extends SparkSpec {
       got shouldBe (1 to 5).map(i => (i, i * 10))
     }
 
+    it("plans as ObjectHashAggregate (not the sort-based fallback path)") {
+      // the physical operator class, not performance: a regression in
+      // sessionConfs (objectHashAggregate.sortBased.fallbackThreshold)
+      // would silently re-route every grouped-collection to sort-agg
+      val plan = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+        .groupBy("k").agg(collectCapped(col("v"), 4).as("vs"))
+        .queryExecution.executedPlan.toString
+      plan should include("ObjectHashAggregate")
+      spark.conf.get(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+        .toInt should be >= 16384
+    }
+
     it("a far-over-cap group stays NULL (overflow survives merges)") {
       val df = (1 to 10000).map(i => ("hot", i)).toDF("k", "v")
         .unionByName(Seq(("cold", 1)).toDF("k", "v"))
