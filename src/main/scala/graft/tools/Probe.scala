@@ -19,6 +19,23 @@ object Probe {
       f; val t0 = System.nanoTime(); val n = f
       println(f"STAGE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
+    if (args.length > 1 && args(1) == "suite") {
+      // in-suite overhead repro: does running materializing queries
+      // beforehand slow a later query (lingering localCheckpoint RDDs)?
+      time("q84-cold")(graft.SparkEntry.queries("q84_span_dedup")(spark, d).count())
+      time("q84-warm")(graft.SparkEntry.queries("q84_span_dedup")(spark, d).count())
+      Seq("q25_ann_topk", "q28_embed_neardup", "q36_neardup_clusters",
+          "q50_dedup_corpus", "q21_ngram_jaccard").foreach { q =>
+        time(q)(graft.SparkEntry.queries(q)(spark, d).count())
+      }
+      time("q84-after-suite")(graft.SparkEntry.queries("q84_span_dedup")(spark, d).count())
+      time("q84-after-suite2")(graft.SparkEntry.queries("q84_span_dedup")(spark, d).count())
+      println("storage: " + spark.sparkContext.getPersistentRDDs.size
+        + " persistent RDDs live")
+      spark.sparkContext.getPersistentRDDs.values.take(10).foreach(r =>
+        println("  rdd " + r.id + " " + r.name + " " + r.getStorageLevel))
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "q50") {
       import graft.dedup.Dedup
       val doubled = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
