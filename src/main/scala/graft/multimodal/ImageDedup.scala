@@ -38,11 +38,18 @@ object ImageDedup {
     * The image twin of [[Media.ImageIoDecoder]]. */
   object ImageIoGrayDecoder extends GrayDecoder {
     override def gray(content: Array[Byte], w: Int,
+        h: Int): Option[Array[Int]] =
+      // NonFatal, not just IOException: ImageIO readers throw
+      // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
+      // CMMException) on corrupt payloads, and the decoder contract is
+      // that one bad blob must not kill the partition.
+      try grayUnsafe(content, w, h)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    private def grayUnsafe(content: Array[Byte], w: Int,
         h: Int): Option[Array[Int]] = {
-      val img =
-        try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(content))
-        catch { case _: java.io.IOException => null }
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
       if (img == null) None
       else {
         val scaled = new java.awt.image.BufferedImage(w, h,
@@ -75,7 +82,12 @@ object ImageDedup {
   /** STUB decoder — deterministic md5-expanded fake thumbnail, the
     * oracle-friendly stand-in (this container has no image corpora;
     * the real decoder drops in without touching the plumbing, same
-    * contract as [[Media.StubDecoder]]). */
+    * contract as [[Media.StubDecoder]]). Pixel stream = bytes of
+    * md5(content ++ '0'+round) for round = 0, 1, … — the round marker
+    * is an ASCII digit, not a raw byte, so the identical fingerprint
+    * has a verbatim ANSI-SQL form (`md5(text || '0')` …) that both the
+    * Catalyst path ([[stubImageHashesSql]]) and the DuckDB oracle can
+    * state. */
   object StubGrayDecoder extends GrayDecoder {
     override def gray(content: Array[Byte], w: Int,
         h: Int): Option[Array[Int]] = {
@@ -86,7 +98,7 @@ object ImageDedup {
       while (filled < out.length) {
         md.reset()
         md.update(content)
-        md.update(round.toByte)
+        md.update(('0' + round).toByte)
         val d = md.digest()
         var i = 0
         while (i < d.length && filled < out.length) {
@@ -97,6 +109,40 @@ object ImageDedup {
       }
       Some(out)
     }
+  }
+
+  /** (media_id, ahash, dhash) of the STUB fingerprint as PURE Catalyst
+    * expressions over a (doc_id, text) frame — bit-identical to
+    * `imageHashes(Media.fromDocuments(docs), StubGrayDecoder)` (spec:
+    * MediaSpec) but with a verbatim ANSI-SQL form the DuckDB oracle
+    * states (SparkEntry.oracleSql q124). Two projections: five md5
+    * calls per row (kept un-collapsed — md5 is non-cheap, so Catalyst's
+    * CollapseProject leaves the digest stage alone), then pixel
+    * extraction + threshold sums, all inside whole-stage codegen. Null
+    * texts are undecodable → dropped, matching the decoder contract. */
+  def stubImageHashesSql(docs: DataFrame): DataFrame = {
+    val digests = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id") +:
+        (0 until 5).map(r =>
+          md5(concat(col("text"), lit(r.toString)).cast("binary"))
+            .as(s"d$r")): _*)
+    // pixel p of the md5-expanded stream: byte p%16 of digest p/16
+    def px(p: Int): Column =
+      conv(substring(col(s"d${p / 16}"), (p % 16) * 2 + 1, 2), 16, 10)
+        .cast("long")
+    // aHash64: 8x8 = pixels 0..63; integer threshold px*64 > sum (no FP).
+    // Bit 63 (= 1L<<63 = Long.MinValue) is reduced LAST so every partial
+    // sum stays in range under ANSI overflow checking.
+    val sum64 = (0 until 64).map(px).reduce(_ + _)
+    val ahash = (0 until 64).map { i =>
+      when(px(i) * 64 > sum64, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    // dHash64: 9x8 = pixels 0..71; bit y*8+x iff px(y*9+x) > px(y*9+x+1)
+    val dhash = (for { y <- 0 until 8; x <- 0 until 8 } yield
+      when(px(y * 9 + x) > px(y * 9 + x + 1), lit(1L << (y * 8 + x)))
+        .otherwise(0L)).reduce(_ + _)
+    digests.select(col("media_id"), ahash.as("ahash"), dhash.as("dhash"))
   }
 
   /** 64-bit AVERAGE hash: 8×8 thumbnail, bit i set iff pixel i is
@@ -192,14 +238,23 @@ object ImageDedup {
   def nearDupClusters(media: Dataset[MediaRow],
       decoder: GrayDecoder = ImageIoGrayDecoder,
       maxHamming: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame =
+    nearDupClustersFromHashes(imageHashes(media, decoder), maxHamming,
+      checkpointDir)
+
+  /** Clustering half of [[nearDupClusters]], taking an already-computed
+    * (media_id, …, dhash) frame — shared by the decoder path and the
+    * SQL-expressible stub path ([[stubImageHashesSql]]). The hash frame
+    * is materialized once (it feeds the banding self-join twice, the
+    * verify joins and the final left join). */
+  def nearDupClustersFromHashes(hashes: DataFrame, maxHamming: Int = 6,
       checkpointDir: Option[String] = None): DataFrame = {
-    val hashes = graft.util.Checkpoints.materialize(
-      imageHashes(media, decoder))
-    val pairs = nearDupPairs(hashes, maxHamming)
+    val h = graft.util.Checkpoints.materialize(hashes)
+    val pairs = nearDupPairs(h, maxHamming)
     val clustered = graft.dedup.Dedup.clusterLabelsStar(
       pairs.select(col("id1"), col("id2")), checkpointDir)
     // every decodable image appears: unmatched ones are their own cluster
-    hashes.select(col("media_id"))
+    h.select(col("media_id"))
       .join(clustered.withColumnRenamed("id", "media_id"),
         Seq("media_id"), "left")
       .select(col("media_id"),
