@@ -1508,17 +1508,29 @@ object SparkEntry {
     }),
 
     // IMAGE NEAR-DUP CLUSTERING (multimodal/ImageDedup): perceptual
-    // dHash over batched partition-local decode → pigeonhole-banded
-    // candidate join → large/small-star clustering — the image twin of
-    // the q24/q29 SimHash text path. Deterministic stub thumbnails
-    // (md5-expanded; the multi-round digest has no tractable SQL form,
-    // so this is a rows-only gate — the REAL ImageIO decode path and
-    // the planted-near-dup clustering behavior are spec-verified in
-    // MediaSpec).
+    // aHash/dHash → pigeonhole-banded candidate join → large/small-star
+    // clustering — the image twin of the q24/q29 SimHash text path. The
+    // gate fingerprints via stubImageHashesSql: pure Catalyst md5
+    // expressions bit-identical to the batched StubGrayDecoder path
+    // (parity spec in MediaSpec), so the DuckDB oracle can state the
+    // SAME hashes verbatim and the full pipeline — including the
+    // connected-components clustering, stated as a recursive CTE — is
+    // hash-checked. The REAL ImageIO decode path and planted-near-dup
+    // clustering stay spec-verified in MediaSpec.
+    // The corpus is doubled with id-shifted twins (the q125 trick) so the
+    // banded candidate join and the clustering actually fire at gate
+    // scale: every doc gets an exact twin → a hamming-0 pair → a 2-node
+    // component labeled by the lower id.
     "q124_image_neardup" -> ((s, d) => {
-      val media = graft.multimodal.Media.fromDocuments(Tables.documents(s, d))
-      graft.multimodal.ImageDedup.nearDupClusters(media,
-        graft.multimodal.ImageDedup.StubGrayDecoder)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val doubled = docs.unionByName(docs.select(
+        (col("doc_id") + 10000).as("doc_id"), col("text")))
+      val hashes = graft.util.Checkpoints.materialize(
+        graft.multimodal.ImageDedup.stubImageHashesSql(doubled))
+      val clusters =
+        graft.multimodal.ImageDedup.nearDupClustersFromHashes(hashes)
+      hashes.join(clusters, "media_id")
+        .select(col("media_id"), col("ahash"), col("dhash"), col("cluster"))
     }),
 
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
@@ -1730,6 +1742,62 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val cte = EventGraph.oracleCte
+    // q124: the stub perceptual-hash pipeline stated verbatim in SQL.
+    // Pixel stream = bytes of md5(text || '0'), md5(text || '1'), … (the
+    // StubGrayDecoder definition); pixel p = byte p%16 of digest p/16,
+    // extracted by hex-pair cast. aHash/dHash mirror ImageDedup
+    // .stubImageHashesSql term-for-term (bit 63 added LAST so every
+    // BIGINT partial sum stays in range — DuckDB checks overflow too).
+    // Pairs are ALL-PAIRS hamming ≤ 6 — exactly what the engine's
+    // 7-band pigeonhole candidates + verify compute (7 bands, ≤6
+    // differing bits ⇒ some band identical ⇒ no candidate missed).
+    // Clusters (label = min id in the component) via recursive CTE.
+    val q124Sql: String = {
+      def px(p: Int): String =
+        s"('0x' || substr(d${p / 16}, ${(p % 16) * 2 + 1}, 2))::BIGINT"
+      def bitLit(b: Int): String =
+        if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      val pixelCols = (0 until 72)
+        .map(p => s"    ${px(p)} AS p$p").mkString(",\n")
+      val s64 = (0 until 64).map(p => s"p$p").mkString(" + ")
+      val ahash = (0 until 64)
+        .map(i => s"(CASE WHEN p$i * 64 > s64 THEN ${bitLit(i)} ELSE 0 END)")
+        .mkString("\n      + ")
+      val dhash = (for { y <- 0 until 8; x <- 0 until 8 } yield
+        s"(CASE WHEN p${y * 9 + x} > p${y * 9 + x + 1} " +
+          s"THEN ${bitLit(y * 8 + x)} ELSE 0 END)")
+        .mkString("\n      + ")
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+         |digests AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text || '0') AS d0, md5(text || '1') AS d1,
+         |    md5(text || '2') AS d2, md5(text || '3') AS d3,
+         |    md5(text || '4') AS d4
+         |  FROM docs WHERE text IS NOT NULL),
+         |pixels AS (SELECT media_id,
+         |$pixelCols
+         |  FROM digests),
+         |sums AS (SELECT *, $s64 AS s64 FROM pixels),
+         |hashes AS (SELECT media_id,
+         |    CAST($ahash AS BIGINT) AS ahash,
+         |    CAST($dhash AS BIGINT) AS dhash
+         |  FROM sums),
+         |pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
+         |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+         |edges AS (SELECT id1 AS s, id2 AS t FROM pairs
+         |  UNION ALL SELECT id2 AS s, id1 AS t FROM pairs),
+         |reach AS (
+         |  SELECT media_id AS id, media_id AS anc FROM hashes
+         |  UNION
+         |  SELECT r.id, e.t AS anc FROM reach r JOIN edges e ON e.s = r.anc),
+         |clusters AS (
+         |  SELECT id AS media_id, min(anc) AS cluster FROM reach GROUP BY id)
+         |SELECT h.media_id, h.ahash, h.dhash, c.cluster
+         |FROM hashes h JOIN clusters c USING (media_id)""".stripMargin
+    }
     // shared by q35 (in-memory IVF) and q54 (same search through the
     // on-disk partitioned index) — identical semantics, one statement
     val ivfTopkSql =
@@ -2130,6 +2198,8 @@ object SparkEntry {
            |  FROM embeddings)
            |SELECT a.id AS id1, bb.id AS id2, a.bucket
            |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id""".stripMargin,
+
+      "q124_image_neardup" -> q124Sql,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =

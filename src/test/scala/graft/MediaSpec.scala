@@ -152,6 +152,32 @@ class MediaSpec extends SparkSpec {
       got(3L) shouldBe 3L   // own singleton cluster
     }
 
+    it("stubImageHashesSql is bit-identical to the batched StubGrayDecoder " +
+        "path and drops null texts (q124 oracle parity)") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "hello world"),
+        (2L, "hello world"),            // exact dup → identical hashes
+        (3L, ""),                       // empty text still fingerprints
+        (4L, "héllo wörld ✓"), // multi-byte UTF-8
+        (5L, "x" * 500))
+        .toDF("doc_id", "text")
+      val viaSql = ImageDedup.stubImageHashesSql(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val viaDecoder = ImageDedup
+        .imageHashes(Media.fromDocuments(docs), ImageDedup.StubGrayDecoder)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      viaSql shouldBe viaDecoder
+      viaSql(0)._2 shouldBe viaSql(1)._2
+      viaSql(0)._3 shouldBe viaSql(1)._3
+      // null text = undecodable payload: dropped, not crashed on
+      val withNull = docs.unionByName(
+        Seq((6L, null: String)).toDF("doc_id", "text"))
+      ImageDedup.stubImageHashesSql(withNull).count() shouldBe 5L
+    }
+
     it("stub decoder keeps the whole stack deterministic without codecs") {
       import spark.implicits._
       val payload = Array.tabulate[Byte](100)(_.toByte)
