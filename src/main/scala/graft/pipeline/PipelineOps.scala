@@ -113,14 +113,15 @@ object PipelineOps {
     * widest task is one range partition, independent of stratum skew. */
   def packSequences(docs: DataFrame, capacity: Int = 2048,
       strataCol: String = "lang", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", windowThreshold: Int = 1 << 20): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     // coalesce: tokenCount is null for null text; a null would NPE the
     // per-partition scans, so degrade to a zero-token doc instead.
     val toks = docs.select(col(idCol), col(strataCol),
       coalesce(TextOps.tokenCount(col(textCol)).cast("long"), lit(0L))
         .as("n_tokens"))
-    exclusivePrefixSum(toks, strataCol, Seq(idCol), "n_tokens", "__cum")
+    exclusivePrefixSum(toks, strataCol, Seq(idCol), "n_tokens", "__cum",
+      windowThreshold)
       .withColumn("bin", graft.time.Buckets.intDiv(col("__cum"),
         lit(capacity.toLong)).cast("long"))
       .drop("__cum")
@@ -157,8 +158,29 @@ object PipelineOps {
     * live for the returned lazy plan, for the same reason. */
   def exclusivePrefixSum(df: DataFrame, strataCol: String,
       orderCols: Seq[String], valueCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, windowThreshold: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
+    // Runtime adaptation (stronglyConnectedComponents discipline): the
+    // two-pass scan pays ~4 jobs + an RDD persist; below the row
+    // threshold the classic per-stratum window states the same exclusive
+    // running sum (spec-pinned byte-identical) in one shuffle. The
+    // window funnels each stratum through ONE task — exactly the
+    // scale-killer this operator exists to avoid — so it is gated on a
+    // bounded limit(n+1) row probe, never taken on faith. The probe
+    // projects a constant first so column pruning reaches the scan:
+    // counting rows must not evaluate the (possibly expensive) value
+    // column — q40's tokenCount over every document tripled the probe.
+    if (windowThreshold > 0 &&
+        df.select(lit(1)).limit(windowThreshold + 1).count() <=
+          windowThreshold) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(strataCol))
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      return df.withColumn(outCol,
+        coalesce(sum(col(valueCol)).over(w), lit(0L)))
+    }
     val si = df.schema.fieldIndex(strataCol)
     val vi = df.schema.fieldIndex(valueCol)
     val sortCols = (strataCol +: orderCols).map(col)

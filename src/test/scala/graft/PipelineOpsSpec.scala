@@ -244,16 +244,43 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "a", ("x " * 2050).trim),       // 2050 tokens, starts at cum 3
       (3L, "a", "tail tokens here"),       // after 2053 → bin 1
       (10L, "b", "other stratum")).toDF("doc_id", "lang", "text")
-    val got = PipelineOps.packSequences(docs, capacity = 2048)
-    // the scale contract: the running sum is the two-pass prefix scan,
-    // not a Window.partitionBy(lang) sort funnelling a whole stratum
-    // through one task
+    // the scale contract: above the adaptive row threshold the running
+    // sum is the two-pass prefix scan, not a Window.partitionBy(lang)
+    // sort funnelling a whole stratum through one task
+    val got = PipelineOps.packSequences(docs, capacity = 2048,
+      windowThreshold = 0)
     val plan = got.queryExecution.executedPlan.toString
     plan should not include "Window"
     val rows = got.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
     rows shouldBe Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "a", 1L),
       (10L, "b", 0L))
+    // below the threshold the small-input window plan fires (q40 bench
+    // path) and states the identical bins
+    val small = PipelineOps.packSequences(docs, capacity = 2048)
+    small.queryExecution.executedPlan.toString should include("Window")
+    small.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .sortBy(_._1) shouldBe rows
+  }
+
+  it("exclusivePrefixSum window and two-pass paths are byte-identical " +
+      "across null strata and multi-column order") {
+    import spark.implicits._
+    val rows = (0L until 800L).map { i =>
+      val lang = if (i % 11 == 0) null
+        else if (i % 3 == 0) "hot" else s"l${i % 4}"
+      (i % 7, i, lang, i % 13 + 1)
+    }.toDF("grp", "doc_id", "lang", "n").repartition(9)
+      .select(col("grp"), col("doc_id"), col("lang"), col("n").cast("long")
+        .as("n"))
+    val twoPass = PipelineOps.exclusivePrefixSum(rows, "lang",
+      Seq("grp", "doc_id"), "n", "cum", windowThreshold = 0)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).sortBy(_._1)
+    val windowed = PipelineOps.exclusivePrefixSum(rows, "lang",
+      Seq("grp", "doc_id"), "n", "cum", windowThreshold = 1 << 20)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).sortBy(_._1)
+    windowed shouldBe twoPass
   }
 
   it("packSequences keeps a NULL stratum distinct from the string " +
