@@ -421,24 +421,55 @@ object Similarity {
     * rounded to 6 — the DuckDB oracle states identical math. */
   def semanticDupPairs(embeddings: DataFrame, threshold: Double = 0.97,
       centroidStride: Int = 50, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
+      vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val unit = unitVectors(embeddings, idCol, vecCol).persist()
+    val centroids = unit.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("u").as("cu"))
+    val scored = unit.join(broadcast(centroids))
+      .select(col("id"), col("cid"), dot(col("u"), col("cu")).as("ccos"))
+    // nprobe = 1 is the paper's hard assignment (max cosine, ties →
+    // lowest cid) via a map-side-combining max_by aggregate. nprobe ≥ 2
+    // is MULTI-PROBE: each vector joins its top-nprobe cells, so a pair
+    // straddling a cell boundary is a candidate whenever the two probe
+    // sets intersect — the standard recovery for cell-confined misses
+    // (recall audit in SimilaritySpec quantifies the gap it closes).
+    // The multi-probe ranking is a per-id window over the n×k scored
+    // frame; the added shuffle carries only (id, cid, ccos) triples.
+    val probes =
+      if (nprobe == 1)
+        scored.groupBy(col("id"))
+          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+            .as("centroid"))
+      else
+        scored.withColumn("cr", row_number().over(
+            Window.partitionBy(col("id")).orderBy(desc("ccos"), asc("cid"))))
+          .filter(col("cr") <= nprobe)
+          .select(col("id"), col("cid").as("centroid"))
     // persisted: the (unit, centroid) frame feeds BOTH sides of the
     // cell self-join, and the assignment's centroid cross-score is the
     // expensive subtree — one computation, two cache reads (the q28
     // cosineNearDupPairs discipline); released via materialize below
     // (the pair list ≪ the collection).
-    val withC = unitVectors(embeddings, idCol, vecCol)
-      .join(assigned, Seq("id"))
-      .persist()
-    val pairs = withC.as("a").join(withC.as("b"),
+    val withC = unit.join(probes, Seq("id")).persist()
+    val cand = withC.as("a").join(withC.as("b"),
         col("a.centroid") === col("b.centroid") &&
         col("a.id") < col("b.id"))
       .select(col("a.centroid").as("centroid"),
         col("a.id").as("id1"), col("b.id").as("id2"),
         round(dot(col("a.u"), col("b.u")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-    graft.util.Checkpoints.materialize(pairs, unpersistAfter = Seq(withC))
+    // under multi-probe a pair can share several probed cells; report it
+    // once, under the lowest shared cell (cos is per-pair, so min() is
+    // the common value). The dedupe shuffles only above-threshold pairs.
+    val pairs =
+      if (nprobe == 1) cand
+      else cand.groupBy(col("id1"), col("id2"))
+        .agg(min(col("centroid")).as("centroid"), min(col("cos")).as("cos"))
+        .select(col("centroid"), col("id1"), col("id2"), col("cos"))
+    graft.util.Checkpoints.materialize(pairs,
+      unpersistAfter = Seq(withC, unit))
   }
 
   /** Full SemDeDup prune: connected groups of [[semanticDupPairs]]
@@ -450,9 +481,9 @@ object Similarity {
   def semanticPrune(embeddings: DataFrame, threshold: Double = 0.97,
       centroidStride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None, nprobe: Int = 1): DataFrame = {
     val pairs = semanticDupPairs(embeddings, threshold, centroidStride,
-      idCol, vecCol).select(col("id1"), col("id2"))
+      idCol, vecCol, nprobe).select(col("id1"), col("id2"))
     val dropped = graft.dedup.Dedup.clusterLabelsStar(pairs, checkpointDir)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("__drop_id"))

@@ -297,6 +297,103 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  it("multi-probe semanticDupPairs recovers planted cross-cell near-dups " +
+      "(recall audit vs brute-force ground truth)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 8-dim fixture, two cells (centroids = ids 0 and 50 → axes e1/e2),
+    // five boundary pairs straddling the 45° cell boundary: x at 41° is
+    // hard-assigned to cell A, its near-dup y at 49° to cell B, so the
+    // pair is invisible to cell-confined (nprobe = 1) SemDeDup. Each
+    // pair carries a distinct perturbation axis so cross-pair cosines
+    // land below the 0.97 threshold (x_k·y_l ≈ 0.968).
+    def vec(parts: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(8)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    val rad = math.Pi / 180
+    val rows = Seq.newBuilder[(Long, Array[Float])]
+    rows += 0L -> vec(0 -> 1.0)
+    rows += 50L -> vec(1 -> 1.0)
+    for (k <- 0 until 3) { // tight satellites, found at nprobe = 1
+      rows += (1L + k) -> vec(0 -> 1.0, 2 -> 0.05)
+      rows += (54L + k) -> vec(1 -> 1.0, 2 -> 0.05)
+    }
+    val boundary = (0 until 5).map(k => (10L + k, 60L + k))
+    for (k <- 0 until 5) {
+      rows += (10L + k) -> vec(0 -> math.cos(41 * rad),
+        1 -> math.sin(41 * rad), 3 + k -> 0.15)
+      rows += (60L + k) -> vec(0 -> math.cos(49 * rad),
+        1 -> math.sin(49 * rad), 3 + k -> 0.15)
+    }
+    val fix = rows.result().toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Similarity.cosineNearDupPairs(fix, bruteForce = true,
+      threshold = 0.97))
+    val p1 = pairSet(Similarity.semanticDupPairs(fix))
+    val p2 = pairSet(Similarity.semanticDupPairs(fix, nprobe = 2))
+    boundary.foreach { p => truth should contain(p) }
+    // candidate restriction only ever shrinks the exact pair set
+    p1.subsetOf(p2) shouldBe true
+    p2.subsetOf(truth) shouldBe true
+    // the planted straddlers are exactly what nprobe = 1 misses and
+    // top-2 multi-probe recovers
+    boundary.foreach { p =>
+      p1 should not contain p
+      p2 should contain(p)
+    }
+    val recall1 = p1.size.toDouble / truth.size
+    val recall2 = p2.size.toDouble / truth.size
+    recall2 shouldBe 1.0
+    recall1 should be < 1.0
+    info(f"planted-boundary fixture: recall nprobe=1 $recall1%.3f " +
+      f"(${truth.size - p1.size} cross-cell misses of ${truth.size}), " +
+      f"nprobe=2 $recall2%.3f")
+    // prune honors the probe width: the x side (10–14) and y side
+    // (60–64) are each within-cell chains, so nprobe = 1 keeps one
+    // representative per CELL (10 and 60 — the cross-cell redundancy
+    // survives); nprobe = 2 sees the straddling pairs and collapses the
+    // whole chain to the single min id 10
+    val boundaryIds = boundary.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val kept1 = Similarity.semanticPrune(fix)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept2 = Similarity.semanticPrune(fix, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    kept1.intersect(boundaryIds) shouldBe Set(10L, 60L)
+    kept2.intersect(boundaryIds) shouldBe Set(10L)
+  }
+
+  it("semanticDupPairs recall on the real corpus: nprobe=2 never loses " +
+      "pairs and closes part of the cross-cell gap") {
+    if (!haveData) cancel("testdata missing")
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // data-driven threshold: the 99.9th-percentile all-pairs cosine, so
+    // the audit has a meaningful ground-truth set regardless of how the
+    // synthetic embeddings are distributed
+    val allCos = Similarity.cosineNearDupPairs(emb, bruteForce = true,
+        threshold = -2.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val thr = allCos.map(_._2).sorted.apply((allCos.length * 0.999).toInt)
+    val truth = allCos.filter(_._2 >= thr).map(_._1).toSet
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairSet(Similarity.semanticDupPairs(emb, threshold = thr))
+    val p2 = pairSet(Similarity.semanticDupPairs(emb, threshold = thr,
+      nprobe = 2))
+    p1.subsetOf(p2) shouldBe true
+    p2.subsetOf(truth) shouldBe true
+    val recall1 = p1.size.toDouble / truth.size
+    val recall2 = p2.size.toDouble / truth.size
+    recall2 should be >= recall1
+    info(f"real-corpus audit (threshold $thr%.4f, ${truth.size} true " +
+      f"pairs): recall nprobe=1 $recall1%.3f, nprobe=2 $recall2%.3f")
+  }
+
   it("lshCandidatePairs puts identical vectors in one bucket") {
     if (!haveData) cancel("testdata missing")
     val emb = Tables.embeddings(spark, dir)
