@@ -109,14 +109,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val withFreq = sh.withColumn("freq",
       count(lit(1)).over(Window.partitionBy(col("shingle"))))
-    // per-doc shingle array sorted by (freq, shingle) ascending
-    val ranked = withFreq
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("freq"), col("shingle"))))
-        .as("ranked"))
-      .select(col("id"),
-        col("ranked.shingle").as("shingles"),
-        size(col("ranked")).as("sz"))
+    // per-doc shingle array sorted by (freq, shingle) ascending — a
+    // doc-sized gather, so BoundedCollect (one group's buffer at a
+    // time) instead of collect_list under the raised hash-agg fallback
+    // threshold (see graft.util.BoundedCollect / Tables.sessionConfs)
+    val ranked = graft.util.BoundedCollect.sortedGather(
+        withFreq.select(col("id"), col("freq"), col("shingle")),
+        Seq("id"), Seq("freq", "shingle"), "shingle", "shingles")
+      .select(col("id"), col("shingles"), size(col("shingles")).as("sz"))
       .persist()
     // prefix length |d| − ⌈t·|d|⌉ + 1, computed with an epsilon guard:
     // floating-point t·|d| can land a hair above an exact integer

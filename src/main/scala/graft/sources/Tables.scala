@@ -28,10 +28,16 @@ object Tables {
     // in-memory groups by default — every grouped-collection operator
     // here (shingle occurrence lists, minhash signatures, k-means
     // coordinate gathers) has far more groups per partition than that
-    // and was silently paying a full sort per exchange. All such
-    // buffers in this engine are bounded (collect_capped by its cap,
-    // the rest by fixed arity: 16 sigs, 64 dims), so 16k groups ×
-    // a-few-KB worst case stays well inside executor memory.
+    // and was silently paying a full sort per exchange. The raised
+    // threshold is SCOPED to fixed-arity buffers: every grouped
+    // collector still planned as a hash aggregate is bounded by
+    // collect_capped's cap or fixed arity (16 sigs, 64 dims, m=8 PQ
+    // codes), so 16k groups × a-few-KB worst case stays well inside
+    // executor memory. Collectors whose buffer is DOCUMENT-sized (line
+    // rebuilds, per-doc token ids, per-doc shingle lists) do not go
+    // through ObjectHashAggregate at all — they use
+    // graft.util.BoundedCollect.sortedGather, which streams one group's
+    // buffer at a time regardless of this threshold.
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16384")
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =

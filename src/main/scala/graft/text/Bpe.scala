@@ -254,10 +254,13 @@ object Bpe {
       .select(col(idCol).as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("wpos", "word")))
       .join(wordIds, Seq("word"))
-    val encoded = positioned.groupBy(col("doc_id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("wpos"), col("wids")))),
-        p => p.getField("wids"))).as("ids"))
+    // doc-sized gather → BoundedCollect (one group's buffer at a time),
+    // not collect_list under the raised hash-agg fallback threshold —
+    // see graft.util.BoundedCollect / Tables.sessionConfs
+    val encoded = graft.util.BoundedCollect.sortedGather(
+        positioned.select(col("doc_id"), col("wpos"), col("wids")),
+        Seq("doc_id"), Seq("wpos"), "wids", "widss")
+      .select(col("doc_id"), flatten(col("widss")).as("ids"))
     // token-less docs (empty/null text) keep a row with an empty array
     docs.select(col(idCol).as("doc_id"))
       .join(encoded, Seq("doc_id"), "left")

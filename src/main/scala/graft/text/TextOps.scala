@@ -211,11 +211,17 @@ object TextOps {
       .filter(col("df") >= minDf).select(col("nline"))
     val kept = lines.join(hot, trim(col("line")) === col("nline"),
       "left_anti")
-    val rebuilt = kept.groupBy(col("id")).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        sort_array(collect_list(struct(col("pos"), col("line")))),
-        x => x("line")), "\n").as("clean"))
+    // doc-sized gather → BoundedCollect, NOT collect_list: under the
+    // session's raised ObjectHashAggregate fallback threshold a hash
+    // aggregate may hold 16384 in-flight groups per task, and here each
+    // group's buffer is an entire document — the one collector class
+    // where that is an OOM risk (Tables.sessionConfs)
+    val rebuilt = graft.util.BoundedCollect.sortedGather(
+        kept.select(col("id"), col("pos"), col("line")),
+        Seq("id"), Seq("pos"), "line", "lines")
+      .select(col("id"),
+        size(col("lines")).cast("long").as("n_kept"),
+        array_join(col("lines"), "\n").as("clean"))
     docs.select(col(idCol).as("id"),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"))
       .join(rebuilt, Seq("id"), "left")
