@@ -349,6 +349,33 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$outDir/_centroids")
   }
 
+  /** Append a new batch to a [[writeIvfIndex]] layout — the daily index
+    * maintenance write (the vector twin of
+    * [[graft.dedup.Dedup.appendLshIndex]]): the batch is assigned
+    * against the STORED `_centroids` sidecar (centroids stay fixed — no
+    * re-clustering, the collection is never re-sharded) and its rows
+    * append to the matching centroid partitions. Given fixed centroids,
+    * append(B) to index(A) is row-identical to a rebuild over A∪B with
+    * the same centroid set — spec-proven via search parity. Standard
+    * IVF practice applies: appended batches shift the true distribution
+    * over time, so re-center with a periodic [[writeIvfIndex]] rebuild
+    * when drift matters. Precondition: batch ids are new. */
+  def appendIvfIndex(batch: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/_centroids")
+    val assigned = unitVectors(batch, idCol, vecCol)
+      .join(broadcast(centroids))
+      .select(col("id"), col("cid"), dot(col("u"), col("cu")).as("ccos"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+        .as("centroid"))
+    batch.select(col(idCol).cast("long").as("id"), col(vecCol))
+      .join(assigned, Seq("id"))
+      .repartition(col("centroid"))
+      .write.partitionBy("centroid").mode("append").parquet(indexDir)
+  }
+
   /** Read only the given centroid lists from a [[writeIvfIndex]] layout
     * (the probe step) — the filter prunes partitions at the scan. */
   def readIvfLists(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -645,6 +672,36 @@ object Similarity {
       .repartition(col("centroid"))
       .write.partitionBy("centroid").mode("overwrite")
       .parquet(s"$outDir/codes")
+  }
+
+  /** Append a new batch to a [[writeIvfPqIndex]] layout — daily IVFADC
+    * maintenance: the batch is PQ-encoded with the STORED codebooks and
+    * assigned against the STORED centroids (both fixed — tiny broadcast
+    * reads; the coded collection is never re-sharded), then appended to
+    * the matching `codes/` partitions. Given fixed centroids+codebooks,
+    * append(B) is row-identical to a rebuild over A∪B with the same
+    * model state — spec-proven via search parity. Re-train with a
+    * periodic [[writeIvfPqIndex]] rebuild when distribution drift
+    * matters. Precondition: batch ids are new. */
+  def appendIvfPqIndex(batch: DataFrame, indexDir: String, m: Int = 8,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val base = batch.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val codes = pqEncode(base, cb, m, dims, "id", "v")
+    val assigned = unitVectors(base, "id", "v")
+      .join(broadcast(centroids))
+      .select(col("id"), col("cid"), dot(col("u"), col("cu")).as("ccos"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+        .as("centroid"))
+    codes.join(assigned, Seq("id"))
+      .repartition(col("centroid"))
+      .write.partitionBy("centroid").mode("append")
+      .parquet(s"$indexDir/codes")
   }
 
   /** Top-k search through a [[writeIvfPqIndex]] layout: probe the

@@ -297,6 +297,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  it("appendIvfIndex/appendIvfPqIndex: append(B) matches rebuild(A∪B) " +
+      "given fixed centroids/codebooks (search parity)") {
+    if (!haveData) cancel("testdata missing")
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // batch ids are odd (2·id + 10001) so the deterministic stride
+    // sample (id % 50 == 0) draws the same centroid/codebook seeds from
+    // A as from A∪B — the fixed-model precondition the append contract
+    // states; the batch duplicates A's vectors, so every query's top-k
+    // MUST surface appended rows (its cosine-1.0 twin) for parity to hold
+    val batch = emb.select((col("vec_id") * 2 + 10001).as("vec_id"),
+      col("embedding"))
+    val union = emb.unionByName(batch)
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    val idxA = tmp("ivf_append")
+    Similarity.writeIvfIndex(emb, idxA)
+    Similarity.appendIvfIndex(batch, idxA)
+    val idxU = tmp("ivf_full")
+    Similarity.writeIvfIndex(union, idxU)
+    val gotFlat = rows(Similarity.searchIvfIndex(spark, idxA, queries))
+    gotFlat shouldBe rows(Similarity.searchIvfIndex(spark, idxU, queries))
+    // the appended twins actually surface in the results
+    gotFlat.flatMap(r => Option(r(1))).map(_.asInstanceOf[Long])
+      .exists(_ > 10000L) shouldBe true
+
+    val pqA = tmp("ivfpq_append")
+    Similarity.writeIvfPqIndex(emb, pqA)
+    Similarity.appendIvfPqIndex(batch, pqA)
+    val pqU = tmp("ivfpq_full")
+    Similarity.writeIvfPqIndex(union, pqU)
+    val gotPq = rows(Similarity.searchIvfPqIndex(spark, pqA, queries))
+    gotPq shouldBe rows(Similarity.searchIvfPqIndex(spark, pqU, queries))
+    gotPq.flatMap(r => Option(r(1))).map(_.asInstanceOf[Long])
+      .exists(_ > 10000L) shouldBe true
+  }
+
   it("multi-probe semanticDupPairs recovers planted cross-cell near-dups " +
       "(recall audit vs brute-force ground truth)") {
     import org.apache.spark.sql.functions.col
