@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import graft.util.BoundedCollect
 
@@ -9,6 +10,136 @@ import graft.util.BoundedCollect
   * plan as hash aggregates at all — BoundedCollect streams one group's
   * buffer at a time. */
 class Round10Spec extends SparkSpec {
+
+  /** Max shuffle-read records of any single task during `body` — the
+    * per-task width a skewed key inflates. Bus drained via the
+    * Round8Spec sentinel-job trick (waitUntilEmpty is private). */
+  private class MaxTaskReadListener extends SparkListener {
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var sentinelSeen = false
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      if (j.properties != null && "round10-sentinel" ==
+          j.properties.getProperty("spark.jobGroup.id"))
+        sentinelSeen = true
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null) {
+        val r = t.taskMetrics.shuffleReadMetrics.recordsRead
+        maxRead.getAndUpdate(x => math.max(x, r))
+      }
+  }
+
+  private def maxTaskReadDuring(body: => Unit): Long = {
+    val l = new MaxTaskReadListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      spark.sparkContext.setJobGroup("round10-sentinel", "drain barrier")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!l.sentinelSeen && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      l.maxRead.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  describe("dedup family under a 30%-hot skewed key") {
+    // 600 docs; 180 (30%) carry the same 8-token boilerplate sentence,
+    // whose 6 k=3 shingles each occur in 180 docs — far past every cap.
+    // Two planted true near-dup pairs: (1,2) share a 20-token span of
+    // otherwise-unique text; (3,4) likewise AND both carry the hot
+    // sentence (cap must not mask a real dup that also has boilerplate).
+    lazy val hotSentence =
+      "click here to accept all cookies on this site"
+    def uniq(id: Long, n: Int, tag: String) =
+      (0 until n).map(p => s"u${tag}_${id}_$p").mkString(" ")
+    lazy val sharedSpan =
+      (0 until 20).map(p => s"planted_common_$p").mkString(" ")
+    lazy val sharedSpanB =
+      (0 until 20).map(p => s"planted_hotdup_$p").mkString(" ")
+    lazy val skewDocs = {
+      import spark.implicits._
+      (0L until 600L).map { id =>
+        val hot = id % 10 < 3 // 30% of docs
+        val body = id match {
+          case 1L | 2L => s"${uniq(id, 6, "pre")} $sharedSpan ${uniq(id, 6, "post")}"
+          case 3L | 4L =>
+            s"${uniq(id, 6, "pre")} $sharedSpanB ${uniq(id, 6, "post")} $hotSentence"
+          case _ if hot => s"${uniq(id, 12, "a")} $hotSentence ${uniq(id, 12, "b")}"
+          case _ => uniq(id, 30, "c")
+        }
+        (id, body)
+      }.toDF("doc_id", "text")
+    }
+
+    it("sharedSpanPairs: hot shingles never feed the match join; " +
+        "per-task width stays bounded") {
+      var rows: Array[org.apache.spark.sql.Row] = Array.empty
+      val cappedWidth = maxTaskReadDuring {
+        rows = graft.dedup.Dedup.sharedSpanPairs(skewDocs,
+          minSpanTokens = 8, maxOcc = 64).collect()
+      }
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exactly the planted pairs: boilerplate-only overlap (any two of
+      // the 180 hot docs share the full 8-token sentence, span ≥ the
+      // threshold if it were counted) must NOT produce a pair
+      pairs shouldBe Set((1L, 2L), (3L, 4L))
+      rows.foreach { r => r.getLong(2) should be >= 20L }
+      // the hot key inflates no task: an uncapped control run over the
+      // same fixture pays a quadratic hot-pair blowup (~16k pairs x ~7
+      // shingle matches) in the island window's shuffle; the cap must
+      // keep the max per-task width at least 2x below it (AQE coalesces
+      // the small common shuffles into single tasks, so the shared
+      // baseline dominates the capped number — the blowup still at
+      // least doubles the uncapped one)
+      var ctrl: Long = 0
+      val uncappedWidth = maxTaskReadDuring {
+        ctrl = graft.dedup.Dedup.sharedSpanPairs(skewDocs,
+          minSpanTokens = 8, maxOcc = 1000000).count()
+      }
+      ctrl should be >= (180L * 179L / 2) // hot pairs all qualify
+      cappedWidth should be > 0L
+      uncappedWidth should be >= cappedWidth * 2
+      info(s"max per-task shuffle-read records: capped=$cappedWidth, " +
+        s"uncapped control=$uncappedWidth")
+    }
+
+    it("contaminationCounts: the skew cap drops boilerplate evidence, " +
+        "keeps true contamination") {
+      import spark.implicits._
+      val test = Seq(
+        (1000L, s"fresh one ${hotSentence} fresh two"), // boilerplate only
+        (1001L, s"${uniq(7L, 30, "c")}"),               // copies doc 7
+        (1002L, "totally novel text with no overlap at all")
+      ).toDF("doc_id", "text")
+      val capped = graft.dedup.Dedup.contaminationCounts(skewDocs, test,
+          maxShingleFreq = Some(64L))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // hot-sentence shingles are dropped from the train side: the
+      // boilerplate-only test doc reports NO contaminating docs
+      capped.get(1000L) shouldBe None
+      // the true copy still reports its source
+      capped(1001L)._1 should be >= 1L
+      capped.get(1002L) shouldBe None
+      // uncapped control: the same boilerplate doc implicates ~180
+      // train docs — the skew (and the false-evidence class) the cap
+      // exists to remove
+      val uncapped = graft.dedup.Dedup.contaminationCounts(skewDocs, test)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      uncapped(1000L) should be >= 180L
+    }
+
+    it("minhashCandidatePairs: a 30%-hot token does not explode the " +
+        "band buckets") {
+      val n = graft.dedup.Dedup.minhashCandidatePairs(skewDocs).count()
+      // 180 docs share the sentence but differ in everything else, so
+      // their signatures differ and banding must NOT produce the
+      // ~16k-pair hot-bucket blowup; only genuinely similar docs
+      // (the planted pairs, plus a handful of band collisions) collide
+      n should be < 100L
+    }
+  }
 
   describe("BoundedCollect.sortedGather") {
 
