@@ -776,32 +776,61 @@ object Dedup {
     // scan→tokenize→posexplode subtree now runs once with no cache, no
     // sort, and no join — match pairs come from exploding each
     // surviving (≤ maxOcc-element) list against itself.
+    // persisted: the capped lists (bounded — ≤ maxOcc elements each)
+    // feed the match explode TWICE since the count prefilter below and
+    // the pruned window both consume it; released via the terminal
+    // materialize (the span-pair result ≪ the corpus)
     val grouped = positionedShingles(docs, k, idCol, textCol)
       .groupBy(col("shingle"))
       .agg(collectCapped(struct(col("id"), col("pos")), maxOcc).as("occs"))
       .filter(col("occs").isNotNull)
       .select(col("occs"))
+      .persist()
     val m = grouped
       .select(explode(col("occs")).as("a"), col("occs"))
       .select(col("a"), explode(col("occs")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+    // NECESSARY-CONDITION prune before the island window: a qualifying
+    // span of `minSpanTokens` tokens is a run of minRun = minSpanTokens
+    // − k + 1 consecutive diagonal matches, so its (pair, diagonal)
+    // group holds ≥ minRun match rows. Counting per group is a hash
+    // aggregation with map-side partials (no sort); survivors are few
+    // (they are the near-dup signal) and broadcast back as a semi-join
+    // filter, so the row_number sort below runs over the survivors
+    // only, not the full match frame. Dropped groups cannot change any
+    // reported value: their islands are ≤ minRun − 1 matches → span ≤
+    // minSpanTokens − 1, below the output filter, and any diagonal
+    // carrying a pair's reported max span survives by construction
+    // (its count ≥ its max island ≥ minRun). Probe A/B at sf0.1:
+    // 3.38 → 3.00 s warm (the grouped-capped + explode stages are the
+    // ~2.1 s floor; persist-m and anchor-prune variants measured
+    // slower — recorded in tools/Probe q84 mode).
+    val minRun = minSpanTokens - k + 1
+    val hot = m.groupBy(col("id1"), col("id2"), col("diag"))
+      .agg(count(lit(1)).as("nm"))
+      .filter(col("nm") >= minRun)
+      .select(col("id1"), col("id2"), col("diag"))
+    val pruned = m.join(broadcast(hot), Seq("id1", "id2", "diag"),
+      "left_semi")
     // gaps-and-islands per (pair, diagonal): island = p1 − row_number.
     // (Measured alternative: per-group sort_array(collect_list)+HOF run
     // scan was ~1.7× SLOWER here — millions of tiny array allocations
     // and interpreted lambdas lose to one codegen sort + streaming
     // window + hash aggs.) span_tokens = island size + k − 1.
-    val isl = m.withColumn("island",
+    val isl = pruned.withColumn("island",
       col("p1") - row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("id1"), col("id2"), col("diag"))
           .orderBy(col("p1"))))
-    isl
-      .groupBy(col("id1"), col("id2"), col("diag"), col("island"))
-      .agg((count(lit(1)) + (k - 1)).as("span"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(max(col("span")).as("max_span_tokens"))
-      .filter(col("max_span_tokens") >= minSpanTokens)
+    graft.util.Checkpoints.materialize(
+      isl
+        .groupBy(col("id1"), col("id2"), col("diag"), col("island"))
+        .agg((count(lit(1)) + (k - 1)).as("span"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(max(col("span")).as("max_span_tokens"))
+        .filter(col("max_span_tokens") >= minSpanTokens),
+      unpersistAfter = Seq(grouped))
   }
 }

@@ -36,6 +36,130 @@ object Probe {
         println("  rdd " + r.id + " " + r.name + " " + r.getStorageLevel))
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "q84") {
+      import graft.dedup.Dedup
+      import graft.functions.CollectCapped.collectCapped
+      val doubled = docs.unionByName(docs.select(
+        (col("doc_id") + 10000).as("doc_id"), col("text")))
+      val ps = Dedup.positionedShingles(doubled, 3, "doc_id", "text")
+      time("positioned-shingles")(ps.count())
+      val grouped = ps.groupBy(col("shingle"))
+        .agg(collectCapped(struct(col("id"), col("pos")), 64).as("occs"))
+        .filter(col("occs").isNotNull)
+        .select(col("occs"))
+      time("grouped-capped")(grouped.count())
+      val m = grouped
+        .select(explode(col("occs")).as("a"), col("occs"))
+        .select(col("a"), explode(col("occs")).as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+      time("match-frame")(m.count())
+      time("full-op")(Dedup.sharedSpanPairs(doubled,
+        minSpanTokens = 8, k = 3, maxOcc = 64).count())
+      // A/B: count-prefilter the (pair, diag) groups below the minimum
+      // run length before the island window — necessary-condition prune
+      def prefilterShape(): Long = {
+        val g2 = ps.groupBy(col("shingle"))
+          .agg(collectCapped(struct(col("id"), col("pos")), 64).as("occs"))
+          .filter(col("occs").isNotNull)
+          .select(col("occs")).persist()
+        val m2 = g2
+          .select(explode(col("occs")).as("a"), col("occs"))
+          .select(col("a"), explode(col("occs")).as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"),
+            col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+        val minRun = 8 - 3 + 1
+        val hot = m2.groupBy(col("id1"), col("id2"), col("diag"))
+          .agg(count(lit(1)).as("nm"))
+          .filter(col("nm") >= minRun)
+          .select(col("id1"), col("id2"), col("diag"))
+        val pruned = m2.join(broadcast(hot), Seq("id1", "id2", "diag"),
+          "left_semi")
+        val isl = pruned.withColumn("island",
+          col("p1") - row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("id1"), col("id2"), col("diag"))
+              .orderBy(col("p1"))))
+        val out = isl
+          .groupBy(col("id1"), col("id2"), col("diag"), col("island"))
+          .agg((count(lit(1)) + 2).as("span"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(max(col("span")).as("max_span_tokens"))
+          .filter(col("max_span_tokens") >= 8)
+          .count()
+        g2.unpersist()
+        out
+      }
+      time("prefilter-shape")(prefilterShape())
+      // B: persist the match frame — one explode pass, agg + semi read cache
+      def persistMShape(): Long = {
+        val m2 = m.persist()
+        val minRun = 8 - 3 + 1
+        val hot = m2.groupBy(col("id1"), col("id2"), col("diag"))
+          .agg(count(lit(1)).as("nm"))
+          .filter(col("nm") >= minRun)
+          .select(col("id1"), col("id2"), col("diag"))
+        val pruned = m2.join(broadcast(hot), Seq("id1", "id2", "diag"),
+          "left_semi")
+        val isl = pruned.withColumn("island",
+          col("p1") - row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("id1"), col("id2"), col("diag"))
+              .orderBy(col("p1"))))
+        val out = isl
+          .groupBy(col("id1"), col("id2"), col("diag"), col("island"))
+          .agg((count(lit(1)) + 2).as("span"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(max(col("span")).as("max_span_tokens"))
+          .filter(col("max_span_tokens") >= 8)
+          .count()
+        m2.unpersist()
+        out
+      }
+      time("persist-m-shape")(persistMShape())
+      // C: anchor prune BEFORE the count agg — a qualifying 6-run must
+      // contain a match at p1 % 6 == 0, and shorter groups can't qualify
+      def anchorShape(): Long = {
+        val g2 = ps.groupBy(col("shingle"))
+          .agg(collectCapped(struct(col("id"), col("pos")), 64).as("occs"))
+          .filter(col("occs").isNotNull)
+          .select(col("occs")).persist()
+        val m2 = g2
+          .select(explode(col("occs")).as("a"), col("occs"))
+          .select(col("a"), explode(col("occs")).as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"),
+            col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+        val minRun = 8 - 3 + 1
+        val anchors = m2.filter(pmod(col("p1"), lit(minRun)) === 0)
+          .select(col("id1"), col("id2"), col("diag")).distinct()
+        val cand = m2.join(anchors, Seq("id1", "id2", "diag"), "left_semi")
+        val hot = cand.groupBy(col("id1"), col("id2"), col("diag"))
+          .agg(count(lit(1)).as("nm"))
+          .filter(col("nm") >= minRun)
+          .select(col("id1"), col("id2"), col("diag"))
+        val pruned = cand.join(broadcast(hot), Seq("id1", "id2", "diag"),
+          "left_semi")
+        val isl = pruned.withColumn("island",
+          col("p1") - row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("id1"), col("id2"), col("diag"))
+              .orderBy(col("p1"))))
+        val out = isl
+          .groupBy(col("id1"), col("id2"), col("diag"), col("island"))
+          .agg((count(lit(1)) + 2).as("span"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(max(col("span")).as("max_span_tokens"))
+          .filter(col("max_span_tokens") >= 8)
+          .count()
+        g2.unpersist()
+        out
+      }
+      time("anchor-shape")(anchorShape())
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "q50") {
       import graft.dedup.Dedup
       val doubled = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
