@@ -110,8 +110,25 @@ object GraphxOps {
     // labels (min member under Spark's value order) in one pass. The
     // limit(n+1) probe doubles as the edge fetch.
     val e0 = edges.select(col("src"), col("dst")).distinct()
+    // The local Tarjan compares raw boxed values, which is only sound
+    // when both endpoint types are identical AND their boxed form
+    // orders like Spark does — mixed int/long endpoints CCE on
+    // compareTo, and complex ids (struct/array/binary) or IEEE floats
+    // (Spark sorts NaN largest; Double.compareTo differs on -0.0/NaN
+    // placement) would mislabel. Anything outside the whitelist keeps
+    // the SeqID/GraphX path, which orders through Spark itself.
+    val localSafe = {
+      import org.apache.spark.sql.types._
+      e0.schema(0).dataType == e0.schema(1).dataType &&
+      (e0.schema(0).dataType match {
+        case StringType | IntegerType | LongType | ShortType |
+             ByteType | BooleanType | DateType | TimestampType => true
+        case _: DecimalType => true
+        case _ => false
+      })
+    }
     val probe =
-      if (localEdgeThreshold <= 0) null
+      if (!localSafe || localEdgeThreshold <= 0) null
       else e0.limit(localEdgeThreshold + 1).collect()
     if (probe != null && probe.length <= localEdgeThreshold)
       return localScc(spark, e0, probe)

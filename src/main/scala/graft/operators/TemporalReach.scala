@@ -45,17 +45,42 @@ object TemporalReach {
       checkpointDir: Option[String] = None,
       localEdgeThreshold: Int = 1 << 20): DataFrame = {
     import graft.util.Checkpoints.cut
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = edges.sparkSession
-    val e0 = edges.toDF("src", "dst", "edge_ms").distinct()
+    // Canonical types BEFORE any collect: the local path reads edge_ms
+    // with getLong and matches node ids by boxed equality, so an
+    // IntegerType timestamp column or int/long-mixed endpoints would
+    // CCE (or silently match nothing) where the distributed joins
+    // coerce. Timestamps cast to long always; ids unify to long when
+    // the endpoint types are both integral but differ.
+    val srcT = edges.schema(0).dataType
+    val dstT = edges.schema(1).dataType
+    def integral(t: org.apache.spark.sql.types.DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val idT =
+      if (srcT == dstT) srcT
+      else if (integral(srcT) && integral(dstT)) LongType
+      else throw new IllegalArgumentException(
+        s"earliestArrival: src ($srcT) and dst ($dstT) id types are " +
+          "not unifiable")
+    val e0 = edges.toDF("src", "dst", "edge_ms")
+      .select(col("src").cast(idT).as("src"),
+        col("dst").cast(idT).as("dst"),
+        col("edge_ms").cast(LongType).as("edge_ms"))
+      .distinct()
+    val startsC = starts.toDF("node_id")
+      .select(col("node_id").cast(idT).as("node_id"))
     val probe =
       if (localEdgeThreshold <= 0) null
       else e0.limit(localEdgeThreshold + 1).collect()
     if (probe != null && probe.length <= localEdgeThreshold) {
-      val ss = starts.toDF("node_id").distinct().collect().map(_.get(0))
+      val ss = startsC.distinct().collect().map(_.get(0))
       return localEarliest(spark, e0, probe, ss, startTs, maxHops)
     }
     val e = e0.persist()
-    var best = cut(starts.toDF("node_id").distinct()
+    var best = cut(startsC.distinct()
       .withColumn("arrival_ms", lit(startTs)), checkpointDir)
     var frontier = best
     var level = 0

@@ -111,10 +111,12 @@ object Bpe {
   /** Unsigned UTF-8 byte comparison — Spark's UTF8String order, so the
     * local loop's tie-break matches `orderBy(col("left"), col("right"))`
     * exactly, supplementary-plane symbols included. */
-  private def utf8Lt(a: String, b: String): Boolean =
+  private def utf8Cmp(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def utf8Lt(a: String, b: String): Boolean = utf8Cmp(a, b) < 0
 
   /** Greedy non-overlapping left-to-right replacement — the local twin
     * of [[mergePair]]'s fold (same prev/emit state machine). */
@@ -132,37 +134,111 @@ object Bpe {
 
   /** Driver-local merge loop over the collected word table: identical
     * winner selection (max cnt, ties (left, right) ascending by UTF-8
-    * bytes) and merge application as the distributed rounds. */
+    * bytes) and merge application as the distributed rounds.
+    *
+    * INCREMENTAL (r9 ADVICE: the previous full pair-count rebuild per
+    * round was O(numMerges × total symbol positions) — hours of driver
+    * time for a 32k-merge vocab near the 2²⁰-word threshold). State:
+    * exact pair counts, a pair → word-index occurrence map, and a
+    * lazy-invalidation max-heap of (cnt, left, right) snapshots ordered
+    * exactly like the selection scan (cnt desc, then UTF-8-ascending
+    * tie-break). A merge touches only the words that CONTAIN the
+    * winning pair, applying per-word count deltas and pushing fresh
+    * heap snapshots; stale snapshots pop off harmlessly (their count no
+    * longer matches). Per round: O(affected positions · log P) instead
+    * of O(total positions) — the merge sequence is bit-identical to the
+    * full-rebuild loop (same counts, same comparator), which the
+    * local-vs-distributed parity spec pins. */
   private def localLearn(words0: Array[(Long, Array[String])],
       numMerges: Int, minCount: Long): Seq[(Long, String, String, Long)] = {
-    var words = words0
+    val words = words0.clone()
+    def pairsOf(syms: Array[String]): Array[(String, String)] =
+      if (syms.length < 2) Array.empty
+      else Array.tabulate(syms.length - 1)(i => (syms(i), syms(i + 1)))
+    val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+    val occur =
+      new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    val pq = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, words.length),
+      new java.util.Comparator[(Long, String, String)] {
+        override def compare(x: (Long, String, String),
+            y: (Long, String, String)): Int = {
+          if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+          else {
+            val c = utf8Cmp(x._2, y._2)
+            if (c != 0) c else utf8Cmp(x._3, y._3)
+          }
+        }
+      })
+    var wi = 0
+    while (wi < words.length) {
+      val (cnt, syms) = words(wi)
+      pairsOf(syms).foreach { p =>
+        counts.merge(p, cnt, (a, b) => a + b)
+        occur.computeIfAbsent(p,
+          _ => new java.util.HashSet[Integer]()).add(wi): Unit
+      }
+      wi += 1
+    }
+    counts.forEach { (k, c) => pq.add((c.longValue(), k._1, k._2)): Unit }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var rank = 0L
     var done = false
     while (rank < numMerges && !done) {
-      val counts = new java.util.HashMap[(String, String), Long]()
-      words.foreach { case (cnt, syms) =>
-        var i = 0
-        while (i + 1 < syms.length) {
-          val k = (syms(i), syms(i + 1))
-          counts.merge(k, cnt, _ + _)
-          i += 1
-        }
-      }
+      // pop stale snapshots until the top reflects a current count; the
+      // newest snapshot of every live pair is always present, so the
+      // first current one IS the scan winner (same comparator)
       var best: (String, String) = null
       var bestCnt = Long.MinValue
-      counts.forEach { (k, c) =>
-        if (c > bestCnt || (c == bestCnt &&
-            (utf8Lt(k._1, best._1) ||
-             (k._1 == best._1 && utf8Lt(k._2, best._2)))))
-          { best = k; bestCnt = c }
+      var searching = true
+      while (searching) {
+        val top = pq.peek()
+        if (top == null) searching = false
+        else {
+          val cur = counts.get((top._2, top._3))
+          if (cur != null && cur.longValue() == top._1) {
+            best = (top._2, top._3); bestCnt = top._1; searching = false
+          } else { pq.poll(): Unit }
+        }
       }
       if (best == null || bestCnt < minCount) done = true
       else {
         merges += ((rank, best._1, best._2, bestCnt))
-        words = words.map { case (cnt, syms) =>
-          (cnt, applyMergeLocal(syms, best._1, best._2))
+        val affected = occur.get(best)
+        if (affected != null) {
+          val touched = affected.toArray(new Array[Integer](affected.size()))
+          touched.foreach { w =>
+            val (cnt, old) = words(w)
+            val neu = applyMergeLocal(old, best._1, best._2)
+            val oldPairs = pairsOf(old)
+            val newPairs = pairsOf(neu)
+            val delta = new java.util.HashMap[(String, String),
+              java.lang.Long]()
+            oldPairs.foreach(p => delta.merge(p, -cnt, (a, b) => a + b))
+            newPairs.foreach(p => delta.merge(p, cnt, (a, b) => a + b))
+            delta.forEach { (p, d) =>
+              if (d.longValue() != 0) {
+                val nv = counts.merge(p, d, (a, b) => a + b)
+                if (nv.longValue() == 0) { counts.remove(p): Unit }
+                else pq.add((nv.longValue(), p._1, p._2)): Unit
+              }
+            }
+            val oldSet = oldPairs.toSet
+            val newSet = newPairs.toSet
+            oldSet.diff(newSet).foreach { p =>
+              val s = occur.get(p)
+              if (s != null) {
+                s.remove(w): Unit
+                if (s.isEmpty) { occur.remove(p): Unit }
+              }
+            }
+            newSet.diff(oldSet).foreach { p =>
+              occur.computeIfAbsent(p,
+                _ => new java.util.HashSet[Integer]()).add(w): Unit
+            }
+            words(w) = (cnt, neu)
+          }
         }
         rank += 1
       }

@@ -141,6 +141,140 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  describe("local-fallback type contracts") {
+
+    it("earliestArrival handles IntegerType timestamps and int ids on " +
+        "the local path (and unifies mixed int/long endpoints)") {
+      import spark.implicits._
+      // all-Int edge frame: (src, dst, ts) — previously getLong(2) CCE'd
+      // and boxed-Integer starts matched nothing
+      val edges = Seq((1, 2, 10), (2, 3, 20), (2, 3, 5), (3, 4, 15))
+        .toDF("src", "dst", "edge_ms")
+      val starts = Seq(1).toDF("node_id")
+      val got = graft.operators.TemporalReach.earliestArrival(edges, starts)
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+      // time-respecting: 1@-inf -> 2@10 -> 3@20 (the ts=5 edge is too
+      // early once we arrive at 2 at t=10) -> no 4 (15 < 20)
+      got.keySet should have size 3
+      got(1) shouldBe Long.MinValue
+      got(2) shouldBe 10L
+      got(3) shouldBe 20L
+      // mixed int/long endpoints unify to long instead of silently
+      // matching nothing across boxed types
+      val mixed = edges.select(col("src"),
+        col("dst").cast("long").as("dst"), col("edge_ms"))
+      val gotMixed = graft.operators.TemporalReach
+        .earliestArrival(mixed, starts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      gotMixed shouldBe Map(1L -> Long.MinValue, 2L -> 10L, 3L -> 20L)
+      // non-unifiable id types fail loudly, not wrongly
+      val bad = edges.select(col("src"),
+        col("dst").cast("string").as("dst"), col("edge_ms"))
+      an[IllegalArgumentException] should be thrownBy
+        graft.operators.TemporalReach.earliestArrival(bad, starts)
+    }
+
+    it("stronglyConnectedComponents routes mixed/unsafe id types to the " +
+        "distributed path instead of the Comparable-cast Tarjan") {
+      import spark.implicits._
+      // 1 -> 2 -> 1 cycle plus a tail; src int, dst LONG (mixed boxing
+      // previously CCE'd inside compareTo on the local path)
+      val mixed = Seq((1, 2L), (2, 1L), (2, 3L)).toDF("src", "dst")
+      val got = graft.operators.GraphxOps
+        .stronglyConnectedComponents(mixed)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+      // same-typed ids keep the (fast) local path and agree
+      val intEdges = Seq((1, 2), (2, 1), (2, 3)).toDF("src", "dst")
+      val gotInt = graft.operators.GraphxOps
+        .stronglyConnectedComponents(intEdges)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+      gotInt shouldBe Map(1 -> 1, 2 -> 1, 3 -> 3)
+    }
+
+    it("incremental local BPE matches the full-rebuild loop " +
+        "bit-for-bit across a large merge count") {
+      import spark.implicits._
+      // reference = the pre-r10 full pair-count rebuild per round,
+      // reimplemented verbatim here; corpus = 3000 distinct words with
+      // heavy shared substructure so 800 rounds keep finding merges
+      def utf8Lt(a: String, b: String): Boolean =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      def applyMerge(syms: Array[String], l: String,
+          r: String): Array[String] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toArray
+      }
+      def oldLearn(words0: Array[(Long, Array[String])], numMerges: Int,
+          minCount: Long): Seq[(Long, String, String, Long)] = {
+        var words = words0
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, Long)]
+        var rank = 0L
+        var done = false
+        while (rank < numMerges && !done) {
+          val counts = new java.util.HashMap[(String, String), Long]()
+          words.foreach { case (cnt, syms) =>
+            var i = 0
+            while (i + 1 < syms.length) {
+              counts.merge((syms(i), syms(i + 1)), cnt, _ + _); i += 1
+            }
+          }
+          var best: (String, String) = null
+          var bestCnt = Long.MinValue
+          counts.forEach { (k, c) =>
+            if (c > bestCnt || (c == bestCnt &&
+                (utf8Lt(k._1, best._1) ||
+                 (k._1 == best._1 && utf8Lt(k._2, best._2)))))
+              { best = k; bestCnt = c }
+          }
+          if (best == null || bestCnt < minCount) done = true
+          else {
+            merges += ((rank, best._1, best._2, bestCnt))
+            words = words.map { case (cnt, syms) =>
+              (cnt, applyMerge(syms, best._1, best._2))
+            }
+            rank += 1
+          }
+        }
+        merges.toSeq
+      }
+      val rnd = new scala.util.Random(7)
+      val vocabWords = (0 until 3000).map { _ =>
+        val len = 8 + rnd.nextInt(6)
+        (0 until len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      }.distinct
+      val wordCnt = vocabWords.map(w => w -> (1L + rnd.nextInt(5)))
+      val docs = wordCnt.zipWithIndex.map { case ((w, c), i) =>
+        (i.toLong, Seq.fill(c.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      val got = graft.text.Bpe.learnMerges(docs, numMerges = 800,
+          minCount = 1L)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      val tNew = (System.nanoTime() - t0) / 1e9
+      val wordsArr = wordCnt
+        .map { case (w, c) => (c, w.toCharArray.map(_.toString)) }.toArray
+      val t1 = System.nanoTime()
+      val want = oldLearn(wordsArr, 800, 1L)
+      val tOld = (System.nanoTime() - t1) / 1e9
+      got should have size 800
+      got shouldBe want
+      info(f"800 merges over ${vocabWords.size} words: incremental " +
+        f"$tNew%.1f s (incl. Spark collect) vs full-rebuild $tOld%.1f s")
+    }
+  }
+
   describe("BoundedCollect.sortedGather") {
 
     it("matches sort_array(collect_list) on a multi-partition fixture " +
