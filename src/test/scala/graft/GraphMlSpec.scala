@@ -61,6 +61,54 @@ class GraphMlSpec extends SparkSpec {
     (doc \\ "edge").size shouldBe 2
   }
 
+  it("distributed writer keeps byte parity across MANY range partitions " +
+      "(the 100 TB export path: part files concatenate in order)") {
+    import spark.implicits._
+    // enough rows that repartitionByRange actually fans out (shuffle
+    // partitions = 4 in specs) and part-file concatenation order is
+    // load-bearing; ids deliberately interleave so a naive hash layout
+    // would scramble the document
+    val nodes = (0 until 2000)
+      .map(i => (f"n${(i * 7919) % 2000}%04d", i % 13 == 0,
+        Some(1000L + i), Some(Map("rank" -> i.toString))))
+      .toDF("node_id", "is_on_boundary", "epoch_ms", "node_attrs")
+    val links = (0 until 3000)
+      .map { i =>
+        (f"n${(i * 104729) % 2000}%04d", f"n${(i * 7919 + 13) % 2000}%04d",
+          i % 2 == 0, 2000L + i, Map("w" -> s"$i.5"))
+      }
+      .toDF("source_node", "dest_node", "is_directed", "epoch_ms",
+        "link_attrs")
+    val g = SnapshotGraph(nodes.repartition(4), links.repartition(4))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graphml_dist_big").toString
+    // AQE coalesces a spec-sized range shuffle to one partition, which
+    // would make the multi-part concatenation vacuous — pin it off so
+    // the writer actually fans out like it does at scale
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      GraphMl.writeDistributed(g, dir)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
+    }
+    // the node/edge sections really did fan out into several part files
+    def partCount(sec: String) =
+      new java.io.File(s"$dir/$sec").listFiles()
+        .count(_.getName.startsWith("part-"))
+    partCount("01_nodes") should be > 1
+    partCount("02_edges") should be > 1
+    val assembled = GraphMl.assembleDistributed(spark, dir)
+    assembled shouldBe GraphMl.write(g)
+    val doc = scala.xml.XML.loadString(assembled)
+    (doc \\ "node").size shouldBe 2000
+    (doc \\ "edge").size shouldBe 3000
+  }
+
   it("driver write sorts in UTF-8 byte order — supplementary-plane ids " +
       "keep distributed parity") {
     // U+FFFD (EF BF BD) sorts BEFORE U+1F600 (F0 9F 98 80) in UTF-8
