@@ -258,12 +258,8 @@ object SparkEntry {
 
     // Embedding-cosine near-dup pairs on the doubled corpus (self-union
     // guarantees true duplicate pairs at cos = 1).
-    "q28_embed_neardup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val doubled = emb.unionByName(emb.select(
-        (col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      graft.similarity.Similarity.cosineNearDupPairs(doubled)
-    }),
+    "q28_embed_neardup" -> ((s, d) =>
+      graft.similarity.Similarity.cosineNearDupPairs(doubledEmb(s, d))),
 
     // Banded SimHash near-dup pairs on the doubled corpus (pigeonhole
     // banding → equi-join candidates → hamming verify).
@@ -1522,13 +1518,9 @@ object SparkEntry {
     // scale: every doc gets an exact twin → a hamming-0 pair → a 2-node
     // component labeled by the lower id.
     "q124_image_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val doubled = docs.unionByName(docs.select(
-        (col("doc_id") + 10000).as("doc_id"), col("text")))
-      val hashes = graft.util.Checkpoints.materialize(
-        graft.multimodal.ImageDedup.stubImageHashesSql(doubled))
-      val clusters =
-        graft.multimodal.ImageDedup.nearDupClustersFromHashes(hashes)
+      val (hashes, clusters) =
+        graft.multimodal.ImageDedup.nearDupClustersAndHashes(
+          graft.multimodal.ImageDedup.stubImageHashesSql(doubledDocs(s, d)))
       hashes.join(clusters, "media_id")
         .select(col("media_id"), col("ahash"), col("dhash"), col("cluster"))
     }),
@@ -1539,12 +1531,8 @@ object SparkEntry {
     // equi-join on the cell key. On the doubled collection every twin
     // pair shares a cell and scores 1.0; the full prune (components →
     // min-id survivor) is semanticPrune, spec-verified.
-    "q125_semdedup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val doubled = emb.unionByName(emb.select(
-        (col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      graft.similarity.Similarity.semanticDupPairs(doubled)
-    }),
+    "q125_semdedup" -> ((s, d) =>
+      graft.similarity.Similarity.semanticDupPairs(doubledEmb(s, d))),
 
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
@@ -1608,10 +1596,30 @@ object SparkEntry {
 
   /** Documents self-unioned with shifted ids — gives the dedup operators
     * guaranteed true-duplicate pairs on synthetic data. */
+  /** Fail LOUDLY (inside the plan, zero extra jobs) if an id ever
+    * reaches the twin-shift domain: at larger sf the +10000 doubled ids
+    * would otherwise collide with real ids and silently merge distinct
+    * rows in both engine and oracle. assert_true returns NULL when the
+    * guard holds, so the filter keeps every row; a violation throws. */
+  private def guardIdBelow(df: DataFrame, idCol: String,
+      bound: Long): DataFrame =
+    df.filter(assert_true(col(idCol) < bound,
+      lit(s"$idCol must stay below the twin shift $bound")).isNull)
+
   private def doubledDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = guardIdBelow(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", 10000L)
     docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
       col("text")))
+  }
+
+  private def doubledEmb(s: SparkSession, d: String): DataFrame = {
+    val emb = guardIdBelow(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "vec_id", 10000L)
+    emb.unionByName(emb.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding")))
   }
 
   // ---- Oracle SQL fragments generated from the SAME constants as the

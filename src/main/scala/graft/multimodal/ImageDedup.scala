@@ -248,16 +248,25 @@ object ImageDedup {
     * is materialized once (it feeds the banding self-join twice, the
     * verify joins and the final left join). */
   def nearDupClustersFromHashes(hashes: DataFrame, maxHamming: Int = 6,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    nearDupClustersAndHashes(hashes, maxHamming, checkpointDir)._2
+
+  /** [[nearDupClustersFromHashes]] plus the ONE materialized hash frame
+    * it clusters — for callers that also consume the hashes (the q124
+    * gate joins them back), so the same frame is not checkpointed twice
+    * upstream and in here. */
+  def nearDupClustersAndHashes(hashes: DataFrame, maxHamming: Int = 6,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     val h = graft.util.Checkpoints.materialize(hashes)
     val pairs = nearDupPairs(h, maxHamming)
     val clustered = graft.dedup.Dedup.clusterLabelsStar(
       pairs.select(col("id1"), col("id2")), checkpointDir)
     // every decodable image appears: unmatched ones are their own cluster
-    h.select(col("media_id"))
+    val clusters = h.select(col("media_id"))
       .join(clustered.withColumnRenamed("id", "media_id"),
         Seq("media_id"), "left")
       .select(col("media_id"),
         coalesce(col("cluster"), col("media_id")).as("cluster"))
+    (h, clusters)
   }
 }

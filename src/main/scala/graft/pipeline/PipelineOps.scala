@@ -149,6 +149,14 @@ object PipelineOps {
     * runs, so the merged running sum would be non-contiguous and wrong.
     * `valueCol` must be a non-null LongType (callers coalesce).
     *
+    * EAGERNESS CONTRACT: with `windowThreshold > 0` (the default) this
+    * call runs one bounded `limit(n+1)` count job at PLAN-CONSTRUCTION
+    * time to pick the plan shape — a deliberate action side effect
+    * (the projected constant keeps it a pruned scan). Callers that know
+    * the input is large (or need a fully lazy plan) pass
+    * `windowThreshold = 0` to skip the probe and take the two-pass scan
+    * unconditionally.
+    *
     * Cache hygiene (skyline2 discipline): the sorted intermediate is
     * persisted across the two passes — pass 2 must re-read the exact
     * partitioning pass 1 summarized (repartitionByRange re-samples

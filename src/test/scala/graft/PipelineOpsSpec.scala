@@ -311,7 +311,11 @@ class PipelineOpsSpec extends SparkSpec {
     val docs = (0L until 50L).map(i => (i, "a", "w x y"))
       .toDF("doc_id", "lang", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    PipelineOps.packSequences(docs, capacity = 8).count()
+    // windowThreshold = 0 forces the two-pass scan: 50 rows would
+    // otherwise take the window path, which persists no RDD and made
+    // this unpersist-regression spec vacuous (r9 ADVICE)
+    PipelineOps.packSequences(docs, capacity = 8, windowThreshold = 0)
+      .count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     // localCheckpoint legitimately pins the (narrow) RESULT; the
     // corpus-sized sorted intermediate must not survive. The two are
