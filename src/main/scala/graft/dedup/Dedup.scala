@@ -111,8 +111,8 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy(col("shingle"))))
     // per-doc shingle array sorted by (freq, shingle) ascending — a
     // doc-sized gather, so BoundedCollect (one group's buffer at a
-    // time) instead of collect_list under the raised hash-agg fallback
-    // threshold (see graft.util.BoundedCollect / Tables.sessionConfs)
+    // time past the byte threshold; adaptive via plan statistics, no
+    // probe job — see graft.util.BoundedCollect / Tables.sessionConfs)
     val ranked = graft.util.BoundedCollect.sortedGather(
         withFreq.select(col("id"), col("freq"), col("shingle")),
         Seq("id"), Seq("freq", "shingle"), "shingle", "shingles")

@@ -34,10 +34,11 @@ object Tables {
     // collect_capped's cap or fixed arity (16 sigs, 64 dims, m=8 PQ
     // codes), so 16k groups × a-few-KB worst case stays well inside
     // executor memory. Collectors whose buffer is DOCUMENT-sized (line
-    // rebuilds, per-doc token ids, per-doc shingle lists) do not go
-    // through ObjectHashAggregate at all — they use
-    // graft.util.BoundedCollect.sortedGather, which streams one group's
-    // buffer at a time regardless of this threshold.
+    // rebuilds, per-doc token ids, per-doc shingle lists) go through
+    // graft.util.BoundedCollect.sortedGather instead: past a bounded
+    // row probe they stream one group's buffer at a time regardless of
+    // this threshold (below it the input itself bounds task memory and
+    // the fast hash plan is kept).
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16384")
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -330,9 +330,9 @@ object Bpe {
       .select(col(idCol).as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("wpos", "word")))
       .join(wordIds, Seq("word"))
-    // doc-sized gather → BoundedCollect (one group's buffer at a time),
-    // not collect_list under the raised hash-agg fallback threshold —
-    // see graft.util.BoundedCollect / Tables.sessionConfs
+    // doc-sized gather → BoundedCollect (one group's buffer at a time
+    // past the byte threshold; adaptive via plan statistics, no probe
+    // job) — see graft.util.BoundedCollect / Tables.sessionConfs
     val encoded = graft.util.BoundedCollect.sortedGather(
         positioned.select(col("doc_id"), col("wpos"), col("wids")),
         Seq("doc_id"), Seq("wpos"), "wids", "widss")

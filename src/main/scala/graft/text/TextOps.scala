@@ -211,11 +211,13 @@ object TextOps {
       .filter(col("df") >= minDf).select(col("nline"))
     val kept = lines.join(hot, trim(col("line")) === col("nline"),
       "left_anti")
-    // doc-sized gather → BoundedCollect, NOT collect_list: under the
-    // session's raised ObjectHashAggregate fallback threshold a hash
-    // aggregate may hold 16384 in-flight groups per task, and here each
-    // group's buffer is an entire document — the one collector class
-    // where that is an OOM risk (Tables.sessionConfs)
+    // doc-sized gather → BoundedCollect: under the session's raised
+    // ObjectHashAggregate fallback threshold a hash aggregate may hold
+    // 16384 in-flight groups per task, and here each group's buffer is
+    // an entire document — the one collector class where that is an OOM
+    // risk (Tables.sessionConfs). Adaptive via plan statistics (no
+    // probe job): small batches keep the fast hash plan, at-scale
+    // inputs stream one group at a time.
     val rebuilt = graft.util.BoundedCollect.sortedGather(
         kept.select(col("id"), col("pos"), col("line")),
         Seq("id"), Seq("pos"), "line", "lines")

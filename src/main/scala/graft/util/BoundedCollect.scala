@@ -1,7 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 /** Memory-bounded grouped ordered gather — the safe plan shape for
@@ -9,40 +9,67 @@ import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
   * than fixed arity (line rebuilds, per-doc token-id rebuilds, per-doc
   * shingle lists).
   *
-  * Why not `groupBy(...).agg(sort_array(collect_list(...)))`: the
-  * session raises `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
-  * to 16384 ([[graft.sources.Tables.sessionConfs]]) so the engine's
-  * FIXED-ARITY grouped collectors (16-element minhash signatures,
-  * 64-dim coordinate gathers, `collect_capped`) never pay a sort per
-  * exchange. Under that threshold a doc-sized collect_list can hold up
-  * to 16384 document-sized buffers per task before the sort fallback
-  * engages — an OOM class on large-document corpora. This operator
-  * instead plans `repartition(key) → sortWithinPartitions(key, order)`
-  * (both spill-safe) and streams each partition with a run-length fold
-  * that materializes exactly ONE group's payload at a time, so peak
-  * aggregation memory is max(single document), independent of the
-  * session threshold and of how many groups land in a task.
+  * Why not always `groupBy(...).agg(sort_array(collect_list(...)))`:
+  * the session raises
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to 16384
+  * ([[graft.sources.Tables.sessionConfs]]) so the engine's FIXED-ARITY
+  * grouped collectors (16-element minhash signatures, 64-dim coordinate
+  * gathers, `collect_capped`) never pay a sort per exchange. Under that
+  * threshold a doc-sized collect_list can hold up to 16384
+  * document-sized buffers per task before the sort fallback engages —
+  * an OOM class on large-document corpora. The STREAMING path here
+  * instead plans `repartition(key) → sortWithinPartitions(key, order,
+  * payload)` (both spill-safe) and folds each partition with a
+  * run-length iterator that materializes exactly ONE group's payload at
+  * a time, so peak aggregation memory is max(single document),
+  * independent of the session threshold and of how many groups land in
+  * a task.
   *
-  * Semantics: equivalent to
-  * `groupBy(keyCols).agg(sort_array(collect_list(struct(orderCols…, payload))).payload)`
-  * for NON-NULL payloads with distinct-or-payload-tied order keys (the
-  * three call sites satisfy both: positions are unique per group, and
-  * the shingle gather orders by the payload itself). Note collect_list
-  * drops null payloads while this gather keeps them — do not use it
-  * where payloads can be null and the drop is load-bearing.
+  * Runtime adaptation (the packSequences / SCC / BPE discipline): the
+  * streaming path's RDD round-trip costs ~3× on small inputs (q53
+  * 0.2 → 0.6 s when it was unconditional), so the classic
+  * hash-aggregate plan — value-identical, spec-pinned — is kept while
+  * the input's Catalyst-estimated size (`stats.sizeInBytes`, the same
+  * statistic broadcast decisions trust; even a count-probe JOB per call
+  * was measurable on hot gates) stays within `maxHashBytes`: a batch
+  * that small is bounded by its own size under any task split, orders
+  * of magnitude inside executor memory. Pass `maxHashBytes = 0` to
+  * force streaming, negative to force the hash plan. No probe job runs
+  * in any mode.
+  *
+  * Semantics (both paths, bit-identical): payloads gathered per key
+  * group, ordered by (orderCols…, payload) ascending — exactly
+  * `sort_array(collect_list(struct(orderCols…, payload)))`. Null
+  * payloads are kept (the struct wrapper prevents collect_list's bare
+  * null drop).
   */
 object BoundedCollect {
 
   /** Gather `payloadCol` per `keyCols` group, ordered by `orderCols`
-    * ascending (nulls first, matching both sort_array and SQL ASC), as
-    * an array column `outCol`. Output columns: keyCols :+ outCol. */
+    * then the payload itself, ascending (nulls first, matching both
+    * sort_array and SQL ASC), as an array column `outCol`. Output
+    * columns: keyCols :+ outCol. */
   def sortedGather(df: DataFrame, keyCols: Seq[String],
       orderCols: Seq[String], payloadCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, maxHashBytes: Long = 256L << 20): DataFrame = {
     require(keyCols.nonEmpty && !keyCols.contains(outCol),
       s"outCol $outCol must not collide with key columns $keyCols")
     val spark = df.sparkSession
     val proj = df.select((keyCols ++ orderCols :+ payloadCol).map(col): _*)
+    val useHash =
+      if (maxHashBytes < 0) true
+      else if (maxHashBytes == 0) false
+      else proj.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        maxHashBytes
+    if (useHash) {
+      // payload aliased: it may ALSO be an order column (the shingle
+      // gather orders by the payload itself), which would make the
+      // struct field reference ambiguous
+      val sorted = sort_array(collect_list(
+        struct(orderCols.map(col) :+ col(payloadCol).as("__p"): _*)))
+      return proj.groupBy(keyCols.map(col): _*)
+        .agg(transform(sorted, x => x("__p")).as(outCol))
+    }
     val schema = proj.schema
     val nk = keyCols.length
     val payloadIdx = schema.length - 1
@@ -52,7 +79,8 @@ object BoundedCollect {
           containsNull = true)))
     val sorted = proj
       .repartition(keyCols.map(col): _*)
-      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+      .sortWithinPartitions(
+        (keyCols ++ orderCols :+ payloadCol).map(col): _*)
     val gathered = sorted.rdd.mapPartitions { rows =>
       val it = rows.buffered
       new Iterator[Row] {

@@ -277,8 +277,8 @@ class Round10Spec extends SparkSpec {
 
   describe("BoundedCollect.sortedGather") {
 
-    it("matches sort_array(collect_list) on a multi-partition fixture " +
-        "with duplicate order keys") {
+    it("streaming and hash paths match sort_array(collect_list) on a " +
+        "multi-partition fixture with duplicate order keys") {
       import spark.implicits._
       // (id, freq, shingle): duplicate (freq, shingle) pairs and
       // deliberately shuffled input order across many partitions
@@ -289,41 +289,48 @@ class Round10Spec extends SparkSpec {
       val df = spark.createDataset(
           new scala.util.Random(42).shuffle(rows.toList))
         .toDF("id", "freq", "shingle").repartition(7)
-      val got = BoundedCollect.sortedGather(df, Seq("id"),
-          Seq("freq", "shingle"), "shingle", "shingles")
+      def run(threshold: Long) = BoundedCollect.sortedGather(df, Seq("id"),
+          Seq("freq", "shingle"), "shingle", "shingles", threshold)
         .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val streaming = run(0)
+      val hash = run(-1)
+      val adaptive = run(256L << 20)
       val want = df.groupBy(col("id"))
         .agg(sort_array(collect_list(struct(col("freq"), col("shingle"))))
           .as("ranked"))
         .select(col("id"), col("ranked.shingle"))
         .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-      got shouldBe want
-      got.keySet should have size 50
+      streaming shouldBe want
+      hash shouldBe want
+      adaptive shouldBe want
+      streaming.keySet should have size 50
     }
 
-    it("plans no ObjectHashAggregate and holds one group at a time " +
-        "(doc-sized buffers never enter the 16k-group hash map)") {
+    it("streaming path plans no ObjectHashAggregate and holds one group " +
+        "at a time; small inputs adaptively keep the hash plan") {
       import spark.implicits._
       val df = (0L until 10L).flatMap(id =>
           (0 until 100).map(p => (id, p.toLong, s"line$p")))
         .toDF("id", "pos", "line")
       val gathered = BoundedCollect.sortedGather(df, Seq("id"),
-        Seq("pos"), "line", "lines")
+        Seq("pos"), "line", "lines", maxHashBytes = 0)
       gathered.queryExecution.executedPlan.toString should not include
         "ObjectHashAggregate"
       // the buffer-bounding shape sits in the RDD lineage behind the
       // ExistingRDD scan: hash repartition on the key (a shuffle), then
       // a spillable partition-local sort feeding the streaming fold
       gathered.rdd.toDebugString should include("ShuffledRowRDD")
-      // the rebuilt operator's whole plan carries no hash aggregate for
-      // the doc-sized rebuild either (its only aggregates are the
-      // line-frequency counts, which are scalar-buffered)
-      val docs = (0L until 10L)
-        .map(id => (id, (0 until 50).map(p => s"l$p").mkString("\n")))
-        .toDF("doc_id", "text")
-      val rb = graft.text.TextOps.removeBoilerplate(docs, minDf = 3)
-      val rbPlan = rb.queryExecution.executedPlan.toString
-      rbPlan should not include "ObjectHashAggregate"
+      // below the row threshold the probe keeps the classic hash plan
+      // (the q53 0.2 -> 0.6 s regression when streaming was
+      // unconditional): per-task buffer mass is bounded by the small
+      // input itself, so the fast plan is the right one there
+      val small = BoundedCollect.sortedGather(df, Seq("id"),
+        Seq("pos"), "line", "lines")
+      small.queryExecution.executedPlan.toString should include(
+        "ObjectHashAggregate")
+      small.collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+        .toMap shouldBe gathered.collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     }
 
     it("keeps the three rebuilt operators value-identical on a " +
