@@ -1599,12 +1599,17 @@ object SparkEntry {
   /** Fail LOUDLY (inside the plan, zero extra jobs) if an id ever
     * reaches the twin-shift domain: at larger sf the +10000 doubled ids
     * would otherwise collide with real ids and silently merge distinct
-    * rows in both engine and oracle. assert_true returns NULL when the
-    * guard holds, so the filter keeps every row; a violation throws. */
+    * rows in both engine and oracle. The guard is embedded in the id
+    * PROJECTION (id if in-domain, else raise_error), NOT stated as a
+    * filter predicate: a filter on the join key gets copied to the
+    * join's other side by InferFiltersFromConstraints, and e.g. q50's
+    * cluster-label frame legitimately carries shifted ids — the
+    * projected form travels only with this frame's own rows. */
   private def guardIdBelow(df: DataFrame, idCol: String,
       bound: Long): DataFrame =
-    df.filter(assert_true(col(idCol) < bound,
-      lit(s"$idCol must stay below the twin shift $bound")).isNull)
+    df.withColumn(idCol,
+      when(col(idCol) < bound, col(idCol)).otherwise(raise_error(
+        lit(s"$idCol must stay below the twin shift $bound"))))
 
   private def doubledDocs(s: SparkSession, d: String): DataFrame = {
     val docs = guardIdBelow(

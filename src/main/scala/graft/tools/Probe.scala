@@ -36,6 +36,26 @@ object Probe {
         println("  rdd " + r.id + " " + r.name + " " + r.getStorageLevel))
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "q50guard") {
+      import graft.dedup.Dedup
+      val docsG = docs.filter(assert_true(col("doc_id") < 10000,
+        lit("doc_id must stay below the twin shift 10000")).isNull)
+      val doubled = docsG.unionByName(docsG.select(
+        (col("doc_id") + 10000).as("doc_id"), col("text")))
+      try {
+        val labels = Dedup.clusterLabelsStar(
+          Dedup.minhashCandidatePairs(doubled))
+        val dropped = labels.filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        val anti = doubled.join(dropped, Seq("doc_id"), "left_anti")
+        println("=== ANTI PLAN ===")
+        println(anti.queryExecution.executedPlan.toString)
+        println("anti = " + anti.count())
+      } catch { case e: Throwable =>
+        e.printStackTrace()
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "q84") {
       import graft.dedup.Dedup
       import graft.functions.CollectCapped.collectCapped
