@@ -216,7 +216,7 @@ object SparkEntry {
     }),
 
     // Exact dedup over the doubled corpus (self-union shifts ids by
-    // 10000 so every content hash has exactly 2 members).
+    // TwinShift so every content hash has exactly 2 members).
     "q20_dedup_exact" -> ((s, d) => {
       graft.dedup.Dedup.exact(doubledDocs(s, d))
     }),
@@ -1596,10 +1596,18 @@ object SparkEntry {
 
   /** Documents self-unioned with shifted ids — gives the dedup operators
     * guaranteed true-duplicate pairs on synthetic data. */
+  /** Twin-shift for the doubled-corpus gates: a power of two well above
+    * any generated id domain — the sf1-shaped stress layout offsets
+    * copies by 10⁸ (max id ≈ 9·10⁸), so 2³¹ leaves a wide margin.
+    * Interpolated into BOTH the Spark builders and the oracle SQL so
+    * the two sides cannot drift; the in-plan guard below raises before
+    * any silent collision if data ever exceeds it. */
+  private val TwinShift = 1L << 31
+
   /** Fail LOUDLY (inside the plan, zero extra jobs) if an id ever
-    * reaches the twin-shift domain: at larger sf the +10000 doubled ids
-    * would otherwise collide with real ids and silently merge distinct
-    * rows in both engine and oracle. The guard is embedded in the id
+    * reaches the twin-shift domain: the doubled ids would otherwise
+    * collide with real ids and silently merge distinct rows in both
+    * engine and oracle. The guard is embedded in the id
     * PROJECTION (id if in-domain, else raise_error), NOT stated as a
     * filter predicate: a filter on the join key gets copied to the
     * join's other side by InferFiltersFromConstraints, and e.g. q50's
@@ -1614,16 +1622,16 @@ object SparkEntry {
   private def doubledDocs(s: SparkSession, d: String): DataFrame = {
     val docs = guardIdBelow(
       Tables.documents(s, d).select(col("doc_id"), col("text")),
-      "doc_id", 10000L)
-    docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+      "doc_id", TwinShift)
+    docs.unionByName(docs.select((col("doc_id") + TwinShift).as("doc_id"),
       col("text")))
   }
 
   private def doubledEmb(s: SparkSession, d: String): DataFrame = {
     val emb = guardIdBelow(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      "vec_id", 10000L)
-    emb.unionByName(emb.select((col("vec_id") + 10000).as("vec_id"),
+      "vec_id", TwinShift)
+    emb.unionByName(emb.select((col("vec_id") + TwinShift).as("vec_id"),
       col("embedding")))
   }
 
@@ -1639,8 +1647,8 @@ object SparkEntry {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   private val doubledSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents""".stripMargin
+    s"""SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + $TwinShift AS doc_id, text FROM documents""".stripMargin
 
   /** DuckDB: distinct 3-gram shingles per doc (mirrors Dedup.shingles). */
   private val shinglesSql =
@@ -1782,7 +1790,7 @@ object SparkEntry {
         .mkString("\n      + ")
       s"""WITH RECURSIVE docs AS (
          |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+         |  UNION ALL SELECT doc_id + $TwinShift AS doc_id, text FROM documents),
          |digests AS (
          |  SELECT doc_id AS media_id,
          |    md5(text || '0') AS d0, md5(text || '1') AS d1,
@@ -2220,7 +2228,7 @@ object SparkEntry {
       // (band, bucket), exact cosine verify on candidates only.
       "q125_semdedup" ->
         s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
-           |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+           |  UNION ALL SELECT vec_id + $TwinShift AS vec_id, embedding FROM embeddings),
            |unit AS (SELECT vec_id AS id, list_transform(range(1, 65), i ->
            |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
            |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
@@ -2246,7 +2254,7 @@ object SparkEntry {
 
       "q28_embed_neardup" ->
         s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
-           |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+           |  UNION ALL SELECT vec_id + $TwinShift AS vec_id, embedding FROM embeddings),
            |unit AS (SELECT vec_id AS id, list_transform(range(1, 65), i ->
            |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
            |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
