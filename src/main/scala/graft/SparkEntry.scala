@@ -257,9 +257,17 @@ object SparkEntry {
     }),
 
     // Embedding-cosine near-dup pairs on the doubled corpus (self-union
-    // guarantees true duplicate pairs at cos = 1).
+    // guarantees true duplicate pairs at cos = 1). The gate pins the
+    // AT-SCALE banding (4 bands × 16 planes = 2¹⁶ buckets/band): the
+    // operator default of 8 planes (256 buckets) saturates on big
+    // collections — candidates grew ~n²/256 in the 10× stress sweep
+    // (16.6 s, 11.7× for 10× data). Wider bands trade band recall
+    // 0.89 → 0.80 per band at the 0.999 threshold (OR over 4 bands:
+    // ≥ 0.998; exact duplicates are never lost), and the oracle states
+    // the identical 16-plane formula, so both sides move together.
     "q28_embed_neardup" -> ((s, d) =>
-      graft.similarity.Similarity.cosineNearDupPairs(doubledEmb(s, d))),
+      graft.similarity.Similarity.cosineNearDupPairs(doubledEmb(s, d),
+        numBands = LshBands, planesPerBand = LshPlanesPerBand)),
 
     // Banded SimHash near-dup pairs on the doubled corpus (pigeonhole
     // banding → equi-join candidates → hamming verify).
@@ -1604,6 +1612,13 @@ object SparkEntry {
     * any silent collision if data ever exceeds it. */
   private val TwinShift = 1L << 31
 
+  /** q28's banding shape, interpolated into the Spark gate AND its
+    * DuckDB oracle (the formula `band * planes + p` must agree on both
+    * sides). 16 planes → 2¹⁶ buckets per band — the configuration that
+    * stays linear at scale. */
+  private val LshBands = 4
+  private val LshPlanesPerBand = 16
+
   /** Fail LOUDLY (inside the plan, zero extra jobs) if an id ever
     * reaches the twin-shift domain: the doubled ids would otherwise
     * collide with real ids and silently merge distinct rows in both
@@ -2260,13 +2275,13 @@ object SparkEntry {
            |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
            |  FROM emb),
            |banded AS (SELECT vec_id AS id, band,
-           |  CAST(list_sum(list_transform(range(0, 8), p ->
+           |  CAST(list_sum(list_transform(range(0, $LshPlanesPerBand), p ->
            |    CASE WHEN list_reduce(list_transform(range(1, 65), i ->
            |        embedding[i]::DOUBLE *
-           |        (CASE WHEN ('0x' || substr(md5((band * 8 + p)::VARCHAR || '-' || (i - 1)::VARCHAR), 32, 1))::BIGINT % 2 = 0
+           |        (CASE WHEN ('0x' || substr(md5((band * $LshPlanesPerBand + p)::VARCHAR || '-' || (i - 1)::VARCHAR), 32, 1))::BIGINT % 2 = 0
            |          THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0
            |      THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
-           |  FROM emb CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+           |  FROM emb CROSS JOIN (SELECT unnest(range(0, $LshBands)) AS band)),
            |cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
            |  FROM banded a JOIN banded b
            |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
