@@ -661,16 +661,53 @@ object Dedup {
     * band), equi-join candidates on (band, chunk), verify hamming. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
     val sims = docs.select(col(idCol).as("id"),
       simhash(col(textCol)).as("sh")).persist()
-    val banded = (0 until 4).map(b =>
-      sims.select(col("id"), lit(b).as("band"),
-        shiftright(col("sh"), b * 15).bitwiseAND(lit(0x7fffL)).as("chunk")))
-      .reduce(_ unionByName _)
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val cands =
+      if (maxHamming <= 3) {
+        // MULTI-INDEX HASHING (Norouzi et al. 2012; the q124 dHash
+        // shape): 2 tables of 30-bit substrings — hamming ≤ 3 ⇒ one
+        // substring differs by ≤ 1 bit, so the probe side joins its
+        // substring + its 30 single-bit flips against unflipped
+        // entries. vs the old 4×15-bit banding: buckets 2¹⁵ → 2³⁰ per
+        // table for a 31× probe fan-out; the 10× sweep had q29's
+        // 15-bit buckets entering saturation (21.7 s, ~14× for 10×
+        // data), and 2³⁰ holds the linear regime 32k× longer. Verify
+        // below is unchanged, so reported pairs are identical.
+        val chunks = (0 until 2).map(c =>
+          sims.select(col("id"), lit(c).as("cix"),
+            shiftright(col("sh"), c * 30)
+              .bitwiseAND(lit((1L << 30) - 1)).as("chunk")))
+          .reduce(_ unionByName _)
+        val probes = chunks.select(col("id"), col("cix"),
+          explode(array(col("chunk") +:
+            (0 until 30).map(b =>
+              col("chunk").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+        probes.as("a").join(chunks.as("b"),
+            col("a.cix") === col("b.cix") &&
+            col("a.probe") === col("b.chunk") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      } else {
+        // past hamming 3 the 2×1-flip guarantee breaks: pigeonhole with
+        // maxHamming+1 bands (NOTE: the pre-r10 code used a fixed 4
+        // bands, which silently lost recall for maxHamming > 3)
+        val bands = maxHamming + 1
+        val base = 60 / bands
+        val extra = 60 % bands
+        val banded = (0 until bands).map { b =>
+          val lo = b * base + math.min(b, extra)
+          val width = base + (if (b < extra) 1 else 0)
+          sims.select(col("id"), lit(b).as("band"),
+            shiftright(col("sh"), lo)
+              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+        }.reduce(_ unionByName _)
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      }
     graft.util.Checkpoints.materialize(
       cands
         .join(sims.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
