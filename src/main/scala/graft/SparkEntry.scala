@@ -1542,6 +1542,33 @@ object SparkEntry {
     "q125_semdedup" -> ((s, d) =>
       graft.similarity.Similarity.semanticDupPairs(doubledEmb(s, d))),
 
+    // DSIR (Xie et al. 2023, importance resampling for data selection):
+    // the per-(doc, hashed-bigram-bucket) integer sufficient statistics
+    // of the importance weight — the doc's occurrence count joined
+    // against the TARGET hashed-n-gram model (docs with doc_id % 7 = 0,
+    // the trusted-subset stand-in) and the RAW model (whole corpus).
+    // md5-derived buckets are bit-identical cross-engine. The float
+    // log-weight fold and the Gumbel top-k resample over these
+    // components are spec-checked (DsirSpec).
+    "q126_dsir_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      graft.text.Dsir.components(docs,
+        graft.text.Dsir.model(target, DsirBuckets),
+        graft.text.Dsir.model(docs, DsirBuckets), DsirBuckets)
+    }),
+
+    // GLOBAL keep-first line dedup (the MassiveText/Gopher repeated-
+    // passage removal, Rae et al. 2021 §A1.2): every distinct trimmed
+    // non-blank line keeps exactly its first (doc_id, pos) occurrence
+    // corpus-wide; blank lines are structure. Gate hashes the rebuilt
+    // text (clean_md5), mirroring q53's convention.
+    "q127_line_dedup_global" -> ((s, d) =>
+      graft.text.TextOps.dedupLinesGlobal(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("id"), md5(col("clean")).as("clean_md5"),
+          col("n_lines"), col("n_kept"))),
+
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
     "q27_media_features" -> ((s, d) => {
@@ -1618,6 +1645,11 @@ object SparkEntry {
     * stays linear at scale. */
   private val LshBands = 4
   private val LshPlanesPerBand = 16
+
+  /** q126's hashed-feature space, interpolated into the Spark gate AND
+    * its oracle (the bucket formula must agree on both sides). 4096 at
+    * gate scale; production would use 2²⁰ per the DSIR paper. */
+  private val DsirBuckets = 4096
 
   /** Fail LOUDLY (inside the plan, zero extra jobs) if an id ever
     * reaches the twin-shift domain: the doubled ids would otherwise
@@ -2241,6 +2273,48 @@ object SparkEntry {
       // hyperplane bands on the RAW vector (global plane index =
       // band*8 + p, same md5 weight formula as q26), candidates share
       // (band, bucket), exact cosine verify on candidates only.
+      "q126_dsir_components" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(
+           |    range(0, len(t) - 1),
+           |    i -> array_to_string(t[i+1:i+2], ' '))) AS gram
+           |  FROM base WHERE len(t) >= 2),
+           |f AS (SELECT doc_id,
+           |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % $DsirBuckets
+           |      AS bucket
+           |  FROM g),
+           |dc AS (SELECT doc_id, bucket, count(*) AS n_occ
+           |  FROM f GROUP BY 1, 2),
+           |tm AS (SELECT bucket, count(*) AS cnt FROM f
+           |  WHERE doc_id % 7 = 0 GROUP BY 1),
+           |rm AS (SELECT bucket, count(*) AS cnt FROM f GROUP BY 1)
+           |SELECT dc.doc_id, dc.bucket, CAST(dc.n_occ AS BIGINT) AS n_occ,
+           |  CAST(coalesce(tm.cnt, 0) AS BIGINT) AS t_cnt,
+           |  CAST(coalesce(rm.cnt, 0) AS BIGINT) AS r_cnt
+           |FROM dc LEFT JOIN tm USING (bucket)
+           |LEFT JOIN rm USING (bucket)""".stripMargin,
+
+      "q127_line_dedup_global" ->
+        """WITH l AS (SELECT doc_id,
+          |    unnest(string_split(text, chr(10))) AS line,
+          |    unnest(range(0, len(string_split(text, chr(10))))) AS pos
+          |  FROM documents),
+          |r AS (SELECT doc_id, pos, line, trim(line) AS nline,
+          |    row_number() OVER (PARTITION BY trim(line)
+          |      ORDER BY doc_id, pos) AS rn
+          |  FROM l),
+          |kept AS (SELECT doc_id, pos, line FROM r
+          |  WHERE nline = '' OR rn = 1),
+          |reb AS (SELECT doc_id,
+          |    string_agg(line, chr(10) ORDER BY pos) AS clean,
+          |    count(*) AS n_kept
+          |  FROM kept GROUP BY 1)
+          |SELECT d.doc_id AS id,
+          |  md5(coalesce(reb.clean, '')) AS clean_md5,
+          |  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+          |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+          |FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id""".stripMargin,
+
       "q125_semdedup" ->
         s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
            |  UNION ALL SELECT vec_id + $TwinShift AS vec_id, embedding FROM embeddings),

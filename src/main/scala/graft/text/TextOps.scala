@@ -231,6 +231,47 @@ object TextOps {
         col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** GLOBAL keep-first line/paragraph dedup — the MassiveText/Gopher
+    * "remove repeated passages across the corpus" stage (Rae et al.
+    * 2021 §A1.2), complementary to [[removeBoilerplate]]: instead of
+    * deleting lines hot in ≥ N docs everywhere, every distinct trimmed
+    * non-blank line keeps exactly ONE occurrence — the lexicographically
+    * first (id, pos) — and loses all others (including intra-document
+    * repeats). Blank lines are structure, never deduped. Returns one
+    * row per input document: (id, clean = surviving lines in original
+    * order, n_lines, n_kept).
+    *
+    * Shape: posexplode lines → grouped min(struct(id, pos)) per
+    * distinct line (hash aggregate with map-side partials — never a
+    * per-line window over the corpus) → join back on the line key →
+    * per-doc ordered rebuild via BoundedCollect (adaptive: classic hash
+    * plan on small inputs, one-group-at-a-time streaming at scale).
+    * Two shuffles (line key, doc key), no windows, no UDFs. */
+  def dedupLinesGlobal(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("nline", trim(col("line")))
+    val keeper = lines.filter(col("nline") =!= "")
+      .groupBy(col("nline"))
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+    val kept = lines.join(keeper, Seq("nline"), "left")
+      .filter(col("nline") === "" ||
+        (col("k.id") === col("id") && col("k.pos") === col("pos")))
+    val rebuilt = graft.util.BoundedCollect.sortedGather(
+        kept.select(col("id"), col("pos"), col("line")),
+        Seq("id"), Seq("pos"), "line", "lines")
+      .select(col("id"),
+        size(col("lines")).cast("long").as("n_kept"),
+        array_join(col("lines"), "\n").as("clean"))
+    docs.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean"), lit("")).as("clean"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** PII-style redaction for corpus cleaning: mask email addresses and
     * long digit runs (phone/account-number shaped). Patterns stay in the
     * regex subset shared by Java regex (Spark) and RE2 (DuckDB) so the
