@@ -1550,13 +1550,10 @@ object SparkEntry {
     // md5-derived buckets are bit-identical cross-engine. The float
     // log-weight fold and the Gumbel top-k resample over these
     // components are spec-checked (DsirSpec).
-    "q126_dsir_components" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val target = docs.filter(col("doc_id") % 7 === 0)
-      graft.text.Dsir.components(docs,
-        graft.text.Dsir.model(target, DsirBuckets),
-        graft.text.Dsir.model(docs, DsirBuckets), DsirBuckets)
-    }),
+    "q126_dsir_components" -> ((s, d) =>
+      graft.text.Dsir.componentsSelf(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id") % 7 === 0, DsirBuckets)),
 
     // GLOBAL keep-first line dedup (the MassiveText/Gopher repeated-
     // passage removal, Rae et al. 2021 §A1.2): every distinct trimmed
@@ -1568,6 +1565,26 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id"), col("text")))
         .select(col("id"), md5(col("clean")).as("clean_md5"),
           col("n_lines"), col("n_kept"))),
+
+    // CLUSTER-BALANCED subsample (similarity/Similarity
+    // .clusterBalancedSample): semantic-diversity curation — max-cosine
+    // centroid assignment (deterministic, ties → lowest cid), then at
+    // most 20 survivors per cluster by the stable md5 hash draw. Hot
+    // topics trimmed to the cap, sparse topics survive whole.
+    "q128_cluster_balance" -> ((s, d) =>
+      graft.similarity.Similarity.clusterBalancedSample(
+        Tables.embeddings(s, d), cap = 20)),
+
+    // CCNET perplexity buckets (text/NgramLm.perplexityBuckets, Wenzek
+    // et al. 2020 §4.3): per-language head/middle/tail quality tiers by
+    // the integer-scaled rare-bigram ratio; thresholds = exact discrete
+    // terciles per language. The downstream mixture keeps head+middle.
+    "q129_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.text.NgramLm.perplexityBuckets(docs,
+        graft.text.NgramLm.bigramCounts(docs))
+    }),
 
     // Multimodal plumbing: binary media column → batched partition-local
     // decode (stub codec, real schema/batching/partitioning).
@@ -2273,6 +2290,56 @@ object SparkEntry {
       // hyperplane bands on the RAW vector (global plane index =
       // band*8 + p, same md5 weight formula as q26), candidates share
       // (band, bucket), exact cosine verify on candidates only.
+      "q128_cluster_balance" ->
+        """WITH unit AS (SELECT vec_id AS id, list_transform(range(1, 65), i ->
+          |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+          |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+          |  FROM embeddings),
+          |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+          |scored AS (SELECT v.id, c.cid,
+          |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
+          |      (x, y) -> x + y) AS ccos
+          |  FROM unit v CROSS JOIN cent c),
+          |assigned AS (SELECT id, cid AS centroid FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
+          |  WHERE rn = 1),
+          |sel AS (SELECT id, centroid, row_number() OVER (
+          |    PARTITION BY centroid ORDER BY
+          |      ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+          |        % 1000000, id) AS rk
+          |  FROM assigned)
+          |SELECT id, centroid FROM sel WHERE rk <= 20""".stripMargin,
+
+      "q129_ccnet_buckets" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(
+           |    range(0, len(t) - 1),
+           |    i -> array_to_string(t[i+1:i+2], ' '))) AS gram
+           |  FROM base WHERE len(t) >= 2),
+           |m AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+           |sc AS (SELECT g.doc_id, count(*) AS n_bigrams,
+           |    CAST(sum(CASE WHEN m.cnt < 3 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_rare
+           |  FROM g JOIN m USING (gram) GROUP BY 1),
+           |comp AS (SELECT d.doc_id, d.lang,
+           |    CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 1000000
+           |      ELSE (sc.n_rare * 1000000) // sc.n_bigrams END AS r
+           |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+           |c AS (SELECT *, count(*) OVER (PARTITION BY lang
+           |      ORDER BY r RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cum,
+           |    count(*) OVER (PARTITION BY lang) AS tot FROM comp),
+           |q AS (SELECT lang,
+           |    min(CASE WHEN cum * 1000000 >= 333333 * tot THEN r END) AS p1,
+           |    min(CASE WHEN cum * 1000000 >= 666667 * tot THEN r END) AS p2
+           |  FROM c GROUP BY 1)
+           |SELECT comp.doc_id, comp.lang, CAST(comp.r AS BIGINT) AS r,
+           |  CASE WHEN comp.r <= q.p1 THEN 'head'
+           |    WHEN comp.r <= q.p2 THEN 'middle'
+           |    ELSE 'tail' END AS bucket
+           |FROM comp JOIN q ON comp.lang = q.lang""".stripMargin,
+
       "q126_dsir_components" ->
         s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
            |g AS (SELECT doc_id, unnest(list_transform(

@@ -220,6 +220,31 @@ object Similarity {
       unpersistAfter = Seq(unit))
   }
 
+  /** Cluster-balanced subsampling — the semantic-diversity curation
+    * stage (the DataComp/SemDeDup-adjacent "don't let one dense topic
+    * dominate the training mix" move): assign every vector to its
+    * max-cosine centroid ([[ivfAssign]], deterministic), then keep at
+    * most `cap` vectors per cluster, chosen by the stable md5 hash draw
+    * (reproducible across re-runs, retries, partitionings — the q39
+    * sampling discipline). Hot clusters are trimmed to `cap`; sparse
+    * clusters survive whole, flattening the cluster-size distribution.
+    * Returns (id, centroid) survivors.
+    *
+    * Scale shape: centroids broadcast; the only shuffle is the
+    * per-centroid rank, and the rank-≤-cap filter pushes into
+    * WindowGroupLimit so no task materializes a full hot cluster. */
+  def clusterBalancedSample(embeddings: DataFrame, cap: Int,
+      centroidStride: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("centroid"))
+      .orderBy(graft.pipeline.PipelineOps.hashDraw(col("id")), col("id"))
+    ivfAssign(embeddings, centroidStride, idCol, vecCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .select(col("id"), col("centroid"))
+  }
+
   /** Spherical k-means (Lloyd) refinement of the IVF centroids:
     * deterministic stride-sampled init (same as [[ivfAssign]]), then
     * `iters` rounds of assign → per-centroid mean → re-normalize. Each

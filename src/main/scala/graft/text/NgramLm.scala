@@ -28,6 +28,41 @@ object NgramLm {
           element_at(col("t"), i + 2)))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
 
+  /** CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020
+    * §4.3): split each language's documents into three quality tiers
+    * by their LM score, here the integer-scaled rare-bigram ratio
+    * r = n_rare·10⁶ div n_bigrams from [[docComponents]] (lower =
+    * more fluent = head — the exact-integer stand-in for KenLM
+    * perplexity, same ordering role). Thresholds are per-language
+    * EXACT discrete tercile quantiles ([[graft.pipeline.Stats
+    * .exactQuantiles]] at 333333/666667 ppm — broadcastable, one row
+    * per language); docs with no bigram (< 2 tokens) score the maximal
+    * r = 10⁶ (no fluency evidence → tail, CCNet's conservative
+    * choice). Returns (doc_id, lang, r, bucket ∈ head|middle|tail).
+    * Every value is an integer or a string — oracle-hashable (q129).
+    *
+    * Scale shape: components are two bigram-keyed aggregations
+    * ([[docComponents]]); the quantile pass is one partitioned sort
+    * per language over the per-DOC frame (corpus-row-bounded, not
+    * token-bounded); the threshold table joins broadcast. */
+  def perplexityBuckets(docs: DataFrame, model: DataFrame,
+      rareBelow: Long = 3L, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val comp = docComponents(docs, model, rareBelow, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang")), Seq("doc_id"))
+      .withColumn("r", when(col("n_bigrams") === 0, lit(1000000L))
+        .otherwise(graft.time.Buckets.intDiv(
+          col("n_rare") * 1000000L, col("n_bigrams"))))
+    val qs = graft.pipeline.Stats.exactQuantiles(
+      comp, Seq("lang"), col("r"), Seq(333333L, 666667L))
+    comp.join(broadcast(qs), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("r"),
+        when(col("r") <= col("p_333333"), lit("head"))
+          .when(col("r") <= col("p_666667"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Per-doc LM components against `model` (a [[bigramCounts]] frame):
     * (doc_id, n_bigrams, n_rare, sum_cnt) where `n_rare` counts doc
     * bigram OCCURRENCES whose corpus count is below `rareBelow` (a

@@ -45,6 +45,17 @@ class DsirSpec extends SparkSpec {
     comp.map(_._3).sum shouldBe 6L // 3 bigrams in each 4-token doc
   }
 
+  it("componentsSelf equals the three-pass composition on the corpus") {
+    val docs = Tables0.documents.select(col("doc_id"), col("text"))
+    val pred = col("doc_id") % 7 === 0
+    val a = Dsir.componentsSelf(docs, pred, Bcorpus)
+    val b = Dsir.components(docs,
+      Dsir.model(docs.filter(pred), Bcorpus),
+      Dsir.model(docs, Bcorpus), Bcorpus)
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+  }
+
   it("logWeights rank target-like docs above off-distribution docs") {
     val target = docsOf(
       (100L, "the quick brown fox jumps over the lazy dog"),
