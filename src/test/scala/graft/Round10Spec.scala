@@ -139,6 +139,35 @@ class Round10Spec extends SparkSpec {
       // (the planted pairs, plus a handful of band collisions) collide
       n should be < 100L
     }
+
+    it("dedupLinesGlobal: a 30%-hot LINE keeps exactly one survivor " +
+        "(its keeper join is N x 1, never a pair blowup)") {
+      import spark.implicits._
+      // multiline twin of the fixture: the hot sentence is a whole LINE
+      // in 30% of docs — the keep-first contract says exactly ONE copy
+      // survives corpus-wide (contrast removeBoilerplate, which deletes
+      // all ≥ minDf occurrences); each doc's unique lines all survive
+      val docsML = (0L until 600L).map { id =>
+        val hot = id % 10 < 3
+        val lines = Seq(s"unique_head_$id") ++
+          (if (hot) Seq(hotSentence) else Seq.empty) ++
+          Seq(s"unique_tail_$id")
+        (id, lines.mkString("\n"))
+      }.toDF("doc_id", "text")
+      val out = graft.text.TextOps.dedupLinesGlobal(docsML)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val hotIds = (0L until 600L).filter(_ % 10 < 3)
+      val survivors = hotIds.filter(id => out(id).contains(hotSentence))
+      survivors shouldBe Seq(hotIds.min) // first (id, pos) wins
+      // every doc keeps both of its unique lines
+      (0L until 600L).foreach { id =>
+        out(id) should include(s"unique_head_$id")
+        out(id) should include(s"unique_tail_$id")
+      }
+      // the 179 losers keep original line order of what remains
+      out(hotIds(1)) shouldBe
+        s"unique_head_${hotIds(1)}\nunique_tail_${hotIds(1)}"
+    }
   }
 
   describe("local-fallback type contracts") {
