@@ -1533,6 +1533,21 @@ object SparkEntry {
         .select(col("media_id"), col("ahash"), col("dhash"), col("cluster"))
     }),
 
+    // AUDIO near-dup clustering (multimodal/AudioDedup): 64-bit
+    // energy-delta fingerprints (the dHash idea on the time axis) →
+    // multi-index-hashed Hamming candidates at ≤ 7 → bit_count verify →
+    // star clustering. The codec-free stub twin runs the gate (verbatim
+    // DuckDB form); the REAL WAV/AIFF energy-window decoder is
+    // spec-checked with planted PCM16 WAVs (MediaSpec). Doubled corpus
+    // so candidates and clustering actually fire.
+    "q130_audio_neardup" -> ((s, d) => {
+      val (hashes, clusters) =
+        graft.multimodal.AudioDedup.nearDupClustersAndHashes(
+          graft.multimodal.AudioDedup.stubAudioHashesSql(doubledDocs(s, d)))
+      hashes.join(clusters, "media_id")
+        .select(col("media_id"), col("fhash"), col("cluster"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -1881,6 +1896,48 @@ object SparkEntry {
          |clusters AS (
          |  SELECT id AS media_id, min(anc) AS cluster FROM reach GROUP BY id)
          |SELECT h.media_id, h.ahash, h.dhash, c.cluster
+         |FROM hashes h JOIN clusters c USING (media_id)""".stripMargin
+    }
+    // q130: same md5 expansion, AUDIO energy-delta stub fingerprint —
+    // pseudo-energy p = byte p; bit i ⇔ e(i+1) > e(i); pairs at
+    // hamming ≤ 7; clusters as the same recursive CTE.
+    val q130Sql: String = {
+      def en(p: Int): String =
+        s"('0x' || substr(d${p / 16}, ${(p % 16) * 2 + 1}, 2))::BIGINT"
+      def bitLit(b: Int): String =
+        if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      val energyCols = (0 until 65)
+        .map(p => s"    ${en(p)} AS e$p").mkString(",\n")
+      val fhash = (0 until 64)
+        .map(i => s"(CASE WHEN e${i + 1} > e$i THEN ${bitLit(i)} ELSE 0 END)")
+        .mkString("\n      + ")
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $TwinShift AS doc_id, text FROM documents),
+         |digests AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text || '0') AS d0, md5(text || '1') AS d1,
+         |    md5(text || '2') AS d2, md5(text || '3') AS d3,
+         |    md5(text || '4') AS d4
+         |  FROM docs WHERE text IS NOT NULL),
+         |energies AS (SELECT media_id,
+         |$energyCols
+         |  FROM digests),
+         |hashes AS (SELECT media_id,
+         |    CAST($fhash AS BIGINT) AS fhash
+         |  FROM energies),
+         |pairs AS (SELECT a.media_id AS id1, b.media_id AS id2
+         |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.fhash, b.fhash)) <= 7),
+         |edges AS (SELECT id1 AS s, id2 AS t FROM pairs
+         |  UNION ALL SELECT id2 AS s, id1 AS t FROM pairs),
+         |reach AS (
+         |  SELECT media_id AS id, media_id AS anc FROM hashes
+         |  UNION
+         |  SELECT r.id, e.t AS anc FROM reach r JOIN edges e ON e.s = r.anc),
+         |clusters AS (
+         |  SELECT id AS media_id, min(anc) AS cluster FROM reach GROUP BY id)
+         |SELECT h.media_id, h.fhash, c.cluster
          |FROM hashes h JOIN clusters c USING (media_id)""".stripMargin
     }
     // shared by q35 (in-memory IVF) and q54 (same search through the
@@ -2285,6 +2342,7 @@ object SparkEntry {
            |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id""".stripMargin,
 
       "q124_image_neardup" -> q124Sql,
+      "q130_audio_neardup" -> q130Sql,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =

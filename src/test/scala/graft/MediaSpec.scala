@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Media
+import graft.multimodal.{AudioDedup, Media}
 
 /** Multimodal plumbing: batch iteration, schema, frame sampling. The
   * codec is a deterministic stub; these tests pin the Spark-side shape a
@@ -195,6 +195,90 @@ class MediaSpec extends SparkSpec {
         .nearDupClusters(rows, ImageDedup.StubGrayDecoder)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       clusters shouldBe Map(10L -> 10L, 11L -> 10L)
+    }
+  }
+
+  describe("AudioDedup (energy-delta near-dup fingerprints)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    def wavOf(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+          samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    it("real WAV path: gain-doubled audio fingerprints identically, a " +
+        "different envelope diverges; junk and too-short drop") {
+      import spark.implicits._
+      val n = 6500
+      // envelope A: amplitude ramps up across the first 33 windows and
+      // back down — a hill-shaped energy profile
+      val a = Array.tabulate(n) { i =>
+        val w = (i.toLong * 65 / n).toInt
+        val amp = 100 + 20 * (if (w < 33) w else 65 - w)
+        if (i % 2 == 0) amp else -amp
+      }
+      // uniform gain x2: every energy scales by exactly 4, all delta
+      // signs preserved → identical fingerprint
+      val a2 = a.map(_ * 2)
+      // envelope B: amplitude alternates high/low per window — deltas
+      // flip sign every window, far from A's one-peak profile
+      val b = Array.tabulate(n) { i =>
+        val w = (i.toLong * 65 / n).toInt
+        val amp = if (w % 2 == 0) 2000 else 100
+        if (i % 2 == 0) amp else -amp
+      }
+      val rows = spark.createDataset(Seq(
+        Media.MediaRow(1L, "audio", wavOf(a), "a.wav", "audio/wav"),
+        Media.MediaRow(2L, "audio", wavOf(a2), "a2.wav", "audio/wav"),
+        Media.MediaRow(3L, "audio", wavOf(b), "b.wav", "audio/wav"),
+        Media.MediaRow(4L, "audio", Array[Byte](9, 9, 9), "junk.wav",
+          "audio/wav"),
+        Media.MediaRow(5L, "audio", wavOf(Array.fill(50)(100)), "short.wav",
+          "audio/wav")))
+      val hashes = AudioDedup.audioHashes(rows)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hashes.keySet shouldBe Set(1L, 2L, 3L) // junk + short dropped
+      hashes(1L) shouldBe hashes(2L)
+      java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) should be > 7
+      val (_, clusters) = AudioDedup.nearDupClustersAndHashes(
+        AudioDedup.audioHashes(rows))
+      val cl = clusters.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cl(1L) shouldBe cl(2L)
+      cl(3L) should not be cl(1L)
+    }
+
+    it("stubAudioHashesSql is bit-identical to the Scala stub twin and " +
+        "drops null texts (q130 oracle parity)") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "hello world"),
+        (2L, "hello world"),
+        (3L, ""),
+        (4L, "héllo wörld ✓"),
+        (5L, "x" * 500))
+        .toDF("doc_id", "text")
+      val viaSql = AudioDedup.stubAudioHashesSql(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val viaScala = docs.collect().map(r => (r.getLong(0),
+        AudioDedup.stubHashOf(
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        .sortBy(_._1)
+      viaSql shouldBe viaScala
+      viaSql(0)._2 shouldBe viaSql(1)._2 // exact dup texts
+      val withNull = docs.unionByName(
+        Seq((6L, null: String)).toDF("doc_id", "text"))
+      AudioDedup.stubAudioHashesSql(withNull).count() shouldBe 5L
     }
   }
 }
