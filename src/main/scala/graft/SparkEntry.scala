@@ -1548,6 +1548,26 @@ object SparkEntry {
         .select(col("media_id"), col("fhash"), col("cluster"))
     }),
 
+    // VIDEO NEAR-DUP CLUSTERING (multimodal/VideoDedup): the third
+    // modality — videos fingerprinted as the SET of sampled-frame
+    // content hashes, near-dup when shared frames cover ≥ 80 % of the
+    // smaller video's set (integer cross-multiplied decision), then
+    // the same star clustering. Candidates come from a DISTINCT
+    // (video, frame-hash) projection equi-joined on the hash with a
+    // hot-frame cap — never video × video. The gate fingerprints via
+    // stubFrameHashesSql (fixed-width text substrings, pure Catalyst
+    // md5 — the q124/q130 stub convention) so the DuckDB oracle states
+    // the SAME frames verbatim; the real byte path (sampleFrames +
+    // frame md5) stays spec-verified in MediaSpec. Doubled corpus:
+    // every doc gets an exact twin sharing 100 % of frames.
+    "q131_video_neardup" -> ((s, d) => {
+      val (counts, clusters) =
+        graft.multimodal.VideoDedup.nearDupClustersAndCounts(
+          graft.multimodal.VideoDedup.stubFrameHashesSql(doubledDocs(s, d)))
+      counts.join(clusters, "media_id")
+        .select(col("media_id"), col("n_frames"), col("cluster"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -1939,6 +1959,51 @@ object SparkEntry {
          |  SELECT id AS media_id, min(anc) AS cluster FROM reach GROUP BY id)
          |SELECT h.media_id, h.fhash, c.cluster
          |FROM hashes h JOIN clusters c USING (media_id)""".stripMargin
+    }
+    // q131: VIDEO stub — frames as fixed-width text substrings (32
+    // chars, every 2nd chunk), per-frame md5, shared-frame containment
+    // pairs (integer cross-multiply, hot-frame cap 64), recursive-CTE
+    // clustering. States VideoDedup.stubFrameHashesSql +
+    // nearDupClustersAndCounts verbatim (constants interpolated from
+    // the SAME object so the two sides cannot drift).
+    val q131Sql: String = {
+      val fl = graft.multimodal.VideoDedup.FrameLen
+      val st = graft.multimodal.VideoDedup.Stride
+      val pct = graft.multimodal.VideoDedup.MinSharedPct
+      val occ = graft.multimodal.VideoDedup.MaxOcc
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $TwinShift AS doc_id, text FROM documents),
+         |st AS (SELECT doc_id AS media_id, text,
+         |    unnest(range(0, (length(text) - 1) // $fl + 1, $st)) AS i
+         |  FROM docs WHERE text IS NOT NULL AND length(text) > 0),
+         |frames AS (SELECT media_id,
+         |    md5(substr(text, i * $fl + 1, $fl)) AS fh FROM st),
+         |vf AS (SELECT DISTINCT media_id, fh FROM frames),
+         |counts AS (SELECT media_id, count(*) AS n_frames
+         |  FROM vf GROUP BY media_id),
+         |cold AS (SELECT fh FROM vf GROUP BY fh HAVING count(*) <= $occ),
+         |vff AS (SELECT vf.media_id, vf.fh FROM vf JOIN cold USING (fh)),
+         |shared AS (SELECT a.media_id AS id1, b.media_id AS id2,
+         |    count(*) AS shared
+         |  FROM vff a JOIN vff b
+         |    ON a.fh = b.fh AND a.media_id < b.media_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT s.id1, s.id2 FROM shared s
+         |  JOIN counts ca ON ca.media_id = s.id1
+         |  JOIN counts cb ON cb.media_id = s.id2
+         |  WHERE s.shared * 100 >= $pct * least(ca.n_frames, cb.n_frames)),
+         |edges AS (SELECT id1 AS s, id2 AS t FROM pairs
+         |  UNION ALL SELECT id2 AS s, id1 AS t FROM pairs),
+         |reach AS (
+         |  SELECT media_id AS id, media_id AS anc FROM counts
+         |  UNION
+         |  SELECT r.id, e.t AS anc FROM reach r JOIN edges e ON e.s = r.anc),
+         |clusters AS (
+         |  SELECT id AS media_id, min(anc) AS cluster FROM reach GROUP BY id)
+         |SELECT c.media_id, CAST(c.n_frames AS BIGINT) AS n_frames,
+         |  cl.cluster
+         |FROM counts c JOIN clusters cl USING (media_id)""".stripMargin
     }
     // shared by q35 (in-memory IVF) and q54 (same search through the
     // on-disk partitioned index) — identical semantics, one statement
@@ -2343,6 +2408,7 @@ object SparkEntry {
 
       "q124_image_neardup" -> q124Sql,
       "q130_audio_neardup" -> q130Sql,
+      "q131_video_neardup" -> q131Sql,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =

@@ -281,4 +281,81 @@ class MediaSpec extends SparkSpec {
       AudioDedup.stubAudioHashesSql(withNull).count() shouldBe 5L
     }
   }
+
+  describe("VideoDedup (shared-frame near-dup clustering)") {
+    import graft.multimodal.VideoDedup
+
+    def videoRow(id: Long, chunks: Seq[Byte]): Media.MediaRow =
+      Media.MediaRow(id, "video",
+        chunks.toArray.flatMap(b => Array.fill[Byte](256)(b)),
+        s"v$id.mp4", "video/mp4")
+
+    it("real byte path: a one-chunk edit and a trimmed copy stay near-" +
+        "dups, an unrelated video does not; clusters label by min id") {
+      import spark.implicits._
+      val a = videoRow(10L, (0 until 8).map(_.toByte))
+      val b = videoRow(11L, (0 until 7).map(_.toByte) :+ 99.toByte)
+      val c = videoRow(12L, (0 until 8).map(i => (50 + i).toByte))
+      val d = videoRow(13L, (0 until 4).map(_.toByte)) // trimmed copy of a
+      val media = spark.createDataset(Seq(a, b, c, d))
+      val frames = VideoDedup.frameHashes(media, stride = 1)
+      val pairs = VideoDedup.nearDupPairs(frames)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // a~b share 7/8 (87 % ≥ 80); d ⊂ a and d ⊂ b (4/min = 100 %) —
+      // c matches nothing
+      pairs shouldBe Seq((10L, 11L), (10L, 13L), (11L, 13L))
+      val clusters = VideoDedup.nearDupClusters(media, stride = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      clusters shouldBe Seq((10L, 10L), (11L, 10L), (12L, 12L), (13L, 10L))
+    }
+
+    it("hot-frame cap drops saturated frame hashes from the candidate " +
+        "join (they assert nothing about a pair)") {
+      import spark.implicits._
+      // three videos share ONE hot chunk; each also has a private chunk
+      val media = spark.createDataset(Seq(
+        videoRow(1L, Seq[Byte](7, 10)),
+        videoRow(2L, Seq[Byte](7, 20)),
+        videoRow(3L, Seq[Byte](7, 30))))
+      val frames = VideoDedup.frameHashes(media, stride = 1)
+      // uncapped: the shared chunk is 1 of min(2,2) = 50 % < 80 → no
+      // pairs anyway; at 50 % it WOULD pair — the cap kills it first
+      VideoDedup.nearDupPairs(frames, minSharedPct = 50, maxOcc = 2)
+        .count() shouldBe 0L
+      VideoDedup.nearDupPairs(frames, minSharedPct = 50, maxOcc = 3)
+        .count() shouldBe 3L
+    }
+
+    it("stubFrameHashesSql is bit-identical to the driver-local twin " +
+        "and drops null/empty texts (q131 oracle parity)") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "hello world"),
+        (2L, "hello world"),
+        (3L, ""),
+        (4L, "héllo wörld ✓ — мир" * 9),
+        (5L, "x" * 500))
+        .toDF("doc_id", "text")
+      val viaSql = VideoDedup.stubFrameHashesSql(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2))
+      val viaLocal = docs.collect()
+        .filter(r => r.getString(1) != null && r.getString(1).nonEmpty)
+        .flatMap(r => VideoDedup.stubFrameHashesLocal(r.getString(1))
+          .map { case (i, h) => (r.getLong(0), i, h) })
+        .sortBy(t => (t._1, t._2))
+      viaSql shouldBe viaLocal
+      viaSql.count(_._1 == 3L) shouldBe 0 // empty text → no frames
+      // exact-dup texts frame identically
+      viaSql.filter(_._1 == 1L).map(t => (t._2, t._3)) shouldBe
+        viaSql.filter(_._1 == 2L).map(t => (t._2, t._3))
+      val withNull = docs.unionByName(
+        Seq((6L, null: String)).toDF("doc_id", "text"))
+      VideoDedup.stubFrameHashesSql(withNull)
+        .filter($"media_id" === 6L).count() shouldBe 0L
+      // stride/width: 500 chars at width 32 → chunks 0..15, stride 2
+      viaSql.filter(_._1 == 5L).map(_._2) shouldBe
+        Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L)
+    }
+  }
 }
