@@ -1568,6 +1568,49 @@ object SparkEntry {
         .select(col("media_id"), col("n_frames"), col("cluster"))
     }),
 
+    // HTML → TEXT EXTRACTION (text/Html): the WARC→WET stage —
+    // script/style/comment blocks stripped, tags dropped, entities
+    // decoded (&amp; last), whitespace collapsed; all chained codegen
+    // regexp_replace, patterns in the Java∩RE2 common subset so the
+    // oracle states them verbatim. The gate wraps each doc's text in a
+    // deterministic HTML shell (both engines state the same concat) and
+    // hashes the extraction.
+    "q132_html_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val html = concat(
+        lit(HtmlShellPre), col("doc_id").cast("string"),
+        lit(HtmlShellMid), col("text"), lit(HtmlShellPost))
+      val clean = graft.text.Html.extractText(html)
+      docs.select(col("doc_id"),
+        md5(clean.cast("binary")).as("clean_md5"),
+        length(clean).cast("long").as("n_chars"))
+    }),
+
+    // LINK-GRAPH EXTRACTION (text/Html.links + text/Urls.host): hrefs
+    // out of HTML (case-insensitive, both quote styles), normalized to
+    // hosts, aggregated to per-host in-link and distinct-source counts
+    // — the web-graph side of the C4/RefinedWeb pre-text stages.
+    // Relative links (no scheme://host) drop at host().
+    "q133_link_graph" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val html = concat(
+        lit("<p>see <a href=\"https://www."), col("source"), lit("-"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"),
+        lit("\">here</a> and <A HREF='http://"), col("lang"),
+        lit(".wiki.example.org/w/"), col("doc_id").cast("string"),
+        lit("'>wiki</A> plus <a href=\"/relative/x\">rel</a></p>"))
+      docs.select(col("doc_id"),
+          explode(graft.text.Html.links(html)).as("url"))
+        .select(col("doc_id"),
+          graft.text.Urls.host(col("url")).as("host"))
+        .filter(col("host").isNotNull)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -1702,6 +1745,18 @@ object SparkEntry {
     * its oracle (the bucket formula must agree on both sides). 4096 at
     * gate scale; production would use 2²⁰ per the DSIR paper. */
   private val DsirBuckets = 4096
+
+  /** q132's HTML shell around each doc's text — exercises every stage
+    * of Html.extractText (script with a literal `<`, style, comment,
+    * tags, all six entities); interpolated into the Spark gate AND its
+    * oracle so the wrapping cannot drift. */
+  private val HtmlShellPre = "<html><head><title>T</title>" +
+    "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+    "<style>p { color: red; }</style></head><body>" +
+    "<!-- hidden --><h1>Doc "
+  private val HtmlShellMid = "</h1><p>"
+  private val HtmlShellPost = "</p><p>A &amp; B &lt;tag&gt; " +
+    "&quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"
 
   /** Fail LOUDLY (inside the plan, zero extra jobs) if an id ever
     * reaches the twin-shift domain: the doubled ids would otherwise
@@ -2004,6 +2059,51 @@ object SparkEntry {
          |SELECT c.media_id, CAST(c.n_frames AS BIGINT) AS n_frames,
          |  cl.cluster
          |FROM counts c JOIN clusters cl USING (media_id)""".stripMargin
+    }
+    // q132/q133: the Html patterns + entity table + shell constants
+    // interpolated VERBATIM (single quotes doubled for SQL literals)
+    // from graft.text.Html / the gate constants above.
+    def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+    val q132Sql: String = {
+      import graft.text.Html
+      var e = "html"
+      for (pat <- Seq(Html.ScriptRe, Html.StyleRe, Html.CommentRe,
+          Html.TagRe))
+        e = s"regexp_replace($e, ${sqlStr(pat)}, ' ', 'g')"
+      for ((pat, rep) <- Html.Entities)
+        e = s"regexp_replace($e, ${sqlStr(pat)}, ${sqlStr(rep)}, 'g')"
+      e = s"trim(regexp_replace($e, ${sqlStr(Html.WsRe)}, ' ', 'g'))"
+      s"""WITH h AS (SELECT doc_id,
+         |    ${sqlStr(HtmlShellPre)} || CAST(doc_id AS VARCHAR) ||
+         |      ${sqlStr(HtmlShellMid)} || text ||
+         |      ${sqlStr(HtmlShellPost)} AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, $e AS clean FROM h)
+         |SELECT doc_id, md5(clean) AS clean_md5,
+         |  CAST(length(clean) AS BIGINT) AS n_chars FROM c""".stripMargin
+    }
+    val q133Sql: String = {
+      import graft.text.Html
+      s"""WITH h AS (SELECT doc_id,
+         |    '<p>see <a href="https://www.' || source || '-' ||
+         |      CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' ||
+         |      CAST(doc_id AS VARCHAR) ||
+         |      '">here</a> and <A HREF=''http://' || lang ||
+         |      '.wiki.example.org/w/' || CAST(doc_id AS VARCHAR) ||
+         |      '''>wiki</A> plus <a href="/relative/x">rel</a></p>'
+         |      AS html
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(html, ${sqlStr(Html.HrefRe)}, 1))
+         |      AS url FROM h),
+         |ho AS (SELECT doc_id,
+         |    regexp_replace(regexp_extract(lower(url),
+         |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+         |      '^www\\.', '') AS host FROM l)
+         |SELECT host, count(*) AS n_links,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM ho WHERE host IS NOT NULL AND host <> ''
+         |GROUP BY 1""".stripMargin
     }
     // shared by q35 (in-memory IVF) and q54 (same search through the
     // on-disk partitioned index) — identical semantics, one statement
@@ -2409,6 +2509,8 @@ object SparkEntry {
       "q124_image_neardup" -> q124Sql,
       "q130_audio_neardup" -> q130Sql,
       "q131_video_neardup" -> q131Sql,
+      "q132_html_extract" -> q132Sql,
+      "q133_link_graph" -> q133Sql,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =

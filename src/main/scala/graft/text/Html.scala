@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction for web-corpus pipelines — the WARC→WET
+  * stage that runs before every text-quality operator: strip
+  * script/style/comment blocks, drop tags, decode the common entities,
+  * collapse whitespace; plus href link extraction for the link graph.
+  *
+  * Everything is chained codegen `regexp_replace` /
+  * `regexp_extract_all` column expressions — no UDFs, fully
+  * whole-stage-codegen, embarrassingly parallel at 100 TB. Patterns
+  * are kept in the Java∩RE2 common subset (non-greedy spans, inline
+  * `(?is)` flags, explicit whitespace classes — NO lookarounds or
+  * backreferences) so the DuckDB oracle can state them verbatim; the
+  * q132/q133 oracle SQL interpolates THESE constants, so the two
+  * engines cannot drift.
+  */
+object Html {
+
+  /** Script block incl. content (non-greedy to the first closer). */
+  val ScriptRe = "(?is)<script\\b.*?</script>"
+
+  /** Style block incl. content. */
+  val StyleRe = "(?is)<style\\b.*?</style>"
+
+  /** HTML comment. */
+  val CommentRe = "(?s)<!--.*?-->"
+
+  /** Any remaining tag (a negated class crosses newlines without a
+    * flag). */
+  val TagRe = "<[^>]*>"
+
+  /** Explicit whitespace class — Java's `\s` includes `\x0B`, RE2's
+    * does not; the explicit class is identical in both. */
+  val WsRe = "[ \\t\\r\\n\\f]+"
+
+  /** href attribute value (single- or double-quoted, case-insensitive;
+    * explicit whitespace class for the same `\s` reason). */
+  val HrefRe = "(?i)href[ \\t\\r\\n]*=[ \\t\\r\\n]*[\"']([^\"'>]+)[\"']"
+
+  /** Entity decode table IN ORDER — `&amp;` must come last so
+    * `&amp;lt;` decodes to the literal text `&lt;`, not `<` (the
+    * standard unescape order). Patterns contain no regex
+    * metacharacters. */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  /** Extracted visible text: blocks stripped, tags dropped, entities
+    * decoded, whitespace collapsed to single spaces, trimmed. Null
+    * HTML → null. */
+  def extractText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, ScriptRe, " "), StyleRe, " "),
+      CommentRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = Entities.foldLeft(noTags) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    trim(regexp_replace(decoded, WsRe, " "))
+  }
+
+  /** All href values in document order, as an array column (raw —
+    * resolve/normalize downstream via [[Urls.host]]). */
+  def links(html: Column): Column =
+    regexp_extract_all(html, lit(HrefRe), lit(1))
+}

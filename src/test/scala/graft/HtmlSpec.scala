@@ -1,0 +1,67 @@
+package graft
+
+import graft.text.{Html, Urls}
+import org.apache.spark.sql.functions._
+
+/** text/Html: WARC→WET extraction + href link extraction — chained
+  * codegen regexps in the Java∩RE2 common subset (q132/q133 gates). */
+class HtmlSpec extends SparkSpec {
+
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(Html.extractText(col("h"))).collect()(0)
+      .getString(0)
+  }
+
+  it("strips script/style/comment blocks including their content") {
+    extract("<p>a</p><script>var x = 1 < 2; if (x > 0) {}</script>" +
+      "<style>p { color: red; }</style><!-- secret --><p>b</p>") shouldBe
+      "a b"
+  }
+
+  it("script blocks span newlines and close at the FIRST closer") {
+    extract("<script>\nline1();\nline2();\n</script>keep" +
+      "<script>more</script>tail") shouldBe "keep tail"
+  }
+
+  it("drops tags (attributes, uppercase, newlines inside) and keeps " +
+      "text") {
+    extract("<DIV class=\"x\"\n data-y='1'>hello <b>world</b></DIV>") shouldBe
+      "hello world"
+  }
+
+  it("decodes entities in the standard order — &amp;lt; stays literal " +
+      "&lt;") {
+    extract("A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
+      "&nbsp;end &amp;lt;") shouldBe "A & B <tag> \"q\" 's' end &lt;"
+      .replace(' ', ' ')
+  }
+
+  it("collapses runs of whitespace and trims") {
+    extract("  <p>a\n\n\t b </p>\r\n ") shouldBe "a b"
+  }
+
+  it("null html extracts to null") {
+    import spark.implicits._
+    Seq((1, null: String)).toDF("i", "h")
+      .select(Html.extractText(col("h"))).collect()(0).isNullAt(0) shouldBe
+      true
+  }
+
+  it("links finds hrefs in either quote style, any case, any " +
+      "attribute spacing; host() drops relative links") {
+    import spark.implicits._
+    val html = "<a href=\"https://www.ex.com/a\">1</a> " +
+      "<A HREF='http://sub.ex.org/b'>2</A> " +
+      "<a class='z' href = \"/relative/c\">3</a> " +
+      "<area href=\"ftp://files.ex.net/d\">"
+    val urls = Seq(html).toDF("h")
+      .select(explode(Html.links(col("h"))).as("url"))
+    urls.collect().map(_.getString(0)) shouldBe Array(
+      "https://www.ex.com/a", "http://sub.ex.org/b", "/relative/c",
+      "ftp://files.ex.net/d")
+    urls.select(Urls.host(col("url")).as("host"))
+      .collect().map(r => Option(r.getString(0))) shouldBe Array(
+      Some("ex.com"), Some("sub.ex.org"), None, Some("files.ex.net"))
+  }
+}
