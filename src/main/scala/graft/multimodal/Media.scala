@@ -178,6 +178,53 @@ object Media {
     }
   }
 
+  /** REAL batched image resize on the JDK's own `javax.imageio` +
+    * `java.awt.Graphics2D` (zero external dependencies): decode →
+    * bilinear scale to `width`×`height` → re-encode as PNG, all
+    * partition-local (the training-prep normalization step before
+    * vision-encoder batching — every payload leaves at a fixed
+    * geometry). Undecodable payloads pass through UNCHANGED with
+    * `mimeType = "application/octet-stream"` as the marker (one broken
+    * blob must not kill a partition; dropping it silently would skew
+    * downstream counts). PNG round-trips are deterministic (lossless,
+    * fixed encoder), so resized payloads are stable across retries —
+    * the property every dedup stage downstream depends on. */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    require(width > 0 && height > 0,
+      s"resize geometry must be positive, got ${width}x$height")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val resized =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.content))
+            if (img == null) None
+            else {
+              val out = new java.awt.image.BufferedImage(width, height,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, width, height, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Some(bos.toByteArray)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        resized match {
+          case Some(bytes) => r.copy(content = bytes, mimeType = "image/png")
+          case None => r.copy(mimeType = "application/octet-stream")
+        }
+      })
+    }
+  }
+
   /** Deterministic frame sampling stub for video payloads: every
     * `stride`-th 256-byte chunk becomes a "frame" row (mediaId,
     * frame_idx, frame_bytes). Real frame extraction replaces the chunker

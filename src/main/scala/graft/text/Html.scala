@@ -71,4 +71,15 @@ object Html {
     * resolve/normalize downstream via [[Urls.host]]). */
   def links(html: Column): Column =
     regexp_extract_all(html, lit(HrefRe), lit(1))
+
+  /** The page's robots meta tag (`name="robots"`, any attribute order,
+    * any case), or '' when absent. */
+  val MetaRobotsRe =
+    "(?is)<meta\\b[^>]*name[ \\t\\r\\n]*=[ \\t\\r\\n]*[\"']robots[\"'][^>]*>"
+
+  /** True when the page opts out of indexing via
+    * `<meta name="robots" content="…noindex…">` — the crawl-etiquette
+    * filter run before a page's text enters the corpus. */
+  def metaRobotsNoindex(html: Column): Column =
+    regexp_extract(html, MetaRobotsRe, 0).rlike("(?i)noindex")
 }

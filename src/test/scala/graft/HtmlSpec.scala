@@ -48,6 +48,23 @@ class HtmlSpec extends SparkSpec {
       true
   }
 
+  it("metaRobotsNoindex honors the robots meta in any attribute order " +
+      "or case, and only that tag") {
+    import spark.implicits._
+    val cases = Seq(
+      ("<meta name=\"robots\" content=\"noindex, nofollow\">", true),
+      ("<META CONTENT='NOINDEX' NAME='robots'>", true),
+      ("<meta name=\"robots\" content=\"index, follow\">", false),
+      ("<meta name=\"viewport\" content=\"noindex\">", false), // wrong tag
+      ("no meta at all, the word noindex in text", false))
+    val got = cases.zipWithIndex
+      .map { case ((h, _), i) => (i, s"<html><head>$h</head></html>") }
+      .toDF("i", "h")
+      .select(col("i"), Html.metaRobotsNoindex(col("h")).as("b"))
+      .collect().sortBy(_.getInt(0)).map(_.getBoolean(1)).toSeq
+    got shouldBe cases.map(_._2)
+  }
+
   it("links finds hrefs in either quote style, any case, any " +
       "attribute spacing; host() drops relative links") {
     import spark.implicits._

@@ -96,6 +96,39 @@ class MediaSpec extends SparkSpec {
     got(1).sampleRate shouldBe 0L // undecodable → marker, not a crash
   }
 
+  it("resizeImages rescales every decodable payload to the target " +
+      "geometry as PNG; junk passes through with the marker mime") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = spark.createDataset(Seq(
+      Media.MediaRow(1L, "image", png(7, 5), "a.png", "image/png"),
+      Media.MediaRow(2L, "image", png(64, 64), "b.png", "image/png"),
+      Media.MediaRow(3L, "image", Array.fill[Byte](40)(9), "bad.png",
+        "image/png")))(
+      org.apache.spark.sql.Encoders.product[Media.MediaRow])
+    val out = Media.resizeImages(rows, 16, 16).collect().sortBy(_.mediaId)
+    out.map(_.mimeType) shouldBe Seq("image/png", "image/png",
+      "application/octet-stream")
+    // resized payloads decode to EXACTLY the target geometry
+    out.take(2).foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      (img.getWidth, img.getHeight) shouldBe ((16, 16))
+    }
+    // junk passes through byte-identical (marker mime is the signal)
+    out(2).content shouldBe Array.fill[Byte](40)(9)
+    // PNG re-encode is deterministic: resizing twice is bit-identical
+    val again = Media.resizeImages(rows, 16, 16).collect().sortBy(_.mediaId)
+    out.map(_.content.toSeq) shouldBe again.map(_.content.toSeq)
+  }
+
   it("sampleFrames chunks video bytes deterministically") {
     import spark.implicits._
     val frames = Media.sampleFrames(
