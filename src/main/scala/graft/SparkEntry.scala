@@ -1611,6 +1611,29 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"))
     }),
 
+    // UNICODE-SCRIPT DETECTION (text/Scripts): per-script character
+    // counts over explicit code-point ranges (integer-exact; the
+    // `[\x{…}-\x{…}]` classes parse identically in Java regex and
+    // RE2) + dominant script (count desc, table order asc) — the
+    // multilingual-curation signal that routes docs to per-script
+    // pipelines and catches mojibake.
+    "q134_script_detect" -> ((s, d) =>
+      graft.text.Scripts.scriptProfile(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))),
+
+    // DETERMINISTIC RANDOM-WALK CORPUS (operators/RandomWalks): the
+    // DeepWalk/node2vec data-prep stage — 2 length-3 walks per node
+    // over the event graph, next step = out-neighbor minimizing the
+    // md5("start|widx|t|dst") hash draw (reproducible across retries,
+    // partitionings and engines). One frontier equi-join + map-side
+    // min per step, never adjacency-per-walk.
+    "q135_random_walks" -> ((s, d) => {
+      val links = EventGraph.linkSamples(s, d)
+      graft.operators.RandomWalks.walks(
+        links.select(col("subject").as("src"), col("target").as("dst")),
+        walksPerNode = 2, length = 3)
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2105,6 +2128,59 @@ object SparkEntry {
          |FROM ho WHERE host IS NOT NULL AND host <> ''
          |GROUP BY 1""".stripMargin
     }
+    // q134: the Scripts ranges interpolated verbatim; counts via
+    // len(regexp_extract_all) (single-char classes → char counts),
+    // dominant via the same (count DESC, table order ASC) rule.
+    val q134Sql: String = {
+      val rs = graft.text.Scripts.ScriptRanges
+      val countCols = rs.map { case (name, re) =>
+        s"    CAST(len(regexp_extract_all(text, ${sqlStr(re)})) AS BIGINT)" +
+          s" AS n_$name"
+      }.mkString(",\n")
+      val entries = rs.zipWithIndex.map { case ((name, _), i) =>
+        s"{'c': n_$name, 'o': $i, 'nm': '$name'}"
+      }.mkString(",\n      ")
+      val names = rs.map { case (name, _) => s"n_$name" }.mkString(", ")
+      s"""WITH c AS (SELECT doc_id AS id,
+         |$countCols,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |d AS (SELECT id, unnest([
+         |      $entries]) AS e FROM c),
+         |r AS (SELECT id, e.nm AS nm, row_number() OVER (
+         |    PARTITION BY id ORDER BY e.c DESC, e.o ASC) AS rn FROM d)
+         |SELECT c.id, $names, n_chars, r.nm AS dominant
+         |FROM c JOIN r ON r.id = c.id AND r.rn = 1""".stripMargin
+    }
+    // q135: RandomWalks.walks unrolled for walksPerNode=2, length=3 —
+    // the SAME md5("start|widx|t|dst") draw; min(draw) + join-back ≡
+    // the engine's min(struct(draw, dst)) because draws are md5-unique
+    // per candidate set.
+    val q135Sql: String = {
+      val steps = (1 to 3).map { t =>
+        s"""c$t AS (SELECT w${t - 1}.start, w${t - 1}.widx, e.dst,
+           |    md5(w${t - 1}.start || '|' ||
+           |      CAST(w${t - 1}.widx AS VARCHAR) || '|$t|' || e.dst)
+           |      AS draw
+           |  FROM w${t - 1} JOIN e ON e.src = w${t - 1}.cur),
+           |m$t AS (SELECT start, widx, min(draw) AS md FROM c$t
+           |  GROUP BY 1, 2),
+           |w$t AS (SELECT c.start, c.widx, c.dst AS cur FROM c$t c
+           |  JOIN m$t m ON m.start = c.start AND m.widx = c.widx
+           |    AND c.draw = m.md)""".stripMargin
+      }.mkString(",\n")
+      val outs = (0 to 3).map(t =>
+        s"SELECT start, widx, CAST($t AS BIGINT) AS step, cur AS node " +
+          s"FROM w$t").mkString("\nUNION ALL ")
+      s"""WITH ev AS ($cte),
+         |e AS (SELECT DISTINCT subject AS src, target AS dst FROM ev
+         |  WHERE subject <> target),
+         |w0 AS (SELECT start, CAST(wi AS BIGINT) AS widx, start AS cur
+         |  FROM (SELECT DISTINCT src AS start FROM e)
+         |  CROSS JOIN (SELECT unnest(range(0, 2)) AS wi)),
+         |$steps
+         |$outs""".stripMargin
+    }
     // shared by q35 (in-memory IVF) and q54 (same search through the
     // on-disk partitioned index) — identical semantics, one statement
     val ivfTopkSql =
@@ -2511,6 +2587,8 @@ object SparkEntry {
       "q131_video_neardup" -> q131Sql,
       "q132_html_extract" -> q132Sql,
       "q133_link_graph" -> q133Sql,
+      "q134_script_detect" -> q134Sql,
+      "q135_random_walks" -> q135Sql,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =
