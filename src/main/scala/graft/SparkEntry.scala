@@ -1634,6 +1634,16 @@ object SparkEntry {
         walksPerNode = 2, length = 3)
     }),
 
+    // INTER-SOURCE OVERLAP MATRIX (dedup/Dedup.sourceOverlapMatrix):
+    // distinct shared 3-gram shingles per source pair beside each
+    // source's own set size — the curation signal that drops a mirrored
+    // dump BEFORE per-doc dedup. Join buckets are bounded by the source
+    // count by construction; raw integers only (no FP ratio in the
+    // hash-gated result).
+    "q136_source_overlap" -> ((s, d) =>
+      graft.dedup.Dedup.sourceOverlapMatrix(
+        Tables.documents(s, d).select(col("source"), col("text")))),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2181,6 +2191,25 @@ object SparkEntry {
          |$steps
          |$outs""".stripMargin
     }
+    // q136: the q21 shingle math keyed by SOURCE — distinct per-source
+    // shingle sets, pairwise shared counts, per-source sizes.
+    val q136Sql: String =
+      s"""WITH ds AS (SELECT source AS s, unnest(list_distinct(
+         |    list_transform(range(0, greatest(len($toksSql) - 3, 0) + 1),
+         |      i -> array_to_string($toksSql[i + 1 : i + 3], ' '))))
+         |    AS shingle
+         |  FROM documents),
+         |ss AS (SELECT DISTINCT s, shingle FROM ds WHERE shingle <> ''),
+         |sizes AS (SELECT s, count(*) AS n FROM ss GROUP BY 1),
+         |pairs AS (SELECT a.s AS source_a, b.s AS source_b,
+         |    count(*) AS inter
+         |  FROM ss a JOIN ss b
+         |    ON a.shingle = b.shingle AND a.s < b.s
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, inter, sa.n AS n_a, sb.n AS n_b
+         |FROM pairs
+         |JOIN sizes sa ON sa.s = source_a
+         |JOIN sizes sb ON sb.s = source_b""".stripMargin
     // shared by q35 (in-memory IVF) and q54 (same search through the
     // on-disk partitioned index) — identical semantics, one statement
     val ivfTopkSql =
@@ -2589,6 +2618,7 @@ object SparkEntry {
       "q133_link_graph" -> q133Sql,
       "q134_script_detect" -> q134Sql,
       "q135_random_walks" -> q135Sql,
+      "q136_source_overlap" -> q136Sql,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =

@@ -870,4 +870,39 @@ object Dedup {
         .filter(col("max_span_tokens") >= minSpanTokens),
       unpersistAfter = Seq(grouped))
   }
+
+  /** Inter-SOURCE shingle-overlap matrix — the corpus-curation view of
+    * duplication: for every pair of sources, how many distinct k-gram
+    * shingles they share, beside each source's own distinct-shingle
+    * count (consumers derive containment / Jaccard; the raw integers
+    * stay exact — a ppm division here would reintroduce FP into a
+    * hash-gated result). "Source B is 90 % contained in source A" is
+    * the signal that drops a mirrored dump before any per-doc dedup
+    * runs.
+    *
+    * Scale posture: the pair stage joins the DISTINCT (source,
+    * shingle) projection with itself on the shingle — each join bucket
+    * holds at most #sources rows BY CONSTRUCTION (a source contributes
+    * a shingle once), so candidate fan-out per shingle is bounded by
+    * the (small) source count squared, independent of corpus size.
+    * Never doc×doc, never source×source on raw text. */
+  def sourceOverlapMatrix(docs: DataFrame, k: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val ss = shingles(docs.select(col(srcCol).as("s"), col(textCol)),
+        k, "s", textCol)
+      .select(col("id").as("s"), col("shingle")).distinct()
+      .persist()
+    val sizes = ss.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val pairs = ss.as("a")
+      .join(ss.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("source_a"), col("b.s").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    graft.util.Checkpoints.materialize(
+      pairs
+        .join(sizes.toDF("source_a", "n_a"), "source_a")
+        .join(sizes.toDF("source_b", "n_b"), "source_b")
+        .select("source_a", "source_b", "inter", "n_a", "n_b"),
+      unpersistAfter = Seq(ss))
+  }
 }

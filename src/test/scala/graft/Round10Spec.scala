@@ -409,4 +409,26 @@ class Round10Spec extends SparkSpec {
       ids0.takeRight(perWord.size) shouldBe perWord
     }
   }
+
+  describe("sourceOverlapMatrix (q136 inter-source dedup signal)") {
+    it("counts distinct shared shingles per source pair with exact set " +
+        "sizes; disjoint sources emit no row") {
+      import spark.implicits._
+      val docs = Seq(
+        ("A", "the quick brown fox jumps over the lazy dog"),
+        ("A", "the quick brown fox sat still"), // same prefix shingles
+        ("B", "the quick brown fox jumps high"),
+        ("C", "completely different words entirely here now"))
+        .toDF("source", "text")
+      val m = graft.dedup.Dedup.sourceOverlapMatrix(docs)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+      // A: doc1 has 7 shingles, doc2 has 4; shared within A:
+      // "the quick brown","quick brown fox" → |A| = 9
+      // B: 4 shingles; A∩B = {the quick brown, quick brown fox,
+      // brown fox jumps} = 3. C: 4 shingles, disjoint.
+      m shouldBe Seq(("A", "B", 3L, 9L, 4L))
+    }
+  }
 }
