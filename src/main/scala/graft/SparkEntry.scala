@@ -1644,6 +1644,18 @@ object SparkEntry {
       graft.dedup.Dedup.sourceOverlapMatrix(
         Tables.documents(s, d).select(col("source"), col("text")))),
 
+    // NODE2VEC BIASED WALKS (operators/RandomWalks.node2vecWalks):
+    // second-order walks with EXACT integer bias — return/common/out
+    // weights 1/4/2 realized by replicate-by-weight + min-md5-draw
+    // (winner probability ∝ weight, outcome fully deterministic). The
+    // oracle states the same replication verbatim.
+    "q137_node2vec_walks" -> ((s, d) => {
+      val links = EventGraph.linkSamples(s, d)
+      graft.operators.RandomWalks.node2vecWalks(
+        links.select(col("subject").as("src"), col("target").as("dst")),
+        walksPerNode = 2, length = 3)
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2191,6 +2203,53 @@ object SparkEntry {
          |$steps
          |$outs""".stripMargin
     }
+    // q137: node2vecWalks unrolled (walksPerNode=2, length=3, weights
+    // return/common/out = 1/4/2) — the SAME replicate-by-weight
+    // md5("start|widx|t|dst|copy") draw; step 1 is the uniform copy=1
+    // case.
+    val q137Sql: String = {
+      val (wr, wc, wo) = (1, 4, 2)
+      val steps = (1 to 3).map { t =>
+        val weighted =
+          if (t == 1)
+            s"""b1 AS (SELECT w0.start, w0.widx, w0.cur, e.dst, 1 AS w
+               |  FROM w0 JOIN e ON e.src = w0.cur)""".stripMargin
+          else
+            s"""b$t AS (SELECT w${t - 1}.start, w${t - 1}.widx,
+               |    w${t - 1}.cur, e.dst,
+               |    CASE WHEN e.dst = w${t - 1}.prev THEN $wr
+               |         WHEN pe.pd IS NOT NULL THEN $wc
+               |         ELSE $wo END AS w
+               |  FROM w${t - 1} JOIN e ON e.src = w${t - 1}.cur
+               |  LEFT JOIN (SELECT src AS psrc, dst AS pdst, 1 AS pd
+               |    FROM e) pe
+               |    ON pe.psrc = w${t - 1}.prev AND pe.pdst = e.dst)"""
+              .stripMargin
+        s"""$weighted,
+           |x$t AS (SELECT start, widx, cur, dst,
+           |    unnest(range(1, w + 1)) AS cp FROM b$t WHERE w > 0),
+           |c$t AS (SELECT start, widx, cur, dst,
+           |    md5(start || '|' || CAST(widx AS VARCHAR) || '|$t|' ||
+           |      dst || '|' || CAST(cp AS VARCHAR)) AS draw FROM x$t),
+           |m$t AS (SELECT start, widx, min(draw) AS md FROM c$t
+           |  GROUP BY 1, 2),
+           |w$t AS (SELECT c.start, c.widx, c.cur AS prev, c.dst AS cur
+           |  FROM c$t c JOIN m$t m ON m.start = c.start
+           |    AND m.widx = c.widx AND c.draw = m.md)""".stripMargin
+      }.mkString(",\n")
+      val outs = (0 to 3).map(t =>
+        s"SELECT start, widx, CAST($t AS BIGINT) AS step, cur AS node " +
+          s"FROM w$t").mkString("\nUNION ALL ")
+      s"""WITH ev AS ($cte),
+         |e AS (SELECT DISTINCT subject AS src, target AS dst FROM ev
+         |  WHERE subject <> target),
+         |w0 AS (SELECT start, CAST(wi AS BIGINT) AS widx,
+         |    CAST(NULL AS VARCHAR) AS prev, start AS cur
+         |  FROM (SELECT DISTINCT src AS start FROM e)
+         |  CROSS JOIN (SELECT unnest(range(0, 2)) AS wi)),
+         |$steps
+         |$outs""".stripMargin
+    }
     // q136: the q21 shingle math keyed by SOURCE — distinct per-source
     // shingle sets, pairwise shared counts, per-source sizes.
     val q136Sql: String =
@@ -2619,6 +2678,7 @@ object SparkEntry {
       "q134_script_detect" -> q134Sql,
       "q135_random_walks" -> q135Sql,
       "q136_source_overlap" -> q136Sql,
+      "q137_node2vec_walks" -> q137Sql,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =

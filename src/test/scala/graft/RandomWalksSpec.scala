@@ -43,6 +43,42 @@ class RandomWalksSpec extends SparkSpec {
     w1 shouldBe w2
   }
 
+  describe("node2vecWalks (integer-bias second-order walks)") {
+    it("wReturn=0 filters the backtrack candidate entirely — a pure " +
+        "2-cycle walk stops after one step") {
+      import spark.implicits._
+      val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+      val w = RandomWalks.node2vecWalks(cyc, walksPerNode = 4,
+        length = 3, wReturn = 0, wCommon = 4, wOut = 2)
+      w.agg(max("step")).collect()(0).getLong(0) shouldBe 1L
+    }
+
+    it("weights bias the draw: common (distance-1) neighbors beat out " +
+        "neighbors roughly 4:2, returns never happen at weight 0") {
+      import spark.implicits._
+      // s -> {a, b}; a -> {s(return), b(common: s->b exists), c(out)}
+      val e = Seq(("s", "a"), ("s", "b"), ("a", "s"), ("a", "b"),
+        ("a", "c")).toDF("src", "dst")
+      val w = RandomWalks.node2vecWalks(e, walksPerNode = 400,
+        length = 2, wReturn = 0, wCommon = 4, wOut = 2)
+      val step2 = w.filter(col("start") === "s" && col("step") === 2)
+        .select("node").collect().map(_.getString(0))
+      step2 should not contain "s" // return candidate filtered
+      val nb = step2.count(_ == "b")
+      val nc = step2.count(_ == "c")
+      nb should be > nc // 4:2 bias over hundreds of walks
+      nc should be > 0 // ...but out steps still happen
+    }
+
+    it("is deterministic across partitionings") {
+      val w1 = RandomWalks.node2vecWalks(edges, 3, 3).collect()
+        .map(_.toSeq).sortBy(_.toString)
+      val w2 = RandomWalks.node2vecWalks(edges.repartition(5), 3, 3)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      w1 shouldBe w2
+    }
+  }
+
   it("distinct walks from one start can diverge (the draw depends on " +
       "widx)") {
     // over many walk indices from 'a', both neighbors should appear at
