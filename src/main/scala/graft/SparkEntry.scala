@@ -1656,6 +1656,31 @@ object SparkEntry {
         walksPerNode = 2, length = 3)
     }),
 
+    // INTERVAL OVERLAP JOIN (operators/TemporalJoins
+    // .intervalOverlapJoin): per-user click-hour × purchase-hour
+    // overlaps — both interval sets bin-exploded, hash equi-join on
+    // (user, bin), CANONICAL-BIN emission (the overlap's first instant
+    // lies in exactly one bin) so the result is duplicate-free with no
+    // distinct pass; a theta-only overlap join would plan a
+    // BroadcastNestedLoop at scale.
+    "q138_interval_overlap" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val base = ev0.select(col("user_id"), col("event_id"),
+        col("event_type"), Tables.epochMs(ev0, "ts").as("ms"))
+      def side(t: String, id: String, lo: String, hi: String) =
+        base.filter(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(id),
+            col("ms").as(lo), (col("ms") + 3600000L).as(hi))
+      graft.operators.TemporalJoins.intervalOverlapJoin(
+          side("click", "a_id", "a_lo", "a_hi"),
+          side("purchase", "b_id", "b_lo", "b_hi"),
+          Seq("user_id"), "a_lo", "a_hi", "b_lo", "b_hi",
+          binWidth = 3600000L)
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("overlap_ms"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2679,6 +2704,22 @@ object SparkEntry {
       "q135_random_walks" -> q135Sql,
       "q136_source_overlap" -> q136Sql,
       "q137_node2vec_walks" -> q137Sql,
+
+      // q138: the oracle states the overlap PREDICATE directly (a
+      // theta join is fine at oracle scale); the engine's binned
+      // canonical-bin plan must produce the identical duplicate-free
+      // pair set.
+      "q138_interval_overlap" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |    epoch_ms(ts) AS ms FROM events),
+          |a AS (SELECT user_id, event_id AS a_id, ms AS a_lo,
+          |    ms + 3600000 AS a_hi FROM ev WHERE event_type = 'click'),
+          |b AS (SELECT user_id, event_id AS b_id, ms AS b_lo,
+          |    ms + 3600000 AS b_hi FROM ev WHERE event_type = 'purchase')
+          |SELECT a.user_id, a_id, b_id,
+          |  least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_ms
+          |FROM a JOIN b ON a.user_id = b.user_id
+          |  AND a_lo < b_hi AND b_lo < a_hi""".stripMargin,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =

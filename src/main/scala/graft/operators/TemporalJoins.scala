@@ -115,4 +115,38 @@ object TemporalJoins {
       .filter(col(pt) >= col(lo) && col(pt) < col(hi))
       .drop("__bin")
   }
+
+  /** INTERVAL × INTERVAL overlap join — half-open semantics: (a, b)
+    * matches iff `a.lo < b.hi && b.lo < a.hi` (and both intervals are
+    * non-empty). Same fixed-width-bin planning as [[rangeJoin]] (a
+    * theta-only overlap join is a BroadcastNestedLoop at scale), plus
+    * the CANONICAL-BIN trick for exactness without a distinct: both
+    * sides explode their covered bins, but a pair is EMITTED only in
+    * the bin containing `max(a.lo, b.lo)` — the overlap's first
+    * instant lies in exactly one bin, so every true pair appears
+    * exactly once and no dedup pass runs over the match stream.
+    *
+    * Left/right columns must not collide outside `keys` (rename
+    * upstream); each side needs its own id among its columns if the
+    * caller wants to tell rows apart downstream. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], loL: String, hiL: String,
+      loR: String, hiR: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val collide = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys
+    require(collide.isEmpty, s"non-key columns collide: $collide")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bin",
+        explode_outer(when(col(hi) > col(lo),
+          sequence(floor(col(lo) / binWidth),
+            floor((col(hi) - 1) / binWidth)))))
+        .filter(col("__bin").isNotNull)
+    binned(left, loL, hiL)
+      .join(binned(right, loR, hiR), keys :+ "__bin")
+      .filter(col(loL) < col(hiR) && col(loR) < col(hiL) &&
+        // canonical bin: emit where the overlap starts
+        col("__bin") === floor(greatest(col(loL), col(loR)) / binWidth))
+      .drop("__bin")
+  }
 }

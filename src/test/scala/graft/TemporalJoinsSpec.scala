@@ -130,4 +130,54 @@ class TemporalJoinsSpec extends SparkSpec {
         .collect().toMap shouldBe Map("a" -> 0L, "b" -> 0L, "c" -> 1L)
     }
   }
+
+  describe("intervalOverlapJoin (q138)") {
+    import graft.operators.TemporalJoins
+
+    def a(rows: (String, Long, Long, Long)*) =
+      rows.toDF("k", "a_id", "a_lo", "a_hi")
+    def b(rows: (String, Long, Long, Long)*) =
+      rows.toDF("k", "b_id", "b_lo", "b_hi")
+    def join(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame, w: Long) =
+      TemporalJoins.intervalOverlapJoin(l, r, Seq("k"),
+        "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("k", "a_id", "b_id").as[(String, Long, Long)]
+        .collect().sorted.toSeq
+
+    it("emits each overlapping pair exactly once even when both " +
+        "intervals span many bins (canonical-bin dedup, no distinct)") {
+      // [0, 100) × [50, 170) with binWidth 10: a covers 10 bins,
+      // b covers 12, they share bins 5..9 — still ONE output row
+      join(a(("k", 1L, 0L, 100L)), b(("k", 2L, 50L, 170L)), 10L) shouldBe
+        Seq(("k", 1L, 2L))
+    }
+
+    it("half-open semantics: touching endpoints do not overlap; empty " +
+        "intervals match nothing") {
+      join(a(("k", 1L, 0L, 50L), ("k", 2L, 70L, 70L)),
+        b(("k", 3L, 50L, 60L), ("k", 4L, 60L, 80L)), 25L) shouldBe Seq.empty
+    }
+
+    it("respects equi-keys and agrees with the naive theta join on " +
+        "random data") {
+      val rnd = new scala.util.Random(7)
+      val la = a((0 until 120).map { i =>
+        val lo = rnd.nextInt(500).toLong
+        (s"k${i % 3}", i.toLong, lo, lo + rnd.nextInt(80).toLong)
+      }: _*)
+      val rb = b((0 until 120).map { i =>
+        val lo = rnd.nextInt(500).toLong
+        (s"k${i % 3}", i.toLong, lo, lo + rnd.nextInt(80).toLong)
+      }: _*)
+      val binned = join(la, rb, 32L)
+      val naive = la.join(rb, Seq("k"))
+        .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi") &&
+          col("a_hi") > col("a_lo") && col("b_hi") > col("b_lo"))
+        .select("k", "a_id", "b_id").as[(String, Long, Long)]
+        .collect().sorted.toSeq
+      binned shouldBe naive
+      naive should not be empty
+    }
+  }
 }
