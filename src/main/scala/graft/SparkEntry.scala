@@ -1681,6 +1681,21 @@ object SparkEntry {
             greatest(col("a_lo"), col("b_lo"))).as("overlap_ms"))
     }),
 
+    // EXACT GLOBAL RANKS (pipeline/Stats.globalRanks): corpus-wide
+    // rank + dense_rank of the cents value WITHOUT a single-partition
+    // window — ranks computed on the distinct-value count table via
+    // exclusivePrefixSum, joined back on the value. The global-
+    // ordering primitive behind percentile normalization / rank
+    // blending of quality scores.
+    "q139_global_rank" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      graft.pipeline.Stats.globalRanks(
+        ev0.select(col("event_id"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long")
+            .as("cents")),
+        "cents")
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2720,6 +2735,15 @@ object SparkEntry {
           |  least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_ms
           |FROM a JOIN b ON a.user_id = b.user_id
           |  AND a_lo < b_hi AND b_lo < a_hi""".stripMargin,
+
+      "q139_global_rank" ->
+        """WITH ev AS (SELECT event_id,
+          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+          |  FROM events)
+          |SELECT event_id, cents,
+          |  rank() OVER (ORDER BY cents) AS rnk,
+          |  dense_rank() OVER (ORDER BY cents) AS drnk
+          |FROM ev""".stripMargin,
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =

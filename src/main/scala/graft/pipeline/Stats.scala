@@ -130,4 +130,48 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(min(col("__v")).as("weighted_median"))
   }
+
+  /** EXACT corpus-wide rank and dense rank of `valueCol` — the
+    * global-ordering primitive (percentile normalization of quality
+    * scores, rank-based blending) WITHOUT the scale-killer: a bare
+    * `rank() OVER (ORDER BY v)` funnels the whole table through one
+    * task, so instead the ranks are computed on the DISTINCT-VALUE
+    * COUNT table (orders of magnitude smaller) via
+    * [[PipelineOps.exclusivePrefixSum]] (range-sorted two-pass scan —
+    * no single-partition window there either, and below its row
+    * threshold it takes the cheap window on the small table anyway)
+    * and joined back on the value:
+    *
+    *  - `rank`       = 1 + Σ counts of strictly-smaller values (SQL
+    *    competition rank),
+    *  - `dense_rank` = 1 + #distinct strictly-smaller values.
+    *
+    * Rows with NULL values keep NULL ranks (SQL windows sort them
+    * together; a global ordering of nulls is not meaningful —
+    * filter upstream if they matter).
+    *
+    * Note: below `windowThreshold` DISTINCT VALUES the prefix scan
+    * deliberately takes a constant-partition window — a single task
+    * over the bounded count table (≤ 2²⁰ rows by the probe), one of
+    * the engine's documented intentional single-partition windows
+    * (the `Skew.report` class); past the threshold the two-pass
+    * range-sort scan runs instead, so the full-table row count never
+    * reaches one task either way. */
+  def globalRanks(df: DataFrame, valueCol: String,
+      rankCol: String = "rnk", denseRankCol: String = "drnk",
+      windowThreshold: Int = 1 << 20): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__one", lit(1L))
+      .withColumn("__all", lit(0))
+    val cum = PipelineOps.exclusivePrefixSum(
+      PipelineOps.exclusivePrefixSum(counts, "__all", Seq(valueCol),
+        "__cnt", "__below", windowThreshold),
+      "__all", Seq(valueCol), "__one", "__dbelow", windowThreshold)
+    df.join(cum.select(col(valueCol),
+        (col("__below") + 1L).as(rankCol),
+        (col("__dbelow") + 1L).as(denseRankCol)),
+      Seq(valueCol), "left")
+  }
 }

@@ -431,4 +431,34 @@ class Round10Spec extends SparkSpec {
       m shouldBe Seq(("A", "B", 3L, 9L, 4L))
     }
   }
+
+  describe("Stats.globalRanks (q139 global ordering without a global " +
+      "window over the rows)") {
+    it("matches rank()/dense_rank() semantics incl. ties; null values " +
+        "keep null ranks; both prefix paths agree") {
+      import spark.implicits._
+      import graft.pipeline.Stats
+      val df = Seq[(Long, java.lang.Long)](
+        (1L, 10L), (2L, 10L), (3L, 5L), (4L, 20L), (5L, null),
+        (6L, 10L)).toDF("id", "v")
+      def run(thr: Int) = Stats.globalRanks(df, "v",
+          windowThreshold = thr)
+        .select("id", "rnk", "drnk").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))))
+        .sortBy(_._1).toSeq
+      val viaWindow = run(1 << 20)
+      // v=5 → rank 1/dense 1; three 10s → rank 2/dense 2; 20 → rank
+      // 5/dense 3; null → null
+      viaWindow shouldBe Seq(
+        (1L, 2L: java.lang.Long, 2L: java.lang.Long),
+        (2L, 2L: java.lang.Long, 2L: java.lang.Long),
+        (3L, 1L: java.lang.Long, 1L: java.lang.Long),
+        (4L, 5L: java.lang.Long, 3L: java.lang.Long),
+        (5L, null, null),
+        (6L, 2L: java.lang.Long, 2L: java.lang.Long))
+      run(0) shouldBe viaWindow // two-pass scan path, byte-identical
+    }
+  }
 }
