@@ -1696,6 +1696,18 @@ object SparkEntry {
         "cents")
     }),
 
+    // LABEL-PROPAGATION COMMUNITIES (operators/Communities): two
+    // deterministic synchronous sweeps over the event graph — most
+    // frequent neighbor label, ties → smallest. Each sweep is one
+    // neighbor-key equi-join + two hash aggs (min(struct(-cnt,label))
+    // argmax — map-side partials, no per-node sort window).
+    "q140_label_prop" -> ((s, d) => {
+      val links = EventGraph.linkSamples(s, d)
+      graft.operators.Communities.labelPropagation(
+        links.select(col("subject").as("src"), col("target").as("dst")),
+        rounds = 2)
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2744,6 +2756,33 @@ object SparkEntry {
           |  rank() OVER (ORDER BY cents) AS rnk,
           |  dense_rank() OVER (ORDER BY cents) AS drnk
           |FROM ev""".stripMargin,
+
+      // q140: the two LPA sweeps unrolled — most frequent neighbor
+      // label via row_number ordered (cnt DESC, label ASC), the SQL
+      // statement of the engine's min(struct(-cnt, label)) argmax.
+      "q140_label_prop" -> {
+        def round(r: Int): String =
+          s"""c$r AS (SELECT e.src AS id, l.lab, count(*) AS c
+             |  FROM sym e JOIN l${r - 1} l ON l.id = e.dst
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT id, lab FROM (SELECT id, lab,
+             |    row_number() OVER (PARTITION BY id
+             |      ORDER BY c DESC, lab ASC) AS rn FROM c$r)
+             |  WHERE rn = 1),
+             |l$r AS (SELECT n.id, coalesce(b.lab, n.id) AS lab
+             |  FROM nodes n LEFT JOIN b$r b ON b.id = n.id)"""
+            .stripMargin
+        s"""WITH ev AS ($cte),
+           |e AS (SELECT DISTINCT subject AS src, target AS dst FROM ev
+           |  WHERE subject <> target),
+           |sym AS (SELECT src, dst FROM e
+           |  UNION SELECT dst AS src, src AS dst FROM e),
+           |nodes AS (SELECT DISTINCT src AS id FROM sym),
+           |l0 AS (SELECT id, id AS lab FROM nodes),
+           |${round(1)},
+           |${round(2)}
+           |SELECT id, lab AS label FROM l2""".stripMargin
+      },
 
       // Mirrors the engine's banded default: 4 independent 8-plane
       // hyperplane bands on the RAW vector (global plane index =
