@@ -1708,6 +1708,23 @@ object SparkEntry {
         rounds = 2)
     }),
 
+    // URL CANONICALIZATION (text/Urls.canonicalizeUrl): the crawl-level
+    // URL-dedup normalizer — lowercased scheme/authority, default port
+    // and #fragment dropped, tracking params removed with the rest
+    // kept in order; pure column expressions (backref-free regex +
+    // list HOF) stated verbatim by the oracle over deterministically
+    // messy synthesized URLs.
+    "q141_url_canon" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val url = concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.COM:80/Doc/"), col("doc_id").cast("string"),
+        lit("?utm_source=x&ref="), col("lang"), lit("&gclid=abc#sec"),
+        col("doc_id").cast("string"))
+      docs.select(col("doc_id"), url.as("url"),
+        graft.text.Urls.canonicalizeUrl(url).as("canon"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2756,6 +2773,50 @@ object SparkEntry {
           |  rank() OVER (ORDER BY cents) AS rnk,
           |  dense_rank() OVER (ORDER BY cents) AS drnk
           |FROM ev""".stripMargin,
+
+      // q141: canonicalizeUrl restated CTE-by-CTE (same regexes, the
+      // param filter as list_filter) over the same synthesized URLs.
+      "q141_url_canon" -> {
+        val trk = graft.text.Urls.TrackingParamRe
+        s"""WITH u0 AS (SELECT doc_id,
+           |    'HTTP://WWW.' || source || '.Example.COM:80/Doc/' ||
+           |      CAST(doc_id AS VARCHAR) || '?utm_source=x&ref=' ||
+           |      lang || '&gclid=abc#sec' || CAST(doc_id AS VARCHAR)
+           |      AS url
+           |  FROM documents),
+           |c AS (SELECT doc_id, trim(url) AS u FROM u0),
+           |p AS (SELECT doc_id, u, regexp_extract(u,
+           |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS prefix
+           |  FROM c),
+           |q AS (SELECT doc_id, u, prefix, lower(prefix) AS lp,
+           |    substr(u, length(prefix) + 1, ${1 << 20}) AS rest
+           |  FROM p),
+           |r AS (SELECT doc_id, u, prefix,
+           |    regexp_extract(lp, '^([a-z0-9+.-]+)://', 1) AS scheme,
+           |    regexp_extract(lp, '^[a-z0-9+.-]+://(.*)$$', 1)
+           |      AS hostport,
+           |    regexp_replace(rest, '(?s)#.*', '') AS nofrag FROM q),
+           |s AS (SELECT doc_id, u, prefix, scheme, nofrag,
+           |    CASE WHEN (scheme = 'http'
+           |          AND regexp_matches(hostport, ':80$$'))
+           |        OR (scheme = 'https'
+           |          AND regexp_matches(hostport, ':443$$'))
+           |      THEN regexp_replace(hostport, ':(80|443)$$', '')
+           |      ELSE hostport END AS authority,
+           |    regexp_extract(nofrag, '(?s)^([^?]*)', 1) AS path,
+           |    list_filter(string_split(regexp_extract(nofrag,
+           |        '(?s)^[^?]*\\?(.*)', 1), '&'),
+           |      x -> x <> '' AND NOT regexp_matches(x, '$trk'))
+           |      AS kept
+           |  FROM r)
+           |SELECT doc_id, u AS url,
+           |  CASE WHEN prefix = '' THEN u
+           |    ELSE scheme || '://' || authority || path ||
+           |      (CASE WHEN len(kept) > 0
+           |        THEN '?' || array_to_string(kept, '&') ELSE '' END)
+           |  END AS canon
+           |FROM s""".stripMargin
+      },
 
       // q140: the two LPA sweeps unrolled — most frequent neighbor
       // label via row_number ordered (cnt DESC, label ASC), the SQL

@@ -39,6 +39,51 @@ object Urls {
       .drop("__rk")
   }
 
+  /** Tracking query parameters stripped by [[canonicalizeUrl]] — the
+    * keys that differ across visits to the SAME page (the reason one
+    * page shows up as a thousand "distinct" URLs in a crawl). */
+  val TrackingParamRe = "^(utm_[a-z0-9]+|gclid|fbclid|msclkid)="
+
+  /** Canonical form of a URL for crawl-level dedup — all pure column
+    * expressions (regex in the Java∩RE2 common subset, the
+    * param-filter as a list HOF; no backreference replacements, which
+    * spell differently across engines):
+    *
+    *  - scheme and authority lowercased (path/query stay cased — they
+    *    are case-significant),
+    *  - default ports dropped (`http://…:80`, `https://…:443`),
+    *  - the `#fragment` dropped (never sent to the server),
+    *  - tracking parameters ([[TrackingParamRe]]) removed, remaining
+    *    params kept IN ORDER (sorting them would merge genuinely
+    *    different server interpretations),
+    *  - a bare `?` left over from all-tracking queries dropped.
+    *
+    * Non-URL values (no `scheme://authority`) pass through trimmed —
+    * canonicalization must never manufacture collisions out of
+    * garbage. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val prefix = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val lp = lower(prefix)
+    val scheme = regexp_extract(lp, "^([a-z0-9+.-]+)://", 1)
+    val hostport = regexp_extract(lp, "^[a-z0-9+.-]+://(.*)$", 1)
+    val isDefaultPort =
+      (scheme === "http" && hostport.rlike(":80$")) ||
+        (scheme === "https" && hostport.rlike(":443$"))
+    val authority = when(isDefaultPort,
+      regexp_replace(hostport, ":(80|443)$", "")).otherwise(hostport)
+    val rest = u.substr(length(prefix) + 1, lit(1 << 20))
+    val noFrag = regexp_replace(rest, "(?s)#.*", "")
+    val path = regexp_extract(noFrag, "(?s)^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "(?s)^[^?]*\\?(.*)", 1)
+    val kept = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val canon = concat(scheme, lit("://"), authority, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+    when(prefix === "" || u.isNull, u).otherwise(canon)
+  }
+
   /** Drop docs whose normalized host is on the blocklist (broadcast
     * anti-join; hosts compared exactly, post-normalization). */
   def blocklistFilter(docs: DataFrame, blockedHosts: Seq[String],

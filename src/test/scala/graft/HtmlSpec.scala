@@ -65,6 +65,32 @@ class HtmlSpec extends SparkSpec {
     got shouldBe cases.map(_._2)
   }
 
+  it("canonicalizeUrl: scheme/authority lowercase, default ports and " +
+      "fragments drop, tracking params strip in place, garbage passes " +
+      "through") {
+    import spark.implicits._
+    val cases = Seq(
+      // default port + mixed case + fragment + mixed params
+      "HTTP://WWW.Ex.COM:80/Path/X?utm_source=a&ref=B&gclid=z#frag" ->
+        "http://www.ex.com/Path/X?ref=B",
+      // https default port; path case preserved
+      "HTTPS://A.B:443/Case/Kept" -> "https://a.b/Case/Kept",
+      // non-default port survives
+      "http://a.b:8080/x" -> "http://a.b:8080/x",
+      // :443 on http is NOT a default port
+      "http://a.b:443/x" -> "http://a.b:443/x",
+      // all-tracking query → bare ? dropped
+      "https://a.b/p?utm_campaign=x&fbclid=1" -> "https://a.b/p",
+      // params keep their order
+      "https://a.b/p?z=1&utm_x=0&a=2" -> "https://a.b/p?z=1&a=2",
+      // not a URL → trimmed passthrough
+      "  not a url  " -> "not a url")
+    val got = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "u")
+      .select(col("i"), Urls.canonicalizeUrl(col("u")).as("c"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    got shouldBe cases.map(_._2)
+  }
+
   it("links finds hrefs in either quote style, any case, any " +
       "attribute spacing; host() drops relative links") {
     import spark.implicits._
