@@ -1725,6 +1725,17 @@ object SparkEntry {
         graft.text.Urls.canonicalizeUrl(url).as("canon"))
     }),
 
+    // ENTITY RESOLUTION e2e (text/Fuzzy.entityIds): part-name words →
+    // symmetric-delete fuzzy pairs at distance 1 → star-contraction
+    // components → canonical entity id (min value per component) —
+    // the record-linkage composition; transitive merging is the
+    // point, the tight maxDist bounds the chains.
+    "q142_entity_resolution" -> ((s, d) => {
+      val words = Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+      graft.text.Fuzzy.entityIds(words, "word", maxDist = 1)
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2773,6 +2784,28 @@ object SparkEntry {
           |  rank() OVER (ORDER BY cents) AS rnk,
           |  dense_rank() OVER (ORDER BY cents) AS drnk
           |FROM ev""".stripMargin,
+
+      // q142: naive distance-1 pairs (oracle scale) + the recursive-CTE
+      // component labeling of the q124 convention; min VARCHAR = the
+      // engine's UTF-8 min on these ASCII words.
+      "q142_entity_resolution" ->
+        """WITH RECURSIVE w0 AS (SELECT DISTINCT
+          |    unnest(string_split(p_name, ' ')) AS word FROM part),
+          |w AS (SELECT word FROM w0
+          |  WHERE word IS NOT NULL AND word <> ''),
+          |pairs AS (SELECT a.word AS id1, b.word AS id2
+          |  FROM w a JOIN w b ON a.word < b.word
+          |  WHERE levenshtein(a.word, b.word) <= 1),
+          |edges AS (SELECT id1 AS s, id2 AS t FROM pairs
+          |  UNION ALL SELECT id2 AS s, id1 AS t FROM pairs),
+          |reach AS (
+          |  SELECT word AS id, word AS anc FROM w
+          |  UNION
+          |  SELECT r.id, e.t AS anc FROM reach r JOIN edges e
+          |    ON e.s = r.anc),
+          |cl AS (SELECT id, min(anc) AS entity_id FROM reach
+          |  GROUP BY 1)
+          |SELECT id AS value, entity_id FROM cl""".stripMargin,
 
       // q141: canonicalizeUrl restated CTE-by-CTE (same regexes, the
       // param filter as list_filter) over the same synthesized URLs.

@@ -54,4 +54,26 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** ENTITY RESOLUTION e2e (record linkage): every distinct non-empty
+    * value gets a canonical `entity_id` = the smallest value in its
+    * fuzzy-match component — [[fuzzyPairs]] (symmetric-delete
+    * blocking, never all-pairs) feeding
+    * [[graft.dedup.Dedup.clusterLabelsStar]] (O(log n) star rounds).
+    * Transitivity is deliberate: a~b and b~c merge even when
+    * dist(a,c) > maxDist — that is what makes the id canonical; keep
+    * `maxDist` tight (1) when chains worry you. Singletons label
+    * themselves. */
+  def entityIds(words: DataFrame, wordCol: String, maxDist: Int = 1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val w = words.select(col(wordCol).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "").distinct()
+    val pairs = fuzzyPairs(words, wordCol, maxDist)
+      .select(col("w1").as("id1"), col("w2").as("id2"))
+    val clustered = graft.dedup.Dedup.clusterLabelsStar(pairs,
+      checkpointDir)
+    w.join(clustered.withColumnRenamed("id", "w"), Seq("w"), "left")
+      .select(col("w").as("value"),
+        coalesce(col("cluster"), col("w")).as("entity_id"))
+  }
 }

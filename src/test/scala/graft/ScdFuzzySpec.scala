@@ -78,5 +78,18 @@ class ScdFuzzySpec extends SparkSpec {
       got shouldBe want
       want.size should be > 3
     }
+
+    it("entityIds links transitively through the fuzzy graph and " +
+        "labels singletons with themselves (q142)") {
+      import spark.implicits._
+      // nose~rose~rosy chain: dist(nose,rosy)=2 > 1 yet all three
+      // share the entity (transitivity is the contract); cat is alone
+      val words = Seq("rose", "rosy", "nose", "cat", "rose", "", null)
+        .toDF("word")
+      val got = graft.text.Fuzzy.entityIds(words, "word", maxDist = 1)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      got shouldBe Seq(("cat", "cat"), ("nose", "nose"),
+        ("rose", "nose"), ("rosy", "nose"))
+    }
   }
 }
