@@ -1736,6 +1736,15 @@ object SparkEntry {
       graft.text.Fuzzy.entityIds(words, "word", maxDist = 1)
     }),
 
+    // EXACT SPLIT ASSIGNMENT (pipeline/PipelineOps.splitAssign):
+    // 80/10/10 train/val/test per language with EXACT floor counts —
+    // per-stratum hash-draw rank (partitioned window) + integer
+    // threshold decision; re-runs land every doc in the same split.
+    "q143_split_assign" -> ((s, d) =>
+      graft.pipeline.PipelineOps.splitAssign(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2784,6 +2793,20 @@ object SparkEntry {
           |  rank() OVER (ORDER BY cents) AS rnk,
           |  dense_rank() OVER (ORDER BY cents) AS drnk
           |FROM ev""".stripMargin,
+
+      // q143: the same per-stratum hash-draw rank + integer floor
+      // thresholds (cum 800000 / 900000 ppm, last split absorbs).
+      "q143_split_assign" ->
+        """WITH r AS (SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang ORDER BY
+          |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |        ::BIGINT % 1000000, doc_id) AS rk,
+          |    count(*) OVER (PARTITION BY lang) AS n FROM documents)
+          |SELECT doc_id, lang,
+          |  CASE WHEN rk * 1000000 <= n * 800000 THEN 'train'
+          |       WHEN rk * 1000000 <= n * 900000 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM r""".stripMargin,
 
       // q142: naive distance-1 pairs (oracle scale) + the recursive-CTE
       // component labeling of the q124 convention; min VARCHAR = the

@@ -53,6 +53,39 @@ object PipelineOps {
       .drop("__rk")
   }
 
+  /** Deterministic train/val/test (or any k-way) split with EXACT
+    * per-stratum counts: rows rank within their stratum by the stable
+    * hash draw (ties → id), split i takes ranks in
+    * (⌊n·cum(i−1)/10⁶⌋, ⌊n·cum(i)/10⁶⌋] — so each stratum's split
+    * sizes are the exact floor allocations (the last split absorbs
+    * the remainder), not binomial draws that wobble per run. The rank
+    * window is per-stratum partitioned (never global), the decision is
+    * pure integer arithmetic, and membership is a function of the id
+    * alone given the corpus — a re-run or a backfill lands every row
+    * in the same split.
+    *
+    * `splits` = (name, share-ppm) in order; shares must total 10⁶. */
+  def splitAssign(df: DataFrame, splits: Seq[(String, Long)],
+      strataCol: String = "lang", idCol: String = "doc_id",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000000L,
+      s"split shares must total 1000000 ppm, got $splits")
+    require(splits.forall(_._2 > 0), s"shares must be positive: $splits")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col(strataCol))
+    val w = part.orderBy(hashDraw(col(idCol)), col(idCol))
+    val cums = splits.scanLeft(0L)(_ + _._2).tail
+    val assign = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+      when(col("__rk") * 1000000L <= col("__n") * cum, lit(name))
+        .otherwise(rest)
+    }
+    df.withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn(outCol, assign)
+      .drop("__rk", "__n")
+  }
+
   /** SALTED equi-join for skewed keys — the manual skew tool for when
     * AQE's runtime skew-join split cannot apply (e.g. the skewed side
     * feeds an aggregation in the same stage, or a deterministic plan is

@@ -460,5 +460,87 @@ class Round10Spec extends SparkSpec {
         (6L, 2L: java.lang.Long, 2L: java.lang.Long))
       run(0) shouldBe viaWindow // two-pass scan path, byte-identical
     }
+
+    it("agrees with the global sort window on seeded random data " +
+        "(duplicates, negatives)") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rnd = new scala.util.Random(11)
+      val df = (1 to 400)
+        .map(i => (i.toLong, (rnd.nextInt(40) - 20).toLong))
+        .toDF("id", "v").repartition(7)
+      val got = graft.pipeline.Stats.globalRanks(df, "v")
+        .select("id", "rnk", "drnk").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      val w = Window.orderBy(col("v"))
+      val want = df.select(col("id"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      got shouldBe want
+    }
+  }
+
+  describe("VideoDedup.nearDupPairs randomized parity") {
+    it("matches the naive shared-frame computation on seeded random " +
+        "frame tables") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(23)
+      // 40 videos × up to 12 frames drawn from a 30-hash pool →
+      // plenty of shared frames and hot hashes
+      val rows = for {
+        v <- 1 to 40
+        _ <- 1 to (1 + rnd.nextInt(12))
+      } yield (v.toLong, s"h${rnd.nextInt(30)}")
+      val frames = rows.toDF("media_id", "fhash").repartition(5)
+      val got = graft.multimodal.VideoDedup
+        .nearDupPairs(frames, minSharedPct = 60, maxOcc = 10)
+        .select("id1", "id2", "shared", "n1", "n2")
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      // naive: distinct sets, cold hashes only in shared counts
+      val sets = rows.distinct.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val occ = rows.distinct.groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet.size).toMap
+      val cold = occ.filter(_._2 <= 10).keySet
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        shared = (sets(a) intersect sets(b)) intersect cold
+        if shared.nonEmpty &&
+          shared.size * 100 >= 60 * math.min(sets(a).size, sets(b).size)
+      } yield (a, b, shared.size.toLong, sets(a).size.toLong,
+        sets(b).size.toLong)).toSeq.sorted
+      got shouldBe want
+      want.size should be > 3
+    }
+  }
+
+  describe("PipelineOps.splitAssign (q143 exact split sizes)") {
+    it("produces exact floor counts per stratum, is stable across " +
+        "partitionings, and rejects bad shares") {
+      import spark.implicits._
+      import graft.pipeline.PipelineOps
+      val docs = ((1 to 103).map(i => (i.toLong, "en")) ++
+        (200 to 209).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+      val splits = Seq("train" -> 800000L, "val" -> 100000L,
+        "test" -> 100000L)
+      val got = PipelineOps.splitAssign(docs, splits).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val counts = got.groupBy(t => (t._2, t._3)).view
+        .mapValues(_.length).toMap
+      // en: 103 → floor(82.4)=82 train, floor(92.7)−82=10 val, 11 test
+      counts(("en", "train")) shouldBe 82
+      counts(("en", "val")) shouldBe 10
+      counts(("en", "test")) shouldBe 11
+      // de: 10 → 8 / 1 / 1
+      counts(("de", "train")) shouldBe 8
+      counts(("de", "val")) shouldBe 1
+      counts(("de", "test")) shouldBe 1
+      val again = PipelineOps.splitAssign(docs.repartition(9), splits)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      again.sorted.toSeq shouldBe got.sorted.toSeq
+      an[IllegalArgumentException] should be thrownBy
+        PipelineOps.splitAssign(docs, Seq("a" -> 500000L))
+    }
   }
 }
