@@ -1745,6 +1745,40 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))),
 
+    // WEB-CORPUS PREP e2e — the flagship composition of this round's
+    // web family in ONE Catalyst plan: HTML → text extraction (q132
+    // chain) → URL canonicalization + host (q141/q122) → dominant-
+    // script gate (q134) → integer token-count gate → exact dedup
+    // (min doc_id per extracted-text hash). Every stage is a column
+    // expression or hash agg; the only shuffles are the dedup groupBy
+    // and its semi-join back.
+    "q144_web_prep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val url = concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.COM:80/Doc/"), col("doc_id").cast("string"),
+        lit("?utm_source=x&ref="), col("lang"), lit("&gclid=abc#sec"),
+        col("doc_id").cast("string"))
+      val html = concat(lit(HtmlShellPre), col("doc_id").cast("string"),
+        lit(HtmlShellMid), col("text"), lit(HtmlShellPost))
+      val staged = docs
+        .withColumn("host",
+          graft.text.Urls.host(graft.text.Urls.canonicalizeUrl(url)))
+        .withColumn("clean", graft.text.Html.extractText(html))
+        .withColumn("n_tokens",
+          graft.text.TextOps.tokenCount(col("clean")).cast("long"))
+        .withColumn("dominant",
+          graft.text.Scripts.dominantScript(col("clean")))
+        .filter(col("dominant") === "latin" && col("n_tokens") >= 8 &&
+          col("host").isNotNull)
+      val winners = staged
+        .select(col("doc_id"), md5(col("clean").cast("binary")).as("__h"))
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      staged.join(winners.select(col("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select(col("doc_id"), col("host"), col("n_tokens"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -1927,9 +1961,12 @@ object SparkEntry {
   // Spark operators (graft.text.TextOps / graft.dedup.Dedup) so the two
   // sides cannot drift. ----
 
-  /** DuckDB: normalized token list. */
-  private val toksSql =
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  /** DuckDB: normalized token list of an arbitrary string expression
+    * (mirrors TextOps.tokens). */
+  private def toksOfSql(e: String): String =
+    s"list_filter(regexp_split_to_array(lower($e), '[^a-z0-9]+'), t -> t <> '')"
+
+  private val toksSql = toksOfSql("text")
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -2198,21 +2235,25 @@ object SparkEntry {
     // interpolated VERBATIM (single quotes doubled for SQL literals)
     // from graft.text.Html / the gate constants above.
     def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
-    val q132Sql: String = {
+    // The Html.extractText regexp chain over an arbitrary input
+    // expression — shared by q132 and the q144 composition.
+    def htmlCleanSql(in: String): String = {
       import graft.text.Html
-      var e = "html"
+      var e = in
       for (pat <- Seq(Html.ScriptRe, Html.StyleRe, Html.CommentRe,
           Html.TagRe))
         e = s"regexp_replace($e, ${sqlStr(pat)}, ' ', 'g')"
       for ((pat, rep) <- Html.Entities)
         e = s"regexp_replace($e, ${sqlStr(pat)}, ${sqlStr(rep)}, 'g')"
-      e = s"trim(regexp_replace($e, ${sqlStr(Html.WsRe)}, ' ', 'g'))"
-      s"""WITH h AS (SELECT doc_id,
-         |    ${sqlStr(HtmlShellPre)} || CAST(doc_id AS VARCHAR) ||
-         |      ${sqlStr(HtmlShellMid)} || text ||
-         |      ${sqlStr(HtmlShellPost)} AS html
+      s"trim(regexp_replace($e, ${sqlStr(Html.WsRe)}, ' ', 'g'))"
+    }
+    val htmlShellSql: String =
+      s"${sqlStr(HtmlShellPre)} || CAST(doc_id AS VARCHAR) || " +
+        s"${sqlStr(HtmlShellMid)} || text || ${sqlStr(HtmlShellPost)}"
+    val q132Sql: String = {
+      s"""WITH h AS (SELECT doc_id, $htmlShellSql AS html
          |  FROM documents),
-         |c AS (SELECT doc_id, $e AS clean FROM h)
+         |c AS (SELECT doc_id, ${htmlCleanSql("html")} AS clean FROM h)
          |SELECT doc_id, md5(clean) AS clean_md5,
          |  CAST(length(clean) AS BIGINT) AS n_chars FROM c""".stripMargin
     }
@@ -2338,6 +2379,83 @@ object SparkEntry {
          |  CROSS JOIN (SELECT unnest(range(0, 2)) AS wi)),
          |$steps
          |$outs""".stripMargin
+    }
+    // q144: the full web-prep chain — q141's canon CTEs, q122's host
+    // regex, the shared htmlCleanSql chain, q134's dominant-script
+    // unpivot (on clean), token count, exact dedup.
+    val q144Sql: String = {
+      val trk = graft.text.Urls.TrackingParamRe
+      val rs = graft.text.Scripts.ScriptRanges
+      val countCols = rs.map { case (name, re) =>
+        s"    CAST(len(regexp_extract_all(clean, ${sqlStr(re)})) " +
+          s"AS BIGINT) AS n_$name"
+      }.mkString(",\n")
+      val entries = rs.zipWithIndex.map { case ((name, _), i) =>
+        s"{'c': n_$name, 'o': $i, 'nm': '$name'}"
+      }.mkString(",\n      ")
+      s"""WITH u0 AS (SELECT doc_id,
+         |    'HTTP://WWW.' || source || '.Example.COM:80/Doc/' ||
+         |      CAST(doc_id AS VARCHAR) || '?utm_source=x&ref=' ||
+         |      lang || '&gclid=abc#sec' || CAST(doc_id AS VARCHAR)
+         |      AS url,
+         |    $htmlShellSql AS html
+         |  FROM documents),
+         |c0 AS (SELECT doc_id, html, trim(url) AS u FROM u0),
+         |p0 AS (SELECT *, regexp_extract(u,
+         |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS prefix
+         |  FROM c0),
+         |q0 AS (SELECT *, lower(prefix) AS lp,
+         |    substr(u, length(prefix) + 1, ${1 << 20}) AS rest
+         |  FROM p0),
+         |r0 AS (SELECT *,
+         |    regexp_extract(lp, '^([a-z0-9+.-]+)://', 1) AS scheme,
+         |    regexp_extract(lp, '^[a-z0-9+.-]+://(.*)$$', 1)
+         |      AS hostport,
+         |    regexp_replace(rest, '(?s)#.*', '') AS nofrag FROM q0),
+         |s0 AS (SELECT *,
+         |    CASE WHEN (scheme = 'http'
+         |          AND regexp_matches(hostport, ':80$$'))
+         |        OR (scheme = 'https'
+         |          AND regexp_matches(hostport, ':443$$'))
+         |      THEN regexp_replace(hostport, ':(80|443)$$', '')
+         |      ELSE hostport END AS authority,
+         |    regexp_extract(nofrag, '(?s)^([^?]*)', 1) AS path,
+         |    list_filter(string_split(regexp_extract(nofrag,
+         |        '(?s)^[^?]*\\?(.*)', 1), '&'),
+         |      x -> x <> '' AND NOT regexp_matches(x, '$trk'))
+         |      AS kept
+         |  FROM r0),
+         |cn AS (SELECT doc_id, html,
+         |    CASE WHEN prefix = '' THEN u
+         |      ELSE scheme || '://' || authority || path ||
+         |        (CASE WHEN len(kept) > 0
+         |          THEN '?' || array_to_string(kept, '&') ELSE '' END)
+         |    END AS canon
+         |  FROM s0),
+         |hh AS (SELECT doc_id, html,
+         |    regexp_replace(regexp_extract(lower(canon),
+         |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+         |      '^www\\.', '') AS host FROM cn),
+         |cl AS (SELECT doc_id, host,
+         |    ${htmlCleanSql("html")} AS clean FROM hh),
+         |tk AS (SELECT doc_id, host, clean,
+         |    CAST(len(${toksOfSql("clean")}) AS BIGINT) AS n_tokens,
+         |$countCols
+         |  FROM cl),
+         |dd AS (SELECT doc_id, unnest([
+         |      $entries]) AS e FROM tk),
+         |rk AS (SELECT doc_id, e.nm AS nm, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY e.c DESC, e.o ASC) AS rn
+         |  FROM dd),
+         |dom AS (SELECT doc_id, nm AS dominant FROM rk WHERE rn = 1),
+         |keep AS (SELECT t.doc_id, t.host, t.clean, t.n_tokens
+         |  FROM tk t JOIN dom USING (doc_id)
+         |  WHERE dominant = 'latin' AND t.n_tokens >= 8
+         |    AND t.host IS NOT NULL AND t.host <> ''),
+         |win AS (SELECT md5(clean) AS h, min(doc_id) AS doc_id
+         |  FROM keep GROUP BY 1)
+         |SELECT k.doc_id, k.host, k.n_tokens
+         |FROM keep k JOIN win w ON w.doc_id = k.doc_id""".stripMargin
     }
     // q136: the q21 shingle math keyed by SOURCE — distinct per-source
     // shingle sets, pairwise shared counts, per-source sizes.
@@ -2765,6 +2883,7 @@ object SparkEntry {
       "q132_html_extract" -> q132Sql,
       "q133_link_graph" -> q133Sql,
       "q134_script_detect" -> q134Sql,
+      "q144_web_prep" -> q144Sql,
       "q135_random_walks" -> q135Sql,
       "q136_source_overlap" -> q136Sql,
       "q137_node2vec_walks" -> q137Sql,
