@@ -1779,6 +1779,19 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("n_tokens"))
     }),
 
+    // DETERMINISTIC WEIGHTED CHOICE (pipeline/PipelineOps
+    // .weightedChoice): one doc per (lang, source), win probability ∝
+    // a coarse length weight — replicate-by-weight + min-md5-draw
+    // (the q137 node2vec draw as a standalone primitive: canonical-doc
+    // election, weighted exemplars). Exact integer proportionality,
+    // reproducible across runs.
+    "q145_weighted_choice" -> ((s, d) =>
+      graft.pipeline.PipelineOps.weightedChoice(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("source"),
+          (floor(col("n_chars") / 256) + 1).cast("long").as("w")),
+        Seq("lang", "source"), "w", "doc_id")),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -2912,6 +2925,23 @@ object SparkEntry {
           |  rank() OVER (ORDER BY cents) AS rnk,
           |  dense_rank() OVER (ORDER BY cents) AS drnk
           |FROM ev""".stripMargin,
+
+      // q145: the same replicate-by-weight min-draw, weights as
+      // integer floor division of n_chars.
+      "q145_weighted_choice" ->
+        """WITH w AS (SELECT doc_id, lang, source,
+          |    n_chars // 256 + 1 AS wt FROM documents),
+          |c AS (SELECT doc_id, lang, source,
+          |    unnest(range(1, wt + 1)) AS cp FROM w WHERE wt > 0),
+          |k AS (SELECT lang, source, doc_id,
+          |    md5(lang || '|' || source || '|' ||
+          |      CAST(doc_id AS VARCHAR) || '|' || CAST(cp AS VARCHAR))
+          |      AS draw FROM c),
+          |m AS (SELECT lang, source, min(draw) AS md FROM k
+          |  GROUP BY 1, 2)
+          |SELECT k.lang, k.source, k.doc_id
+          |FROM k JOIN m ON m.lang = k.lang AND m.source = k.source
+          |  AND k.draw = m.md""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

@@ -86,6 +86,37 @@ object PipelineOps {
       .drop("__rk", "__n")
   }
 
+  /** Deterministic WEIGHTED choice of one row per group — P(row) ∝ its
+    * integer weight, yet the outcome is a pure function of (group, id):
+    * each row becomes `weight` copies, every copy draws an independent
+    * md5 key, the group's minimum key wins (w iid draws minimize for a
+    * row w/Σw of the time — exact proportionality, no floating point,
+    * no rand()). The [[graft.operators.RandomWalks.node2vecWalks]]
+    * draw, exposed as a standalone primitive: canonical-doc election
+    * weighted by quality, weighted exemplar picks per cluster, A/B
+    * bucket draws.
+    *
+    * One explode + one map-side-partial min aggregation; total work is
+    * Σ weights, so keep weights SMALL integers (they are ratios — give
+    * callers' scores a coarse bucketing upstream). Rows with weight
+    * ≤ 0 never win; groups with no positive weight emit nothing. */
+  def weightedChoice(df: DataFrame, groupCols: Seq[String],
+      weightCol: String, idCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "weightedChoice needs group columns")
+    val copies = df.filter(col(weightCol) > 0)
+      .withColumn("__copy",
+        explode(sequence(lit(1L), col(weightCol).cast("long"))))
+    val keyed = copies.withColumn("__draw",
+      md5(concat_ws("|",
+        groupCols.map(c => col(c).cast("string")) ++
+          Seq(col(idCol).cast("string"),
+            col("__copy").cast("string")): _*).cast("binary")))
+    keyed
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(struct(col("__draw"), col(idCol).as("id"))).as("__m"))
+      .select(groupCols.map(col) :+ col("__m.id").as(idCol): _*)
+  }
+
   /** SALTED equi-join for skewed keys — the manual skew tool for when
     * AQE's runtime skew-join split cannot apply (e.g. the skewed side
     * feeds an aggregation in the same stage, or a deterministic plan is

@@ -324,4 +324,41 @@ object TextOps {
       sequence(lit(0), greatest(size(grams) - window, lit(0))),
       w => array_min(slice(grams, w + 1, lit(window)))))
   }
+
+  /** Compression-proxy quality signal: DEFLATE(level 9) byte size of
+    * the UTF-8 text, beside the raw size — highly compressible text
+    * (boilerplate, repeated spans, generated filler) scores low
+    * ratios, high-entropy gibberish scores ≈ 1; real prose sits in
+    * between. The per-doc (deflate_bytes, raw_bytes) integers are
+    * returned raw so the keep/drop threshold downstream is a
+    * cross-multiplied integer decision, not FP.
+    *
+    * Engine-side only (spec-checked, like TF-IDF): DEFLATE output is
+    * deterministic for a fixed level/strategy within a JDK but is NOT
+    * a cross-engine-stateable formula, so there is no SQL oracle form.
+    * Batched partition-local work, one Deflater per partition —
+    * embarrassingly parallel; null texts yield null sizes. */
+  def deflateSizes(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).map { r =>
+      if (r.isNullAt(1)) (r.getLong(0), null.asInstanceOf[java.lang.Long],
+        null.asInstanceOf[java.lang.Long])
+      else {
+        val raw = r.getString(1)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_COMPRESSION)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        (r.getLong(0), java.lang.Long.valueOf(n),
+          java.lang.Long.valueOf(raw.length.toLong))
+      }
+    }.toDF(idCol, "deflate_bytes", "raw_bytes")
+  }
 }

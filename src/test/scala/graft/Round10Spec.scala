@@ -543,4 +543,62 @@ class Round10Spec extends SparkSpec {
         PipelineOps.splitAssign(docs, Seq("a" -> 500000L))
     }
   }
+
+  describe("PipelineOps.weightedChoice (q145 exact-proportional draw)") {
+    it("wins proportionally to integer weights across many groups, " +
+        "deterministically; nonpositive weights never win") {
+      import spark.implicits._
+      import graft.pipeline.PipelineOps
+      // 200 groups, each: heavy id=1 (w=9), light id=2 (w=1),
+      // poisoned id=3 (w=0) — heavy should take ~90 %
+      val df = (1 to 200).flatMap(g => Seq(
+        (s"g$g", 1L, 9L), (s"g$g", 2L, 1L), (s"g$g", 3L, 0L)))
+        .toDF("grp", "id", "w")
+      val picks = PipelineOps.weightedChoice(df, Seq("grp"), "w", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      picks.length shouldBe 200
+      picks.map(_._2) should not contain 3L
+      val heavy = picks.count(_._2 == 1L)
+      heavy should be >= 160 // ~binomial(200, 0.9), deterministic
+      heavy should be < 200 // ...but the light row does win sometimes
+      val again = PipelineOps
+        .weightedChoice(df.repartition(11), Seq("grp"), "w", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      again.sorted.toSeq shouldBe picks.sorted.toSeq
+      // a group with only nonpositive weights emits nothing
+      PipelineOps.weightedChoice(
+        Seq(("g", 1L, 0L)).toDF("grp", "id", "w"),
+        Seq("grp"), "w", "id").count() shouldBe 0L
+    }
+  }
+
+  describe("TextOps.deflateSizes (compression-proxy quality signal)") {
+    it("repeated boilerplate compresses far below prose; sizes are " +
+        "deterministic and null-safe") {
+      import spark.implicits._
+      import graft.text.TextOps
+      val docs = Seq(
+        (1L, "spam spam spam " * 200),
+        (2L, "A quiet fox studied seventeen unusual manuscripts while " +
+          "rain gathered over the valley, noting each binding flaw."),
+        (3L, null: String))
+        .toDF("doc_id", "text")
+      val got = TextOps.deflateSizes(docs).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+      val (d1, r1) = (got(0)._2, got(0)._3)
+      val (d2, r2) = (got(1)._2, got(1)._3)
+      r1 shouldBe 3000L
+      // boilerplate: deflate under 3% of raw; prose: above 50%
+      d1 * 100 should be < r1 * 3
+      d2 * 100 should be > r2 * 50L
+      got(2) shouldBe ((3L, -1L, -1L))
+      TextOps.deflateSizes(docs.repartition(5)).collect()
+        .map(_.toSeq).sortBy(_.toString) shouldBe
+        got.map(t => Seq(t._1,
+          if (t._2 < 0) null else t._2,
+          if (t._3 < 0) null else t._3)).sortBy(_.toString)
+    }
+  }
 }
