@@ -1792,6 +1792,60 @@ object SparkEntry {
           (floor(col("n_chars") / 256) + 1).cast("long").as("w")),
         Seq("lang", "source"), "w", "doc_id")),
 
+    // Temperature (α = 0.5) mixture targets: sqrt-rebalanced per-lang
+    // token shares as integer-exact ppm summing to exactly 1e6
+    // (largest-remainder apportionment) — the multilingual rebalance
+    // that feeds Mixture.planWithTargets. α ≠ 0.5 (pow, last-ulp libm
+    // risk) is spec-checked instead.
+    "q146_temperature_mix" -> ((s, d) =>
+      graft.pipeline.Mixture.temperatureTargets(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("text")))),
+
+    // Anchor-text aggregation over the synthetic link shell: per target
+    // host, total anchors and the dominant anchor text (count desc,
+    // text asc) — the "anchor text describes the target" retrieval /
+    // page-quality signal. Anchor texts embed a double space and a
+    // newline so the whitespace-collapse stage actually fires;
+    // relative hrefs drop at the host filter.
+    "q147_anchor_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val html = concat(
+        lit("<p><a href=\"https://www."), col("source"), lit("-"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"),
+        lit("\">read  item "), (col("doc_id") % 3).cast("string"),
+        lit("</a> and <A HREF='http://"), col("lang"),
+        lit(".wiki.example.org/w/"), col("doc_id").cast("string"),
+        lit("'>wiki\nref</A> <a href=\"/rel\">skip me</a></p>"))
+      val ex = docs.select(col("doc_id"),
+          explode(graft.text.Html.anchors(html)).as("a"))
+        .select(col("doc_id"),
+          graft.text.Urls.host(col("a.url")).as("host"),
+          col("a.text").as("atext"))
+        .filter(col("host").isNotNull && col("host") =!= "")
+      import org.apache.spark.sql.expressions.Window
+      val cnt = ex.groupBy(col("host"), col("atext"))
+        .agg(count(lit(1)).as("n"))
+      cnt.withColumn("n_anchors",
+          sum(col("n")).over(Window.partitionBy(col("host"))))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("host"))
+          .orderBy(desc("n"), asc("atext"))))
+        .filter(col("rn") === 1)
+        .select(col("host"), col("n_anchors"),
+          col("atext").as("top_text"), col("n").as("top_n"))
+    }),
+
+    // BM25 components (Robertson defaults k1 = 1.2, b = 0.75) for a
+    // fixed probe-term set, integer-exact with the idf RATIO left of
+    // the log (the q92 PMI discipline — ln differs in the last ulp
+    // across libms); the full ln() scores/topK are spec-checked.
+    "q148_bm25" -> ((s, d) =>
+      graft.text.Bm25.components(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Bm25Terms)),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -1926,6 +1980,10 @@ object SparkEntry {
     * its oracle (the bucket formula must agree on both sides). 4096 at
     * gate scale; production would use 2²⁰ per the DSIR paper. */
   private val DsirBuckets = 4096
+
+  /** q148's probe-term set — fixed keywords present in the synthetic
+    * vocabulary at every SF, interpolated into the oracle verbatim. */
+  private val Bm25Terms = Seq("spark", "vector", "customer")
 
   /** q132's HTML shell around each doc's text — exercises every stage
     * of Html.extractText (script with a literal `<`, style, comment,
@@ -2269,6 +2327,42 @@ object SparkEntry {
          |c AS (SELECT doc_id, ${htmlCleanSql("html")} AS clean FROM h)
          |SELECT doc_id, md5(clean) AS clean_md5,
          |  CAST(length(clean) AS BIGINT) AS n_chars FROM c""".stripMargin
+    }
+    // q147: the anchor shell + Html.AnchorTagRe/HrefRe/AnchorTextRe/
+    // WsRe interpolated verbatim; host derivation as in q133; dominant
+    // text via (count DESC, text ASC) row_number.
+    val q147Sql: String = {
+      import graft.text.Html
+      s"""WITH h AS (SELECT doc_id,
+         |    '<p><a href="https://www.' || source || '-' ||
+         |      CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' ||
+         |      CAST(doc_id AS VARCHAR) || '">read  item ' ||
+         |      CAST(doc_id % 3 AS VARCHAR) ||
+         |      '</a> and <A HREF=''http://' || lang ||
+         |      '.wiki.example.org/w/' || CAST(doc_id AS VARCHAR) ||
+         |      '''>wiki' || chr(10) ||
+         |      'ref</A> <a href="/rel">skip me</a></p>' AS html
+         |  FROM documents),
+         |tg AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(html, ${sqlStr(Html.AnchorTagRe)}))
+         |      AS tag FROM h),
+         |a AS (SELECT doc_id,
+         |    regexp_extract(tag, ${sqlStr(Html.HrefRe)}, 1) AS url,
+         |    trim(regexp_replace(
+         |      regexp_extract(tag, ${sqlStr(Html.AnchorTextRe)}, 1),
+         |      ${sqlStr(Html.WsRe)}, ' ', 'g')) AS atext FROM tg),
+         |ho AS (SELECT doc_id, atext,
+         |    regexp_replace(regexp_extract(lower(url),
+         |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+         |      '^www\\.', '') AS host FROM a),
+         |c AS (SELECT host, atext, count(*) AS n FROM ho
+         |  WHERE host IS NOT NULL AND host <> '' GROUP BY 1, 2),
+         |r AS (SELECT host, atext, n,
+         |    CAST(sum(n) OVER (PARTITION BY host) AS BIGINT) AS n_anchors,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY n DESC, atext ASC) AS rn FROM c)
+         |SELECT host, n_anchors, atext AS top_text, n AS top_n
+         |FROM r WHERE rn = 1""".stripMargin
     }
     val q133Sql: String = {
       import graft.text.Html
@@ -2942,6 +3036,57 @@ object SparkEntry {
           |SELECT k.lang, k.source, k.doc_id
           |FROM k JOIN m ON m.lang = k.lang AND m.source = k.source
           |  AND k.draw = m.md""".stripMargin,
+
+      // q146: sqrt micro-unit weights (IEEE-exact), integer
+      // largest-remainder apportionment to exactly 1e6 ppm — HUGEINT
+      // clears the 1e6·weight products.
+      "q146_temperature_mix" ->
+        s"""WITH a AS (SELECT lang AS stratum,
+          |    CAST(sum(len($toksSql)) AS BIGINT) AS n_toks
+          |  FROM documents GROUP BY 1 HAVING sum(len($toksSql)) > 0),
+          |w AS (SELECT stratum, n_toks,
+          |    CAST(round(sqrt(CAST(n_toks AS DOUBLE)) * 1000000)
+          |      AS BIGINT) AS weight_micro FROM a),
+          |t AS (SELECT *, sum(weight_micro) OVER () AS wt FROM w),
+          |b AS (SELECT stratum, n_toks, weight_micro,
+          |    (CAST(weight_micro AS HUGEINT) * 1000000) // wt AS base,
+          |    (CAST(weight_micro AS HUGEINT) * 1000000) % wt AS rem
+          |  FROM t),
+          |r AS (SELECT *, row_number() OVER
+          |      (ORDER BY rem DESC, stratum ASC) AS rn,
+          |    1000000 - sum(base) OVER () AS deficit FROM b)
+          |SELECT stratum, n_toks, weight_micro,
+          |  CAST(base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END
+          |    AS BIGINT) AS target_ppm
+          |FROM r""".stripMargin,
+
+      "q147_anchor_text" -> q147Sql,
+
+      // q148: BM25 pieces with k1 = 1.2, b = 0.75 cleared to integer
+      // ratios (×10·T), HUGEINT products; ln stays consumer-side.
+      "q148_bm25" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term
+          |  FROM documents),
+          |ft AS (SELECT doc_id, term, count(*) AS tf FROM toks
+          |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+          |  GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+          |  FROM documents),
+          |s AS (SELECT count(*) AS n_docs,
+          |    COALESCE(CAST(sum(len($toksSql)) AS BIGINT), 0) AS t_toks
+          |  FROM documents),
+          |df AS (SELECT term, count(*) AS df FROM ft GROUP BY 1)
+          |SELECT ft.doc_id, ft.term, ft.tf, df.df, dl.dl,
+          |  CAST((CAST(22000000 AS HUGEINT) * ft.tf * s.t_toks) //
+          |    (CAST(10 AS HUGEINT) * ft.tf * s.t_toks +
+          |     CAST(3 AS HUGEINT) * s.t_toks +
+          |     CAST(9 AS HUGEINT) * dl.dl * s.n_docs) AS BIGINT)
+          |    AS stf_ppm,
+          |  CAST((CAST(1000000 AS HUGEINT) *
+          |      (2 * s.n_docs - 2 * df.df + 1)) //
+          |    (2 * df.df + 1) AS BIGINT) AS idf_ratio_ppm
+          |FROM ft JOIN dl USING (doc_id) JOIN df USING (term)
+          |CROSS JOIN s""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

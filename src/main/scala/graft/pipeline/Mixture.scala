@@ -44,12 +44,25 @@ object Mixture {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    planWithTargets(docs, targetsPpm.toSeq.toDF("stratum", "target_ppm"),
+      budgetTokens, strataCol, textCol)
+  }
+
+  /** [[plan]] with the targets supplied as a DataFrame (stratum,
+    * target_ppm) instead of a driver-side map — the composition point
+    * for DERIVED targets such as [[temperatureTargets]], where the
+    * shares come from an aggregation over the corpus itself and never
+    * need to land on the driver. The targets frame is strata-sized and
+    * broadcasts. */
+  def planWithTargets(docs: DataFrame, targetsDf: DataFrame,
+      budgetTokens: Option[Long] = None, strataCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
     val actual = docs
       .groupBy(col(strataCol).as("stratum"))
       .agg(sum(graft.text.TextOps.tokenCount(col(textCol)).cast("long"))
         .as("n_toks"))
     val targets = broadcast(
-      targetsPpm.toSeq.toDF("stratum", "target_ppm"))
+      targetsDf.select(col("stratum"), col("target_ppm").cast("long")))
     // full outer: corpus-only strata get target 0; target-only strata
     // surface as (n_toks 0) rows rather than disappearing
     val merged = actual.join(targets, Seq("stratum"), "full_outer")
@@ -155,5 +168,58 @@ object Mixture {
       .filter(col("n_copies") > 0)
       .select(docs.columns.map(col).toIndexedSeq :+
         explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"): _*)
+  }
+
+  /** Temperature-based (α-sampling) mixture targets (the multilingual
+    * pre-training rebalance of Conneau & Lample 2019 / mT5): target
+    * share pᵢ ∝ nᵢ^α flattens the stratum size distribution — α = 1
+    * keeps natural proportions, α → 0 approaches uniform, α = 0.5 (the
+    * common default) is the square-root rebalance. Emitted as
+    * integer-exact ppm summing to exactly 10⁶ by largest-remainder
+    * apportionment over micro-unit weights wᵢ = round(10⁶·nᵢ^α):
+    * baseᵢ = ⌊10⁶·wᵢ / Σw⌋ and the Σbase deficit goes to the largest
+    * division remainders (ties → stratum ascending), so the result is
+    * identical on any engine — no floating accumulation order anywhere
+    * past the single per-stratum root. α = 0.5 is stated with sqrt,
+    * which IEEE 754 rounds correctly in every libm, so the oracle
+    * agrees bit-for-bit; other α go through pow (last-ulp libm
+    * differences could in principle move a micro-unit) and are
+    * spec-checked rather than oracle-hashed.
+    *
+    * Returns (stratum, n_toks, weight_micro, target_ppm) for strata
+    * with n_toks > 0; feeds [[planWithTargets]]. Scale shape: one
+    * map-side-combining aggregation over the corpus; the apportionment
+    * (including its single-partition rank window) runs on the
+    * strata-sized table, which is bounded by definition. */
+  def temperatureTargets(docs: DataFrame, alpha: Double = 0.5,
+      strataCol: String = "lang", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.time.Buckets.intDiv
+    val actual = docs
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(sum(graft.text.TextOps.tokenCount(col(textCol)).cast("long"))
+        .as("n_toks"))
+      .filter(col("n_toks") > 0)
+    val root = if (alpha == 0.5) sqrt(col("n_toks").cast("double"))
+      else pow(col("n_toks").cast("double"), lit(alpha))
+    val weighted = actual.withColumn("weight_micro",
+      round(root * lit(1000000.0d)).cast("long"))
+    // Σw: 1×1 scalar-summary combine (the whole-corpus-scalar pattern)
+    val withTot = weighted.crossJoin(
+      weighted.agg(sum(col("weight_micro")).as("__w_tot")))
+    val num = col("weight_micro").cast("decimal(38,0)") * lit(1000000L)
+    val tot = col("__w_tot").cast("decimal(38,0)")
+    val base = intDiv(num, tot)
+    val rem = num - base.cast("decimal(38,0)") * tot
+    val t = withTot.select(col("stratum"), col("n_toks"),
+      col("weight_micro"), base.as("__base"), rem.as("__rem"))
+    val deficit = t.agg((lit(1000000L) - sum(col("__base")))
+      .as("__deficit"))
+    t.withColumn("__rn", row_number().over(
+        Window.orderBy(desc("__rem"), asc("stratum"))))
+      .crossJoin(deficit)
+      .select(col("stratum"), col("n_toks"), col("weight_micro"),
+        (col("__base") + when(col("__rn") <= col("__deficit"), 1L)
+          .otherwise(0L)).as("target_ppm"))
   }
 }

@@ -72,6 +72,30 @@ object Html {
   def links(html: Column): Column =
     regexp_extract_all(html, lit(HrefRe), lit(1))
 
+  /** One whole `<a …>text</a>` element. Inner text is the no-nested-tag
+    * case (`[^<]*`) — the common crawl-anchor shape; an anchor wrapping
+    * further markup simply fails the guard instead of matching greedily
+    * across elements. Java∩RE2 subset like every pattern here. */
+  val AnchorTagRe = "(?is)<a[ \\t\\r\\n][^>]*>[^<]*</a[ \\t\\r\\n]*>"
+
+  /** Inner text (group 1) of one [[AnchorTagRe]] match. */
+  val AnchorTextRe = "(?is)>([^<]*)<"
+
+  /** All (url, text) anchor pairs in document order — the link-graph
+    * edge payload anchor-text aggregation runs on (the classic
+    * "anchor text describes the TARGET page" signal used for retrieval
+    * and page-quality corpora). url is the raw href ('' when the
+    * anchor has none — resolve/filter downstream via [[Urls.host]]);
+    * text is whitespace-collapsed and trimmed, entities left intact.
+    * Pure nested regexp column expressions: extract whole anchor
+    * elements, then per element the href and the inner text. */
+  def anchors(html: Column): Column =
+    transform(regexp_extract_all(html, lit(AnchorTagRe), lit(0)), t =>
+      struct(
+        regexp_extract(t, HrefRe, 1).as("url"),
+        trim(regexp_replace(regexp_extract(t, AnchorTextRe, 1), WsRe, " "))
+          .as("text")))
+
   /** The page's robots meta tag (`name="robots"`, any attribute order,
     * any case), or '' when absent. */
   val MetaRobotsRe =
