@@ -1846,6 +1846,41 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         Bm25Terms)),
 
+    // Content-defined chunking (FastCDC-style over tokens): boundaries
+    // where the rolling 3-gram md5 bucket % 8 == 0 — revision-stable
+    // chunk hashes for sub-document dedup (the insertion-stability
+    // property fixed-size q112 windows lack; spec-proven).
+    "q149_cdc_chunk" -> ((s, d) =>
+      graft.text.Chunker.chunkCdc(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        k = 3, divisor = 8)),
+
+    // Leakage-safe splits: the split is decided per exact-dup cluster
+    // (md5 content groups on the doubled corpus) and every member
+    // inherits the min-id rep's hash draw — a twin can never straddle
+    // train/eval. The engine runs general star components over the
+    // pair evidence; on hash-complete pairs those equal the oracle's
+    // per-hash min groups.
+    "q150_leakage_split" -> ((s, d) => {
+      val docs = doubledDocs(s, d)
+      val h = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+      val pairs = h.as("a").join(h.as("b"),
+          col("a.__h") === col("b.__h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      graft.pipeline.PipelineOps.leakageSafeSplit(docs, pairs,
+          Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+        .select(col("doc_id"), col("rep"), col("split"))
+    }),
+
+    // Mutual-kNN topic clusters over the embeddings: reciprocal
+    // IVF-top-3 edges (every vector a query) → star components →
+    // (id, topic, topic_size) — unsupervised topic discovery for
+    // embedding-space curation.
+    "q151_knn_topics" -> ((s, d) =>
+      graft.similarity.Similarity.mutualKnnTopics(
+        Tables.embeddings(s, d))),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3087,6 +3122,104 @@ object SparkEntry {
           |    (2 * df.df + 1) AS BIGINT) AS idf_ratio_ppm
           |FROM ft JOIN dl USING (doc_id) JOIN df USING (term)
           |CROSS JOIN s""".stripMargin,
+
+      // q149: the same rolling 3-gram md5 bucket cut (md5-hex → BIGINT
+      // as everywhere), boundary lists concatenated with the 0/n
+      // sentinels, chunks sliced inclusive.
+      "q149_cdc_chunk" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents
+          |  WHERE len($toksSql) > 0),
+          |b0 AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+          |  FROM base),
+          |b AS (SELECT doc_id, t, n,
+          |    CASE WHEN n > 3 THEN list_filter(range(1, n - 3 + 1),
+          |        i -> ('0x' || substr(md5(
+          |          array_to_string(t[i+1:i+3], ' ')), 1, 8))::BIGINT
+          |          % 8 = 0)
+          |      ELSE []::BIGINT[] END AS bs FROM b0),
+          |st AS (SELECT doc_id, t,
+          |    list_concat([CAST(0 AS BIGINT)], bs) AS ss,
+          |    list_concat(bs, [n]) AS es FROM b),
+          |c AS (SELECT doc_id, t, ss, es,
+          |    unnest(range(0, len(ss))) AS j FROM st)
+          |SELECT doc_id, j AS chunk_idx, ss[j+1] AS start_tok,
+          |  es[j+1] - ss[j+1] AS n_toks,
+          |  md5(array_to_string(t[ss[j+1]+1 : es[j+1]], ' '))
+          |    AS chunk_md5
+          |FROM c""".stripMargin,
+
+      // q150: exact-dup clusters as md5(text) groups (≡ the engine's
+      // star components on hash-complete pairs), split by the rep's
+      // hash draw against 800k/900k ppm thresholds.
+      "q150_leakage_split" ->
+        s"""WITH docs AS ($doubledSql),
+          |g AS (SELECT doc_id, md5(text) AS h FROM docs),
+          |r AS (SELECT doc_id,
+          |    min(doc_id) OVER (PARTITION BY h) AS rep FROM g),
+          |d AS (SELECT doc_id, rep,
+          |    ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+          |      % 1000000 AS draw FROM r)
+          |SELECT doc_id, rep,
+          |  CASE WHEN draw < 800000 THEN 'train'
+          |       WHEN draw < 900000 THEN 'val' ELSE 'test' END AS split
+          |FROM d""".stripMargin,
+
+      // q151: q35's IVF top-k structure with EVERY vector a query,
+      // reciprocal-edge filter, components via the q142 reach CTE.
+      "q151_knn_topics" ->
+        s"""WITH RECURSIVE base AS (SELECT vec_id AS id, embedding
+          |  FROM embeddings),
+          |unit AS (SELECT id, list_transform(range(1, 65), i ->
+          |    embedding[i]::DOUBLE / sqrt(list_reduce(
+          |      list_transform(range(1, 65),
+          |        j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE),
+          |      (x, y) -> x + y))) AS u
+          |  FROM base),
+          |cent AS (SELECT id AS cid, u AS cu FROM unit
+          |  WHERE id % 50 = 0),
+          |scored AS (SELECT v.id, c.cid,
+          |    list_reduce(list_transform(range(1, 65),
+          |      i -> v.u[i] * c.cu[i]), (x, y) -> x + y) AS ccos
+          |  FROM unit v CROSS JOIN cent c),
+          |assigned AS (SELECT id, cid AS centroid FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS rn
+          |    FROM scored)
+          |  WHERE rn = 1),
+          |probes AS (SELECT id AS qid, cid AS centroid FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS cr
+          |    FROM scored)
+          |  WHERE cr <= 2),
+          |prs AS (SELECT p.qid, a.id AS nid,
+          |    round(list_reduce(list_transform(range(1, 65),
+          |      i -> q.u[i] * n.u[i]), (x, y) -> x + y), 6) AS cos
+          |  FROM probes p
+          |  JOIN assigned a ON a.centroid = p.centroid
+          |    AND a.id <> p.qid
+          |  JOIN unit q ON q.id = p.qid
+          |  JOIN unit n ON n.id = a.id),
+          |knn AS (SELECT qid, nid FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+          |    FROM prs)
+          |  WHERE rn <= 3),
+          |m AS (SELECT a.qid AS id1, a.nid AS id2 FROM knn a
+          |  JOIN knn b ON b.qid = a.nid AND b.nid = a.qid
+          |  WHERE a.qid < a.nid),
+          |ids AS (SELECT id1 AS id FROM m
+          |  UNION SELECT id2 AS id FROM m),
+          |edges AS (SELECT id1 AS s, id2 AS t FROM m
+          |  UNION ALL SELECT id2 AS s, id1 AS t FROM m),
+          |reach AS (
+          |  SELECT id, id AS anc FROM ids
+          |  UNION
+          |  SELECT r.id, e.t AS anc FROM reach r JOIN edges e
+          |    ON e.s = r.anc),
+          |cl AS (SELECT id, min(anc) AS topic FROM reach GROUP BY 1)
+          |SELECT id, topic, CAST(count(*) OVER (PARTITION BY topic)
+          |  AS BIGINT) AS topic_size
+          |FROM cl""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

@@ -86,6 +86,43 @@ object PipelineOps {
       .drop("__rk", "__n")
   }
 
+  /** Leakage-safe split assignment: the split is decided PER NEAR-DUP
+    * CLUSTER, not per document — every member of a connected component
+    * of `pairs` (id1, id2 — exact or near-dup evidence from any of the
+    * dedup operators) inherits the split of the component's canonical
+    * min-id representative, so a near-duplicate of a training document
+    * can never leak into the eval split (the dedup-aware split hygiene
+    * argued by Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"). Unpaired docs are their own singleton
+    * cluster. The decision is an independent per-cluster [[hashDraw]]
+    * against cumulative ppm thresholds — shares hold in expectation
+    * (the floor-exact guarantee of [[splitAssign]] cannot compose with
+    * the cluster constraint, because a whole cluster must move
+    * atomically). Components via the O(log n) star rounds; the label
+    * join is the only added shuffle. Returns df + (rep, split). */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Long)], idCol: String = "doc_id",
+      outCol: String = "split",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000000L,
+      s"split shares must total 1000000 ppm, got $splits")
+    require(splits.forall(_._2 > 0), s"shares must be positive: $splits")
+    val labels = graft.dedup.Dedup.clusterLabelsStar(pairs, checkpointDir)
+      .select(col("id").as("__lid"), col("cluster").as("__cluster"))
+    val withRep = df.join(labels,
+        col(idCol).cast("long") === col("__lid"), "left")
+      .withColumn("rep",
+        coalesce(col("__cluster"), col(idCol).cast("long")))
+      .drop("__lid", "__cluster")
+    val cums = splits.scanLeft(0L)(_ + _._2).tail
+    val draw = hashDraw(col("rep"))
+    val assign = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+      when(draw < cum, lit(name)).otherwise(rest)
+    }
+    withRep.withColumn(outCol, assign)
+  }
+
   /** Deterministic WEIGHTED choice of one row per group — P(row) ∝ its
     * integer weight, yet the outcome is a pure function of (group, id):
     * each row becomes `weight` copies, every copy draws an independent

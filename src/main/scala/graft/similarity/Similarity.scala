@@ -543,6 +543,38 @@ object Similarity {
         col(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 
+  /** Mutual-kNN topic clusters: the kNN graph ([[ivfTopK]], every
+    * vector a query) restricted to RECIPROCAL edges — a↔b kept only
+    * when a lists b AND b lists a, the standard noise-robust
+    * sparsification (hub vectors collect thousands of one-way in-edges
+    * but few mutual ones) — then connected components via the O(log n)
+    * star rounds. The unsupervised topic-discovery stage of
+    * embedding-space curation: inspect/cap/rebalance the corpus by
+    * discovered topic rather than by metadata. Returns (id, topic =
+    * component min id, topic_size) for every vector on a mutual edge;
+    * isolated vectors (no reciprocal neighbor) emit nothing.
+    *
+    * Scale shape: inherits ivfTopK's probe-pruned search (no all-pairs
+    * stage anywhere); the mutuality check is one self-equi-join of the
+    * (qid, nid) list on the REVERSED key; the per-topic size window
+    * partitions by topic. */
+  def mutualKnnTopics(embeddings: DataFrame, k: Int = 3, nprobe: Int = 2,
+      centroidStride: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val knn = ivfTopK(embeddings, k, nprobe, centroidStride, idCol, vecCol)
+      .select(col("qid"), col("nid"))
+    val mutual = knn.as("a").join(knn.as("b"),
+        col("a.qid") === col("b.nid") && col("a.nid") === col("b.qid") &&
+        col("a.qid") < col("a.nid"))
+      .select(col("a.qid").as("id1"), col("a.nid").as("id2"))
+    graft.dedup.Dedup.clusterLabelsStar(mutual, checkpointDir)
+      .select(col("id"), col("cluster").as("topic"))
+      .withColumn("topic_size",
+        count(lit(1)).over(Window.partitionBy(col("topic"))))
+  }
+
   /** Recall of an approximate top-k result against the exact one — the
     * standard ANN quality dial a pipeline monitors when trading nprobe/
     * bands against cost. Input frames carry (qid, nid[, ...]); output

@@ -133,4 +133,118 @@ class Round10bSpec extends SparkSpec {
       s(3L) should be > 0.0
     }
   }
+
+  describe("Chunker.chunkCdc") {
+    // deterministic varied tokens — enough hash diversity that the
+    // divisor-8 cut actually fires several times in 60 tokens
+    def words(n: Int, salt: String = "") =
+      (0 until n).map(i => s"w$salt${i * 7 % 97}").mkString(" ")
+
+    it("chunks tile the document exactly; boundaries are the md5 cut") {
+      import spark.implicits._
+      val docs = Seq((1L, words(60)), (2L, "one two")).toDF("doc_id", "text")
+      val out = graft.text.Chunker.chunkCdc(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+      d1.length should be > 1 // the cut fired at least once
+      // chunks tile [0, 60): consecutive, non-overlapping, complete
+      d1.head._3 shouldBe 0L
+      d1.sliding(2).foreach { case Array(a, b) =>
+        b._3 shouldBe (a._3 + a._4)
+      }
+      d1.map(_._4).sum shouldBe 60L
+      // a doc shorter than the window is one whole chunk
+      val d2 = out.filter(_._1 == 2L)
+      d2 shouldBe Array((2L, 0L, 0L, 2L))
+    }
+
+    it("chunk hashes are revision-stable: a head insertion re-aligns " +
+        "every chunk past the edit (fixed-size chunking re-aligns none)") {
+      import spark.implicits._
+      val base = words(60)
+      val edited = "inserted tokens here " + base
+      val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+      def hashes(id: Long, df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("doc_id") === id).select(col("chunk_md5"))
+          .collect().map(_.getString(0)).toSet
+      val cdc = graft.text.Chunker.chunkCdc(docs)
+      val c1 = hashes(1L, cdc); val c2 = hashes(2L, cdc)
+      // all but the first (edited) chunk of the original survive
+      (c1 intersect c2).size should be >= c1.size - 1
+      // fixed-size chunking loses every chunk to the 3-token shift
+      val fixed = graft.text.Chunker.chunk(docs, chunkSize = 16,
+        overlap = 0).withColumn("chunk_md5", md5(col("chunk_text")))
+      val f1 = hashes(1L, fixed); val f2 = hashes(2L, fixed)
+      (f1 intersect f2) shouldBe empty
+    }
+  }
+
+  describe("PipelineOps.leakageSafeSplit") {
+    it("a transitive near-dup chain lands atomically in one split; " +
+        "unpaired docs split independently by their own draw") {
+      import spark.implicits._
+      val docs = (1L to 200L).map(i => (i, s"doc $i"))
+        .toDF("doc_id", "text")
+      // chain 1-2-3 (no direct 1-3 edge) + pair 10-11
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+        .toDF("id1", "id2")
+      val out = graft.pipeline.PipelineOps.leakageSafeSplit(docs, pairs,
+          Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+        .select(col("doc_id"), col("rep"), col("split"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      out.size shouldBe 200
+      // the chain shares rep 1 and a single split
+      Seq(1L, 2L, 3L).map(out(_)._1).toSet shouldBe Set(1L)
+      Seq(1L, 2L, 3L).map(out(_)._2).toSet.size shouldBe 1
+      out(11L)._1 shouldBe 10L
+      out(11L)._2 shouldBe out(10L)._2
+      // singletons are their own rep
+      out(50L)._1 shouldBe 50L
+      // expected shares roughly hold over 200 mostly-singleton docs
+      val train = out.values.count(_._2 == "train")
+      train.toDouble / 200 shouldBe 0.8 +- 0.12
+      // determinism: a re-run assigns identically
+      val again = graft.pipeline.PipelineOps.leakageSafeSplit(docs, pairs,
+          Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+        .select(col("doc_id"), col("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.map { case (k, v) => k -> v._2 } shouldBe again
+    }
+  }
+
+  describe("Similarity.mutualKnnTopics") {
+    val dir = "/root/testdata/sf0.001"
+    def haveData = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+
+    it("topics are reciprocal-edge components: every member's topic is " +
+        "the component min; sizes agree; one-way edges excluded") {
+      assume(haveData)
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val knn = graft.similarity.Similarity.ivfTopK(emb, k = 3, nprobe = 2)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mutual = knn.filter { case (a, b) => a < b && knn((b, a)) }
+      val topics = graft.similarity.Similarity.mutualKnnTopics(emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      mutual should not be empty
+      // membership = exactly the vertices of the mutual graph
+      topics.map(_._1).toSet shouldBe
+        mutual.flatMap(p => Seq(p._1, p._2))
+      // local union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      mutual.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      topics.foreach { case (id, topic, _) => topic shouldBe find(id) }
+      val sizes = topics.groupBy(_._2).map { case (t, g) => t -> g.length }
+      topics.foreach { case (_, t, sz) => sz shouldBe sizes(t) }
+    }
+  }
 }
