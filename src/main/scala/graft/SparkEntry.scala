@@ -1881,6 +1881,25 @@ object SparkEntry {
       graft.similarity.Similarity.mutualKnnTopics(
         Tables.embeddings(s, d))),
 
+    // WARC container round-trip: documents serialized as WARC resource
+    // records (distributed text write), read back through the
+    // sentinel-delimited Hadoop split + Content-Length byte-exact
+    // parse. The oracle states the invariant the container must
+    // preserve: ids, UTF-8 byte lengths, payload hashes — proving the
+    // ingest boundary is lossless.
+    "q152_warc_roundtrip" -> ((s, d) => {
+      val dir = warcCache.getOrElseUpdate(d, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_warc")
+          .toString
+        graft.sources.Warc.write(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), tmp)
+        tmp
+      })
+      graft.sources.Warc.read(s, dir)
+        .select(col("record_id"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -1974,6 +1993,9 @@ object SparkEntry {
 
   /** On-disk LSH dedup index per sfDir, built once per process (q114). */
   private val lshIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val warcCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Deterministic doc_id-derived PII planted onto the text (the
@@ -3220,6 +3242,14 @@ object SparkEntry {
           |SELECT id, topic, CAST(count(*) OVER (PARTITION BY topic)
           |  AS BIGINT) AS topic_size
           |FROM cl""".stripMargin,
+
+      // q152: the container-lossless invariant stated directly from
+      // the source table (strlen = UTF-8 bytes in DuckDB).
+      "q152_warc_roundtrip" ->
+        """SELECT 'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
+          |  CAST(strlen(text) AS BIGINT) AS content_length,
+          |  md5(text) AS payload_md5
+          |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

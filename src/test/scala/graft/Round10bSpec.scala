@@ -247,4 +247,69 @@ class Round10bSpec extends SparkSpec {
       topics.foreach { case (_, t, sz) => sz shouldBe sizes(t) }
     }
   }
+
+  describe("Warc") {
+    import graft.sources.Warc
+
+    it("round-trips payloads byte-exactly: multibyte UTF-8 lengths, " +
+        "embedded blank lines, null texts dropped") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "plain ascii payload"),
+        (2L, "café naïve 世界"), // bytes > chars
+        (3L, "first para\n\nsecond para\r\nthird"),
+        (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString
+      Warc.write(docs, dir)
+      val back = Warc.read(spark, dir).collect()
+        .map(r => r.getAs[String]("record_id") ->
+          (r.getAs[Long]("content_length"), r.getAs[String]("payload"),
+            r.getAs[Boolean]("truncated"), r.getAs[String]("warc_type")))
+        .toMap
+      back.keySet shouldBe Set("urn:graft:1", "urn:graft:2", "urn:graft:3")
+      back("urn:graft:2")._1 shouldBe
+        "café naïve 世界"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+      back.values.foreach { case (_, _, truncated, wt) =>
+        truncated shouldBe false
+        wt shouldBe "resource"
+      }
+      back("urn:graft:2")._2 shouldBe "café naïve 世界"
+      back("urn:graft:3")._2 shouldBe "first para\n\nsecond para\r\nthird"
+    }
+
+    it("flags a record whose payload is shorter than its declared " +
+        "Content-Length instead of corrupting neighbors") {
+      val dir = java.nio.file.Files.createTempDirectory("warc_bad")
+      val bad = "WARC/1.0\r\nWARC-Type: resource\r\n" +
+        "WARC-Record-ID: urn:x:bad\r\nContent-Length: 9999\r\n\r\n" +
+        "short\r\n" +
+        "WARC/1.0\r\nWARC-Type: resource\r\n" +
+        "WARC-Record-ID: urn:x:ok\r\nContent-Length: 4\r\n\r\n" +
+        "good\r\n"
+      java.nio.file.Files.writeString(dir.resolve("f.warc"), bad)
+      val back = Warc.read(spark, dir.toString).collect()
+        .map(r => r.getAs[String]("record_id") ->
+          (r.getAs[Boolean]("truncated"), r.getAs[String]("payload")))
+        .toMap
+      back("urn:x:bad")._1 shouldBe true
+      back("urn:x:ok") shouldBe ((false, "good"))
+    }
+
+    it("reads records from MANY part files (the distributed layout " +
+        "write produces) into one frame") {
+      import spark.implicits._
+      val docs = (1L to 40L).map(i => (i, s"payload number $i"))
+        .toDF("doc_id", "text").repartition(8)
+      val dir = java.nio.file.Files.createTempDirectory("warc_many").toString
+      Warc.write(docs, dir)
+      val parts = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("part-"))
+      parts should be > 1
+      val back = Warc.read(spark, dir)
+      back.count() shouldBe 40L
+      back.select(col("payload")).collect().map(_.getString(0)).toSet shouldBe
+        (1L to 40L).map(i => s"payload number $i").toSet
+    }
+  }
 }
