@@ -1900,6 +1900,45 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"))
     }),
 
+    // Quality-aware dedup: per exact-dup cluster keep the MAX-score
+    // member (ties → lowest id) — drop the worse copy, not whichever
+    // id sorts first. Engine: general star components + max_by
+    // election; oracle: per-hash-group argmax. Twin scores differ
+    // ((id + 2³¹) % 7 = (id + 2) % 7), so both sides win somewhere.
+    "q153_keep_best" -> ((s, d) => {
+      val docs = doubledDocs(s, d)
+        .withColumn("score", (col("doc_id") % 7).cast("long"))
+      val h = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+      val pairs = h.as("a").join(h.as("b"),
+          col("a.__h") === col("b.__h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      graft.dedup.Dedup.keepBestPerCluster(docs, pairs, "score")
+        .select(col("doc_id"), col("cluster"), col("score"))
+    }),
+
+    // JSONL ingest with quarantine: every 13th line structurally
+    // corrupted (3 chars chopped — always an unterminated string);
+    // the parse must route it WHOLE to the quarantine lane and recover
+    // every other line's fields exactly. ok + quarantined = input.
+    "q154_jsonl_quarantine" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val line = to_json(struct(col("doc_id"), col("lang"), col("text")))
+      val lines = docs.select(
+        when(col("doc_id") % 13 === 0,
+          line.substr(lit(1), length(line) - 3))
+          .otherwise(line).as("line"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("text", "string")
+      graft.io.Jsonl.parseWithQuarantine(lines, schema,
+          required = Seq("doc_id", "text"))
+        .select(when(col("ok"), col("doc_id")).as("doc_id"),
+          when(col("ok"), col("lang")).as("lang"),
+          when(col("ok"), md5(col("text"))).as("text_md5"),
+          col("ok"), md5(col("raw")).as("raw_md5"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3250,6 +3289,39 @@ object SparkEntry {
           |  CAST(strlen(text) AS BIGINT) AS content_length,
           |  md5(text) AS payload_md5
           |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+      // q153: per-hash-group argmax (score DESC, id ASC) ≡ the
+      // engine's star-components + max_by on hash-complete pairs.
+      "q153_keep_best" ->
+        s"""WITH docs AS ($doubledSql),
+          |s AS (SELECT doc_id, doc_id % 7 AS score, md5(text) AS h
+          |  FROM docs),
+          |w AS (SELECT doc_id, score,
+          |    row_number() OVER (PARTITION BY h
+          |      ORDER BY score DESC, doc_id ASC) AS rn,
+          |    min(doc_id) OVER (PARTITION BY h) AS cluster FROM s)
+          |SELECT doc_id, cluster, score FROM w WHERE rn = 1""".stripMargin,
+
+      // q154: the corruption predicate stated directly (the JSON line
+      // spelled out — to_json field order is the struct order, no
+      // escapes in the synthetic text), good rows recover fields, bad
+      // rows carry only the raw-line hash.
+      "q154_jsonl_quarantine" ->
+        """WITH j AS (SELECT doc_id, lang, text,
+          |    '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' ||
+          |      lang || '","text":"' || text || '"}' AS line
+          |  FROM documents),
+          |c AS (SELECT doc_id, lang, text,
+          |    CASE WHEN doc_id % 13 = 0
+          |      THEN substr(line, 1, CAST(length(line) AS INT) - 3)
+          |      ELSE line END AS line,
+          |    doc_id % 13 = 0 AS bad FROM j)
+          |SELECT CASE WHEN bad THEN NULL ELSE doc_id END AS doc_id,
+          |  CASE WHEN bad THEN NULL ELSE lang END AS lang,
+          |  CASE WHEN bad THEN NULL ELSE md5(text) END AS text_md5,
+          |  NOT bad AS ok,
+          |  CASE WHEN bad THEN md5(line) ELSE NULL END AS raw_md5
+          |FROM c""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

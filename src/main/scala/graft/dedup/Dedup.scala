@@ -622,6 +622,35 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE canonical-doc election: per near-dup cluster
+    * (connected component of `pairs`, star rounds), keep the member
+    * with the HIGHEST `scoreCol` (ties → lowest id) instead of
+    * [[dedupCorpus]]'s blind min-id — dedup should drop the worse copy
+    * (truncated page, boilerplate-padded mirror), not whichever id
+    * sorts first. Unpaired docs survive as their own singleton.
+    * Returns the surviving rows with all input columns plus `cluster`.
+    *
+    * The winner is a `max_by` hash aggregation (map-side partials, no
+    * per-cluster sort); the survivor filter is one left-semi join on
+    * the id — nothing wider than (cluster, id, score) shuffles. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame,
+      scoreCol: String, idCol: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val labels = clusterLabelsStar(pairs, checkpointDir)
+      .select(col("id").as("__lid"), col("cluster").as("__cluster"))
+    val withC = docs.join(labels,
+        col(idCol).cast("long") === col("__lid"), "left")
+      .withColumn("cluster",
+        coalesce(col("__cluster"), col(idCol).cast("long")))
+      .drop("__lid", "__cluster")
+    val winners = withC.groupBy(col("cluster"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), (-col(idCol).cast("long")).as("ni")))
+        .as("__win"))
+      .select(col("__win"))
+    withC.join(winners, col(idCol) === col("__win"), "left_semi")
+  }
+
   /** 60-bit SimHash per doc: per-token md5-derived hash, bitwise
     * majority vote over token occurrences. Runs as the codegen'd
     * [[graft.functions.SimHash60]] expression — the interpreted

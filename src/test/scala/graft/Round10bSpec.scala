@@ -296,6 +296,47 @@ class Round10bSpec extends SparkSpec {
       back("urn:x:ok") shouldBe ((false, "good"))
     }
 
+    it("keepBestPerCluster elects the max-score member across a " +
+        "TRANSITIVE chain; ties break to the lowest id; singletons " +
+        "survive") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, 5L), (2L, 9L), (3L, 7L), // chain 1-2-3: 2 wins
+        (10L, 4L), (11L, 4L),         // tie: 10 wins
+        (50L, 0L))                    // singleton
+        .toDF("doc_id", "score")
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+      val kept = graft.dedup.Dedup.keepBestPerCluster(docs, pairs, "score")
+        .select(col("doc_id"), col("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      kept shouldBe Map(2L -> 1L, 10L -> 10L, 50L -> 50L)
+    }
+
+    it("Jsonl.parseWithQuarantine routes malformed AND wrong-shape " +
+        "lines to quarantine with the raw line; counts always add up") {
+      import spark.implicits._
+      val lines = Seq(
+        """{"doc_id":1,"lang":"en","text":"good line"}""",
+        """{"doc_id":2,"lang":"de","text":"truncat""",   // malformed
+        """{"lang":"fr","text":"no id"}""",              // required null
+        """{"doc_id":4,"lang":null,"text":"null lang ok"}""",
+        """not json at all""").toDF("line")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("text", "string")
+      val parsed = graft.io.Jsonl.parseWithQuarantine(lines, schema,
+        required = Seq("doc_id", "text"))
+      val (good, bad) = graft.io.Jsonl.route(parsed)
+      good.count() + bad.count() shouldBe 5L
+      good.select(col("doc_id")).collect().map(_.getLong(0)).sorted shouldBe
+        Array(1L, 4L) // null lang is fine — lang is not required
+      val rawBad = bad.collect().map(_.getString(0)).toSet
+      rawBad shouldBe Set(
+        """{"doc_id":2,"lang":"de","text":"truncat""",
+        """{"lang":"fr","text":"no id"}""",
+        """not json at all""")
+      good.columns.toSeq shouldBe Seq("doc_id", "lang", "text")
+    }
+
     it("reads records from MANY part files (the distributed layout " +
         "write produces) into one frame") {
       import spark.implicits._
