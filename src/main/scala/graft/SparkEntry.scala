@@ -1939,6 +1939,16 @@ object SparkEntry {
           col("ok"), md5(col("raw")).as("raw_md5"))
     }),
 
+    // Matryoshka-prefix exact search: brute top-3 on the FIRST 32 of
+    // 64 components — the truncated-embedding retrieval a pipeline
+    // evaluates before halving vector storage/bandwidth; the recall
+    // audit against full-dim (truncationRecall) is spec-checked.
+    "q155_matryoshka_topk" -> ((s, d) =>
+      graft.similarity.Similarity.bruteTopK(
+        Tables.embeddings(s, d).select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding")),
+        k = 3, maxQueryId = 500L)),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3322,6 +3332,23 @@ object SparkEntry {
           |  NOT bad AS ok,
           |  CASE WHEN bad THEN md5(line) ELSE NULL END AS raw_md5
           |FROM c""".stripMargin,
+
+      // q155: q25's brute-force SQL over the 32-component prefix.
+      "q155_matryoshka_topk" ->
+        s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |unit AS (SELECT id, list_transform(range(1, 33), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 33),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
+           |pairs AS (SELECT q.id AS qid, b.id AS nid,
+           |    round(list_reduce(list_transform(range(1, 33),
+           |      i -> q.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
+           |  FROM unit q JOIN unit b ON q.id <> b.id
+           |  WHERE q.id < 500)
+           |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+           |WHERE rn <= 3""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

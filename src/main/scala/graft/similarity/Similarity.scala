@@ -543,6 +543,33 @@ object Similarity {
         col(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): per candidate prefix dimensionality,
+    * the overall top-k recall of PREFIX-truncated exact search against
+    * the full-dimension exact baseline — the number a pipeline reads
+    * before trading storage/bandwidth for prefix embeddings (dims/64
+    * of the vector bytes at recall `r`). Pure composition of
+    * [[bruteTopK]] over a sliced projection and [[topKRecall]];
+    * inherits bruteTopK's bounded-query guard. Returns one row per
+    * dims: (dims, n_exact, n_hit, recall). */
+  def truncationRecall(embeddings: DataFrame, dimsList: Seq[Int],
+      k: Int = 3, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueryId: Long = 500L): DataFrame = {
+    val full = bruteTopK(embeddings, k, idCol, vecCol, maxQueryId)
+    dimsList.map { d =>
+      val trunc = bruteTopK(
+        embeddings.select(col(idCol),
+          slice(col(vecCol), 1, d).as(vecCol)),
+        k, idCol, vecCol, maxQueryId)
+      topKRecall(trunc, full)
+        .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("n_hit")), lit(0L)).as("n_hit"))
+        .select(lit(d.toLong).as("dims"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6)
+            .as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Mutual-kNN topic clusters: the kNN graph ([[ivfTopK]], every
     * vector a query) restricted to RECIPROCAL edges — a↔b kept only
     * when a lists b AND b lists a, the standard noise-robust

@@ -248,6 +248,22 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("Similarity.truncationRecall") {
+    val dir = "/root/testdata/sf0.001"
+    it("full-dim recall is exactly 1; a short prefix loses recall but " +
+        "stays useful") {
+      assume(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet")))
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val r = graft.similarity.Similarity
+        .truncationRecall(emb, Seq(64, 8), k = 3)
+        .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+      r(64L) shouldBe 1.0
+      r(8L) should be < 1.0
+      r(8L) should be > 0.01
+    }
+  }
+
   describe("Warc") {
     import graft.sources.Warc
 
