@@ -1949,6 +1949,34 @@ object SparkEntry {
           slice(col("embedding"), 1, 32).as("embedding")),
         k = 3, maxQueryId = 500L)),
 
+    // Reciprocal-rank fusion of two genuinely different rankers (the
+    // full-dim and 32-prefix exact top-3): rank-only merge, no score
+    // calibration — Σ⌊1e6/(60+rank)⌋ ppm, integer-exact.
+    "q156_rrf_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val full = graft.similarity.Similarity.bruteTopK(emb, k = 3,
+        maxQueryId = 500L)
+      val prefix = graft.similarity.Similarity.bruteTopK(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding")),
+        k = 3, maxQueryId = 500L)
+      graft.similarity.Fusion.rrfFuse(Seq(full, prefix))
+    }),
+
+    // Deterministic negative sampling on the doubled corpus: 4 ring
+    // probes per anchor, the anchor's exact twin excluded — a
+    // near-duplicate must never be served as a contrastive negative.
+    "q157_negative_samples" -> ((s, d) => {
+      val docs = doubledDocs(s, d)
+      val h = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+      val pairs = h.as("a").join(h.as("b"),
+          col("a.__h") === col("b.__h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      graft.pipeline.PipelineOps.negativeSamples(
+        docs.select(col("doc_id")), pairs, k = 4)
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3349,6 +3377,72 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (
            |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
            |WHERE rn <= 3""".stripMargin,
+
+      // q156: both rankers' SQL (q25 full-dim + q155 prefix) fused by
+      // the integer RRF formula.
+      "q156_rrf_fusion" ->
+        s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |u64 AS (SELECT id, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
+           |u32 AS (SELECT id, list_transform(range(1, 33), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 33),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
+           |p64 AS (SELECT q.id AS qid, b.id AS nid,
+           |    round(list_reduce(list_transform(range(1, 65),
+           |      i -> q.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
+           |  FROM u64 q JOIN u64 b ON q.id <> b.id WHERE q.id < 500),
+           |p32 AS (SELECT q.id AS qid, b.id AS nid,
+           |    round(list_reduce(list_transform(range(1, 33),
+           |      i -> q.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
+           |  FROM u32 q JOIN u32 b ON q.id <> b.id WHERE q.id < 500),
+           |r64 AS (SELECT qid, nid, rn AS rank FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p64)
+           |  WHERE rn <= 3),
+           |r32 AS (SELECT qid, nid, rn AS rank FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p32)
+           |  WHERE rn <= 3),
+           |parts AS (SELECT qid, nid, 1000000 // (60 + rank) AS part
+           |  FROM (SELECT * FROM r64 UNION ALL SELECT * FROM r32)),
+           |f AS (SELECT qid, nid, CAST(sum(part) AS BIGINT) AS rrf_ppm
+           |  FROM parts GROUP BY 1, 2)
+           |SELECT qid, nid, rrf_ppm,
+           |  CAST(row_number() OVER (PARTITION BY qid
+           |    ORDER BY rrf_ppm DESC, nid) AS BIGINT) AS rank
+           |FROM f""".stripMargin,
+
+      // q157: the hash-shuffled ring + stride probes + twin exclusion
+      // stated directly (k = 4 → step ⌊n/5⌋+1).
+      "q157_negative_samples" ->
+        s"""WITH docs AS ($doubledSql),
+          |b AS (SELECT doc_id AS id,
+          |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |      % 1000000) * (1::BIGINT << 40) + doc_id AS key
+          |  FROM docs),
+          |r AS (SELECT id, row_number() OVER (ORDER BY key) - 1 AS idx,
+          |    count(*) OVER () AS n FROM b),
+          |sl AS (SELECT unnest([1, 2, 3, 4]) AS slot),
+          |p AS (SELECT r.id AS anchor_id, sl.slot,
+          |    (r.idx + sl.slot * (r.n // 5 + 1)) % r.n AS pidx
+          |  FROM r CROSS JOIN sl),
+          |c AS (SELECT p.anchor_id, r2.id AS neg_id,
+          |    CAST(p.slot AS BIGINT) AS slot
+          |  FROM p JOIN r r2 ON r2.idx = p.pidx
+          |  WHERE r2.id <> p.anchor_id),
+          |tw AS (SELECT a.doc_id AS id1, b2.doc_id AS id2
+          |  FROM (SELECT doc_id, md5(text) AS h FROM docs) a
+          |  JOIN (SELECT doc_id, md5(text) AS h FROM docs) b2
+          |    ON a.h = b2.h AND a.doc_id < b2.doc_id),
+          |ex AS (SELECT id1 AS anchor_id, id2 AS neg_id FROM tw
+          |  UNION ALL SELECT id2, id1 FROM tw)
+          |SELECT anchor_id, neg_id, slot FROM c
+          |WHERE NOT EXISTS (SELECT 1 FROM ex
+          |  WHERE ex.anchor_id = c.anchor_id
+          |    AND ex.neg_id = c.neg_id)""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

@@ -123,6 +123,47 @@ object PipelineOps {
     withRep.withColumn(outCol, assign)
   }
 
+  /** Deterministic negative sampling for contrastive / embedding
+    * training: per anchor, `k` pseudo-random corpus-wide negatives
+    * EXCLUDING the anchor itself and its known positives/near-dups
+    * (`exclusionPairs` — exact or near-dup evidence from any dedup
+    * operator; a near-duplicate makes a catastrophic "negative").
+    * Reproducible: a pure function of the id set — ids are laid on a
+    * hash-shuffled dense ring (two-pass prefix-sum rank via
+    * [[Stats.globalRanks]], never a one-task global window) and slot j
+    * probes position (idx + j·(⌊N/(k+1)⌋+1)) mod N, so negatives
+    * spread across the whole ring rather than clustering. Probes that
+    * land in the exclusion set are anti-joined away, so an anchor can
+    * emit fewer than k rows (standard; re-probe upstream when
+    * exactness matters). Distinct slots give distinct probes when
+    * N > k·(k+1). Returns (anchor_id, neg_id, slot 1..k). */
+  def negativeSamples(ids: DataFrame, exclusionPairs: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import graft.time.Buckets.intDiv
+    val base = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("__key",
+        hashDraw(col("id")) * lit(1L << 40) + col("id"))
+    val ranked = Stats.globalRanks(base, "__key")
+      .select(col("id"), (col("rnk") - 1L).as("__idx"))
+    val withN = ranked.crossJoin(ranked.agg(count(lit(1)).as("__n")))
+    val step = intDiv(col("__n"), lit(k.toLong + 1L)) + 1L
+    val probes = withN.select(col("id").as("anchor_id"), col("__idx"),
+        col("__n"), explode(sequence(lit(1L), lit(k.toLong))).as("slot"))
+      .withColumn("__pidx",
+        pmod(col("__idx") + col("slot") * step, col("__n")))
+    val cand = probes.join(
+        ranked.select(col("__idx").as("__pidx"), col("id").as("neg_id")),
+        Seq("__pidx"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+    val excl = exclusionPairs
+      .select(col("id1").as("anchor_id"), col("id2").as("neg_id"))
+      .unionByName(exclusionPairs
+        .select(col("id2").as("anchor_id"), col("id1").as("neg_id")))
+    cand.join(excl, Seq("anchor_id", "neg_id"), "left_anti")
+      .select(col("anchor_id"), col("neg_id"), col("slot"))
+  }
+
   /** Deterministic WEIGHTED choice of one row per group — P(row) ∝ its
     * integer weight, yet the outcome is a pure function of (group, id):
     * each row becomes `weight` copies, every copy draws an independent

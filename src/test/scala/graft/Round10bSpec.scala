@@ -264,6 +264,55 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("PipelineOps.negativeSamples") {
+    it("never samples the anchor or an excluded pair, spreads probes " +
+        "across the ring, and is deterministic") {
+      import spark.implicits._
+      val ids = (1L to 50L).toDF("doc_id")
+      val excl = Seq((1L, 2L), (3L, 4L), (10L, 20L)).toDF("id1", "id2")
+      val out = graft.pipeline.PipelineOps.negativeSamples(ids, excl, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      out.foreach { case (a, n, _) =>
+        n should not be a
+        Set((a, n), (n, a)).intersect(
+          Set((1L, 2L), (3L, 4L), (10L, 20L))) shouldBe empty
+      }
+      // near-complete emission: ≤ 6 probes lost to the 3 exclusion pairs
+      out.length should be >= 50 * 3 - 6
+      // every anchor present; slots within 1..3
+      out.map(_._1).distinct.length shouldBe 50
+      out.map(_._3).toSet shouldBe Set(1L, 2L, 3L)
+      // broad coverage: many distinct ids serve as negatives
+      out.map(_._2).distinct.length should be >= 25
+      val again = graft.pipeline.PipelineOps
+        .negativeSamples(ids.repartition(7), excl, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      out.sorted shouldBe again.sorted
+    }
+  }
+
+  describe("Fusion.rrfFuse") {
+    it("fuses by reciprocal rank: agreement beats a single first " +
+        "place; single-ranker docs still score; ties break to low nid") {
+      import spark.implicits._
+      // ranker A: d1 > d2 > d3;  ranker B: d2 > d1 (d3 absent from B)
+      val a = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+        .toDF("qid", "nid", "rank")
+      val b = Seq((0L, 2L, 1L), (0L, 1L, 2L)).toDF("qid", "nid", "rank")
+      val f = graft.similarity.Fusion.rrfFuse(Seq(a, b))
+        .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // d1: ⌊1e6/61⌋+⌊1e6/62⌋ = 16393+16129; d2: ⌊1e6/62⌋+⌊1e6/61⌋ —
+      // identical sums → tie → d1 (lower nid) first
+      f(1L)._1 shouldBe (16393L + 16129L)
+      f(2L)._1 shouldBe f(1L)._1
+      f(1L)._2 shouldBe 1L
+      f(2L)._2 shouldBe 2L
+      // d3 appears only in A at rank 3
+      f(3L) shouldBe ((1000000L / 63L, 3L))
+    }
+  }
+
   describe("Warc") {
     import graft.sources.Warc
 
