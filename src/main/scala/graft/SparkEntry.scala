@@ -1977,6 +1977,51 @@ object SparkEntry {
         docs.select(col("doc_id")), pairs, k = 4)
     }),
 
+    // Content-addressed corpus version diff: v2 drops every 5th doc
+    // (re-keying the %7≠0 ones under shifted ids — moved, the rest
+    // removed), edits every 7th, adds brand-new docs — the
+    // release-notes classification a keyed diff cannot produce.
+    "q158_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v2keep = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text")).as("text"))
+      val v2moved = docs
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+        .select((col("doc_id") + TwinShift).as("doc_id"), col("text"))
+      val v2new = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(2L * TwinShift)).as("doc_id"),
+          concat(lit("brand new doc "), col("doc_id").cast("string"))
+            .as("text"))
+      graft.operators.TableDiff.contentDiff(docs,
+        v2keep.unionByName(v2moved).unionByName(v2new))
+    }),
+
+    // robots.txt crawl decisions: per-host rule files parsed by the
+    // real distributed parser (a non-* group must be ignored), URLs
+    // decided by longest-prefix match — allow-wins-ties, no-match ⇒
+    // allowed. Paths hit all four branches: longer-allow override,
+    // plain disallow, exact-length tie, no rule.
+    "q159_robots_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val host = concat(col("source"), lit(".example.com"))
+      val idStr = col("doc_id").cast("string")
+      val urls = docs.select(host.as("host"),
+        when(col("doc_id") % 4 === 0, concat(lit("/doc/pub/"), idStr))
+          .when(col("doc_id") % 4 === 1, concat(lit("/doc/priv/"), idStr))
+          .when(col("doc_id") % 4 === 2, concat(lit("/tie/"), idStr))
+          .otherwise(concat(lit("/free/"), idStr)).as("path"))
+      val bodies = docs.select(host.as("host")).distinct()
+        .withColumn("body", lit(
+          "User-agent: gptbot\nDisallow: /\n\n" +
+            "User-agent: *\n# star group\nAllow: /doc/pub\n" +
+            "Disallow: /doc/\nAllow: /tie\nDisallow: /tie\n"))
+      graft.text.Robots.matchUrls(urls,
+        graft.text.Robots.rulesTable(bodies))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3443,6 +3488,59 @@ object SparkEntry {
           |WHERE NOT EXISTS (SELECT 1 FROM ex
           |  WHERE ex.anchor_id = c.anchor_id
           |    AND ex.neg_id = c.neg_id)""".stripMargin,
+
+      // q158: the same v2 construction + content-hash classification.
+      "q158_corpus_diff" ->
+        s"""WITH v2 AS (
+          |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+          |      THEN text || ' edited v2' ELSE text END AS text
+          |    FROM documents WHERE doc_id % 5 <> 0
+          |  UNION ALL SELECT doc_id + $TwinShift AS doc_id, text
+          |    FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+          |  UNION ALL SELECT doc_id + ${2L * TwinShift} AS doc_id,
+          |      'brand new doc ' || CAST(doc_id AS VARCHAR) AS text
+          |    FROM documents WHERE doc_id % 11 = 0),
+          |b AS (SELECT doc_id AS id, md5(text) AS bh FROM documents),
+          |a AS (SELECT doc_id AS id, md5(text) AS ah FROM v2),
+          |j AS (SELECT COALESCE(b.id, a.id) AS id, b.bh, a.ah
+          |  FROM b FULL OUTER JOIN a ON a.id = b.id)
+          |SELECT id,
+          |  CASE WHEN bh IS NOT NULL AND ah IS NOT NULL AND bh = ah
+          |      THEN 'retained'
+          |    WHEN bh IS NOT NULL AND ah IS NOT NULL THEN 'edited'
+          |    WHEN ah IS NOT NULL AND ah IN (SELECT bh FROM b)
+          |      THEN 'moved_in'
+          |    WHEN ah IS NOT NULL THEN 'added'
+          |    WHEN bh IN (SELECT ah FROM a) THEN 'moved_out'
+          |    ELSE 'removed' END AS status,
+          |  COALESCE(ah, bh) AS content_md5
+          |FROM j""".stripMargin,
+
+      // q159: the star-group rules as VALUES (the gptbot group never
+      // reaches the rule set), longest-prefix + allow-wins-ties +
+      // default-allow stated directly.
+      "q159_robots_match" ->
+        """WITH u AS (SELECT source || '.example.com' AS host,
+          |    CASE WHEN doc_id % 4 = 0
+          |        THEN '/doc/pub/' || CAST(doc_id AS VARCHAR)
+          |      WHEN doc_id % 4 = 1
+          |        THEN '/doc/priv/' || CAST(doc_id AS VARCHAR)
+          |      WHEN doc_id % 4 = 2
+          |        THEN '/tie/' || CAST(doc_id AS VARCHAR)
+          |      ELSE '/free/' || CAST(doc_id AS VARCHAR) END AS path
+          |  FROM documents),
+          |r AS (SELECT * FROM (VALUES (TRUE, '/doc/pub'),
+          |    (FALSE, '/doc/'), (TRUE, '/tie'), (FALSE, '/tie'))
+          |    AS t(allow, prefix)),
+          |m AS (SELECT u.host, u.path, r.allow,
+          |    length(r.prefix) AS len
+          |  FROM u JOIN r ON starts_with(u.path, r.prefix)),
+          |d AS (SELECT host, path, allow, row_number() OVER (
+          |    PARTITION BY host, path
+          |    ORDER BY len DESC, allow DESC) AS rn FROM m)
+          |SELECT u.host, u.path, COALESCE(d.allow, TRUE) AS allowed
+          |FROM u LEFT JOIN d ON d.host = u.host AND d.path = u.path
+          |  AND d.rn = 1""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

@@ -264,6 +264,67 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("Robots") {
+    import graft.text.Robots
+
+    it("parseStarRules honors group boundaries, shared headers, " +
+        "comments, case, and empty-prefix Disallow") {
+      val body =
+        """# site robots
+          |User-agent: gptbot
+          |Disallow: /
+          |
+          |User-agent: backup-bot
+          |User-agent: *
+          |# shared group
+          |ALLOW: /public
+          |disallow: /private   # inline comment
+          |Crawl-delay: 10
+          |Disallow:
+          |
+          |User-agent: other
+          |Disallow: /elsewhere
+          |""".stripMargin
+      Robots.parseStarRules(body) shouldBe Seq(
+        true -> "/public", false -> "/private")
+    }
+
+    it("matchUrls: longest prefix wins, Allow wins ties, no match " +
+        "defaults to allowed") {
+      import spark.implicits._
+      val urls = Seq(("h", "/doc/pub/1"), ("h", "/doc/priv/2"),
+        ("h", "/tie/3"), ("h", "/free/4"), ("other", "/doc/priv/5"))
+        .toDF("host", "path")
+      val rules = Seq(("h", true, "/doc/pub"), ("h", false, "/doc/"),
+        ("h", true, "/tie"), ("h", false, "/tie"))
+        .toDF("host", "allow", "prefix")
+      val out = Robots.matchUrls(urls, rules).collect()
+        .map(r => r.getString(1) -> r.getBoolean(2)).toMap
+      out shouldBe Map("/doc/pub/1" -> true, "/doc/priv/2" -> false,
+        "/tie/3" -> true, "/free/4" -> true,
+        "/doc/priv/5" -> true) // other host has no rules
+    }
+  }
+
+  describe("TableDiff.contentDiff") {
+    it("classifies retained/edited/moved/added/removed by content " +
+        "hash, not id") {
+      import spark.implicits._
+      val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+        (4L, "delta")).toDF("doc_id", "text")
+      val v2 = Seq((1L, "alpha"),        // retained
+        (2L, "beta CHANGED"),            // edited
+        (30L, "gamma"),                  // 3 → moved_out, 30 → moved_in
+        (5L, "epsilon"))                 // added; 4 → removed
+        .toDF("doc_id", "text")
+      val out = graft.operators.TableDiff.contentDiff(v1, v2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out shouldBe Map(1L -> "retained", 2L -> "edited",
+        3L -> "moved_out", 30L -> "moved_in",
+        4L -> "removed", 5L -> "added")
+    }
+  }
+
   describe("PipelineOps.negativeSamples") {
     it("never samples the anchor or an excluded pair, spreads probes " +
         "across the ring, and is deterministic") {
