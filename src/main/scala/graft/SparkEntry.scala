@@ -2022,6 +2022,14 @@ object SparkEntry {
         graft.text.Robots.rulesTable(bodies))
     }),
 
+    // Exact phrase search (quote-level lookup): every position of a
+    // verbatim 2-token phrase per doc — the retrieval twin of q148's
+    // bag-of-words scoring; zero-shuffle nested array expressions.
+    "q160_phrase_search" -> ((s, d) =>
+      graft.text.TextOps.phraseSearch(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "table table")),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3541,6 +3549,18 @@ object SparkEntry {
           |SELECT u.host, u.path, COALESCE(d.allow, TRUE) AS allowed
           |FROM u LEFT JOIN d ON d.host = u.host AND d.path = u.path
           |  AND d.rn = 1""".stripMargin,
+
+      // q160: the same sliding 2-slice equality over the token list.
+      "q160_phrase_search" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+          |p AS (SELECT doc_id,
+          |    list_filter(range(0, greatest(len(t) - 2, 0) + 1), i ->
+          |      array_to_string(t[i+1:i+2], ' ') = 'table table')
+          |      AS pos
+          |  FROM base)
+          |SELECT doc_id, CAST(len(pos) AS BIGINT) AS n_hits,
+          |  CAST(pos[1] AS BIGINT) AS first_pos
+          |FROM p WHERE len(pos) > 0""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

@@ -312,6 +312,34 @@ object TextOps {
       .select("doc_id", "token", "tf", "df", "tfidf")
   }
 
+  /** Exact phrase search over the corpus: per document, every token
+    * position where the query phrase occurs verbatim (same tokenizer
+    * as everything else, so "Table,  TABLE!" matches "table table").
+    * The retrieval twin of [[graft.text.Bm25]]'s bag-of-words scoring —
+    * quote-level lookup for takedown checks, contamination forensics,
+    * boilerplate hunting. Pure nested array expressions over the token
+    * array (the winnowing discipline): zero shuffle, embarrassingly
+    * parallel; joined-slice equality ≡ token-sequence equality because
+    * tokens cannot contain the join character. Returns (doc_id,
+    * n_hits, first_pos — 0-based) for matching docs only. */
+  def phraseSearch(docs: org.apache.spark.sql.DataFrame, phrase: String,
+      idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val ptoks = phrase.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(ptoks.nonEmpty, s"phrase has no tokens: '$phrase'")
+    val l = ptoks.length
+    val pJoined = ptoks.mkString(" ")
+    val t = tokens(col(textCol))
+    val pos = filter(sequence(lit(0), greatest(size(t) - l, lit(0))),
+      i => array_join(slice(t, i + 1, lit(l)), " ") === pJoined)
+    docs.select(col(idCol).as("doc_id"), pos.as("__pos"))
+      .filter(size(col("__pos")) > 0)
+      .select(col("doc_id"),
+        size(col("__pos")).cast("long").as("n_hits"),
+        element_at(col("__pos"), 1).cast("long").as("first_pos"))
+  }
+
   /** Winnowing-style selected-hash fingerprints: min rolling k-gram hash
     * per sliding window, deduplicated — the standard plagiarism/near-dup
     * sketch. Pure nested array expressions (codegen'd). */

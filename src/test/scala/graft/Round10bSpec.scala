@@ -264,6 +264,69 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("streaming JSONL front door") {
+    it("quarantine routing composes with the streaming ingest chain: " +
+        "bad lines quarantined, cross-batch dups dropped by state") {
+      implicit val sql = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import spark.implicits._
+      val input = MemoryStream[String]
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")
+        .add("epoch_ms", "long")
+      val parsed = graft.io.Jsonl.parseWithQuarantine(
+        input.toDF().withColumnRenamed("value", "line"), schema,
+        required = Seq("doc_id", "text"))
+      val (good, bad) = graft.io.Jsonl.route(parsed)
+      val chain = graft.streaming.StreamingIngest.ingestDocStream(
+        good, weights = Map("f_tok" -> 1L))
+      val q1 = chain.writeStream.format("memory").queryName("jsonl_good")
+        .outputMode(OutputMode.Append()).start()
+      val q2 = bad.writeStream.format("memory").queryName("jsonl_bad")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def line(id: Long, text: String, ms: Long) =
+          s"""{"doc_id":$id,"text":"$text","epoch_ms":$ms}"""
+        input.addData(line(1, "alpha beta gamma", 1000),
+          line(2, "alpha beta gamma", 2000), // same content → deduped
+          """{"doc_id":3,"text":"broken""")  // malformed → quarantine
+        q1.processAllAvailable(); q2.processAllAvailable()
+        input.addData(line(4, "alpha beta gamma", 3000), // dup ACROSS batches
+          line(5, "fresh second batch", 4000),
+          """{"text":"no id"}""")            // wrong shape → quarantine
+        q1.processAllAvailable(); q2.processAllAvailable()
+        val goodIds = spark.table("jsonl_good")
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+        goodIds shouldBe Array(1L, 5L)
+        spark.table("jsonl_bad").count() shouldBe 2L
+      } finally { q1.stop(); q2.stop() }
+    }
+  }
+
+  describe("TextOps.phraseSearch") {
+    it("finds every occurrence incl. overlaps, normalizes like the " +
+        "tokenizer, and emits nothing for non-matching or short docs") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "alpha beta alpha beta alpha"),
+        (2L, "Beta,  ALPHA! beta"),
+        (3L, "x x x"),
+        (4L, "gamma delta"),
+        (5L, "alpha")).toDF("doc_id", "text")
+      def hits(phrase: String) =
+        graft.text.TextOps.phraseSearch(docs, phrase).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      hits("alpha beta") shouldBe
+        Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)))
+      hits("Beta  alpha?") shouldBe
+        Map(1L -> ((2L, 1L)), 2L -> ((1L, 0L)))
+      hits("x x") shouldBe Map(3L -> ((2L, 0L))) // overlapping: 0 and 1
+      hits("x x")(3L)._1 shouldBe 2L
+      hits("absent phrase") shouldBe empty
+    }
+  }
+
   describe("Robots") {
     import graft.text.Robots
 
