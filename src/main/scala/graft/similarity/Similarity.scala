@@ -163,15 +163,28 @@ object Similarity {
       transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
   }
 
+  /** Stride-sampled centroid table, optionally CAPPED to a fixed count
+    * (the lowest `maxCentroids` sampled ids — deterministic
+    * TakeOrdered on a tiny table). The cap is what a production
+    * deployment pins: with stride alone the centroid count grows with
+    * the collection, and the broadcast-assign cost with it. */
+  private def strideCentroids(unit: DataFrame, centroidStride: Int,
+      maxCentroids: Option[Int]): DataFrame = {
+    val base = unit.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("u").as("cu"))
+    maxCentroids.map(k => base.orderBy(col("cid")).limit(k))
+      .getOrElse(base)
+  }
+
   def ivfAssign(embeddings: DataFrame, centroidStride: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCentroids: Option[Int] = None): DataFrame = {
     // pure lazy plan, no cache to manage: the unit projection feeds the
     // (tiny, broadcast) centroid branch and the scan branch of ONE job;
     // when a caller (ivfTopK) has the same unit plan persisted, the
     // cache manager substitutes it at execution time
     val unit = unitVectors(embeddings, idCol, vecCol)
-    val centroids = unit.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cid"), col("u").as("cu"))
+    val centroids = strideCentroids(unit, centroidStride, maxCentroids)
     // argmax over centroids via max_by((cos, -cid) key) — deterministic
     val scored = unit.join(broadcast(centroids))
       .select(col("id"), col("u"), col("cid"),
@@ -188,13 +201,14 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, k: Int = 3, nprobe: Int = 2,
       centroidStride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxQueryId: Long = Long.MaxValue): DataFrame = {
+      maxQueryId: Long = Long.MaxValue,
+      maxCentroids: Option[Int] = None): DataFrame = {
     // assignment first (it manages its own cache scope), THEN this
     // call's own unit persist — never two live caches of the same plan
-    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
+    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol,
+      maxCentroids)
     val unit = unitVectors(embeddings, idCol, vecCol).persist()
-    val centroids = unit.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cid"), col("u").as("cu"))
+    val centroids = strideCentroids(unit, centroidStride, maxCentroids)
     val lists = unit.join(assigned, Seq("id"))
     // per query: its nprobe closest centroids
     import org.apache.spark.sql.expressions.Window
@@ -588,9 +602,11 @@ object Similarity {
   def mutualKnnTopics(embeddings: DataFrame, k: Int = 3, nprobe: Int = 2,
       centroidStride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxCentroids: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val knn = ivfTopK(embeddings, k, nprobe, centroidStride, idCol, vecCol)
+    val knn = ivfTopK(embeddings, k, nprobe, centroidStride, idCol, vecCol,
+      maxCentroids = maxCentroids)
       .select(col("qid"), col("nid"))
     val mutual = knn.as("a").join(knn.as("b"),
         col("a.qid") === col("b.nid") && col("a.nid") === col("b.qid") &&

@@ -248,6 +248,39 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("Similarity ivf maxCentroids cap") {
+    val dir = "/root/testdata/sf0.001"
+    it("pins the centroid count; capped search is exact within its " +
+        "probed lists and stays self-consistent") {
+      assume(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet")))
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val capped = graft.similarity.Similarity
+        .ivfAssign(emb, maxCentroids = Some(2))
+      capped.select(col("centroid")).distinct().count() should be <= 2L
+      // uncapped uses more centroids on this corpus
+      graft.similarity.Similarity.ivfAssign(emb)
+        .select(col("centroid")).distinct().count() should be > 2L
+      // search under the cap: neighbors come from the probed lists and
+      // cosines are exact — spot-check against brute force per query
+      val brute = graft.similarity.Similarity
+        .bruteTopK(emb, k = 10, maxQueryId = 20L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val ivf = graft.similarity.Similarity
+        .ivfTopK(emb, k = 3, nprobe = 2, maxQueryId = 20L,
+          maxCentroids = Some(2))
+        .collect()
+      ivf should not be empty
+      ivf.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        // any (qid, nid) also in the brute top-10 must carry the SAME
+        // exact cosine (the cap restricts candidates, never the math)
+        brute.get(key).foreach(_ shouldBe r.getDouble(2))
+      }
+    }
+  }
+
   describe("Similarity.truncationRecall") {
     val dir = "/root/testdata/sf0.001"
     it("full-dim recall is exactly 1; a short prefix loses recall but " +
