@@ -2030,6 +2030,29 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "table table")),
 
+    // Crawl frontier: sitemap <loc> extraction (whitespace-tolerant)
+    // → host/path split → the q159 robots rules decide each URL —
+    // sitemap lists what the site WANTS crawled, robots what MAY be.
+    "q161_sitemap_frontier" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val host = concat(col("source"), lit(".example.com"))
+      val idStr = col("doc_id").cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> https://"), host,
+        lit("/doc/pub/"), idStr, lit(" </loc></url><url><LOC>https://"),
+        host, lit("/doc/priv/"), idStr,
+        lit("</LOC></url></urlset>"))
+      val urls = docs.select(
+          explode(graft.text.Robots.sitemapLocs(xml)).as("url"))
+        .select(graft.text.Urls.host(col("url")).as("host"),
+          graft.text.Urls.path(col("url")).as("path"))
+      val bodies = docs.select(host.as("host")).distinct()
+        .withColumn("body", lit(
+          "User-agent: *\nAllow: /doc/pub\nDisallow: /doc/\n"))
+      graft.text.Robots.matchUrls(urls,
+        graft.text.Robots.rulesTable(bodies))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3561,6 +3584,41 @@ object SparkEntry {
           |SELECT doc_id, CAST(len(pos) AS BIGINT) AS n_hits,
           |  CAST(pos[1] AS BIGINT) AS first_pos
           |FROM p WHERE len(pos) > 0""".stripMargin,
+
+      // q161: LocRe/host/path regexes verbatim, the two-rule set as
+      // VALUES, the q159 match logic.
+      "q161_sitemap_frontier" -> {
+        val locRe = sqlStr(graft.text.Robots.LocRe)
+        s"""WITH x AS (SELECT doc_id, source,
+          |    '<?xml version="1.0"?><urlset><url><loc> https://' ||
+          |      source || '.example.com/doc/pub/' ||
+          |      CAST(doc_id AS VARCHAR) ||
+          |      ' </loc></url><url><LOC>https://' || source ||
+          |      '.example.com/doc/priv/' || CAST(doc_id AS VARCHAR) ||
+          |      '</LOC></url></urlset>' AS xml
+          |  FROM documents),
+          |l AS (SELECT unnest(regexp_extract_all(xml, $locRe, 1))
+          |    AS url FROM x),
+          |u AS (SELECT
+          |    regexp_replace(regexp_extract(lower(url),
+          |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+          |      '^www\\.', '') AS host,
+          |    regexp_extract(url,
+          |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+          |      AS path
+          |  FROM l),
+          |r AS (SELECT * FROM (VALUES (TRUE, '/doc/pub'),
+          |    (FALSE, '/doc/')) AS t(allow, prefix)),
+          |m AS (SELECT u.host, u.path, r.allow,
+          |    length(r.prefix) AS len
+          |  FROM u JOIN r ON starts_with(u.path, r.prefix)),
+          |d AS (SELECT host, path, allow, row_number() OVER (
+          |    PARTITION BY host, path
+          |    ORDER BY len DESC, allow DESC) AS rn FROM m)
+          |SELECT u.host, u.path, COALESCE(d.allow, TRUE) AS allowed
+          |FROM u LEFT JOIN d ON d.host = u.host AND d.path = u.path
+          |  AND d.rn = 1""".stripMargin
+      },
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

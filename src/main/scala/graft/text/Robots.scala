@@ -61,6 +61,18 @@ object Robots {
       .toDF(hostCol, "allow", "prefix")
   }
 
+  /** One sitemap `<loc>` URL (group 1), whitespace-tolerant — the
+    * Java∩RE2 subset like every pattern here. */
+  val LocRe = "(?is)<loc>[ \\t\\r\\n]*([^<]*?)[ \\t\\r\\n]*</loc>"
+
+  /** All `<loc>` URLs of a sitemap.xml body in document order — the
+    * crawl-frontier feed that pairs with [[matchUrls]]: sitemap lists
+    * what the site WANTS crawled, robots decides what MAY be. Pure
+    * column expression. */
+  def sitemapLocs(xml: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    regexp_extract_all(xml, lit(LocRe), lit(1))
+
   /** Crawl decision per URL: among the url's host's rules whose prefix
     * matches the path, the LONGEST prefix wins; Allow wins exact
     * length ties (the Google tiebreak); no matching rule ⇒ allowed.

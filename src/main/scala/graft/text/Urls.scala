@@ -23,6 +23,12 @@ object Urls {
       .otherwise(regexp_replace(h, "^www\\.", ""))
   }
 
+  /** Path component of a URL (case preserved — paths are
+    * case-significant), '' when the URL has none or does not parse;
+    * query/fragment excluded. */
+  def path(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
   /** Keep at most `n` docs per host, chosen by deterministic hash draw
     * (ties by id) — reproducible domain-diversity capping, the
     * [[graft.pipeline.PipelineOps.sampleNPerStratum]] shape keyed on

@@ -385,6 +385,22 @@ class Round10bSpec extends SparkSpec {
         true -> "/public", false -> "/private")
     }
 
+    it("sitemapLocs extracts trimmed <loc> URLs case-insensitively; " +
+        "Urls.path keeps case and drops query/fragment") {
+      import spark.implicits._
+      val xml = "<urlset><url><loc>\n  https://a.com/One/Two?x=1#f " +
+        "</loc></url><url><LOC>http://b.com</LOC></url></urlset>"
+      val locs = Seq(xml).toDF("xml")
+        .select(explode(Robots.sitemapLocs(col("xml"))).as("url"))
+        .collect().map(_.getString(0))
+      locs shouldBe Array("https://a.com/One/Two?x=1#f", "http://b.com")
+      val paths = Seq(xml).toDF("xml")
+        .select(explode(Robots.sitemapLocs(col("xml"))).as("url"))
+        .select(graft.text.Urls.path(col("url"))).collect()
+        .map(_.getString(0))
+      paths shouldBe Array("/One/Two", "")
+    }
+
     it("matchUrls: longest prefix wins, Allow wins ties, no match " +
         "defaults to allowed") {
       import spark.implicits._
