@@ -2053,6 +2053,17 @@ object SparkEntry {
         graft.text.Robots.rulesTable(bodies))
     }),
 
+    // Freshness-decayed per-type event counts: half-life = 1 day,
+    // reference = 2024-01-31T00:00Z, integer 2^(30−age) weights — the
+    // recency score that weights sources by how CURRENT they are.
+    "q162_decayed_counts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.pipeline.Stats.decayedCounts(
+        ev.select(col("event_type"), Tables.epochMs(ev, "ts").as("ms")),
+        Seq("event_type"), "ms",
+        refMs = 1706659200000L, halfLifeMs = 86400000L)
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3619,6 +3630,17 @@ object SparkEntry {
           |FROM u LEFT JOIN d ON d.host = u.host AND d.path = u.path
           |  AND d.rn = 1""".stripMargin
       },
+
+      // q162: the same clamped half-life bucket + 1<<(30−bkt) weights.
+      "q162_decayed_counts" ->
+        """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+          |b AS (SELECT event_type, ms, least(greatest(
+          |    (1706659200000 - ms) // 86400000, 0), 30) AS bkt FROM e)
+          |SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(1::BIGINT << CAST(30 - bkt AS INT)) AS BIGINT)
+          |    AS decayed_micro,
+          |  max(ms) AS last_ms
+          |FROM b GROUP BY 1""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

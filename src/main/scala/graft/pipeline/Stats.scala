@@ -157,6 +157,39 @@ object Stats {
     * (the `Skew.report` class); past the threshold the two-pass
     * range-sort scan runs instead, so the full-table row count never
     * reaches one task either way. */
+  /** Freshness-decayed counts — the exponential-decay popularity /
+    * recency score used to weight sources and keys by how CURRENT
+    * their activity is, stated integer-exactly: age is bucketed into
+    * half-life units (clamped to `maxBuckets`), each event weighs
+    * 2^(maxBuckets − bucket), and the per-key score is Σ weights —
+    * pure longs summed in DECIMAL(38,0), so the result is mergeable,
+    * partitioning-independent, and engine-independent (no FP decay
+    * products). `decayed_micro / 2^maxBuckets` is the conventional
+    * "now-equivalent events" decayed count; consumers divide at the
+    * end, as with every exact-components operator here. One map-side-
+    * combining aggregation. Returns (keys..., n_events, decayed_micro,
+    * last_ms). */
+  def decayedCounts(df: DataFrame, keyCols: Seq[String], msCol: String,
+      refMs: Long, halfLifeMs: Long, maxBuckets: Int = 30): DataFrame = {
+    require(keyCols.nonEmpty && halfLifeMs > 0 && maxBuckets >= 1 &&
+      maxBuckets <= 62, s"bad args: $keyCols $halfLifeMs $maxBuckets")
+    import graft.time.Buckets.intDiv
+    val bkt = least(
+      greatest(intDiv(lit(refMs) - col(msCol), lit(halfLifeMs)), lit(0L)),
+      lit(maxBuckets.toLong))
+    // 2^(maxBuckets − bkt) as a LONG shift (the Scala-facing shiftleft
+    // only takes a literal shift; the Catalyst node takes a column)
+    val w = org.apache.spark.sql.graftshim.Shim.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.graftshim.Shim.expression(lit(1L)),
+        org.apache.spark.sql.graftshim.Shim.expression(
+          (lit(maxBuckets.toLong) - bkt).cast("int"))))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(w.cast("decimal(38,0)")).cast("long").as("decayed_micro"),
+        max(col(msCol)).as("last_ms"))
+  }
+
   def globalRanks(df: DataFrame, valueCol: String,
       rankCol: String = "rnk", denseRankCol: String = "drnk",
       windowThreshold: Int = 1 << 20): DataFrame = {

@@ -248,6 +248,28 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("Stats.decayedCounts") {
+    it("weights events by 2^(maxBuckets - halfLifeBucket), clamps old " +
+        "and future events, and is exact/mergeable") {
+      import spark.implicits._
+      val ref = 1000000L; val hl = 100L
+      val df = Seq(
+        ("a", 1000000L), // age 0 → bucket 0 → weight 2^4
+        ("a", 999900L),  // age 100 → bucket 1 → 2^3
+        ("a", 999899L),  // age 101 → bucket 1 → 2^3
+        ("a", 1000050L), // FUTURE → clamp to bucket 0 → 2^4
+        ("b", 999000L),  // age 1000 → bucket 10 → clamp 4 → 2^0
+        ("b", 0L))       // ancient → clamp → 2^0
+        .toDF("k", "ms")
+      val out = graft.pipeline.Stats.decayedCounts(df, Seq("k"), "ms",
+          refMs = ref, halfLifeMs = hl, maxBuckets = 4)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      out("a") shouldBe ((4L, 16L + 8L + 8L + 16L, 1000050L))
+      out("b") shouldBe ((2L, 2L, 999000L))
+    }
+  }
+
   describe("Similarity ivf maxCentroids cap") {
     val dir = "/root/testdata/sf0.001"
     it("pins the centroid count; capped search is exact within its " +
