@@ -2064,6 +2064,16 @@ object SparkEntry {
         refMs = 1706659200000L, halfLifeMs = 86400000L)
     }),
 
+    // Weighted sampling WITHOUT replacement, 5 per lang, weight =
+    // length-derived quality proxy (q145's weights): the fixed-budget
+    // quality-preferring subsample; min-of-w-draws key ≡
+    // Efraimidis–Spirakis, integer-exact.
+    "q163_weighted_sample" -> ((s, d) =>
+      graft.pipeline.PipelineOps.sampleWeightedNPerStratum(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          (floor(col("n_chars") / 256) + 1).cast("long").as("w")),
+        n = 5, Seq("lang"), "w", "doc_id")),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs restricted
     // to k-means cells — deterministic centroid assignment (max cosine,
     // ties → lowest cid) turns the O(n²) cosine matrix into an
@@ -3641,6 +3651,22 @@ object SparkEntry {
           |    AS decayed_micro,
           |  max(ms) AS last_ms
           |FROM b GROUP BY 1""".stripMargin,
+
+      // q163: q145's replicate-by-weight min-draw, ranked top-5 per
+      // stratum instead of top-1 per group.
+      "q163_weighted_sample" ->
+        """WITH w AS (SELECT doc_id, lang,
+          |    n_chars // 256 + 1 AS wt FROM documents),
+          |c AS (SELECT doc_id, lang,
+          |    unnest(range(1, wt + 1)) AS cp FROM w WHERE wt > 0),
+          |k AS (SELECT lang, doc_id,
+          |    min(md5(lang || '|' || CAST(doc_id AS VARCHAR) || '|' ||
+          |      CAST(cp AS VARCHAR))) AS key
+          |  FROM c GROUP BY 1, 2),
+          |r AS (SELECT lang, doc_id, row_number() OVER (
+          |    PARTITION BY lang ORDER BY key, doc_id) AS rk FROM k)
+          |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+          |FROM r WHERE rk <= 5""".stripMargin,
 
       // q143: the same per-stratum hash-draw rank + integer floor
       // thresholds (cum 800000 / 900000 ppm, last split absorbs).

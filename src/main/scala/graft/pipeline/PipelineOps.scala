@@ -195,6 +195,40 @@ object PipelineOps {
       .select(groupCols.map(col) :+ col("__m.id").as(idCol): _*)
   }
 
+  /** Weighted sampling WITHOUT replacement, n per stratum — the
+    * fixed-budget quality-weighted subsample ("5 000 docs per
+    * language, preferring high-quality ones"): each row's sort key is
+    * the MINIMUM md5 draw over `weight` iid copies (the integer-exact
+    * reformulation of the Efraimidis–Spirakis U^(1/w) key — more
+    * copies ⇒ stochastically smaller minimum ⇒ rank ∝ weight), and
+    * each stratum keeps its n smallest keys (ties → id). Deterministic
+    * under any partitioning; same caveat as [[weightedChoice]]: total
+    * work is Σ weights, keep weights SMALL integers. Rows with weight
+    * ≤ 0 never qualify. Returns (strata..., id, rk 1..n). The per-
+    * stratum rank window is WindowGroupLimit-prunable (rank ≤ n). */
+  def sampleWeightedNPerStratum(df: DataFrame, n: Int,
+      strataCols: Seq[String], weightCol: String, idCol: String):
+      DataFrame = {
+    require(n >= 1 && strataCols.nonEmpty, s"bad args: $n $strataCols")
+    import org.apache.spark.sql.expressions.Window
+    val copies = df.filter(col(weightCol) > 0)
+      .withColumn("__copy",
+        explode(sequence(lit(1L), col(weightCol).cast("long"))))
+    val keyed = copies.withColumn("__draw",
+      md5(concat_ws("|",
+        strataCols.map(c => col(c).cast("string")) ++
+          Seq(col(idCol).cast("string"),
+            col("__copy").cast("string")): _*).cast("binary")))
+    val perRow = keyed.groupBy(
+        (strataCols.map(col) :+ col(idCol)): _*)
+      .agg(min(col("__draw")).as("__key"))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__key"), col(idCol))
+    perRow.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select(strataCols.map(col) ++ Seq(col(idCol), col("rk")): _*)
+  }
+
   /** SALTED equi-join for skewed keys — the manual skew tool for when
     * AQE's runtime skew-join split cannot apply (e.g. the skewed side
     * feeds an aggregation in the same stage, or a deterministic plan is

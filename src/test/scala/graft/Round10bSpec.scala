@@ -248,6 +248,33 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("PipelineOps.sampleWeightedNPerStratum") {
+    it("keeps n per stratum preferring heavy rows, deterministically, " +
+        "excluding zero weights") {
+      import spark.implicits._
+      // one stratum: 200 rows; 10 heavy rows (w=20) vs 190 light (w=1)
+      val df = (1L to 200L).map(i =>
+          (i, "s", if (i <= 10) 20L else if (i <= 195) 1L else 0L))
+        .toDF("doc_id", "lang", "w")
+      val out = graft.pipeline.PipelineOps
+        .sampleWeightedNPerStratum(df, 10, Seq("lang"), "w", "doc_id")
+        .collect().map(r => r.getLong(1) -> r.getLong(2))
+      out.length shouldBe 10
+      out.map(_._2).sorted shouldBe (1L to 10L).toArray
+      // heavy rows carry ~51% of total mass (200/390) and should take
+      // a clear majority of the 10 slots
+      out.count(_._1 <= 10L) should be >= 4
+      // zero-weight rows never selected
+      out.map(_._1).foreach(_ should be <= 195L)
+      // determinism across partitionings
+      val again = graft.pipeline.PipelineOps
+        .sampleWeightedNPerStratum(df.repartition(13), 10, Seq("lang"),
+          "w", "doc_id")
+        .collect().map(r => r.getLong(1) -> r.getLong(2))
+      out.sortBy(_._2) shouldBe again.sortBy(_._2)
+    }
+  }
+
   describe("Stats.decayedCounts") {
     it("weights events by 2^(maxBuckets - halfLifeBucket), clamps old " +
         "and future events, and is exact/mergeable") {
