@@ -2064,6 +2064,33 @@ object SparkEntry {
         refMs = 1706659200000L, halfLifeMs = 86400000L)
     }),
 
+    // Readability sufficient statistics over multi-sentence synthetic
+    // text (the corpus has no terminators, so the gate composes some):
+    // words / sentences / syllables, integer-exact; Flesch weights
+    // stay consumer-side.
+    "q164_readability" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val synth = concat(col("text"), lit(". "), col("text"),
+        lit("! done."))
+      docs.select((col("doc_id") +:
+        graft.text.TextOps.readabilityColumns(synth)): _*)
+    }),
+
+    // Gopher line-shape counts over synthesized multi-line docs:
+    // bullet-start and ellipsis-end lines by id residue, blank lines
+    // dropped.
+    "q165_line_shape" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val synth = concat(lit("intro line\n\n"),
+        when(col("doc_id") % 2 === 0, lit("- bullet item\n"))
+          .otherwise(lit("plain item\n")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("\nmore soon..."))
+          .otherwise(lit("\nthe end")))
+      docs.select((col("doc_id") +:
+        graft.text.TextOps.lineShapeColumns(synth)): _*)
+    }),
+
     // Weighted sampling WITHOUT replacement, 5 per lang, weight =
     // length-derived quality proxy (q145's weights): the fixed-budget
     // quality-preferring subsample; min-of-w-draws key ≡
@@ -3651,6 +3678,45 @@ object SparkEntry {
           |    AS decayed_micro,
           |  max(ms) AS last_ms
           |FROM b GROUP BY 1""".stripMargin,
+
+      // q164: same synth text; sentences = non-blank [.!?]+ segments,
+      // syllables = vowel runs per token (min 1).
+      "q164_readability" ->
+        s"""WITH s AS (SELECT doc_id,
+          |    text || '. ' || text || '! done.' AS t FROM documents),
+          |c AS (SELECT doc_id, ${toksOfSql("t")} AS toks,
+          |    list_filter(regexp_split_to_array(t, '[.!?]+'),
+          |      x -> trim(x) <> '') AS sents FROM s)
+          |SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_words,
+          |  CAST(greatest(len(sents), 1) AS BIGINT) AS n_sentences,
+          |  CAST(list_sum(list_transform(toks, tk -> greatest(
+          |    len(regexp_extract_all(tk, '[aeiouy]+')), 1)))
+          |    AS BIGINT) AS n_syllables
+          |FROM c""".stripMargin,
+
+      // q165: same synthesized lines; trimmed non-blank lines, bullet
+      // starts, ellipsis ends.
+      "q165_line_shape" ->
+        """WITH s AS (SELECT doc_id,
+          |    'intro line' || chr(10) || chr(10) ||
+          |      CASE WHEN doc_id % 2 = 0 THEN '- bullet item'
+          |        ELSE 'plain item' END || chr(10) || text || chr(10) ||
+          |      CASE WHEN doc_id % 3 = 0 THEN 'more soon...'
+          |        ELSE 'the end' END AS t
+          |  FROM documents),
+          |l AS (SELECT doc_id, list_filter(list_transform(
+          |    regexp_split_to_array(t, chr(10)), x -> trim(x)),
+          |    x -> x <> '') AS lines FROM s)
+          |SELECT doc_id,
+          |  CAST(len(lines) AS BIGINT) AS n_lines,
+          |  CAST(len(list_filter(lines,
+          |    x -> regexp_matches(x, '^[-*•]'))) AS BIGINT)
+          |    AS n_bullet_lines,
+          |  CAST(len(list_filter(lines,
+          |    x -> regexp_matches(x, '(\.\.\.|…)$'))) AS BIGINT)
+          |    AS n_ellipsis_lines
+          |FROM l""".stripMargin,
 
       // q163: q145's replicate-by-weight min-draw, ranked top-5 per
       // stratum instead of top-1 per group.

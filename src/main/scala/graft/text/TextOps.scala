@@ -95,6 +95,40 @@ object TextOps {
       round(stopHits.cast("double") / greatest(nToks, lit(1)), 6).as("stopword_ratio"))
   }
 
+  /** Readability SUFFICIENT STATISTICS, integer-exact: n_words
+    * (tokens), n_sentences (non-blank runs between `.!?` terminators;
+    * min 1), n_syllables (vowel-group runs `[aeiouy]+` per token, min
+    * 1 per token — the standard heuristic). Flesch / Flesch-Kincaid
+    * are linear in these three counts, so their FP weights stay
+    * consumer-side (the PMI discipline) while the counts hash-gate. */
+  def readabilityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val sents = filter(split(text, "[.!?]+"), s => trim(s) =!= "")
+    val syll = aggregate(
+      transform(toks, t => greatest(
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))), lit(1))),
+      lit(0L), (acc, x) => acc + x)
+    Seq(
+      size(toks).cast("long").as("n_words"),
+      greatest(size(sents), lit(1)).cast("long").as("n_sentences"),
+      syll.as("n_syllables"))
+  }
+
+  /** Gopher line-shape counts (Rae et al. 2021 §A1.1 — the
+    * boilerplate/navigation indicators thresholded as corpus filters):
+    * non-blank lines, lines starting with a bullet marker, lines
+    * ending in an ellipsis. Integer counts; thresholds consumer-side. */
+  def lineShapeColumns(text: Column): Seq[Column] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    Seq(
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^[-*•]")))
+        .cast("long").as("n_bullet_lines"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+        .cast("long").as("n_ellipsis_lines"))
+  }
+
   /** Language-ID heuristic: marker-token hit counts per language, CJK
     * override, argmax with lexicographic tie-break. (An n-gram heuristic,
     * not a model — the gate checks engine/oracle agreement, and the

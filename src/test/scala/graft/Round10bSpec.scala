@@ -248,6 +248,38 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("TextOps readability / line shape") {
+    it("readabilityColumns counts words, sentences, syllables " +
+        "(vowel runs, min 1 per token)") {
+      import spark.implicits._
+      val df = Seq("Hello world. Strengths shy! ok").toDF("text")
+      val out = df.select(
+        graft.text.TextOps.readabilityColumns(col("text")): _*)
+        .collect()(0)
+      out.getLong(0) shouldBe 5L // words
+      out.getLong(1) shouldBe 3L // sentences
+      // hello=2 world=1 strengths=1 shy=1(y) ok=1
+      out.getLong(2) shouldBe 6L
+      // no terminators → one sentence
+      Seq("no terminator here").toDF("text")
+        .select(graft.text.TextOps.readabilityColumns(col("text")): _*)
+        .collect()(0).getLong(1) shouldBe 1L
+    }
+
+    it("lineShapeColumns drops blank lines and counts bullet starts " +
+        "and ellipsis ends") {
+      import spark.implicits._
+      val text = "title\n\n- item one\n* item two\nbody text\n" +
+        "to be continued...\nwrap…\n  \nlast"
+      val out = Seq(text).toDF("text")
+        .select(graft.text.TextOps.lineShapeColumns(col("text")): _*)
+        .collect()(0)
+      out.getLong(0) shouldBe 7L
+      out.getLong(1) shouldBe 2L
+      out.getLong(2) shouldBe 2L
+    }
+  }
+
   describe("PipelineOps.sampleWeightedNPerStratum") {
     it("keeps n per stratum preferring heavy rows, deterministically, " +
         "excluding zero weights") {
