@@ -364,14 +364,25 @@ object TextOps {
     require(ptoks.nonEmpty, s"phrase has no tokens: '$phrase'")
     val l = ptoks.length
     val pJoined = ptoks.mkString(" ")
-    val t = tokens(col(textCol))
-    val pos = filter(sequence(lit(0), greatest(size(t) - l, lit(0))),
-      i => array_join(slice(t, i + 1, lit(l)), " ") === pJoined)
-    docs.select(col(idCol).as("doc_id"), pos.as("__pos"))
-      .filter(size(col("__pos")) > 0)
-      .select(col("doc_id"),
-        size(col("__pos")).cast("long").as("n_hits"),
-        element_at(col("__pos"), 1).cast("long").as("first_pos"))
+    // GENERATOR shape, deliberately: the obvious "positions array +
+    // filter(size > 0)" plan lets Catalyst push the row filter below
+    // the projections, substituting the alias so the Filter node
+    // re-tokenizes the document PER WINDOW POSITION (measured ~10×
+    // slower). Exploding (pos, gram) rows instead evaluates the gram
+    // array once per row; the phrase filter is a cheap string equality
+    // on the GENERATED attribute (nothing to inline), and the final
+    // per-doc aggregation shuffles matching positions only.
+    val t = col("__t")
+    val grams = transform(sequence(lit(0), greatest(size(t) - l, lit(0))),
+      i => struct(i.as("pos"),
+        array_join(slice(t, i + 1, lit(l)), " ").as("gram")))
+    docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(grams).as("pg"))
+      .filter(col("pg.gram") === pJoined)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pg.pos")).cast("long").as("first_pos"))
   }
 
   /** Winnowing-style selected-hash fingerprints: min rolling k-gram hash
