@@ -141,6 +141,39 @@ class ReadmeSpec extends SparkSpec {
     Fuzzy.fuzzyPairs(vocab, "word", maxDist = 2)
       .select("w1", "w2").as[(String, String)].collect() shouldBe
         Array(("cold", "old"))
+
+    // round-10 additions
+    import graft.pipeline.{Mixture, PipelineOps}
+    import graft.dedup.Dedup
+    import graft.text.{Robots, TextOps}
+    import graft.similarity.Fusion
+    val corpus = Seq((1L, "en", "alpha beta"), (2L, "en", "alpha beta"),
+      (3L, "de", "gamma delta")).toDF("doc_id", "lang", "text")
+    Mixture.planWithTargets(corpus, Mixture.temperatureTargets(corpus))
+      .count() shouldBe 2
+    val dupPairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val split = PipelineOps.leakageSafeSplit(corpus, dupPairs,
+      Seq("train" -> 900000L, "test" -> 100000L))
+    split.filter(col("doc_id") <= 2).select("split").distinct()
+      .count() shouldBe 1 // the cluster moved atomically
+    val scoredDocs = corpus.withColumn("score", col("doc_id") % 2)
+    Dedup.keepBestPerCluster(scoredDocs, dupPairs, "score")
+      .select("doc_id").as[Long].collect().sorted shouldBe
+        Array(1L, 3L) // score 1 beats score 0 in the cluster
+    val keywordRanking = Seq((0L, 1L, 1L), (0L, 3L, 2L))
+      .toDF("qid", "nid", "rank")
+    val vectorRanking = Seq((0L, 3L, 1L), (0L, 1L, 2L))
+      .toDF("qid", "nid", "rank")
+    Fusion.rrfFuse(Seq(keywordRanking, vectorRanking))
+      .count() shouldBe 2
+    val urls = Seq(("h.com", "/private/x"), ("h.com", "/pub"))
+      .toDF("host", "path")
+    val robotsBodies = Seq(("h.com",
+      "User-agent: *\nDisallow: /private\n")).toDF("host", "body")
+    Robots.matchUrls(urls, Robots.rulesTable(robotsBodies))
+      .filter(col("allowed")).select("path").as[String]
+      .collect() shouldBe Array("/pub")
+    TextOps.phraseSearch(corpus, "alpha beta").count() shouldBe 2
   }
 
   it("SignalStrengths mergeSamples — both ends' signals on one link " +
