@@ -622,6 +622,48 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Chosen LSH banding: `bands` × `rowsPerBand` signatures,
+    * `hashes` = their product, candidate probability
+    * 1 − (1 − s^r)^b evaluated at the target threshold
+    * (`recallAtThreshold`) and at the noise similarity (`fpAtNoise`). */
+  case class LshPlan(bands: Int, rowsPerBand: Int, hashes: Int,
+      recallAtThreshold: Double, fpAtNoise: Double)
+
+  /** S-curve planner for the MinHash-LSH banding — the "how many
+    * bands × rows" question every dedup deployment tunes by hand:
+    * P(candidate | similarity s) = 1 − (1 − s^r)^b, so the planner
+    * searches (r, b) for the CHEAPEST signature (fewest total hashes,
+    * ties → lower false-positive mass) satisfying
+    * recall(threshold) ≥ targetRecall AND fp(noiseSim) ≤ maxFp within
+    * the hash budget. Driver-side closed form (it sizes the q22/q23
+    * operators; nothing distributed to do). Returns None when no
+    * banding within `maxHashes` meets both constraints — loosen the
+    * budget or the fp bound rather than silently under-recalling. */
+  def lshPlan(threshold: Double, targetRecall: Double = 0.95,
+      noiseSim: Double = 0.3, maxFp: Double = 0.05,
+      maxHashes: Int = 512): Option[LshPlan] = {
+    require(threshold > 0 && threshold < 1 && targetRecall > 0 &&
+      targetRecall < 1 && noiseSim >= 0 && noiseSim < threshold,
+      s"bad args: t=$threshold recall=$targetRecall noise=$noiseSim")
+    def pCand(s: Double, r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val feasible = for {
+      r <- 1 to maxHashes
+      // smallest b reaching the recall target at this r (Long: for
+      // large r the required b explodes far past any Int product)
+      pr = math.pow(threshold, r)
+      if pr > 0 && pr < 1
+      // compare in Double BEFORE narrowing: for large r the required b
+      // explodes past any integer width and a cast would wrap
+      bD = math.ceil(math.log1p(-targetRecall) / math.log1p(-pr))
+      if bD >= 1 && bD * r <= maxHashes
+      b = bD.toInt
+      fp = pCand(noiseSim, r, b)
+      if fp <= maxFp
+    } yield LshPlan(b, r, b * r, pCand(threshold, r, b), fp)
+    feasible.sortBy(p => (p.hashes, p.fpAtNoise)).headOption
+  }
+
   /** QUALITY-AWARE canonical-doc election: per near-dup cluster
     * (connected component of `pairs`, star rounds), keep the member
     * with the HIGHEST `scoreCol` (ties → lowest id) instead of

@@ -248,6 +248,30 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.lshPlan") {
+    it("picks the cheapest banding meeting recall AND fp bounds; " +
+        "infeasible budgets return None") {
+      val p = graft.dedup.Dedup.lshPlan(threshold = 0.8).get
+      // hand-walked: r≤3 violate fp(0.3)≤0.05; r=4 needs b=6 →
+      // 24 hashes, recall .9576, fp .0476
+      p.rowsPerBand shouldBe 4
+      p.bands shouldBe 6
+      p.hashes shouldBe 24
+      p.recallAtThreshold should be >= 0.95
+      p.fpAtNoise should be <= 0.05
+      // the planned curve really is the S-curve formula
+      p.recallAtThreshold shouldBe
+        (1.0 - math.pow(1.0 - math.pow(0.8, 4), 6)) +- 1e-12
+      // a 4-hash budget cannot meet both constraints at t=0.8
+      graft.dedup.Dedup.lshPlan(0.8, maxHashes = 4) shouldBe None
+      // the q23 default (4 bands × 4 rows) is what the planner picks
+      // when the fp bound is relaxed to its fp level
+      val loose = graft.dedup.Dedup.lshPlan(0.8, targetRecall = 0.85,
+        maxFp = 0.4).get
+      loose.hashes should be <= 16
+    }
+  }
+
   describe("TextOps readability / line shape") {
     it("readabilityColumns counts words, sentences, syllables " +
         "(vowel runs, min 1 per token)") {
