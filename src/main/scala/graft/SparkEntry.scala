@@ -2064,6 +2064,22 @@ object SparkEntry {
         refMs = 1706659200000L, halfLifeMs = 86400000L)
     }),
 
+    // Main-content extraction (Arc90/boilerpipe link-density scoring):
+    // the nav block (pure anchor chrome) and the short footer drop,
+    // the body block survives — per-page structural de-chroming,
+    // before any corpus-level boilerplate look (q53/q127).
+    "q166_main_content" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val html = concat(
+        lit("<div><a href=\"/h\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></div><p>"),
+        col("text"), lit("</p><div>(c) 2024 site</div>"))
+      docs.select(col("doc_id"),
+          graft.text.Html.mainContent(html).as("mc"))
+        .select(col("doc_id"), md5(col("mc.content")).as("content_md5"),
+          col("mc.n_blocks"), col("mc.n_kept"))
+    }),
+
     // Readability sufficient statistics over multi-sentence synthetic
     // text (the corpus has no terminators, so the gate composes some):
     // words / sentences / syllables, integer-exact; Flesch weights
@@ -3678,6 +3694,43 @@ object SparkEntry {
           |    AS decayed_micro,
           |  max(ms) AS last_ms
           |FROM b GROUP BY 1""".stripMargin,
+
+      // q166: the block split + per-block clean/anchor-chars/filters
+      // as DuckDB list comprehensions over the SAME shared constants;
+      // list ops preserve order, so the joined content matches.
+      "q166_main_content" -> {
+        import graft.text.Html
+        def cleanSql(in: String): String = {
+          var e = s"regexp_replace($in, ${sqlStr(Html.TagRe)}, ' ', 'g')"
+          for ((pat, rep) <- Html.Entities)
+            e = s"regexp_replace($e, ${sqlStr(pat)}, ${sqlStr(rep)}, 'g')"
+          s"trim(regexp_replace($e, ${sqlStr(Html.WsRe)}, ' ', 'g'))"
+        }
+        val acSql =
+          s"""COALESCE(list_sum(list_transform(
+             |      regexp_extract_all(seg, ${sqlStr(Html.AnchorTagRe)}),
+             |      a -> length(trim(regexp_replace(regexp_extract(a,
+             |        ${sqlStr(Html.AnchorTextRe)}, 1),
+             |        ${sqlStr(Html.WsRe)}, ' ', 'g'))))), 0)""".stripMargin
+        s"""WITH h AS (SELECT doc_id,
+          |    '<div><a href="/h">Home</a> <a href="/a">About</a> ' ||
+          |      '<a href="/c">Contact</a></div><p>' || text ||
+          |      '</p><div>(c) 2024 site</div>' AS html
+          |  FROM documents),
+          |c AS (SELECT doc_id, list_filter(list_transform(
+          |    regexp_split_to_array(html, ${sqlStr(Html.BlockTagRe)}),
+          |    seg -> {'txt': ${cleanSql("seg")}, 'ac': $acSql}),
+          |    b -> length(b.txt) > 0) AS scored FROM h),
+          |k AS (SELECT doc_id, scored, list_filter(scored,
+          |    b -> length(b.txt) >= 20 AND b.ac * 3 <= length(b.txt))
+          |    AS kept FROM c)
+          |SELECT doc_id,
+          |  md5(array_to_string(list_transform(kept, b -> b.txt), ' '))
+          |    AS content_md5,
+          |  CAST(len(scored) AS BIGINT) AS n_blocks,
+          |  CAST(len(kept) AS BIGINT) AS n_kept
+          |FROM k""".stripMargin
+      },
 
       // q164: same synth text; sentences = non-blank [.!?]+ segments,
       // syllables = vowel runs per token (min 1).

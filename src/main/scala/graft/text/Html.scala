@@ -96,6 +96,57 @@ object Html {
         trim(regexp_replace(regexp_extract(t, AnchorTextRe, 1), WsRe, " "))
           .as("text")))
 
+  /** Block-level split points for [[mainContent]]: opening or closing
+    * structural tags. Inline markup (`<a>`, `<b>`, …) stays INSIDE a
+    * block so its text weighs into that block's score. */
+  val BlockTagRe =
+    "(?is)</?(p|div|section|article|main|header|footer|nav|aside|ul|ol|li|h[1-6]|table|tr|td|br)\\b[^>]*>"
+
+  /** Main-content extraction (the Arc90-readability / boilerpipe idea
+    * re-expressed as pure column work): split the page into block
+    * segments at structural tags, score each block by LINK DENSITY —
+    * navigation/footer chrome is mostly anchor text, body prose is
+    * not — and keep blocks whose cleaned text is long enough
+    * (≥ `minChars`) with anchor-text chars ≤ 1/`maxLinkDenom` of text
+    * chars. Returns struct(content = kept blocks joined by one space,
+    * n_blocks = total non-empty blocks, n_kept).
+    *
+    * All nested HOF + regexp column expressions over the SAME shared
+    * constants the oracle states verbatim ([[Entities]], [[WsRe]],
+    * [[AnchorTagRe]], [[AnchorTextRe]], [[BlockTagRe]]) — no UDFs,
+    * embarrassingly parallel. The q53 boilerplate and q127 line-dedup
+    * operators clean REPEATED chrome corpus-wide; this drops
+    * structural chrome per page, before any corpus-level look. */
+  def mainContent(html: Column, minChars: Int = 20,
+      maxLinkDenom: Int = 3): Column = {
+    val segs = split(html, BlockTagRe)
+    def cleanOf(seg: Column): Column = {
+      val noTags = regexp_replace(seg, TagRe, " ")
+      val decoded = Entities.foldLeft(noTags) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      }
+      trim(regexp_replace(decoded, WsRe, " "))
+    }
+    def anchorCharsOf(seg: Column): Column =
+      aggregate(
+        transform(regexp_extract_all(seg, lit(AnchorTagRe), lit(0)),
+          a => length(trim(regexp_replace(
+            regexp_extract(a, AnchorTextRe, 1), WsRe, " ")))),
+        lit(0), (acc, x) => acc + x)
+    val scored = filter(
+      transform(segs, s =>
+        struct(cleanOf(s).as("txt"), anchorCharsOf(s).as("ac"))),
+      b => length(b.getField("txt")) > 0)
+    val kept = filter(scored, b =>
+      length(b.getField("txt")) >= minChars &&
+        b.getField("ac") * maxLinkDenom <= length(b.getField("txt")))
+    struct(
+      array_join(transform(kept, b => b.getField("txt")), " ")
+        .as("content"),
+      size(scored).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"))
+  }
+
   /** The page's robots meta tag (`name="robots"`, any attribute order,
     * any case), or '' when absent. */
   val MetaRobotsRe =

@@ -248,6 +248,29 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("Html.mainContent") {
+    it("drops link-dense nav and short footers, keeps prose incl. " +
+        "inline markup and entities") {
+      import spark.implicits._
+      val html = "<nav><a href='/1'>Home page</a> <a href='/2'>About " +
+        "us page</a></nav>" +
+        "<p>This is the real &amp; <b>main</b> body of the page, " +
+        "long enough to keep.</p>" +
+        "<div>Short.</div>" +
+        "<p>Second paragraph with one <a href='/x'>link</a> inside " +
+        "a lot of surrounding prose text.</p>"
+      val out = Seq(html).toDF("html")
+        .select(graft.text.Html.mainContent(col("html")).as("mc"))
+        .select("mc.content", "mc.n_blocks", "mc.n_kept").collect()(0)
+      out.getLong(1) shouldBe 4L
+      out.getLong(2) shouldBe 2L
+      out.getString(0) shouldBe
+        "This is the real & main body of the page, long enough to " +
+        "keep. Second paragraph with one link inside a lot of " +
+        "surrounding prose text."
+    }
+  }
+
   describe("Dedup.lshPlan") {
     it("picks the cheapest banding meeting recall AND fp bounds; " +
         "infeasible budgets return None") {
