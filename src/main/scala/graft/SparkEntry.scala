@@ -2064,6 +2064,21 @@ object SparkEntry {
         refMs = 1706659200000L, halfLifeMs = 86400000L)
     }),
 
+    // Comparable-corpus mining: cross-language doc pairs sharing ≥ 2
+    // rare anchor tokens (2 ≤ df ≤ 10) — the bitext-mining precursor;
+    // the df ceiling bounds every token's pair fan-out. The synthetic
+    // vocab is all-hot (df ≫ 10, correctly excluded), so the gate
+    // plants pair-specific anchors: docs i and i+1 share pa/pb(i+1)
+    // (df exactly 2 at every SF); only cross-lang adjacencies pair.
+    "q167_comparable_pairs" -> ((s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val nextStr = (col("doc_id") + 1).cast("string")
+      graft.text.Bitext.comparablePairs(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" pa"), idStr, lit(" pb"), idStr,
+            lit(" pa"), nextStr, lit(" pb"), nextStr).as("text")))
+    }),
+
     // Main-content extraction (Arc90/boilerpipe link-density scoring):
     // the nav block (pure anchor chrome) and the short footer drop,
     // the body block survives — per-page structural de-chroming,
@@ -3694,6 +3709,27 @@ object SparkEntry {
           |    AS decayed_micro,
           |  max(ms) AS last_ms
           |FROM b GROUP BY 1""".stripMargin,
+
+      // q167: the same planted anchors + rare-postings inverted join.
+      "q167_comparable_pairs" ->
+        s"""WITH d2 AS (SELECT doc_id, lang,
+          |    text || ' pa' || CAST(doc_id AS VARCHAR) || ' pb' ||
+          |      CAST(doc_id AS VARCHAR) || ' pa' ||
+          |      CAST(doc_id + 1 AS VARCHAR) || ' pb' ||
+          |      CAST(doc_id + 1 AS VARCHAR) AS text
+          |  FROM documents),
+          |p AS (SELECT doc_id AS id, lang,
+          |    unnest(list_distinct($toksSql)) AS token FROM d2),
+          |p2 AS (SELECT * FROM p WHERE token <> ''),
+          |rare AS (SELECT token FROM p2 GROUP BY 1
+          |  HAVING count(*) >= 2 AND count(*) <= 10),
+          |rp AS (SELECT p2.* FROM p2 JOIN rare USING (token))
+          |SELECT a.id AS id1, b.id AS id2, a.lang AS lang1,
+          |  b.lang AS lang2, count(*) AS n_shared
+          |FROM rp a JOIN rp b ON b.token = a.token AND a.id < b.id
+          |  AND a.lang <> b.lang
+          |GROUP BY 1, 2, 3, 4
+          |HAVING count(*) >= 2""".stripMargin,
 
       // q166: the block split + per-block clean/anchor-chars/filters
       // as DuckDB list comprehensions over the SAME shared constants;

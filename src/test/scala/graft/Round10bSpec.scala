@@ -248,6 +248,29 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("Bitext.comparablePairs") {
+    it("pairs cross-language docs on shared rare tokens only; hot " +
+        "tokens and same-language pairs never join") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "en", "the acme42 report zkey common common"),
+        (2L, "de", "der acme42 bericht zkey common"),
+        (3L, "en", "the acme42 other zkey thing"), // en–en with 2: no pair
+        (4L, "fr", "le common texte"), // only hot/solo tokens
+        (5L, "de", "einzig unique here")) // df-1 tokens pair nothing
+        .toDF("doc_id", "lang", "text")
+      // make "common" hot (df > maxDf) via filler docs sharing it
+      val filler = (100L to 120L).map(i => (i, "xx", s"common filler$i"))
+        .toDF("doc_id", "lang", "text")
+      val out = graft.text.Bitext.comparablePairs(
+          docs.unionByName(filler), minShared = 2, maxDf = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      // acme42 (df 3) + zkey (df 3) shared by (1,2), (1→3 same lang
+      // excluded), (2,3 de–en: shares acme42+zkey → pair!)
+      out.toSet shouldBe Set((1L, 2L, 2L), (2L, 3L, 2L))
+    }
+  }
+
   describe("Html.mainContent") {
     it("drops link-dense nav and short footers, keeps prose incl. " +
         "inline markup and entities") {
