@@ -2079,6 +2079,18 @@ object SparkEntry {
             lit(" pa"), nextStr, lit(" pb"), nextStr).as("text")))
     }),
 
+    // Per-lang byte/char/token fertility totals — tokenizer and
+    // storage budgeting; integer sums, ratios consumer-side.
+    "q168_fertility" -> ((s, d) =>
+      graft.text.TextOps.fertilityStats(
+        Tables.documents(s, d).select(col("lang"), col("text")))),
+
+    // Embedding-collection health audit: per-vector dims/NaN/zero
+    // counts + rounded norm + degenerate flag — the hygiene pass
+    // before any index build.
+    "q169_embedding_health" -> ((s, d) =>
+      graft.similarity.Similarity.healthAudit(Tables.embeddings(s, d))),
+
     // Main-content extraction (Arc90/boilerpipe link-density scoring):
     // the nav block (pure anchor chrome) and the short footer drop,
     // the body block survives — per-page structural de-chroming,
@@ -3709,6 +3721,33 @@ object SparkEntry {
           |    AS decayed_micro,
           |  max(ms) AS last_ms
           |FROM b GROUP BY 1""".stripMargin,
+
+      // q168: strlen = UTF-8 bytes; non-ASCII via class-strip diff.
+      "q168_fertility" ->
+        s"""SELECT lang AS stratum, count(*) AS n_docs,
+          |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+          |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          |  CAST(sum(length(text) - length(regexp_replace(text,
+          |    '[^\\x00-\\x7F]', '', 'g'))) AS BIGINT) AS n_non_ascii,
+          |  CAST(sum(len($toksSql)) AS BIGINT) AS n_toks
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      // q169: the same per-vector fold (sequential, NaN-guarded).
+      "q169_embedding_health" ->
+        """WITH a AS (SELECT vec_id AS id,
+          |    CAST(len(embedding) AS BIGINT) AS n_dims,
+          |    CAST(len(list_filter(embedding,
+          |      x -> isnan(x::DOUBLE))) AS BIGINT) AS n_nan,
+          |    CAST(len(list_filter(embedding,
+          |      x -> x::DOUBLE = 0)) AS BIGINT) AS n_zero,
+          |    round(sqrt(list_reduce(list_transform(embedding,
+          |      x -> CASE WHEN isnan(x::DOUBLE) THEN 0.0
+          |        ELSE x::DOUBLE * x::DOUBLE END),
+          |      (p, q) -> p + q)), 6) AS norm_r
+          |  FROM embeddings)
+          |SELECT id, n_dims, n_nan, n_zero, norm_r,
+          |  (n_nan > 0 OR norm_r = 0 OR n_dims <> 64) AS is_degenerate
+          |FROM a""".stripMargin,
 
       // q167: the same planted anchors + rare-postings inverted join.
       "q167_comparable_pairs" ->

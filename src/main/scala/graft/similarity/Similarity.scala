@@ -618,6 +618,29 @@ object Similarity {
         count(lit(1)).over(Window.partitionBy(col("topic"))))
   }
 
+  /** Embedding-collection HEALTH audit — the hygiene pass run before
+    * any vector index build (one broken exporter upstream fills a
+    * shard with zero or NaN vectors, and every cosine downstream is
+    * garbage): per vector, dimension count, NaN/zero-component counts,
+    * and the rounded norm; plus the degenerate flags (zero norm, any
+    * NaN, wrong dimensionality). One scan, pure column expressions.
+    * Returns (id, n_dims, n_nan, n_zero, norm_r, is_degenerate). */
+  def healthAudit(embeddings: DataFrame, expectDims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val nNan = size(filter(v, x => isnan(x)))
+    val nZero = size(filter(v, x => x === 0.0d))
+    val norm = round(sqrt(aggregate(v, lit(0.0d),
+      (acc, x) => acc + when(isnan(x), 0.0d).otherwise(x * x))), 6)
+    embeddings.select(col(idCol).cast("long").as("id"),
+        size(col(vecCol)).cast("long").as("n_dims"),
+        nNan.cast("long").as("n_nan"), nZero.cast("long").as("n_zero"),
+        norm.as("norm_r"))
+      .withColumn("is_degenerate",
+        col("n_nan") > 0 || col("norm_r") === 0.0d ||
+          col("n_dims") =!= expectDims.toLong)
+  }
+
   /** Recall of an approximate top-k result against the exact one — the
     * standard ANN quality dial a pipeline monitors when trading nprobe/
     * bands against cost. Input frames carry (qid, nid[, ...]); output

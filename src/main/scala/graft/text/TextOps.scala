@@ -129,6 +129,24 @@ object TextOps {
         .cast("long").as("n_ellipsis_lines"))
   }
 
+  /** Per-stratum byte/char/token FERTILITY totals — the tokenizer- and
+    * storage-budget numbers (bytes per token varies 1–4× across
+    * languages; UTF-8 bytes ≠ chars for non-ASCII scripts): Σ bytes
+    * (UTF-8), Σ chars, Σ non-ASCII chars, Σ tokens per stratum. Pure
+    * integer sums (one map-side-combining aggregation); the FP ratios
+    * (bytes/token, chars/token) divide consumer-side. */
+  def fertilityStats(docs: org.apache.spark.sql.DataFrame,
+      strataCol: String = "lang", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame =
+    docs.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[^\\x00-\\x7F]", "")))
+          .cast("long")).as("n_non_ascii"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_toks"))
+
   /** Language-ID heuristic: marker-token hit counts per language, CJK
     * override, argmax with lexicographic tie-break. (An n-gram heuristic,
     * not a model — the gate checks engine/oracle agreement, and the

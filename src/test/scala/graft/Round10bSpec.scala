@@ -248,6 +248,42 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("fertility stats / embedding health") {
+    it("fertilityStats counts UTF-8 bytes vs chars vs tokens per " +
+        "stratum") {
+      import spark.implicits._
+      val docs = Seq(("de", "über ön"), ("de", "ascii two"),
+        ("en", "plain")).toDF("lang", "text")
+      val out = graft.text.TextOps.fertilityStats(docs)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+      // "über ön": 7 chars, 2 non-ascii → 9 bytes; "ascii two": 9/9
+      out("de") shouldBe ((2L, 18L, 16L, 2L, 4L))
+      out("en") shouldBe ((1L, 5L, 5L, 0L, 1L))
+    }
+
+    it("healthAudit flags NaN, zero-norm, and wrong-dim vectors; " +
+        "healthy vectors carry their exact rounded norm") {
+      import spark.implicits._
+      val emb = Seq(
+        (1L, Array(3.0f, 4.0f)),
+        (2L, Array(0.0f, 0.0f)),
+        (3L, Array(Float.NaN, 1.0f)),
+        (4L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      val out = graft.similarity.Similarity.healthAudit(emb,
+          expectDims = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+        .toMap
+      out(1L) shouldBe ((0L, 0L, 5.0, false))
+      out(2L) shouldBe ((0L, 2L, 0.0, true))
+      out(3L)._1 shouldBe 1L
+      out(3L)._4 shouldBe true
+      out(4L)._4 shouldBe true // 3 dims ≠ expected 2
+    }
+  }
+
   describe("Bitext.comparablePairs") {
     it("pairs cross-language docs on shared rare tokens only; hot " +
         "tokens and same-language pairs never join") {
