@@ -2079,6 +2079,16 @@ object SparkEntry {
             lit(" pa"), nextStr, lit(" pb"), nextStr).as("text")))
     }),
 
+    // Rank-normalized blend of two incomparable quality signals
+    // (chars 2:1 tokens): per-signal corpus ranks + integer weighted
+    // sum — exact, FP-free, rescaling-immune.
+    "q170_rank_blend" -> ((s, d) =>
+      graft.pipeline.Stats.rankBlend(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+          graft.text.TextOps.tokenCount(col("text")).cast("long")
+            .as("n_toks")),
+        Seq("n_chars" -> 2L, "n_toks" -> 1L))),
+
     // Per-lang byte/char/token fertility totals — tokenizer and
     // storage budgeting; integer sums, ratios consumer-side.
     "q168_fertility" -> ((s, d) =>
@@ -3721,6 +3731,17 @@ object SparkEntry {
           |    AS decayed_micro,
           |  max(ms) AS last_ms
           |FROM b GROUP BY 1""".stripMargin,
+
+      // q170: competition ranks per signal + the weighted rank sum.
+      "q170_rank_blend" ->
+        s"""WITH b AS (SELECT doc_id, n_chars,
+          |    CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+          |r AS (SELECT doc_id, n_chars, n_toks,
+          |    rank() OVER (ORDER BY n_chars) AS rnk_n_chars,
+          |    rank() OVER (ORDER BY n_toks) AS rnk_n_toks FROM b)
+          |SELECT doc_id, n_chars, n_toks, rnk_n_chars, rnk_n_toks,
+          |  rnk_n_chars * 2 + rnk_n_toks AS blend
+          |FROM r""".stripMargin,
 
       // q168: strlen = UTF-8 bytes; non-ASCII via class-strip diff.
       "q168_fertility" ->

@@ -190,6 +190,27 @@ object Stats {
         max(col(msCol)).as("last_ms"))
   }
 
+  /** Rank-normalized score BLENDING — the robust way to combine
+    * quality signals measured on incomparable scales (chars,
+    * compression ratios, classifier margins): each signal is replaced
+    * by its corpus-wide rank ([[globalRanks]] — the two-pass prefix-sum
+    * path, never a one-task window) and the blend is the integer
+    * weighted rank sum, so the result is exact, mergeable-free of FP,
+    * and immune to any monotone rescaling of the inputs. Returns df +
+    * per-signal `rnk_<col>` + `blend`. Ties share ranks (standard
+    * competition ranking), so equal-signal docs blend equally. */
+  def rankBlend(df: DataFrame, signals: Seq[(String, Long)],
+      windowThreshold: Int = 1 << 20): DataFrame = {
+    require(signals.nonEmpty, "rankBlend needs signal columns")
+    var cur = df
+    for ((c, _) <- signals)
+      cur = globalRanks(cur, c, rankCol = s"rnk_$c",
+        denseRankCol = s"__dr_$c", windowThreshold = windowThreshold)
+        .drop(s"__dr_$c")
+    cur.withColumn("blend",
+      signals.map { case (c, w) => col(s"rnk_$c") * w }.reduce(_ + _))
+  }
+
   def globalRanks(df: DataFrame, valueCol: String,
       rankCol: String = "rnk", denseRankCol: String = "drnk",
       windowThreshold: Int = 1 << 20): DataFrame = {

@@ -248,6 +248,30 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  describe("Stats.rankBlend") {
+    it("blends by competition ranks — immune to monotone rescaling, " +
+        "ties share ranks") {
+      import spark.implicits._
+      val df = Seq((1L, 10L, 5L), (2L, 20L, 5L), (3L, 30L, 1L))
+        .toDF("doc_id", "a", "b")
+      val out = graft.pipeline.Stats.rankBlend(df,
+          Seq("a" -> 2L, "b" -> 1L))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("rnk_a"), r.getAs[Long]("rnk_b"),
+            r.getAs[Long]("blend"))).toMap
+      out(1L) shouldBe ((1L, 2L, 4L))
+      out(2L) shouldBe ((2L, 2L, 6L))
+      out(3L) shouldBe ((3L, 1L, 7L))
+      // monotone rescale of a signal leaves the blend unchanged
+      val scaled = df.withColumn("a", col("a") * 1000L - 7L)
+      val out2 = graft.pipeline.Stats.rankBlend(scaled,
+          Seq("a" -> 2L, "b" -> 1L))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("blend")).toMap
+      out.map { case (k, v) => k -> v._3 } shouldBe out2
+    }
+  }
+
   describe("fertility stats / embedding health") {
     it("fertilityStats counts UTF-8 bytes vs chars vs tokens per " +
         "stratum") {
