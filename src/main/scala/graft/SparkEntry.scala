@@ -2079,6 +2079,31 @@ object SparkEntry {
             lit(" pa"), nextStr, lit(" pb"), nextStr).as("text")))
     }),
 
+    // Round-10 curation chain as ONE composed plan (the q71/q144
+    // flagship discipline): rank-blend quality scoring over the
+    // doubled corpus → per-exact-dup-cluster BEST-copy election (twin
+    // scores differ via the id-derived freshness signal) →
+    // leakage-safe split on the survivors (reps stay the cluster min,
+    // so twins of dropped docs can never straddle train/eval).
+    "q171_curate_e2e" -> ((s, d) => {
+      val docs = doubledDocs(s, d)
+      val h = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+      val pairs = h.as("a").join(h.as("b"),
+          col("a.__h") === col("b.__h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      val scored = graft.pipeline.Stats.rankBlend(
+        docs.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          (col("doc_id") % 7).cast("long").as("fresh")),
+        Seq("n_chars" -> 2L, "fresh" -> 1L))
+      val kept = graft.dedup.Dedup.keepBestPerCluster(scored, pairs,
+        "blend")
+      graft.pipeline.PipelineOps.leakageSafeSplit(kept, pairs,
+          Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+        .select(col("doc_id"), col("blend"), col("rep"), col("split"))
+    }),
+
     // Rank-normalized blend of two incomparable quality signals
     // (chars 2:1 tokens): per-signal corpus ranks + integer weighted
     // sum — exact, FP-free, rescaling-immune.
@@ -3731,6 +3756,28 @@ object SparkEntry {
           |    AS decayed_micro,
           |  max(ms) AS last_ms
           |FROM b GROUP BY 1""".stripMargin,
+
+      // q171: the chained oracles — blend ranks over the doubled
+      // corpus, per-hash argmax, min-id rep, hash-draw split.
+      "q171_curate_e2e" ->
+        s"""WITH docs AS ($doubledSql),
+          |s AS (SELECT doc_id, md5(text) AS h,
+          |    CAST(length(text) AS BIGINT) AS n_chars,
+          |    doc_id % 7 AS fresh FROM docs),
+          |r AS (SELECT *, rank() OVER (ORDER BY n_chars) AS r1,
+          |    rank() OVER (ORDER BY fresh) AS r2 FROM s),
+          |b AS (SELECT doc_id, h, r1 * 2 + r2 AS blend FROM r),
+          |w AS (SELECT *, row_number() OVER (PARTITION BY h
+          |      ORDER BY blend DESC, doc_id ASC) AS rn,
+          |    min(doc_id) OVER (PARTITION BY h) AS rep FROM b),
+          |k AS (SELECT doc_id, blend, rep FROM w WHERE rn = 1),
+          |d2 AS (SELECT doc_id, blend, rep,
+          |    ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+          |      % 1000000 AS draw FROM k)
+          |SELECT doc_id, blend, rep,
+          |  CASE WHEN draw < 800000 THEN 'train'
+          |       WHEN draw < 900000 THEN 'val' ELSE 'test' END AS split
+          |FROM d2""".stripMargin,
 
       // q170: competition ranks per signal + the weighted rank sum.
       "q170_rank_blend" ->
