@@ -19,6 +19,20 @@ object Probe {
       f; val t0 = System.nanoTime(); val n = f
       println(f"STAGE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
+    if (args.length > 1 && args(1) == "gate") {
+      // Standalone per-gate A/B: `Probe <dir> gate <name> [runs]` — the
+      // variance discipline (VERDICT r10 #2): fresh JVM, N back-to-back
+      // timed runs of ONE gate, no suite contention.
+      val name = args(2)
+      val runs = if (args.length > 3) args(3).toInt else 3
+      val q = graft.SparkEntry.queries(name)
+      for (i <- 1 to runs) {
+        val t0 = System.nanoTime()
+        val n = q(spark, d).count()
+        println(f"GATE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "suite") {
       // in-suite overhead repro: does running materializing queries
       // beforehand slow a later query (lingering localCheckpoint RDDs)?

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bfs
+
+/** Round-11 hardening: the Bfs.reachable small-graph local fallback
+  * (the TemporalReach/GraphxOps probe discipline, applied to the
+  * engine's core traversal). */
+class Round11Spec extends SparkSpec {
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.get(0), r.getInt(1))).toSet
+
+  describe("Bfs.reachable local fallback") {
+
+    it("local path ≡ distributed path across the probe boundary " +
+        "(same graph, threshold just above / just below edge count)") {
+      import spark.implicits._
+      // diamond + tail + unreachable island + unknown start
+      val edges = Seq(
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+        ("x", "y"), ("e", "a") /* cycle back */).toDF("src", "dst")
+      val starts = Seq("a", "ghost").toDF("node_id")
+      val local = Bfs.reachable(edges, starts) // 7 edges < default threshold
+      val dist = Bfs.reachable(edges, starts, localEdgeThreshold = 0)
+      val expected = Set[(Any, Int)](
+        ("a", 0), ("ghost", 0), ("b", 1), ("c", 1), ("d", 2), ("e", 3))
+      asSet(local) shouldBe expected
+      asSet(dist) shouldBe expected
+      // boundary: threshold exactly the distinct edge count → still local
+      asSet(Bfs.reachable(edges, starts, localEdgeThreshold = 7)) shouldBe expected
+      // threshold one below → distributed
+      asSet(Bfs.reachable(edges, starts, localEdgeThreshold = 6)) shouldBe expected
+    }
+
+    it("maxHops cuts at the same level on both paths") {
+      import spark.implicits._
+      val edges = (0 until 10).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+      val starts = Seq("n0").toDF("node_id")
+      for (h <- Seq(0, 1, 3)) {
+        val local = asSet(Bfs.reachable(edges, starts, maxHops = Some(h)))
+        val dist = asSet(Bfs.reachable(edges, starts, maxHops = Some(h),
+          localEdgeThreshold = 0))
+        local shouldBe (0 to h).map(i => (s"n$i": Any, i)).toSet
+        dist shouldBe local
+      }
+    }
+
+    it("mixed integral id types unify to long on both paths; " +
+        "non-unifiable types skip the local path without error") {
+      import spark.implicits._
+      val edges = Seq((1, 2L), (2, 3L)).toDF("src", "dst")
+      val starts = Seq(1L).toDF("node_id")
+      val local = Bfs.reachable(edges, starts)
+      local.schema("node_id").dataType shouldBe
+        org.apache.spark.sql.types.LongType
+      asSet(local) shouldBe Set((1L, 0), (2L, 1), (3L, 2))
+      asSet(Bfs.reachable(edges, starts, localEdgeThreshold = 0)) shouldBe
+        asSet(local)
+      // string edges + long starts: types don't unify → distributed path,
+      // Spark's join coercion as before (no rows match here, starts remain)
+      val sEdges = Seq(("1", "2")).toDF("src", "dst")
+      val got = Bfs.reachable(sEdges, starts)
+      got.select("node_id").count() should be >= 1L
+    }
+
+    it("local path returns nothing-but-starts on an empty edge list " +
+        "and an empty frame on empty starts") {
+      import spark.implicits._
+      val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+      val starts = Seq("a").toDF("node_id")
+      asSet(Bfs.reachable(noEdges, starts)) shouldBe Set(("a", 0))
+      val noStarts = Seq.empty[String].toDF("node_id")
+      val edges = Seq(("a", "b")).toDF("src", "dst")
+      Bfs.reachable(edges, noStarts).count() shouldBe 0L
+    }
+
+    it("local path runs in ZERO distributed jobs after the probe " +
+        "(the whole point: no per-level scheduler round-trips)") {
+      import spark.implicits._
+      val edges = (0 until 50).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+      val starts = Seq(0L).toDF("node_id")
+      // force lazy plan evaluation complete before counting
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val out = Bfs.reachable(edges, starts)
+      val mid = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      out.count()
+      // probe + starts fetch are bounded (a handful of jobs), NOT
+      // proportional to the 50-level diameter
+      (mid - before) should be < 10
+    }
+  }
+}
