@@ -26,13 +26,22 @@ object Jsonl {
     * first projection for the 99.9 % good path). */
   def parseWithQuarantine(lines: DataFrame, schema: StructType,
       required: Seq[String], lineCol: String = "line"): DataFrame = {
-    val full = schema.add("_corrupt", "string")
+    // Collision-free corrupt-record field: the caller's schema may
+    // itself contain `_corrupt` (plausible when re-ingesting previously
+    // quarantined output) — schema.add would then produce a duplicate
+    // field and from_json behavior becomes ambiguous. Derive an unused
+    // name instead of assuming one.
+    val corrupt = LazyList.from(0).map {
+      case 0 => "_corrupt"
+      case i => s"_corrupt$i"
+    }.find(n => !schema.fieldNames.contains(n)).get
+    val full = schema.add(corrupt, "string")
     val parsed = lines.withColumn("__p",
       from_json(col(lineCol), full,
         Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt")))
+          "columnNameOfCorruptRecord" -> corrupt)))
     val ok = col("__p").isNotNull &&
-      col("__p._corrupt").isNull &&
+      col("__p").getField(corrupt).isNull &&
       required.map(f => col(s"__p.$f").isNotNull)
         .foldLeft(lit(true))(_ && _)
     parsed.select(

@@ -184,9 +184,20 @@ object Stats {
         org.apache.spark.sql.graftshim.Shim.expression(lit(1L)),
         org.apache.spark.sql.graftshim.Shim.expression(
           (lit(maxBuckets.toLong) - bkt).cast("int"))))
+    // Overflow guard: the weight sum lives in DECIMAL(38,0); a bare
+    // cast("long") past Long.MaxValue silently yields NULL (non-ANSI).
+    // With maxBuckets=30 that takes ~2^33 bucket-0 events on ONE key —
+    // rare but reachable at 100 TB — so fail LOUDLY with the remedy
+    // instead of corrupting a popularity score downstream.
+    val decSum = sum(w.cast("decimal(38,0)"))
+    val guarded = when(
+      assert_true(decSum <= lit(Long.MaxValue).cast("decimal(38,0)"),
+        lit("decayedCounts: per-key decayed weight sum exceeds " +
+          "Long.MaxValue — lower maxBuckets or pre-aggregate")).isNull,
+      decSum.cast("long"))
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"),
-        sum(w.cast("decimal(38,0)")).cast("long").as("decayed_micro"),
+        guarded.as("decayed_micro"),
         max(col(msCol)).as("last_ms"))
   }
 

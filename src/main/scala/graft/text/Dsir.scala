@@ -153,7 +153,7 @@ object Dsir {
     * materialized. Returns (doc_id, log_w, key) for the k keepers. */
   def resample(docs: DataFrame, weights: DataFrame, k: Int,
       seed: String = "dsir", idCol: String = "doc_id"): DataFrame = {
-    val u = (conv(substring(md5(concat_ws(" ", lit(seed),
+    val u = (conv(substring(md5(concat_ws("\u0000", lit(seed),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 1.0d) /
       4294967297.0d // (2^32 + 1): u ∈ (0, 1), never 0 or 1 exactly
     docs.select(col(idCol).as("doc_id"))

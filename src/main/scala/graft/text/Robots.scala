@@ -30,7 +30,14 @@ object Robots {
     for (raw <- body.split("\n")) {
       val line = raw.takeWhile(_ != '#').trim
       val lower = line.toLowerCase(java.util.Locale.ROOT)
-      if (lower.startsWith("user-agent:")) {
+      if (line.isEmpty) {
+        // Comment-only and blank lines are NEUTRAL (RFC 9309 §2.2
+        // ignores them entirely; its group ABNF allows emptyline
+        // BETWEEN startgrouplines): clearing inHeader here split a
+        // 'User-agent: *' + '# note' + 'User-agent: b' header block,
+        // silently dropping the group's rules from the star set —
+        // failing OPEN (URL treated as allowed).
+      } else if (lower.startsWith("user-agent:")) {
         val agent = line.substring("user-agent:".length).trim
         if (!inHeader) { inStar = false; inHeader = true }
         if (agent == "*") inStar = true
@@ -42,7 +49,7 @@ object Robots {
           val prefix = line.substring(if (allow) 6 else 9).trim
           if (prefix.nonEmpty) out += ((allow, prefix))
         }
-      } else inHeader = false
+      }
     }
     out.result()
   }

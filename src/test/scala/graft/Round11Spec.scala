@@ -90,4 +90,69 @@ class Round11Spec extends SparkSpec {
       (mid - before) should be < 10
     }
   }
+
+  describe("round-11 ADVICE closures") {
+
+    it("Robots: comment/blank lines between User-agent lines keep the " +
+        "header block together (RFC 9309 ignores them entirely)") {
+      import graft.text.Robots
+      val body =
+        """User-agent: *
+          |# a comment inside the header block
+          |User-agent: b
+          |Disallow: /x
+          |
+          |User-agent: c
+          |Disallow: /only-c
+          |""".stripMargin
+      // the shared (*, b) group's rule must land in the star set; the
+      // old state machine dropped it (comment reset the header block →
+      // 'User-agent: b' cleared inStar) — failing OPEN
+      Robots.parseStarRules(body) shouldBe Seq(false -> "/x")
+      // blank line between UA lines: same RFC grammar, same answer
+      Robots.parseStarRules(
+        "User-agent: a\n\nUser-agent: *\nDisallow: /y\n") shouldBe
+        Seq(false -> "/y")
+    }
+
+    it("Stats.decayedCounts fails loudly (not silent NULL) when the " +
+        "per-key weight sum would overflow long") {
+      import graft.pipeline.Stats
+      import spark.implicits._
+      // maxBuckets=62 → one bucket-0 event weighs 2^62; three of them
+      // exceed Long.MaxValue in the DECIMAL sum
+      val df = Seq(("k", 100L), ("k", 100L), ("k", 100L)).toDF("key", "ms")
+      val ex = intercept[Exception] {
+        Stats.decayedCounts(df, Seq("key"), "ms",
+          refMs = 100L, halfLifeMs = 1000L, maxBuckets = 62).collect()
+      }
+      ex.getMessage should include("decayedCounts")
+      // sane settings still work and stay exact longs
+      val ok = Stats.decayedCounts(df, Seq("key"), "ms",
+        refMs = 100L, halfLifeMs = 1000L, maxBuckets = 30).collect()
+      ok.head.getAs[Long]("decayed_micro") shouldBe 3L * (1L << 30)
+    }
+
+    it("Jsonl.parseWithQuarantine survives a caller schema that " +
+        "already contains `_corrupt`") {
+      import graft.io.Jsonl
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("_corrupt", StringType)))
+      val lines = Seq(
+        """{"id":1,"_corrupt":null}""",
+        """{"id":2,"_corrupt":"previously quarantined line"}""",
+        """not json at all""").toDF("line")
+      val parsed = Jsonl.parseWithQuarantine(lines, schema, Seq("id"))
+      val (good, bad) = Jsonl.route(parsed)
+      good.columns.toSeq shouldBe Seq("id", "_corrupt")
+      good.select("id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+      // the user's own _corrupt FIELD round-trips untouched
+      good.filter($"id" === 2)
+        .select("_corrupt").as[String].head() shouldBe
+        "previously quarantined line"
+      bad.as[String].collect().toSeq shouldBe Seq("not json at all")
+    }
+  }
 }
