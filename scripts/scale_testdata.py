@@ -32,7 +32,12 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
-OFF = 100_000_000
+# Per-copy key offset: must exceed every source key (max 149,999 at
+# sf0.1) and keep FACTOR*OFF below the gates' 2^31 twin-shift guard;
+# must stay ≡ 0 (mod 50) so user_id%50-derived graph nodes are
+# copy-invariant. The 10^8 default works to FACTOR=21; pass a smaller
+# one (e.g. 10^6) for the 100x sweep.
+OFF = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000_000
 
 
 def shift(t, cols, k):

@@ -2963,7 +2963,7 @@ object SparkEntry {
              |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
              |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
              |  FROM base),
-             |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+             |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0 ORDER BY cid LIMIT 1024),
              |scored AS (SELECT v.id, c.cid,
              |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
              |      (x, y) -> x + y) AS ccos
@@ -3000,7 +3000,7 @@ object SparkEntry {
          |unit AS (SELECT id, list_transform(v, x -> x / sqrt(
          |    list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)))
          |    AS u FROM base),
-         |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+         |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0 ORDER BY cid LIMIT 1024),
          |scored AS (SELECT v.id, c.cid,
          |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
          |      (x, y) -> x + y) AS ccos
@@ -3015,12 +3015,13 @@ object SparkEntry {
          |    FROM scored WHERE id < 500)
          |  WHERE cr <= 2),
          |subs AS (SELECT unnest(range(0, 8)) AS sub),
-         |cb AS (SELECT sub,
+         |cb AS (SELECT * FROM (SELECT sub,
          |    dense_rank() OVER (PARTITION BY sub ORDER BY seed_id) - 1 AS code,
          |    cu FROM (
          |    SELECT b.id AS seed_id, s.sub AS sub,
          |      list_slice(b.v, s.sub * 8 + 1, s.sub * 8 + 8) AS cu
-         |    FROM base b CROSS JOIN subs s WHERE b.id % 50 = 0)),
+         |    FROM base b CROSS JOIN subs s WHERE b.id % 50 = 0))
+         |  WHERE code < 256),
          |pieces AS (SELECT b.id, s.sub,
          |    list_slice(b.v, s.sub * 8 + 1, s.sub * 8 + 8) AS pv
          |  FROM base b CROSS JOIN subs s),
@@ -3513,7 +3514,7 @@ object SparkEntry {
           |      (x, y) -> x + y))) AS u
           |  FROM base),
           |cent AS (SELECT id AS cid, u AS cu FROM unit
-          |  WHERE id % 50 = 0),
+          |  WHERE id % 50 = 0 ORDER BY cid LIMIT 1024),
           |scored AS (SELECT v.id, c.cid,
           |    list_reduce(list_transform(range(1, 65),
           |      i -> v.u[i] * c.cu[i]), (x, y) -> x + y) AS ccos
@@ -4082,7 +4083,7 @@ object SparkEntry {
           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
           |  FROM embeddings),
-          |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+          |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0 ORDER BY cid LIMIT 1024),
           |scored AS (SELECT v.id, c.cid,
           |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
           |      (x, y) -> x + y) AS ccos
@@ -4176,7 +4177,7 @@ object SparkEntry {
            |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
            |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
            |  FROM emb),
-           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0 ORDER BY cid LIMIT 1024),
            |scored AS (SELECT v.id, c.cid,
            |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
            |      (x, y) -> x + y) AS ccos
@@ -4291,7 +4292,7 @@ object SparkEntry {
            |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
            |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
            |  FROM base),
-           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0 ORDER BY cid LIMIT 1024),
            |scored AS (SELECT v.id, c.cid,
            |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
            |      (x, y) -> x + y) AS ccos
@@ -5436,7 +5437,7 @@ object SparkEntry {
            |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
            |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
            |  FROM base),
-           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0),
+           |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0 ORDER BY cid LIMIT 1024),
            |scored AS (SELECT v.id, c.cid,
            |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
            |      (x, y) -> x + y) AS ccos

@@ -143,10 +143,16 @@ object Mixture {
     *
     * Needs `textCol` (token counts) where applyPlan does not; the
     * per-stratum running sum is [[PipelineOps.exclusivePrefixSum]] —
-    * two-pass range-sort, no per-stratum window task. */
+    * two-pass range-sort, no per-stratum window task.
+    *
+    * `windowThreshold` is threaded to the prefix sum: it inherits its
+    * eagerness contract (a bounded row-probe JOB at plan construction
+    * when > 0 — Round11Spec pins the count); callers that KNOW the
+    * corpus is large should pass 0 to skip the probe and take the
+    * two-pass scan directly. */
   def applyPlanTokenExact(docs: DataFrame, planDf: DataFrame,
       strataCol: String = "lang", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", windowThreshold: Int = 1 << 20): DataFrame = {
     import graft.time.Buckets.intDiv
     val p = planDf.select(col("stratum").as(strataCol),
       col("n_toks"), col("want_toks"))
@@ -156,7 +162,7 @@ object Mixture {
         lit(0L)).as("__t"),
       PipelineOps.hashDraw(col(idCol)).as("__draw"))
     val cum = PipelineOps.exclusivePrefixSum(toks, strataCol,
-      Seq("__draw", idCol), "__t", "__cum")
+      Seq("__draw", idCol), "__t", "__cum", windowThreshold)
       .select(col(idCol), col("__cum"))
     val joined = docs.join(broadcast(p), Seq(strataCol))
       .join(cum, Seq(idCol))

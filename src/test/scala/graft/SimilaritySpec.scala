@@ -407,8 +407,8 @@ class SimilaritySpec extends SparkSpec {
     kept2.intersect(boundaryIds) shouldBe Set(10L)
   }
 
-  it("semanticDupPairs recall on the real corpus: nprobe=2 never loses " +
-      "pairs and closes part of the cross-cell gap") {
+  it("semanticDupPairs recall/cost curve on the real corpus: recall " +
+      "monotone in nprobe, takedown preset (nprobe=4) ≥ 0.9") {
     if (!haveData) cancel("testdata missing")
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -423,16 +423,49 @@ class SimilaritySpec extends SparkSpec {
     def pairSet(df: org.apache.spark.sql.DataFrame) = df
       .select(col("id1"), col("id2")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val p1 = pairSet(Similarity.semanticDupPairs(emb, threshold = thr))
-    val p2 = pairSet(Similarity.semanticDupPairs(emb, threshold = thr,
-      nprobe = 2))
-    p1.subsetOf(p2) shouldBe true
-    p2.subsetOf(truth) shouldBe true
-    val recall1 = p1.size.toDouble / truth.size
-    val recall2 = p2.size.toDouble / truth.size
-    recall2 should be >= recall1
-    info(f"real-corpus audit (threshold $thr%.4f, ${truth.size} true " +
-      f"pairs): recall nprobe=1 $recall1%.3f, nprobe=2 $recall2%.3f")
+    // The nprobe recall/cost CURVE (round-11 verdict item): recall vs
+    // brute-force truth at the p99.9 threshold, cost = candidate-pair
+    // budget Σ_cell |cell|·(|cell|−1)/2 from the probe assignment
+    // (semanticProbes — the exact join size the cell self-join pays,
+    // before the threshold filter). Pinned: recall is monotone in
+    // nprobe, candidates stay far below brute force, and the
+    // TAKEDOWN-GRADE preset reaches recall ≥ 0.9.
+    val bruteCost = {
+      val n = emb.count(); n * (n - 1) / 2
+    }
+    val curve = Seq(1, 2, 4, 8).map { np =>
+      val pairs = pairSet(Similarity.semanticDupPairs(emb, threshold = thr,
+        nprobe = np))
+      pairs.subsetOf(truth) shouldBe true
+      val probes = Similarity.semanticProbes(emb, nprobe = np)
+        .groupBy(col("centroid")).count().collect()
+        .map(r => r.getLong(1) * (r.getLong(1) - 1) / 2).sum
+      (np, pairs, pairs.size.toDouble / truth.size, probes)
+    }
+    curve.sliding(2).foreach { case Seq((_, a, _, _), (_, b, _, _)) =>
+      a.subsetOf(b) shouldBe true // wider probes never lose pairs
+    }
+    curve.foreach { case (np, _, recall, cand) =>
+      info(f"nprobe=$np%d: recall $recall%.3f, candidate pairs $cand%d " +
+        f"(${100.0 * cand / bruteCost}%.1f%% of brute ${bruteCost}%d)")
+    }
+    // the takedown-grade preset (documented in semanticDupPairs
+    // scaladoc + SURVEY §8): nprobe=4 buys ≥ 0.9 recall. The candidate
+    // budget scales as ~nprobe² · n²/cells — on THIS 40-cell toy corpus
+    // nprobe=4 probes 10% of all cells so the fraction-of-brute looks
+    // large; at the production DefaultMaxCentroids=1024 cells the same
+    // preset probes 0.4% and the budget is ~nprobe²/cells of brute.
+    // What the toy corpus CAN pin: recall, and that the budget grows
+    // ≤ nprobe² (not worse).
+    val cand1 = curve.head._4
+    curve.foreach { case (np, _, recall, cand) =>
+      cand.toDouble / cand1 should be <= (np.toDouble * np + 1.0)
+    }
+    val (np9, _, recall9, cand9) = curve.find(_._3 >= 0.9).get
+    np9 should be <= 4
+    info(f"takedown preset nprobe=$np9%d: recall $recall9%.3f, " +
+      f"candidate budget ${cand9.toDouble / cand1}%.1f× the nprobe=1 " +
+      f"budget (brute would be ${bruteCost / cand1.toDouble}%.1f×)")
   }
 
   it("lshCandidatePairs puts identical vectors in one bucket") {
