@@ -55,7 +55,10 @@ object Dedup {
     * parity twin). */
   def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
+    // spread: tokenize+explode multiplies per-row work; a byte-small
+    // single-row-group corpus must not shingle in one task (see
+    // graft.util.Spread — 100x sweep finding)
+    graft.util.Spread.spread(docs).select(col(idCol).as("id"),
         explode(graft.functions.TextExpressions.wordShingles(
           TextOps.tokens(col(textCol)), k)).as("shingle"))
       .filter(col("shingle") =!= "")
@@ -734,7 +737,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60,
       s"maxHamming must be in [0, 60), got $maxHamming")
-    val sims = docs.select(col(idCol).as("id"),
+    val sims = graft.util.Spread.spread(docs).select(col(idCol).as("id"),
       simhash(col(textCol)).as("sh")).persist()
     val cands =
       if (maxHamming <= 3) {
@@ -837,8 +840,9 @@ object Dedup {
     * shingle). The building block for substring-level span detection. */
   def positionedShingles(docs: DataFrame, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tokenized = docs.select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("toks"))
+    val tokenized = graft.util.Spread.spread(docs)
+      .select(col(idCol).as("id"),
+        TextOps.tokens(col(textCol)).as("toks"))
     val sh = transform(
       sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
       i => array_join(slice(col("toks"), i + 1, lit(k)), " "))

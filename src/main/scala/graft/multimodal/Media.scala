@@ -147,7 +147,7 @@ object Media {
       batchSize: Int = 64): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    graft.util.Spread.spread(media).mapPartitions { it =>
       it.grouped(batchSize).flatMap(batch => decoder.decodeBatch(batch))
     }
   }
@@ -173,7 +173,7 @@ object Media {
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    graft.util.Spread.spread(media).mapPartitions { it =>
       it.grouped(batchSize).flatMap(batch => decoder.decodeBatch(batch))
     }
   }
@@ -195,7 +195,7 @@ object Media {
       s"resize geometry must be positive, got ${width}x$height")
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    graft.util.Spread.spread(media).mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
         val resized =
           try {

@@ -180,19 +180,10 @@ object Similarity {
     * instead of n·m·(n/stride) (quadratic — same sweep finding). */
   val PqMaxCodes = 256
 
-  /** Re-spread a compute-AMPLIFYING frame across the cluster when the
-    * file layout under-partitions it: Spark sizes scan partitions by
-    * BYTES (`files.maxPartitionBytes`), but the centroid/codebook
-    * broadcast joins multiply per-row work ~1000×, so a collection
-    * that fits one 78 MB scan partition would run its whole assignment
-    * in ONE task (100× sweep: a 20-minute single-thread stage while 31
-    * cores idled). The n-row shuffle is negligible next to the n×C
-    * work it parallelizes; no-op when the input is already as parallel
-    * as the session. Plan-time only — no job. */
-  private def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
-  }
+  /** See [[graft.util.Spread]]: the centroid/codebook broadcast joins
+    * multiply per-row work ~1000×, so an under-partitioned collection
+    * must be re-spread before them (100× sweep finding). */
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread.spread(df)
 
   /** Stride-sampled centroid table, CAPPED to a fixed count
     * (the lowest `maxCentroids` sampled ids — deterministic
