@@ -33,10 +33,17 @@ object Bench {
     // because each gate pays the PREVIOUS gates' accumulated garbage.
     // Collecting between gates charges each query only its own work,
     // making the round-over-round 2× regression gate meaningful
-    // per-query. The barrier itself is untimed.
+    // per-query. PRESSURE-GATED: an unconditional System.gc() before
+    // every gate taxed short gates ~0.2-0.3 s each (A/B-measured —
+    // full-GC side effects like code-cache sweeping hit re-warm cost),
+    // so the barrier fires only when used heap exceeds half of max —
+    // a quiet heap skips the tax, a garbage-loaded one still gets
+    // cleared before the next timed region. The barrier is untimed.
     val gcBarrier = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     def run(name: String): Double = {
-      if (gcBarrier) System.gc()
+      val rt = Runtime.getRuntime
+      if (gcBarrier &&
+          rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => () }

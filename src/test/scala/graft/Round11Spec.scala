@@ -156,6 +156,31 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  describe("Spread — the compute-amplifier partition guard") {
+    import graft.util.Spread
+
+    it("leaves small or already-parallel frames alone and spreads " +
+        "only big under-partitioned ones") {
+      import spark.implicits._
+      val want = spark.sparkContext.defaultParallelism
+      // small single-partition frame: below MinSpreadBytes → untouched
+      val small = (1 to 100).toDF("x").coalesce(1)
+      Spread.spread(small).rdd.getNumPartitions shouldBe 1
+      // big but already-parallel: untouched (the production layout)
+      val par = (1 to 1000).toDF("x").repartition(want)
+      Spread.spread(par).rdd.getNumPartitions shouldBe want
+      // big AND under-partitioned: spreads to session parallelism.
+      // ~1M rows of 32-byte strings ≈ 32 MB estimated > 8 MB gate.
+      val big = spark.range(1000000)
+        .select(md5(col("id").cast("string")).as("s")).coalesce(1)
+      assert(BigInt(big.queryExecution.optimizedPlan.stats.sizeInBytes
+        .toString) >= Spread.MinSpreadBytes)
+      Spread.spread(big).rdd.getNumPartitions shouldBe want
+      // row parity either way
+      Spread.spread(big).count() shouldBe 1000000L
+    }
+  }
+
   describe("exclusivePrefixSum eagerness contract, quantified") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 
