@@ -2104,6 +2104,42 @@ object SparkEntry {
         .select(col("doc_id"), col("blend"), col("rep"), col("split"))
     }),
 
+    // PAGERANK (operators/PageRank): the web-curation domain ranker,
+    // power iteration in EXACT micro-integer arithmetic — ranks as
+    // units of 10^-12, every step an integral division — so the result
+    // is order-independent and hash-checkable; the oracle unrolls the
+    // same three iterations verbatim. Dangling mass (n50-n59 never
+    // appear as subjects) redistributes uniformly, exercising the
+    // correction path. Per iteration: ONE shuffle (the contribution
+    // agg on dst, map-side partial sums absorb power-law in-degree) +
+    // two 1x1 broadcast scalar combines.
+    "q172_pagerank" -> ((s, d) =>
+      graft.operators.PageRank.pageRank(
+        EventGraph.linkSamples(s, d)
+          .select(col("subject").as("src"), col("target").as("dst")),
+        iterations = 3)),
+
+    // MOJIBAKE repair (text/Encoding): UTF-8-as-cp1252 double-encoding
+    // — the ftfy defect class, the most common encoding fault in web
+    // corpora — repaired by a codegen'd longest-first StringReplace
+    // chain (no UDF, no regex). The synthetic corpus is clean ASCII,
+    // so the defect is synthesized deterministically per doc from the
+    // table's own garbled forms (the q141 messy-URL discipline); the
+    // oracle states the same injection and the same 36-entry repair
+    // chain as nested replace().
+    "q173_mojibake" -> ((s, d) => {
+      val dirty = Tables.documents(s, d).select(col("doc_id"),
+        concat(substring(col("text"), 1, 64), lit(" "),
+          when(col("doc_id") % 4 === 0, lit("cafÃ© â€” rÃ©sumÃ©â€¦"))
+            .when(col("doc_id") % 4 === 1, lit("naÃ¯ve â€œquoteâ€¢"))
+            .when(col("doc_id") % 4 === 2, lit("SÃ£o Paulo Â· 25Â°"))
+            .otherwise(lit("plain ascii"))).as("t"))
+      dirty.select(col("doc_id"),
+        graft.text.Encoding.fixMojibake(col("t")).as("fixed"),
+        graft.text.Encoding.mojibakeScore(col("t")).cast("long")
+          .as("n_fixed"))
+    }),
+
     // Rank-normalized blend of two incomparable quality signals
     // (chars 2:1 tokens): per-signal corpus ranks + integer weighted
     // sum — exact, FP-free, rescaling-immune.
@@ -3815,6 +3851,54 @@ object SparkEntry {
           |  CASE WHEN draw < 800000 THEN 'train'
           |       WHEN draw < 900000 THEN 'val' ELSE 'test' END AS split
           |FROM d2""".stripMargin,
+
+      // q172: the micro-integer PageRank recurrence, three iterations
+      // unrolled — DuckDB's // is floor division, identical to Spark's
+      // div on these all-positive operands; sums cast back to BIGINT
+      // (DuckDB sum(BIGINT) widens to HUGEINT).
+      "q172_pagerank" -> {
+        def iter(k: Int): String =
+          s"""c$k AS (SELECT e.dst AS id,
+             |    CAST(sum(p.pr // d.od) AS BIGINT) AS inc
+             |  FROM e JOIN p${k - 1} p ON p.id = e.src
+             |  JOIN deg d ON d.src = e.src GROUP BY 1),
+             |d$k AS (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+             |  FROM p${k - 1} p WHERE NOT EXISTS
+             |    (SELECT 1 FROM deg x WHERE x.src = p.id)),
+             |p$k AS (SELECT n.id,
+             |    (150 * 1000000000000) // (1000 * (SELECT n FROM nn))
+             |    + (850 * (coalesce(c.inc, 0) + (SELECT dang FROM d$k)
+             |        // (SELECT n FROM nn))) // 1000 AS pr
+             |  FROM nodes n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
+        s"""WITH ev AS ($cte),
+           |e AS (SELECT DISTINCT subject AS src, target AS dst FROM ev
+           |  WHERE subject <> target),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |p0 AS (SELECT id,
+           |  1000000000000 // (SELECT n FROM nn) AS pr FROM nodes),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT id, pr AS pr_micro FROM p3""".stripMargin
+      },
+
+      // q173: the same deterministic mojibake injection, repaired by
+      // the same 36-entry chain stated as nested replace().
+      "q173_mojibake" -> {
+        val fix = graft.text.Encoding.oracleFixSql("t")
+        s"""WITH dirty AS (SELECT doc_id,
+           |    substr(text, 1, 64) || ' ' ||
+           |    CASE doc_id % 4 WHEN 0 THEN 'cafÃ© â€” rÃ©sumÃ©â€¦'
+           |      WHEN 1 THEN 'naÃ¯ve â€œquoteâ€¢'
+           |      WHEN 2 THEN 'SÃ£o Paulo Â· 25Â°'
+           |      ELSE 'plain ascii' END AS t
+           |  FROM documents)
+           |SELECT doc_id, $fix AS fixed,
+           |  CAST(length(t) - length($fix) AS BIGINT) AS n_fixed
+           |FROM dirty""".stripMargin
+      },
 
       // q170: competition ranks per signal + the weighted rank sum.
       "q170_rank_blend" ->

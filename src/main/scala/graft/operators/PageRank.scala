@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Brin & Page 1998) by synchronous power iteration in EXACT
+  * scaled-integer arithmetic: ranks are carried as `pr_micro` — units
+  * of `scale` (default 10^12) — and every step uses integral division,
+  * so the result is a pure function of the graph, the damping factor,
+  * and the iteration count. Floating-point PageRank sums in shuffle
+  * order and differs in the last bits run-to-run; the integer
+  * recurrence is order-independent, which makes the operator
+  * hash-checkable against a SQL oracle and its outputs reproducible
+  * across cluster sizes — the property a curation pipeline needs when
+  * a domain-rank threshold gates what ships to training.
+  *
+  * Recurrence (all divisions integral, all quantities non-negative):
+  * {{{
+  *   pr0(v)   = scale div n
+  *   share(u) = pr(u) div outdeg(u)
+  *   inc(v)   = sum of share(u) over edges u -> v
+  *   dang     = sum of pr(u) over nodes with outdeg 0
+  *   pr'(v)   = ((1000 - d) * scale) div (1000 * n)
+  *              + (d * (inc(v) + dang div n)) div 1000
+  * }}}
+  * with `d` the damping in permille (850 = the classic 0.85). The
+  * dangling mass is redistributed uniformly, the standard correction.
+  *
+  * Scale posture: `outdeg` is computed ONCE; each iteration is one
+  * equi-join of the edge set against the rank table (shuffle on the
+  * join key) + one hash aggregation on `dst` with map-side partials —
+  * a power-law in-degree (the web case) is absorbed by partial
+  * aggregation, not a hot reducer, because the combine is a plain sum.
+  * The dangling sum and the node count are 1x1 scalar frames combined
+  * by broadcast cross join (never a driver collect). Iterations are a
+  * fixed parameter; pass a checkpoint dir via
+  * [[graft.util.Checkpoints]] upstream if lineage depth matters at
+  * high iteration counts.
+  */
+object PageRank {
+
+  /** (id, pr_micro) after `iterations` synchronous steps over a
+    * directed edge frame (`src`, `dst`). Self-loops drop, duplicate
+    * edges count once; every endpoint appears in the output. */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      dampingPermille: Int = 850,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val nScalar = nodes.agg(count(lit(1)).as("n")) // 1x1
+    var pr = nodes.crossJoin(broadcast(nScalar))
+      .selectExpr("id", s"${scale}L div n AS pr")
+    for (_ <- 1 to iterations) {
+      // using-column joins throughout: pr, deg and e share lineage
+      // (all derive from the edge frame), so df("col") references
+      // would trip DetectAmbiguousSelfJoin
+      val shares = pr.withColumnRenamed("id", "src")
+        .join(deg, Seq("src"))
+        .selectExpr("src", "pr div od AS share")
+      val inc = e.join(shares, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("inc"))
+      val dang = pr.join(deg.select(col("src").as("id")),
+          Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang")) // 1x1
+      pr = nodes
+        .join(inc.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dang.crossJoin(nScalar)))
+        .selectExpr("id",
+          s"(${1000L - dampingPermille} * ${scale}L) div (1000 * n)" +
+            s" + ($dampingPermille * (coalesce(inc, 0L) + dang div n))" +
+            " div 1000 AS pr")
+    }
+    pr.select(col("id"), col("pr").as("pr_micro"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.PageRank
+
+/** PageRank's integer recurrence, pinned against a driver-local
+  * simulation of the same arithmetic — any drift between the plan and
+  * the stated semantics (share rounding, dangling redistribution,
+  * damping) fails exactly. */
+class PageRankSpec extends SparkSpec {
+
+  /** The operator's documented recurrence, simulated locally. */
+  private def simulate(edges: Seq[(String, String)], iters: Int,
+      d: Long = 850L, scale: Long = 1000000000000L): Map[String, Long] = {
+    val e = edges.filter { case (s, t) => s != t }.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val out = e.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    var pr = nodes.map(v => (v, scale / n)).toMap
+    for (_ <- 1 to iters) {
+      val share = pr.collect {
+        case (v, p) if out.contains(v) => (v, p / out(v))
+      }
+      val inc = e.groupBy(_._2).map { case (v, in) =>
+        (v, in.map(x => share(x._1)).sum)
+      }
+      val dang = pr.collect {
+        case (v, p) if !out.contains(v) => p
+      }.sum
+      pr = nodes.map { v =>
+        (v, ((1000L - d) * scale) / (1000L * n) +
+          (d * (inc.getOrElse(v, 0L) + dang / n)) / 1000L)
+      }.toMap
+    }
+    pr
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int) = {
+    import spark.implicits._
+    PageRank.pageRank(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+  }
+
+  describe("PageRank.pageRank") {
+
+    // star into a sink (dangling) + a cycle + duplicate/self edges
+    val graph = Seq(
+      ("a", "sink"), ("b", "sink"), ("c", "sink"),
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      ("a", "b"), // duplicate: counts once
+      ("c", "c")) // self-loop: drops
+
+    it("matches the driver-local simulation of the stated recurrence") {
+      for (iters <- Seq(0, 1, 3)) {
+        run(graph, iters) shouldBe simulate(graph, iters)
+      }
+    }
+
+    it("is deterministic across runs and conserves mass to within " +
+        "integer rounding") {
+      val a = run(graph, 3)
+      val b = run(graph, 3)
+      a shouldBe b
+      // each node loses < 1 micro-unit per div, 3 divs per iteration
+      val total = a.values.sum
+      val scale = 1000000000000L
+      total should be <= scale
+      total should be > scale - 100L * a.size
+    }
+
+    it("ranks the sink of a star highest and sums dangling mass back") {
+      val star = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"))
+      val pr = run(star, 3)
+      pr("hub") should be > pr("a")
+      pr("a") shouldBe pr("b")
+      pr shouldBe simulate(star, 3)
+    }
+  }
+}
