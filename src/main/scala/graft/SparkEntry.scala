@@ -2140,6 +2140,33 @@ object SparkEntry {
           .as("n_fixed"))
     }),
 
+    // TRUSTRANK (operators/PageRank.personalizedPageRank): seeded
+    // teleport — trust propagates from a hand-vetted seed whitelist
+    // (n0-n4 here), the Gyongyi 2004 web-spam demotion construction.
+    // Same exact micro-integer recurrence and shuffle shape as q172;
+    // non-seed nodes are ranked purely by seeded mass reaching them,
+    // and dangling mass returns to the seeds. Seeds broadcast.
+    "q174_trustrank" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.PageRank.personalizedPageRank(
+        EventGraph.linkSamples(s, d)
+          .select(col("subject").as("src"), col("target").as("dst")),
+        Seq("n0", "n1", "n2", "n3", "n4").toDF("id"),
+        iterations = 3)
+    }),
+
+    // HITS (operators/Hits): hubs vs authorities, the link-directory /
+    // canonical-source separation PageRank conflates — authority is
+    // the curation keep signal, high-hub/low-authority the link-farm
+    // smell. L1-renormalized integer iteration (units of 10^-6), so
+    // hash-exact; per iteration two key-shuffled aggs + two 1x1
+    // scalar combines, overflow guarded in-plan.
+    "q175_hits" -> ((s, d) =>
+      graft.operators.Hits.hits(
+        EventGraph.linkSamples(s, d)
+          .select(col("subject").as("src"), col("target").as("dst")),
+        iterations = 2)),
+
     // Rank-normalized blend of two incomparable quality signals
     // (chars 2:1 tokens): per-signal corpus ranks + integer weighted
     // sum — exact, FP-free, rescaling-immune.
@@ -3898,6 +3925,82 @@ object SparkEntry {
            |SELECT doc_id, $fix AS fixed,
            |  CAST(length(t) - length($fix) AS BIGINT) AS n_fixed
            |FROM dirty""".stripMargin
+      },
+
+      // q174: the personalized (seeded-teleport) recurrence, three
+      // iterations unrolled; p0 carries the seed flag so each step's
+      // teleport + dangling return applies to seeds only.
+      "q174_trustrank" -> {
+        def iter(k: Int): String =
+          s"""c$k AS (SELECT e.dst AS id,
+             |    CAST(sum(p.pr // d.od) AS BIGINT) AS inc
+             |  FROM e JOIN p${k - 1} p ON p.id = e.src
+             |  JOIN deg d ON d.src = e.src GROUP BY 1),
+             |d$k AS (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+             |  FROM p${k - 1} p WHERE NOT EXISTS
+             |    (SELECT 1 FROM deg x WHERE x.src = p.id)),
+             |p$k AS (SELECT n.id, n.seed,
+             |    n.seed * ((150 * 1000000000000)
+             |        // (1000 * (SELECT ns FROM ns))
+             |      + (850 * ((SELECT dang FROM d$k)
+             |        // (SELECT ns FROM ns))) // 1000)
+             |    + (850 * coalesce(c.inc, 0)) // 1000 AS pr
+             |  FROM p0 n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
+        s"""WITH ev AS ($cte),
+           |e AS (SELECT DISTINCT subject AS src, target AS dst FROM ev
+           |  WHERE subject <> target),
+           |seeds AS (SELECT * FROM (VALUES ('n0'), ('n1'), ('n2'),
+           |  ('n3'), ('n4')) s(id)),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+           |  UNION SELECT id FROM seeds),
+           |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+           |ns AS (SELECT count(*) AS ns FROM seeds),
+           |p0 AS (SELECT n.id,
+           |    CAST(CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END
+           |      AS BIGINT) AS seed,
+           |    CASE WHEN s.id IS NOT NULL
+           |      THEN 1000000000000 // (SELECT ns FROM ns)
+           |      ELSE CAST(0 AS BIGINT) END AS pr
+           |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT id, pr AS pr_micro FROM p3""".stripMargin
+      },
+
+      // q175: the L1-renormalized integer HITS recurrence, two
+      // iterations unrolled — hub from in-sums of authority, authority
+      // from in-sums of hub, each step re-summing to ~10^6 by integral
+      // division.
+      "q175_hits" -> {
+        def iter(k: Int): String =
+          s"""hr$k AS (SELECT e.src AS id,
+             |    CAST(sum(a.a) AS BIGINT) AS hraw
+             |  FROM e JOIN a${k - 1} a ON a.id = e.dst GROUP BY 1),
+             |ht$k AS (SELECT CAST(coalesce(sum(hraw), 0) AS BIGINT)
+             |    AS htot FROM hr$k),
+             |h$k AS (SELECT n.id, coalesce(hr.hraw, 0)
+             |    // greatest(1, (SELECT htot FROM ht$k) // 1000000)
+             |    AS h
+             |  FROM nodes n LEFT JOIN hr$k hr ON hr.id = n.id),
+             |ar$k AS (SELECT e.dst AS id,
+             |    CAST(sum(h.h) AS BIGINT) AS araw
+             |  FROM e JOIN h$k h ON h.id = e.src GROUP BY 1),
+             |at$k AS (SELECT CAST(coalesce(sum(araw), 0) AS BIGINT)
+             |    AS atot FROM ar$k),
+             |a$k AS (SELECT n.id, coalesce(ar.araw, 0)
+             |    // greatest(1, (SELECT atot FROM at$k) // 1000000)
+             |    AS a
+             |  FROM nodes n LEFT JOIN ar$k ar ON ar.id = n.id)""".stripMargin
+        s"""WITH ev AS ($cte),
+           |e AS (SELECT DISTINCT subject AS src, target AS dst FROM ev
+           |  WHERE subject <> target),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |a0 AS (SELECT id, CAST(1000000 AS BIGINT) AS a FROM nodes),
+           |${iter(1)},
+           |${iter(2)}
+           |SELECT h2.id, h2.h AS hub_micro, a2.a AS auth_micro
+           |FROM h2 JOIN a2 ON a2.id = h2.id""".stripMargin
       },
 
       // q170: competition ranks per signal + the weighted rank sum.

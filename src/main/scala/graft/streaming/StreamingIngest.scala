@@ -112,6 +112,30 @@ object StreamingIngest {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming sessionization — the q31 gap-split as an incremental
+    * query: native `session_window` keeps one state row per OPEN
+    * session per key, merges/extends it as events arrive across
+    * micro-batches, and (append mode) emits the finished session once
+    * the watermark passes its end (last event + gap) — so state is
+    * bounded by the number of concurrently-open sessions, never the
+    * event history. Boundary note vs the batch q31: a gap of EXACTLY
+    * `gap` starts a new session here (window ends are exclusive);
+    * the batch window-lag formulation keeps it (strict >). Input
+    * columns: `keyCol`, `epoch_ms`. Output: key, session_start/end_ms
+    * (observed event extent), n_events. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes",
+      keyCol: String = "user_id"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("epoch_ms")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col(keyCol), session_window(col("event_time"), gap))
+      .agg(min(col("epoch_ms")).as("session_start_ms"),
+        max(col("epoch_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_start_ms"),
+        col("session_end_ms"), col("n_events"))
+
   /** Streaming training-data ingest — the q121 daily-ingest chain as a
     * continuous pipeline, in the SAME stage order as the batch gate so
     * the two paths agree on which docs survive: watermarked exact dedup

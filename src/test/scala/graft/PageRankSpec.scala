@@ -75,4 +75,79 @@ class PageRankSpec extends SparkSpec {
       pr shouldBe simulate(star, 3)
     }
   }
+
+  /** The personalized recurrence, simulated locally: teleport and
+    * dangling return restricted to the seed set. */
+  private def simulateSeeded(edges: Seq[(String, String)],
+      seeds: Set[String], iters: Int, d: Long = 850L,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val e = edges.filter { case (s, t) => s != t }.distinct
+    val nodes = ((e.map(_._1) ++ e.map(_._2)).toSet ++ seeds).toSeq.sorted
+    val ns = seeds.size.toLong
+    val out = e.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    var pr = nodes.map(v =>
+      (v, if (seeds(v)) scale / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val share = pr.collect {
+        case (v, p) if out.contains(v) => (v, p / out(v))
+      }
+      val inc = e.groupBy(_._2).map { case (v, in) =>
+        (v, in.map(x => share(x._1)).sum)
+      }
+      val dang = pr.collect {
+        case (v, p) if !out.contains(v) => p
+      }.sum
+      pr = nodes.map { v =>
+        val seedTerm = if (seeds(v))
+          ((1000L - d) * scale) / (1000L * ns) + (d * (dang / ns)) / 1000L
+        else 0L
+        (v, seedTerm + (d * inc.getOrElse(v, 0L)) / 1000L)
+      }.toMap
+    }
+    pr
+  }
+
+  private def runSeeded(edges: Seq[(String, String)],
+      seeds: Seq[String], iters: Int) = {
+    import spark.implicits._
+    PageRank.personalizedPageRank(edges.toDF("src", "dst"),
+        seeds.toDF("id"), iterations = iters)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+  }
+
+  describe("PageRank.personalizedPageRank") {
+
+    val graph = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), // cycle
+      ("b", "spam1"), ("spam1", "spam2"), ("spam2", "spam1"), // spam web
+      ("a", "sink")) // dangling
+
+    it("matches the driver-local simulation of the seeded recurrence") {
+      for (iters <- Seq(0, 1, 3)) {
+        runSeeded(graph, Seq("a"), iters) shouldBe
+          simulateSeeded(graph, Set("a"), iters)
+      }
+      runSeeded(graph, Seq("a", "b"), 3) shouldBe
+        simulateSeeded(graph, Set("a", "b"), 3)
+    }
+
+    it("gives zero to nodes unreachable from the seeds and ranks the " +
+        "seed neighborhood above the far spam web") {
+      val pr = runSeeded(graph, Seq("a"), 3)
+      // reachability: everything here is reachable from a, but an
+      // isolated island must be exactly 0
+      val island = graph ++ Seq(("x", "y"), ("y", "x"))
+      val pr2 = runSeeded(island, Seq("a"), 3)
+      pr2("x") shouldBe 0L
+      pr2("y") shouldBe 0L
+      // trust decays with distance from the seed
+      pr("b") should be > pr("spam2")
+    }
+
+    it("teleports to an isolated seed (seed absent from the edge set)") {
+      val pr = runSeeded(Seq(("a", "b")), Seq("z"), 2)
+      pr("z") should be > 0L
+      pr shouldBe simulateSeeded(Seq(("a", "b")), Set("z"), 2)
+    }
+  }
 }

@@ -361,35 +361,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  it("native session_window aggregation matches the batch sessionizer") {
+  it("sessionizeStream (native session_window) matches the batch " +
+      "sessionizer") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val MIN = 60000L
     val input = MemoryStream[(Long, Long)] // (user_id, ms)
-    val sessions = input.toDF().toDF("user_id", "ms")
-      .withColumn("event_time", timestamp_millis(col("ms")))
-      .withWatermark("event_time", "10 minutes")
-      .groupBy(session_window(col("event_time"), "30 minutes"),
-        col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
+    val sessions = StreamingIngest.sessionizeStream(
+      input.toDF().toDF("user_id", "epoch_ms"),
+      gap = "30 minutes", watermark = "10 minutes")
     val q = sessions.writeStream.format("memory").queryName("sesswin_t1")
       .outputMode(OutputMode.Append()).start()
     try {
       // user 1: one 3-event session then a separated singleton;
       // user 2: one singleton
-      input.addData((1L, 0L), (1L, 10 * MIN), (1L, 25 * MIN))
+      input.addData((1L, 0L), (1L, 10 * MIN))
       q.processAllAvailable()
-      input.addData((1L, 90 * MIN), (2L, 90 * MIN))
+      // (1, 25min) lands in a LATER batch and must EXTEND the open
+      // session (15-min gap < 30)
+      input.addData((1L, 25 * MIN), (1L, 90 * MIN), (2L, 90 * MIN))
       q.processAllAvailable()
       input.addData((1L, 500 * MIN)) // advance watermark to flush
       q.processAllAvailable()
       val streamed = spark.table("sesswin_t1")
-        .select(col("user_id"), col("n_events"))
-        .as[(Long, Long)].collect().sorted.toSeq
-      // the first session closed (3 events); later sessions may still
-      // be open depending on the final watermark — assert the prefix
-      streamed should contain(1L -> 3L)
+        .select(col("user_id"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      // the first session closed (3 events spanning two micro-batches'
+      // worth of state merging, extent = observed events); later
+      // sessions may still be open depending on the final watermark
+      streamed should contain((1L, 0L, 25 * MIN, 3L))
       // batch q31-style sessionizer agrees on the same data
       val batch = Seq((1L, 1L, 0L), (1L, 2L, 10 * MIN), (1L, 3L, 25 * MIN),
         (1L, 4L, 90 * MIN), (2L, 5L, 90 * MIN), (1L, 6L, 500 * MIN))
