@@ -2167,6 +2167,35 @@ object SparkEntry {
           .select(col("subject").as("src"), col("target").as("dst")),
         iterations = 2)),
 
+    // HYPERBALL (operators/HyperBall): the approximate neighborhood
+    // function — per-node HLL ball sketches max-merged along edges,
+    // the only centrality computation that survives web scale (each
+    // hop = one join + one (id,bucket)-keyed agg; state <= n*m rows).
+    // The gate checks the INTEGER register table after 2 hops (the
+    // q63 register discipline); the FP estimates/harmonic are
+    // spec-checked against exact BFS instead.
+    "q176_hyperball" -> ((s, d) =>
+      graft.operators.HyperBall.ballRegisters(
+        EventGraph.linkSamples(s, d)
+          .select(col("subject").as("src"), col("target").as("dst")),
+        hops = 2, m = 16)),
+
+    // BLOCKLIST (text/Blocklist): phrase-blocklist matching — anchor-
+    // token candidates (longest token per phrase, broadcast) verified
+    // by whole-word sequence containment on candidates only, never
+    // docs x phrases. Phrase 8 never matches (zero-hit path); phrase 9
+    // is a case/punctuation variant of 7 (normalization evidence).
+    "q177_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val phrases = Seq(
+        (1L, "slow fast"), (2L, "batch batch"),
+        (3L, "table table key"), (4L, "scan scan"),
+        (5L, "big big group"), (6L, "window window"),
+        (7L, "data query"), (8L, "zebra unseen phrase"),
+        (9L, "Data, QUERY!")).toDF("phrase_id", "phrase")
+      graft.text.Blocklist.matches(Tables.documents(s, d), phrases)
+    }),
+
     // Rank-normalized blend of two incomparable quality signals
     // (chars 2:1 tokens): per-signal corpus ranks + integer weighted
     // sum — exact, FP-free, rescaling-immune.
@@ -4002,6 +4031,59 @@ object SparkEntry {
            |SELECT h2.id, h2.h AS hub_micro, a2.a AS auth_micro
            |FROM h2 JOIN a2 ON a2.id = h2.id""".stripMargin
       },
+
+      // q176: the register max-merge recurrence, two hops unrolled —
+      // same md5 bucket/rho derivation as the q63 HLL oracle
+      // (m = 16: bucket = h % 16, width = 29).
+      "q176_hyperball" -> {
+        def iter(k: Int): String =
+          s"""r$k AS (SELECT id, bucket, max(max_rho) AS max_rho FROM (
+             |    SELECT id, bucket, max_rho FROM r${k - 1}
+             |    UNION ALL
+             |    SELECT e.src AS id, r.bucket, r.max_rho
+             |    FROM e JOIN r${k - 1} r ON r.id = e.dst
+             |  ) GROUP BY 1, 2)""".stripMargin
+        s"""WITH ev AS ($cte),
+           |e AS (SELECT DISTINCT subject AS src, target AS dst FROM ev
+           |  WHERE subject <> target),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT id, h % 16 AS bucket,
+           |    CAST(CASE WHEN h // 16 = 0 THEN 29
+           |      ELSE 29 - length(bin(h // 16)) END AS BIGINT) AS max_rho
+           |  FROM (SELECT id,
+           |      ('0x' || substr(md5(id), 1, 8))::BIGINT AS h
+           |    FROM nodes)),
+           |${iter(1)},
+           |${iter(2)}
+           |SELECT id, bucket, max_rho FROM r2""".stripMargin
+      },
+
+      // q177: same anchor election (longest token, ties smallest) and
+      // whole-word containment verify, phrase list stated verbatim.
+      "q177_blocklist" ->
+        s"""WITH p0 AS (SELECT CAST(phrase_id AS BIGINT) AS phrase_id,
+           |    ${toksOfSql("phrase")} AS ptoks
+           |  FROM (VALUES (1, 'slow fast'), (2, 'batch batch'),
+           |    (3, 'table table key'), (4, 'scan scan'),
+           |    (5, 'big big group'), (6, 'window window'),
+           |    (7, 'data query'), (8, 'zebra unseen phrase'),
+           |    (9, 'Data, QUERY!')) p(phrase_id, phrase)),
+           |pe AS (SELECT phrase_id, array_to_string(ptoks, ' ') AS pnorm,
+           |    unnest(ptoks) AS anchor FROM p0 WHERE len(ptoks) > 0),
+           |anchors AS (SELECT phrase_id, pnorm, anchor FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY phrase_id
+           |      ORDER BY length(anchor) DESC, anchor) AS rn FROM pe)
+           |  WHERE rn = 1),
+           |d AS (SELECT doc_id, $toksSql AS dtoks FROM documents),
+           |dn AS (SELECT doc_id,
+           |    ' ' || array_to_string(dtoks, ' ') || ' ' AS dnorm FROM d),
+           |cand AS (SELECT dd.doc_id, a.phrase_id, a.pnorm
+           |  FROM (SELECT doc_id, unnest(list_distinct(dtoks)) AS anchor
+           |    FROM d) dd
+           |  JOIN anchors a ON a.anchor = dd.anchor)
+           |SELECT c.doc_id, c.phrase_id
+           |FROM cand c JOIN dn ON dn.doc_id = c.doc_id
+           |WHERE contains(dn.dnorm, ' ' || c.pnorm || ' ')""".stripMargin,
 
       // q170: competition ranks per signal + the weighted rank sum.
       "q170_rank_blend" ->

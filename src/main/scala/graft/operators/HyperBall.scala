@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sketch.Hll
+
+/** HyperBall (Boldi & Vigna, 2013): the approximate neighborhood
+  * function — per node, an [[graft.sketch.Hll]] sketch of its
+  * out-ball of radius t — computed by iterated register max-merge
+  * along edges. This is the ONLY way centralities (harmonic,
+  * closeness) are computable on a web-scale graph: exact per-node
+  * BFS is O(n·m), while each HyperBall hop is one shuffle over
+  * (node, bucket) rows — n·m_regs state, the same mergeable-integer-
+  * register discipline as the q63 HLL gate, so shards combine by
+  * groupBy max and the register table is hash-exact and
+  * engine-independent.
+  *
+  * Recurrence: `B(v, 0) = {v}`;
+  * `B(v, t) = B(v, t-1) ∪ union of B(u, t-1) over edges v -> u`,
+  * each ball carried as its sparse HLL register table and the union
+  * as element-wise max. The floating-point size estimates and the
+  * derived harmonic centrality are consumer-side ([[estimates]],
+  * [[harmonicCentralities]]) and spec-checked against exact BFS —
+  * the gate checks the integer registers.
+  *
+  * Scale posture: per hop, ONE equi-join of the edge list against the
+  * register table (shuffle on the join key) + one (id, bucket)-keyed
+  * hash aggregation with map-side partials; register rows per node
+  * are bounded by min(m, |ball|), so state is at most n·m rows. Pass
+  * a checkpoint dir via [[graft.util.Checkpoints]] upstream if
+  * lineage depth matters at high hop counts.
+  */
+object HyperBall {
+
+  /** Sparse per-node ball registers (id, bucket, max_rho) after
+    * `hops` max-merge rounds over a directed edge frame (`src`,
+    * `dst`). Self-loops drop, duplicate edges are harmless (max is
+    * idempotent) but deduped anyway to shrink the join's left side.
+    * Every endpoint appears (its own singleton sketch at minimum). */
+  def ballRegisters(edges: DataFrame, hops: Int = 2,
+      m: Int = 64): DataFrame = {
+    require(hops >= 0, s"hops must be >= 0, got $hops")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+    val (bucket, rho) = Hll.bucketRho(col("id").cast("string"), m)
+    var regs = nodes.select(col("id"), bucket.as("bucket"),
+      rho.as("max_rho"))
+    for (_ <- 1 to hops) {
+      val fromNbrs = e.join(regs.withColumnRenamed("id", "dst"),
+          Seq("dst"))
+        .select(col("src").as("id"), col("bucket"), col("max_rho"))
+      regs = regs.unionByName(fromNbrs)
+        .groupBy(col("id"), col("bucket"))
+        .agg(max(col("max_rho")).as("max_rho"))
+    }
+    regs
+  }
+
+  /** Per-node HLL size estimate from a [[ballRegisters]] frame — the
+    * standard estimator with linear-counting small-range correction,
+    * as ONE grouped aggregation (no driver collect; the FP math is
+    * per-group scalar arithmetic on two integer sums). */
+  def estimates(regs: DataFrame, m: Int = 64): DataFrame = {
+    val alpha =
+      if (m == 16) 0.673 else if (m == 32) 0.697
+      else if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    val agg = regs.groupBy(col("id"))
+      .agg(count(lit(1)).as("hit"),
+        sum(pow(lit(2.0), -col("max_rho"))).as("s"))
+    agg.select(col("id"),
+      {
+        val zeros = lit(m.toDouble) - col("hit")
+        val raw = lit(alpha * m * m) / (col("s") + zeros)
+        when(raw <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+          .otherwise(raw).as("est")
+      })
+  }
+
+  /** Approximate harmonic centrality H(v) = Σ_{u≠v} 1/d(v,u) over out-
+    * distances, truncated at `maxHops`:
+    * `H(v) ≈ Σ_t (N̂(v,t) − N̂(v,t−1)) / t` with N̂ the per-hop HLL
+    * estimates. Runs the [[ballRegisters]] recurrence once, reading an
+    * estimate frame off each hop; hop frames join back on id (maxHops
+    * is small by construction — the effective diameter). FP output;
+    * rankings are what it's for. */
+  def harmonicCentralities(edges: DataFrame, maxHops: Int = 4,
+      m: Int = 64): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+    val (bucket, rho) = Hll.bucketRho(col("id").cast("string"), m)
+    var regs = nodes.select(col("id"), bucket.as("bucket"),
+      rho.as("max_rho"))
+    var perHop = Vector(estimates(regs, m)
+      .withColumnRenamed("est", "est_0"))
+    for (t <- 1 to maxHops) {
+      val fromNbrs = e.join(regs.withColumnRenamed("id", "dst"),
+          Seq("dst"))
+        .select(col("src").as("id"), col("bucket"), col("max_rho"))
+      regs = regs.unionByName(fromNbrs)
+        .groupBy(col("id"), col("bucket"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      perHop = perHop :+ estimates(regs, m)
+        .withColumnRenamed("est", s"est_$t")
+    }
+    val joined = perHop.reduce(_.join(_, Seq("id")))
+    val h = (1 to maxHops).map(t =>
+      greatest(col(s"est_$t") - col(s"est_${t - 1}"), lit(0.0)) / t)
+      .reduce(_ + _)
+    joined.select(col("id"), h.as("harmonic"))
+  }
+}

@@ -31,17 +31,25 @@ object Hll {
     Integer.numberOfTrailingZeros(m)
   }
 
-  /** Per-bucket max rho over the distinct hash stream — only buckets
-    * that received at least one value appear (absent bucket ≡ rho 0).
-    * One hash aggregation; partials combine by max on every shard. */
-  def registers(df: DataFrame, key: Column, m: Int = 256): DataFrame = {
+  /** The (bucket, rho) pair for one key — the single-element sketch,
+    * exposed for operators that seed per-entity sketches and merge
+    * them structurally (e.g. [[graft.operators.HyperBall]]). */
+  def bucketRho(key: Column, m: Int): (Column, Column) = {
     val b = bits(m)
     val width = 33 - b // rho for an all-zero rest field, = field bits + 1
     val h = h32(key)
     val rest = shiftright(h, b) // h div m, exact integer shift
     val rho = when(rest === 0, width)
       .otherwise(lit(width) - length(bin(rest)))
-    df.select(h.bitwiseAND(lit(m - 1L)).as("bucket"), rho.as("rho"))
+    (h.bitwiseAND(lit(m - 1L)), rho.cast("long"))
+  }
+
+  /** Per-bucket max rho over the distinct hash stream — only buckets
+    * that received at least one value appear (absent bucket ≡ rho 0).
+    * One hash aggregation; partials combine by max on every shard. */
+  def registers(df: DataFrame, key: Column, m: Int = 256): DataFrame = {
+    val (bucket, rho) = bucketRho(key, m)
+    df.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("bucket"))
       .agg(max(col("rho")).cast("long").as("max_rho"))
   }

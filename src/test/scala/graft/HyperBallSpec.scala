@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.HyperBall
+
+/** HyperBall's register recurrence, pinned against a driver-local
+  * BFS + single-element-sketch simulation of the same md5 hashing —
+  * any drift in ball semantics (direction, self inclusion, merge)
+  * fails exactly; the FP estimators are checked against exact ball
+  * sizes on designed graphs. */
+class HyperBallSpec extends SparkSpec {
+
+  /** Same h32 as Hll: first 8 hex chars of md5, as a long. */
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  private def bucketRho(s: String, m: Int): (Long, Long) = {
+    val b = Integer.numberOfTrailingZeros(m)
+    val width = 33 - b
+    val h = h32(s)
+    val rest = h >> b
+    val rho = if (rest == 0) width.toLong
+      else width - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+    (h & (m - 1), rho)
+  }
+
+  /** Exact out-balls by BFS, then per-ball registers. */
+  private def simulate(edges: Seq[(String, String)], hops: Int,
+      m: Int): Map[(String, Long), Long] = {
+    val e = edges.filter { case (s, t) => s != t }.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: String): Set[String] = {
+      var b = Set(v)
+      for (_ <- 1 to hops)
+        b = b ++ b.flatMap(u => out.getOrElse(u, Set.empty))
+      b
+    }
+    nodes.flatMap { v =>
+      ball(v).toSeq.map(u => (v, bucketRho(u, m)))
+        .groupBy { case (_, (bkt, _)) => bkt }
+        .map { case (bkt, xs) =>
+          ((v, bkt), xs.map(_._2._2).max)
+        }
+    }.toMap
+  }
+
+  private def run(edges: Seq[(String, String)], hops: Int, m: Int) = {
+    import spark.implicits._
+    HyperBall.ballRegisters(edges.toDF("src", "dst"), hops, m)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+  }
+
+  describe("HyperBall.ballRegisters") {
+
+    val graph = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), // chain: radius matters
+      ("a", "c"), // shortcut
+      ("d", "a"), // back edge closes a cycle
+      ("a", "b"), // duplicate: harmless
+      ("b", "b")) // self-loop: drops
+
+    it("matches the driver-local BFS + sketch simulation") {
+      for (hops <- Seq(0, 1, 2, 3); m <- Seq(16, 64)) {
+        run(graph, hops, m) shouldBe simulate(graph, hops, m)
+      }
+    }
+
+    it("is monotone in hops (registers only ever grow)") {
+      val r1 = run(graph, 1, 64)
+      val r2 = run(graph, 2, 64)
+      for (((id, bkt), rho) <- r1)
+        r2((id, bkt)) should be >= rho
+    }
+  }
+
+  describe("HyperBall.estimates and harmonicCentralities") {
+
+    it("estimates small balls in the linear-counting regime") {
+      import spark.implicits._
+      // a -> 6 leaves: ball(a,1) has 7 members, each leaf ball is 1
+      val star = (1 to 6).map(i => ("hub", s"leaf$i"))
+      val regs = HyperBall.ballRegisters(star.toDF("src", "dst"), 1, 64)
+      val est = HyperBall.estimates(regs, 64)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      est("hub") shouldBe 7.0 +- 2.0
+      est("leaf1") shouldBe 1.0 +- 0.5
+    }
+
+    it("gives the hub of an out-star its exact-graph harmonic rank " +
+        "and unreachable leaves exactly zero") {
+      import spark.implicits._
+      val star = (1 to 10).map(i => ("hub", s"leaf$i"))
+      val h = HyperBall.harmonicCentralities(star.toDF("src", "dst"),
+          maxHops = 2, m = 64)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      // exact H(hub) = 10 (ten nodes at distance 1); HLL tolerance
+      h("hub") shouldBe 10.0 +- 3.0
+      // a leaf's ball never grows: every per-hop delta is exactly 0
+      h("leaf3") shouldBe 0.0
+    }
+  }
+}
