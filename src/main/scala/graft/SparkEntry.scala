@@ -2196,6 +2196,18 @@ object SparkEntry {
       graft.text.Blocklist.matches(Tables.documents(s, d), phrases)
     }),
 
+    // WEIGHTED PAGERANK (operators/PageRank.pageRankWeighted): rank
+    // mass leaves proportionally to edge weight — here the OBSERVATION
+    // MULTIPLICITY of each (src,dst) pair, the natural web-link-graph
+    // form (q172 dedups it away). Same exact integer discipline;
+    // per-edge pr*w product guarded in-plan.
+    "q178_weighted_pagerank" -> ((s, d) =>
+      graft.operators.PageRank.pageRankWeighted(
+        EventGraph.linkSamples(s, d)
+          .select(col("subject").as("src"), col("target").as("dst"),
+            lit(1L).as("w")),
+        iterations = 3)),
+
     // Rank-normalized blend of two incomparable quality signals
     // (chars 2:1 tokens): per-signal corpus ranks + integer weighted
     // sum — exact, FP-free, rescaling-immune.
@@ -4084,6 +4096,38 @@ object SparkEntry {
            |SELECT c.doc_id, c.phrase_id
            |FROM cand c JOIN dn ON dn.doc_id = c.doc_id
            |WHERE contains(dn.dnorm, ' ' || c.pnorm || ' ')""".stripMargin,
+
+      // q178: the weighted recurrence, three iterations unrolled —
+      // edge weight = observation multiplicity, share = (pr*w) // wd.
+      "q178_weighted_pagerank" -> {
+        def iter(k: Int): String =
+          s"""c$k AS (SELECT e.dst AS id,
+             |    CAST(sum((p.pr * e.w) // d.wd) AS BIGINT) AS inc
+             |  FROM e JOIN p${k - 1} p ON p.id = e.src
+             |  JOIN wdeg d ON d.src = e.src GROUP BY 1),
+             |d$k AS (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+             |  FROM p${k - 1} p WHERE NOT EXISTS
+             |    (SELECT 1 FROM wdeg x WHERE x.src = p.id)),
+             |p$k AS (SELECT n.id,
+             |    (150 * 1000000000000) // (1000 * (SELECT n FROM nn))
+             |    + (850 * (coalesce(c.inc, 0) + (SELECT dang FROM d$k)
+             |        // (SELECT n FROM nn))) // 1000 AS pr
+             |  FROM nodes n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
+        s"""WITH ev AS ($cte),
+           |e AS (SELECT subject AS src, target AS dst,
+           |    count(*) AS w FROM ev
+           |  WHERE subject <> target GROUP BY 1, 2),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wd
+           |  FROM e GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |p0 AS (SELECT id,
+           |  1000000000000 // (SELECT n FROM nn) AS pr FROM nodes),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT id, pr AS pr_micro FROM p3""".stripMargin
+      },
 
       // q170: competition ranks per signal + the weighted rank sum.
       "q170_rank_blend" ->

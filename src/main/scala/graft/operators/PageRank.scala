@@ -147,4 +147,58 @@ object PageRank {
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
+
+  /** Weighted PageRank: rank mass leaves a node proportionally to
+    * integer edge weights (observation counts, link multiplicities —
+    * the natural web-graph form) instead of uniformly:
+    * `share(u -> v) = (pr(u) * w(u,v)) div W(u)` with `W` the node's
+    * out-weight sum; teleport and dangling handling are identical to
+    * [[pageRank]], and the arithmetic stays exact scaled-integer, so
+    * the result is hash-checkable. Duplicate (src, dst) rows sum their
+    * weights; self-loops drop; weights must be >= 1 (rows with
+    * w <= 0 are dropped as non-edges). The per-edge product pr * w is
+    * the one wide value — guarded in-plan against 2^63 (max weight
+    * must stay under 2^63 / scale, ~9.2e6 at the default scale).
+    * Same shuffle shape as [[pageRank]]: per iteration one dst-keyed
+    * hash agg + two 1x1 broadcast scalar combines. */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 3,
+      dampingPermille: Int = 850,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst") && col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+    val nScalar = nodes.agg(count(lit(1)).as("n")) // 1x1
+    val wGuard = e.agg(coalesce(max(col("w")), lit(0L)).as("mw"))
+      .select(when(assert_true(col("mw") <= lit(Long.MaxValue / scale),
+        lit("pageRankWeighted: max edge weight * scale exceeds Long " +
+          "range — rescale weights")).isNull, lit(1L)).as("ok")) // 1x1
+    var pr = nodes.crossJoin(broadcast(nScalar))
+      .crossJoin(broadcast(wGuard))
+      .selectExpr("id", s"ok * (${scale}L div n) AS pr")
+    for (_ <- 1 to iterations) {
+      val inc = e.join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(wdeg, Seq("src"))
+        .selectExpr("dst", "(pr * w) div wd AS share")
+        .groupBy(col("dst")).agg(sum(col("share")).as("inc"))
+      val dang = pr.join(wdeg.select(col("src").as("id")),
+          Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang")) // 1x1
+      pr = nodes
+        .join(inc.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dang.crossJoin(nScalar)))
+        .selectExpr("id",
+          s"(${1000L - dampingPermille} * ${scale}L) div (1000 * n)" +
+            s" + ($dampingPermille * (coalesce(inc, 0L) + dang div n))" +
+            " div 1000 AS pr")
+    }
+    pr.select(col("id"), col("pr").as("pr_micro"))
+  }
 }

@@ -150,4 +150,73 @@ class PageRankSpec extends SparkSpec {
       pr shouldBe simulateSeeded(Seq(("a", "b")), Set("z"), 2)
     }
   }
+
+  /** The weighted recurrence, simulated locally: share is
+    * (pr * w) div W(u), duplicate edges sum weights. */
+  private def simulateWeighted(edges: Seq[(String, String, Long)],
+      iters: Int, d: Long = 850L,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val e = edges.filter { case (s, t, w) => s != t && w > 0 }
+      .groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .map { case ((s, t), w) => (s, t, w) }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val wdeg = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(v => (v, scale / n)).toMap
+    for (_ <- 1 to iters) {
+      val inc = e.groupBy(_._2).map { case (v, in) =>
+        (v, in.map { case (u, _, w) => pr(u) * w / wdeg(u) }.sum)
+      }
+      val dang = pr.collect {
+        case (v, p) if !wdeg.contains(v) => p
+      }.sum
+      pr = nodes.map { v =>
+        (v, ((1000L - d) * scale) / (1000L * n) +
+          (d * (inc.getOrElse(v, 0L) + dang / n)) / 1000L)
+      }.toMap
+    }
+    pr
+  }
+
+  describe("PageRank.pageRankWeighted") {
+
+    val graph = Seq(
+      ("a", "b", 9L), ("a", "c", 1L), // 90/10 split out of a
+      ("b", "c", 2L), ("c", "a", 5L),
+      ("a", "b", 3L), // duplicate: weights SUM (12/1 split)
+      ("b", "sink", 1L)) // dangling target
+
+    it("matches the driver-local simulation of the weighted recurrence") {
+      import spark.implicits._
+      for (iters <- Seq(1, 3)) {
+        val got = PageRank.pageRankWeighted(
+            graph.toDF("src", "dst", "w"), iterations = iters)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        got shouldBe simulateWeighted(graph, iters)
+      }
+    }
+
+    it("reduces exactly to unweighted pageRank when all weights are 1") {
+      import spark.implicits._
+      val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "sink"))
+      val unweighted = PageRank.pageRank(edges.toDF("src", "dst"),
+        iterations = 3).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val weighted = PageRank.pageRankWeighted(
+        edges.map { case (s, t) => (s, t, 1L) }.toDF("src", "dst", "w"),
+        iterations = 3).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      weighted shouldBe unweighted
+    }
+
+    it("shifts rank toward the heavily-weighted target") {
+      import spark.implicits._
+      val skew = Seq(("a", "b", 99L), ("a", "c", 1L))
+      val pr = PageRank.pageRankWeighted(skew.toDF("src", "dst", "w"),
+        iterations = 2).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      pr("b") should be > pr("c")
+    }
+  }
 }

@@ -409,4 +409,32 @@ class StreamingSpec extends SparkSpec {
         .select("n").as[Long].head() shouldBe 3L
     } finally q.stop()
   }
+
+  it("Hll.registers runs unchanged as a streaming update-mode agg and " +
+      "lands on the batch registers (mergeable-register property)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Long]
+    // the register table IS a (bucket, max) aggregation, so streaming
+    // update mode maintains it incrementally with zero extra code
+    val q = graft.sketch.Hll.registers(
+        input.toDF().toDF("k"), col("k").cast("string"), m = 64)
+      .writeStream.format("memory").queryName("hll_t1")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(1L to 300L: _*)
+      q.processAllAvailable()
+      input.addData(201L to 500L: _*) // overlap: max is idempotent
+      q.processAllAvailable()
+      // update mode re-emits changed buckets: latest row per bucket
+      val streamed = spark.table("hll_t1")
+        .groupBy(col("bucket")).agg(max(col("max_rho")).as("max_rho"))
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.sketch.Hll.registers(
+          (1L to 500L).toDF("k"), col("k").cast("string"), m = 64)
+        .as[(Long, Long)].collect().toMap
+      streamed shouldBe batch
+    } finally q.stop()
+  }
 }
