@@ -2208,6 +2208,24 @@ object SparkEntry {
             lit(1L).as("w")),
         iterations = 3)),
 
+    // ENCODING AUDIT (text/Encoding): the binary-junk class mojibake
+    // repair can't fix — control chars and U+FFFD from PDF extractors
+    // / truncated multibyte / binary-as-text. Synthetic injection per
+    // doc (the q173 discipline, chr()-composable so the oracle states
+    // it verbatim); counts are codegen'd ASCII regexp classes where
+    // Java regex and RE2 agree exactly.
+    "q179_encoding_audit" -> ((s, d) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("\u0007garbled\u001btail"))
+          .when(col("doc_id") % 3 === 1, lit(" bad �� rep"))
+          .otherwise(lit(" clean")))
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.text.Encoding.controlCount(t).as("n_control"),
+        graft.text.Encoding.replacementCount(t).as("n_replacement"),
+        graft.text.Encoding.printableAsciiCount(t).as("n_printable"),
+        length(t).cast("long").as("n_chars"))
+    }),
+
     // Rank-normalized blend of two incomparable quality signals
     // (chars 2:1 tokens): per-signal corpus ranks + integer weighted
     // sum — exact, FP-free, rescaling-immune.
@@ -4128,6 +4146,26 @@ object SparkEntry {
            |${iter(3)}
            |SELECT id, pr AS pr_micro FROM p3""".stripMargin
       },
+
+      // q179: same chr()-composed injection; the count classes are
+      // ASCII-only so RE2 and Java regex agree exactly.
+      "q179_encoding_audit" ->
+        """WITH t AS (SELECT doc_id, text ||
+          |    CASE doc_id % 3
+          |      WHEN 0 THEN chr(7) || 'garbled' || chr(27) || 'tail'
+          |      WHEN 1 THEN ' bad ' || chr(65533) || chr(65533) || ' rep'
+          |      ELSE ' clean' END AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(length(t) - length(regexp_replace(t,
+          |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+          |    AS BIGINT) AS n_control,
+          |  CAST(length(t) - length(regexp_replace(t, chr(65533), '',
+          |    'g')) AS BIGINT) AS n_replacement,
+          |  CAST(length(t) - length(regexp_replace(t, '[\x20-\x7e]',
+          |    '', 'g')) AS BIGINT) AS n_printable,
+          |  CAST(length(t) AS BIGINT) AS n_chars
+          |FROM t""".stripMargin,
 
       // q170: competition ranks per signal + the weighted rank sum.
       "q170_rank_blend" ->

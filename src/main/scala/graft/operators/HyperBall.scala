@@ -119,4 +119,46 @@ object HyperBall {
       .reduce(_ + _)
     joined.select(col("id"), h.as("harmonic"))
   }
+
+  /** Effective diameter at quantile `q` (HyperANF's headline number):
+    * the smallest hop count t such that the estimated number of
+    * reachable pairs within t is >= q * (pairs reachable within
+    * `maxHops`). Runs the register recurrence once; each hop
+    * contributes ONE scalar (the global sum of per-node ball
+    * estimates), so the driver holds maxHops+1 doubles — never node
+    * data. Returns maxHops if the quantile isn't reached (graph wider
+    * than the horizon). */
+  def effectiveDiameter(edges: DataFrame, maxHops: Int = 8,
+      q: Double = 0.9, m: Int = 64): Int = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+    val (bucket, rho) = Hll.bucketRho(col("id").cast("string"), m)
+    var regs = nodes.select(col("id"), bucket.as("bucket"),
+      rho.as("max_rho"))
+    def total(): Double = estimates(regs, m)
+      .agg(sum(col("est"))).collect()(0).getDouble(0) // 1 scalar
+    val totals = Array.newBuilder[Double]
+    totals += total()
+    for (_ <- 1 to maxHops) {
+      val fromNbrs = e.join(regs.withColumnRenamed("id", "dst"),
+          Seq("dst"))
+        .select(col("src").as("id"), col("bucket"), col("max_rho"))
+      regs = regs.unionByName(fromNbrs)
+        .groupBy(col("id"), col("bucket"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      totals += total()
+    }
+    val ts = totals.result()
+    val target = q * ts.last
+    ts.indexWhere(_ >= target) match {
+      case -1 => maxHops
+      case t => t
+    }
+  }
 }

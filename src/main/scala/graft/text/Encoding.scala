@@ -83,4 +83,28 @@ object Encoding {
     MojibakeTable.foldLeft(inner) { case (s, (bad, good)) =>
       s"replace($s, '${bad}', '${good}')"
     }
+
+  // --- Binary-junk audit: the encoding-damage class mojibake repair
+  // can't fix — control characters and U+FFFD replacement chars left
+  // by PDF extractors, truncated multi-byte sequences, and binary
+  // sniffed as text. Pure codegen'd regexp counts (ASCII-only classes,
+  // so Java regex and RE2 agree byte-for-byte); the standard curation
+  // gate is n_control = 0 AND n_replacement = 0.
+
+  /** C0 control characters (excluding \t \n \r) + DEL. */
+  def controlCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text,
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""))).cast("long")
+
+  /** U+FFFD replacement characters — each marks a byte sequence some
+    * upstream decoder could not interpret. */
+  def replacementCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "�", "")))
+      .cast("long")
+
+  /** Printable-ASCII character count (0x20-0x7E); with `length`, the
+    * printable ratio — the cheap binary-sniff signal. */
+  def printableAsciiCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\x20-\\x7e]", "")))
+      .cast("long")
 }

@@ -45,5 +45,27 @@ class EncodingSpec extends SparkSpec {
       rows(1) shouldBe 0
       rows(2) should be > 0
     }
+
+    it("binary-junk audit counts controls, U+FFFD, and printable ASCII") {
+      import spark.implicits._
+      val rows = Seq(
+        "plain text", // clean: every char printable ASCII
+        "a\u0000\u0007bc\u001bde\u007f", // NUL BEL ESC DEL: 4 controls
+        "tab\tand\nnewline\rok", // \t \n \r are NOT counted as controls
+        "bad \ufffd\ufffd seq", // 2 replacement chars
+        "caf\u00e9 \u4e2d\u6587") // non-ASCII prose: e-acute + 2 CJK
+        .toDF("t")
+        .select(Encoding.controlCount(col("t")).as("c"),
+          Encoding.replacementCount(col("t")).as("r"),
+          Encoding.printableAsciiCount(col("t")).as("p"),
+          org.apache.spark.sql.functions.length(col("t")).as("n"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getInt(3)))
+      rows(0) shouldBe ((0L, 0L, 10L, 10))
+      rows(1) shouldBe ((4L, 0L, 5L, 9))
+      rows(2) shouldBe ((0L, 0L, 15L, 18))
+      rows(3) shouldBe ((0L, 2L, 8L, 10))
+      rows(4) shouldBe ((0L, 0L, 4L, 7))
+    }
   }
 }

@@ -102,5 +102,18 @@ class HyperBallSpec extends SparkSpec {
       // a leaf's ball never grows: every per-hop delta is exactly 0
       h("leaf3") shouldBe 0.0
     }
+
+    it("effectiveDiameter finds the quantile hop on a path graph") {
+      import spark.implicits._
+      // a -> b -> c -> d: pairs-within-t totals are 4, 7, 9, 10;
+      // q=0.8 targets 8, first reached at t=2 (margin 1 on each side
+      // covers the small-range HLL error)
+      val path = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+      HyperBall.effectiveDiameter(path.toDF("src", "dst"),
+        maxHops = 3, q = 0.8, m = 64) shouldBe 2
+      // the full quantile is the true diameter
+      HyperBall.effectiveDiameter(path.toDF("src", "dst"),
+        maxHops = 5, q = 1.0, m = 64) shouldBe 3
+    }
   }
 }
