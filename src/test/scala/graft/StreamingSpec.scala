@@ -437,4 +437,35 @@ class StreamingSpec extends SparkSpec {
       streamed shouldBe batch
     } finally q.stop()
   }
+
+  it("Cms.registers runs unchanged as a streaming update-mode agg and " +
+      "lands on the batch registers (sum-mergeable property)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Long]
+    val q = graft.sketch.Cms.registers(
+        input.toDF().toDF("k"), col("k").cast("string"),
+        depth = 4, width = 32)
+      .writeStream.format("memory").queryName("cms_t1")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(1L to 200L: _*)
+      q.processAllAvailable()
+      input.addData((1L to 100L) ++ (201L to 300L): _*) // re-counts
+      q.processAllAvailable()
+      // counts only grow: last emission per slot == max over emissions
+      val streamed = spark.table("cms_t1")
+        .groupBy(col("depth"), col("slot"))
+        .agg(max(col("cnt")).as("cnt"))
+        .as[(Int, Long, Long)].collect()
+        .map { case (d, s, c) => ((d, s), c) }.toMap
+      val batch = graft.sketch.Cms.registers(
+          ((1L to 200L) ++ (1L to 100L) ++ (201L to 300L)).toDF("k"),
+          col("k").cast("string"), depth = 4, width = 32)
+        .as[(Int, Long, Long)].collect()
+        .map { case (d, s, c) => ((d, s), c) }.toMap
+      streamed shouldBe batch
+    } finally q.stop()
+  }
 }
