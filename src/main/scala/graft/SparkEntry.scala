@@ -2125,7 +2125,7 @@ object SparkEntry {
     // chain (no UDF, no regex). The synthetic corpus is clean ASCII,
     // so the defect is synthesized deterministically per doc from the
     // table's own garbled forms (the q141 messy-URL discipline); the
-    // oracle states the same injection and the same 36-entry repair
+    // oracle states the same injection and the same 37-entry repair
     // chain as nested replace().
     "q173_mojibake" -> ((s, d) => {
       val dirty = Tables.documents(s, d).select(col("doc_id"),
@@ -3971,7 +3971,7 @@ object SparkEntry {
       },
 
       // q173: the same deterministic mojibake injection, repaired by
-      // the same 36-entry chain stated as nested replace().
+      // the same 37-entry chain stated as nested replace().
       "q173_mojibake" -> {
         val fix = graft.text.Encoding.oracleFixSql("t")
         s"""WITH dirty AS (SELECT doc_id,

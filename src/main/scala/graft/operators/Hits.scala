@@ -38,8 +38,8 @@ import org.apache.spark.sql.functions._
   * power-law degree) and two 1x1 scalar sums combined by broadcast —
   * no driver collect, no normalization product that could overflow:
   * the only wide value is the scalar total, bounded by
-  * edges * scale, guarded in-plan (`assert_true`) against 2^63. The
-  * default `scale` 10^6 admits ~9.2e12 edges.
+  * 2 * edges * scale, guarded in-plan (`assert_true`) against 2^63.
+  * The default `scale` 10^6 admits ~4.6e12 edges.
   */
 object Hits {
 
@@ -47,27 +47,38 @@ object Hits {
     * a directed edge frame (`src`, `dst`). Self-loops drop, duplicate
     * edges count once. */
   def hits(edges: DataFrame, iterations: Int = 2,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale >= 1L, s"scale must be >= 1, got $scale")
-    val e = edges.select(col("src"), col("dst"))
+    // The Hits plan QUADRUPLES per iteration (hRaw and aRaw each feed
+    // a score frame and a 1x1 total), so the cut period is half
+    // PageRank's: each boundary executes at most 4^2 = 16 subtrees.
+    val cutEvery = 2
+    val doCut = iterations > cutEvery
+    val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    val e = if (doCut) e0.persist() else e0
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
-    // In-plan overflow guard: the L1 totals are bounded by |E| * scale,
-    // which must stay under 2^63 for the long sums to be exact. One 1x1
-    // scalar frame, broadcast — fails loudly with the remedy instead of
-    // wrapping silently (the decayedCounts discipline).
+    // In-plan overflow guard: per-node scores can reach ~2*scale-1
+    // after floor normalization (the (scale-n, 2*scale) L1 band), so
+    // the raw totals are bounded by 2 * |E| * scale — THAT must stay
+    // under 2^63 for the long sums to be exact. One 1x1 scalar frame,
+    // broadcast — fails loudly with the remedy instead of wrapping
+    // silently (the decayedCounts discipline).
     val eGuard = e.agg(count(lit(1)).as("ecnt"))
-      .select(when(assert_true(col("ecnt") <= lit(Long.MaxValue / scale),
-        lit("Hits: edge count * scale exceeds Long range — lower " +
-          "scale")).isNull, lit(1L)).as("ok"))
+      .select(when(
+        assert_true(col("ecnt") <= lit(Long.MaxValue / scale / 2),
+          lit("Hits: 2 * edge count * scale exceeds Long range — " +
+            "lower scale")).isNull, lit(1L)).as("ok"))
     var auth = nodes.crossJoin(broadcast(eGuard))
       .selectExpr("id", s"ok * ${scale}L AS a")
     var hub: DataFrame = null
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val hRaw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("hraw"))
       val hTot = hRaw.agg(
@@ -88,6 +99,19 @@ object Hits {
         .selectExpr("id",
           s"coalesce(araw, 0L) div greatest(1L, atot div ${scale}L)" +
             " AS a")
+      // Lineage cuts on the PageRank.CutEvery segment policy: short
+      // runs stay fully lazy (eager checkpoints measured SLOWER than
+      // one deep action — see PageRank's scaladoc); long runs cut
+      // every segment and before the cache drops.
+      if (doCut && i % cutEvery == 0) {
+        hub = cut(hub, checkpointDir)
+        auth = cut(auth, checkpointDir)
+      }
+    }
+    if (doCut) {
+      hub = cut(hub, checkpointDir)
+      auth = cut(auth, checkpointDir)
+      e.unpersist()
     }
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_micro"),

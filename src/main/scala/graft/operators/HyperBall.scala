@@ -27,36 +27,71 @@ import graft.sketch.Hll
   * Scale posture: per hop, ONE equi-join of the edge list against the
   * register table (shuffle on the join key) + one (id, bucket)-keyed
   * hash aggregation with map-side partials; register rows per node
-  * are bounded by min(m, |ball|), so state is at most n·m rows. Pass
-  * a checkpoint dir via [[graft.util.Checkpoints]] upstream if
-  * lineage depth matters at high hop counts.
+  * are bounded by min(m, |ball|), so state is at most n·m rows. The
+  * deduped edge list persists across hops; register frames are
+  * lineage-cut on the [[PageRank.CutEvery]] segment policy (regs
+  * feeds both the neighbor join and the union, so an uncut plan
+  * doubles per hop — but ReuseExchange dedupes within a segment, so
+  * small hop counts pay only the single final cut), except
+  * [[effectiveDiameter]], which cuts every hop because it runs an
+  * action per hop. `checkpointDir` switches the cuts to reliable
+  * checkpoints for preemptible clusters.
   */
 object HyperBall {
 
-  /** Sparse per-node ball registers (id, bucket, max_rho) after
-    * `hops` max-merge rounds over a directed edge frame (`src`,
-    * `dst`). Self-loops drop, duplicate edges are harmless (max is
-    * idempotent) but deduped anyway to shrink the join's left side.
-    * Every endpoint appears (its own singleton sketch at minimum). */
-  def ballRegisters(edges: DataFrame, hops: Int = 2,
-      m: Int = 64): DataFrame = {
-    require(hops >= 0, s"hops must be >= 0, got $hops")
+  /** Deduped, self-loop-free edge list + its endpoint set. */
+  private def prep(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
+    (e, nodes)
+  }
+
+  /** Each node's singleton sketch — hop-0 registers. */
+  private def seedRegs(nodes: DataFrame, m: Int): DataFrame = {
     val (bucket, rho) = Hll.bucketRho(col("id").cast("string"), m)
-    var regs = nodes.select(col("id"), bucket.as("bucket"),
-      rho.as("max_rho"))
-    for (_ <- 1 to hops) {
-      val fromNbrs = e.join(regs.withColumnRenamed("id", "dst"),
-          Seq("dst"))
-        .select(col("src").as("id"), col("bucket"), col("max_rho"))
-      regs = regs.unionByName(fromNbrs)
-        .groupBy(col("id"), col("bucket"))
-        .agg(max(col("max_rho")).as("max_rho"))
+    nodes.select(col("id"), bucket.as("bucket"), rho.as("max_rho"))
+  }
+
+  /** One max-merge round: every node absorbs its out-neighbors'
+    * registers. The single place the recurrence lives — the q176 gate
+    * and the FP consumers all run THIS step. */
+  private def hop(e: DataFrame, regs: DataFrame): DataFrame = {
+    val fromNbrs = e.join(regs.withColumnRenamed("id", "dst"),
+        Seq("dst"))
+      .select(col("src").as("id"), col("bucket"), col("max_rho"))
+    regs.unionByName(fromNbrs)
+      .groupBy(col("id"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+  }
+
+  /** Sparse per-node ball registers (id, bucket, max_rho) after
+    * `hops` max-merge rounds over a directed edge frame (`src`,
+    * `dst`). Self-loops drop, duplicate edges are harmless (max is
+    * idempotent) but deduped anyway to shrink the join's left side.
+    * Every endpoint appears (its own singleton sketch at minimum).
+    * Lineage policy = [[PageRank.CutEvery]]: interior cuts only every
+    * 8 hops (ReuseExchange dedupes within a segment), final frame
+    * always cut so it survives the edge cache release. */
+  def ballRegisters(edges: DataFrame, hops: Int = 2,
+      m: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
+    require(hops >= 0, s"hops must be >= 0, got $hops")
+    val doCut = hops > PageRank.CutEvery
+    val (e0, nodes) = prep(edges)
+    val e = if (doCut) e0.persist() else e0
+    var regs = seedRegs(nodes, m)
+    for (t <- 1 to hops) {
+      regs = hop(e, regs)
+      if (doCut && t % PageRank.CutEvery == 0)
+        regs = cut(regs, checkpointDir)
+    }
+    if (doCut) {
+      regs = cut(regs, checkpointDir)
+      e.unpersist()
     }
     regs
   }
@@ -85,31 +120,25 @@ object HyperBall {
   /** Approximate harmonic centrality H(v) = Σ_{u≠v} 1/d(v,u) over out-
     * distances, truncated at `maxHops`:
     * `H(v) ≈ Σ_t (N̂(v,t) − N̂(v,t−1)) / t` with N̂ the per-hop HLL
-    * estimates. Runs the [[ballRegisters]] recurrence once, reading an
-    * estimate frame off each hop; hop frames join back on id (maxHops
-    * is small by construction — the effective diameter). FP output;
-    * rankings are what it's for. */
+    * estimates. Runs the [[hop]] recurrence once, reading an estimate
+    * frame off each hop's CUT registers (so the final join is over
+    * materialized snapshots, not a growing plan); hop frames join back
+    * on id — maxHops is small by construction (the effective
+    * diameter). FP output; rankings are what it's for. */
   def harmonicCentralities(edges: DataFrame, maxHops: Int = 4,
-      m: Int = 64): DataFrame = {
+      m: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct()
-    val (bucket, rho) = Hll.bucketRho(col("id").cast("string"), m)
-    var regs = nodes.select(col("id"), bucket.as("bucket"),
-      rho.as("max_rho"))
+    val doCut = maxHops > PageRank.CutEvery
+    val (e0, nodes) = prep(edges)
+    val e = if (doCut) e0.persist() else e0
+    var regs = seedRegs(nodes, m)
     var perHop = Vector(estimates(regs, m)
       .withColumnRenamed("est", "est_0"))
     for (t <- 1 to maxHops) {
-      val fromNbrs = e.join(regs.withColumnRenamed("id", "dst"),
-          Seq("dst"))
-        .select(col("src").as("id"), col("bucket"), col("max_rho"))
-      regs = regs.unionByName(fromNbrs)
-        .groupBy(col("id"), col("bucket"))
-        .agg(max(col("max_rho")).as("max_rho"))
+      regs = hop(e, regs)
+      if (doCut && t % PageRank.CutEvery == 0)
+        regs = cut(regs, checkpointDir)
       perHop = perHop :+ estimates(regs, m)
         .withColumnRenamed("est", s"est_$t")
     }
@@ -117,7 +146,14 @@ object HyperBall {
     val h = (1 to maxHops).map(t =>
       greatest(col(s"est_$t") - col(s"est_${t - 1}"), lit(0.0)) / t)
       .reduce(_ + _)
-    joined.select(col("id"), h.as("harmonic"))
+    val out0 = joined.select(col("id"), h.as("harmonic"))
+    if (doCut) {
+      // ONE job materializes every per-hop estimate while the edge
+      // cache is live; the result is then self-contained.
+      val out = cut(out0, checkpointDir)
+      e.unpersist()
+      out
+    } else out0
   }
 
   /** Effective diameter at quantile `q` (HyperANF's headline number):
@@ -127,33 +163,29 @@ object HyperBall {
     * contributes ONE scalar (the global sum of per-node ball
     * estimates), so the driver holds maxHops+1 doubles — never node
     * data. Returns maxHops if the quantile isn't reached (graph wider
-    * than the horizon). */
+    * than the horizon); 0 for an empty/self-loop-only edge frame. */
   def effectiveDiameter(edges: DataFrame, maxHops: Int = 8,
-      q: Double = 0.9, m: Int = 64): Int = {
+      q: Double = 0.9, m: Int = 64,
+      checkpointDir: Option[String] = None): Int = {
+    import graft.util.Checkpoints.cut
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct()
-    val (bucket, rho) = Hll.bucketRho(col("id").cast("string"), m)
-    var regs = nodes.select(col("id"), bucket.as("bucket"),
-      rho.as("max_rho"))
+    val (e0, nodes) = prep(edges)
+    val e = e0.persist()
+    // Per-hop cut here (not the segment policy): an ACTION runs every
+    // hop, and cross-job plans don't share shuffles — uncut, hop t's
+    // total() would re-execute all t-1 previous rounds.
+    var regs = cut(seedRegs(nodes, m), checkpointDir)
     def total(): Double = estimates(regs, m)
-      .agg(sum(col("est"))).collect()(0).getDouble(0) // 1 scalar
+      .agg(coalesce(sum(col("est")), lit(0.0)))
+      .collect()(0).getDouble(0) // 1 scalar; 0.0 on an empty graph
     val totals = Array.newBuilder[Double]
     totals += total()
     for (_ <- 1 to maxHops) {
-      val fromNbrs = e.join(regs.withColumnRenamed("id", "dst"),
-          Seq("dst"))
-        .select(col("src").as("id"), col("bucket"), col("max_rho"))
-      regs = regs.unionByName(fromNbrs)
-        .groupBy(col("id"), col("bucket"))
-        .agg(max(col("max_rho")).as("max_rho"))
+      regs = cut(hop(e, regs), checkpointDir)
       totals += total()
     }
+    e.unpersist()
     val ts = totals.result()
     val target = q * ts.last
     ts.indexWhere(_ >= target) match {

@@ -26,31 +26,60 @@ import org.apache.spark.sql.functions._
   * with `d` the damping in permille (850 = the classic 0.85). The
   * dangling mass is redistributed uniformly, the standard correction.
   *
-  * Scale posture: `outdeg` is computed ONCE; each iteration is one
-  * equi-join of the edge set against the rank table (shuffle on the
-  * join key) + one hash aggregation on `dst` with map-side partials —
-  * a power-law in-degree (the web case) is absorbed by partial
-  * aggregation, not a hot reducer, because the combine is a plain sum.
-  * The dangling sum and the node count are 1x1 scalar frames combined
-  * by broadcast cross join (never a driver collect). Iterations are a
-  * fixed parameter; pass a checkpoint dir via
-  * [[graft.util.Checkpoints]] upstream if lineage depth matters at
-  * high iteration counts.
+  * Scale posture: `outdeg` is computed ONCE and the deduped edge list
+  * persists across iterations; each iteration is one equi-join of the
+  * edge set against the rank table (shuffle on the join key) + one
+  * hash aggregation on `dst` with map-side partials — a power-law
+  * in-degree (the web case) is absorbed by partial aggregation, not a
+  * hot reducer, because the combine is a plain sum. The dangling sum
+  * and the node count are 1x1 scalar frames combined by broadcast
+  * cross join (never a driver collect).
+  *
+  * Lineage policy: pr feeds BOTH the share join and the dangling
+  * anti-join each step, so the uncut logical plan doubles per
+  * iteration — but ReuseExchange dedupes the repeated subtrees inside
+  * one action, and an eager checkpoint's `.rdd` materialization is
+  * measurably SLOWER than just executing the plan (A/B: q172 2.1 s
+  * uncut vs 11.4 s with a final eager cut at sf0.1). So runs of at
+  * most [[CutEvery]] iterations stay fully lazy and uncut (the fast
+  * path the gates use), and only longer runs engage the Bfs
+  * discipline: edge-list persist + a lineage cut every [[CutEvery]]
+  * iterations + a final cut so the result survives the cache
+  * release. `checkpointDir` switches those cuts from localCheckpoint
+  * to reliable checkpoints (see [[graft.util.Checkpoints]]).
   */
 object PageRank {
+
+  /** Interior lineage-cut period for operators whose plan doubles per
+    * iteration (pr feeds two consumers): each cut boundary executes at
+    * most 2^4 = 16 duplicated tiny subtrees, and runs of at most this
+    * many iterations stay fully lazy. Operators with a higher plan
+    * branching factor must use a proportionally smaller period
+    * ([[Hits]] quadruples per iteration and cuts every 2). */
+  val CutEvery = 4
+
+  private def validate(iterations: Int, dampingPermille: Int,
+      scale: Long): Unit = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+  }
 
   /** (id, pr_micro) after `iterations` synchronous steps over a
     * directed edge frame (`src`, `dst`). Self-loops drop, duplicate
     * edges count once; every endpoint appears in the output. */
   def pageRank(edges: DataFrame, iterations: Int = 3,
       dampingPermille: Int = 850,
-      scale: Long = 1000000000000L): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    require(dampingPermille >= 0 && dampingPermille <= 1000,
-      s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    val e = edges.select(col("src"), col("dst"))
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
+    validate(iterations, dampingPermille, scale)
+    val doCut = iterations > CutEvery
+    val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    val e = if (doCut) e0.persist() else e0
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -58,7 +87,7 @@ object PageRank {
     val nScalar = nodes.agg(count(lit(1)).as("n")) // 1x1
     var pr = nodes.crossJoin(broadcast(nScalar))
       .selectExpr("id", s"${scale}L div n AS pr")
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // using-column joins throughout: pr, deg and e share lineage
       // (all derive from the edge frame), so df("col") references
       // would trip DetectAmbiguousSelfJoin
@@ -77,6 +106,11 @@ object PageRank {
           s"(${1000L - dampingPermille} * ${scale}L) div (1000 * n)" +
             s" + ($dampingPermille * (coalesce(inc, 0L) + dang div n))" +
             " div 1000 AS pr")
+      if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
+    }
+    if (doCut) { // self-contained before the cache drops
+      pr = cut(pr, checkpointDir)
+      e.unpersist()
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
@@ -103,31 +137,41 @@ object PageRank {
     * Non-seed nodes with no in-links stay exactly 0 — mass only ever
     * arrives via a path from a seed. Seeds not present in the edge
     * set still teleport (they rank even when isolated). Shuffle shape
-    * is identical to [[pageRank]]; the seed frame joins broadcast
-    * (seed sets are small by construction). */
+    * and lineage policy are identical to [[pageRank]]; the seed frame
+    * joins broadcast (seed sets are small by construction). An empty
+    * seed set fails loudly in-plan (every rank would otherwise be a
+    * silent non-ANSI NULL). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int = 3, dampingPermille: Int = 850,
-      scale: Long = 1000000000000L): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    require(dampingPermille >= 0 && dampingPermille <= 1000,
-      s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    val e = edges.select(col("src"), col("dst"))
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
+    validate(iterations, dampingPermille, scale)
+    val doCut = iterations > CutEvery
+    val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    val e = if (doCut) e0.persist() else e0
     val s = seeds.select(seeds.columns.head).toDF("id").distinct()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .unionByName(s)
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val nS = s.agg(count(lit(1)).as("ns")) // 1x1
+    // In-plan empty-seed guard: ns = 0 would make every 'div ns' a
+    // non-ANSI NULL and silently NULL out all ranks — fail loudly
+    // instead (the decayedCounts discipline). 1x1 scalar.
+    val nS = s.agg(count(lit(1)).as("ns0"))
+      .select(when(assert_true(col("ns0") >= 1,
+        lit("personalizedPageRank: empty seed set — every rank would " +
+          "be NULL")).isNull, col("ns0")).as("ns"))
     var pr = nodes
       .join(broadcast(s.withColumn("seedflag", lit(1L))), Seq("id"), "left")
       .crossJoin(broadcast(nS))
       .selectExpr("id", "coalesce(seedflag, 0L) AS seed",
         s"CASE WHEN coalesce(seedflag, 0L) = 1" +
           s" THEN ${scale}L div ns ELSE 0L END AS pr")
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val shares = pr.withColumnRenamed("id", "src")
         .join(deg, Seq("src"))
         .selectExpr("src", "pr div od AS share")
@@ -144,6 +188,11 @@ object PageRank {
             s" div (1000 * ns) + ($dampingPermille * (dang div ns))" +
             s" div 1000)" +
             s" + ($dampingPermille * coalesce(inc, 0L)) div 1000 AS pr")
+      if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
+    }
+    if (doCut) { // self-contained before the cache drops
+      pr = cut(pr, checkpointDir)
+      e.unpersist()
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
@@ -159,18 +208,19 @@ object PageRank {
     * w <= 0 are dropped as non-edges). The per-edge product pr * w is
     * the one wide value — guarded in-plan against 2^63 (max weight
     * must stay under 2^63 / scale, ~9.2e6 at the default scale).
-    * Same shuffle shape as [[pageRank]]: per iteration one dst-keyed
-    * hash agg + two 1x1 broadcast scalar combines. */
+    * Same shuffle shape and lineage policy as [[pageRank]]. */
   def pageRankWeighted(edges: DataFrame, iterations: Int = 3,
       dampingPermille: Int = 850,
-      scale: Long = 1000000000000L): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    require(dampingPermille >= 0 && dampingPermille <= 1000,
-      s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    val e = edges.select(col("src"), col("dst"),
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
+    validate(iterations, dampingPermille, scale)
+    val doCut = iterations > CutEvery
+    val e0 = edges.select(col("src"), col("dst"),
         col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst") && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val e = if (doCut) e0.persist() else e0
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -183,7 +233,7 @@ object PageRank {
     var pr = nodes.crossJoin(broadcast(nScalar))
       .crossJoin(broadcast(wGuard))
       .selectExpr("id", s"ok * (${scale}L div n) AS pr")
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inc = e.join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .join(wdeg, Seq("src"))
         .selectExpr("dst", "(pr * w) div wd AS share")
@@ -198,6 +248,11 @@ object PageRank {
           s"(${1000L - dampingPermille} * ${scale}L) div (1000 * n)" +
             s" + ($dampingPermille * (coalesce(inc, 0L) + dang div n))" +
             " div 1000 AS pr")
+      if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
+    }
+    if (doCut) { // self-contained before the cache drops
+      pr = cut(pr, checkpointDir)
+      e.unpersist()
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
   }

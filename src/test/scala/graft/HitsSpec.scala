@@ -49,8 +49,9 @@ class HitsSpec extends SparkSpec {
       ("dir", "s1"), // duplicate: counts once
       ("s2", "s2")) // self-loop: drops
 
-    it("matches the driver-local simulation of the stated recurrence") {
-      for (iters <- Seq(1, 2, 3)) {
+    it("matches the driver-local simulation of the stated recurrence — " +
+        "including past the CutEvery lineage-cut boundary") {
+      for (iters <- Seq(1, 2, 3, 5)) { // 5 > cut period: cut path
         run(graph, iters) shouldBe simulate(graph, iters)
       }
     }

@@ -63,10 +63,12 @@ class HyperBallSpec extends SparkSpec {
       ("a", "b"), // duplicate: harmless
       ("b", "b")) // self-loop: drops
 
-    it("matches the driver-local BFS + sketch simulation") {
+    it("matches the driver-local BFS + sketch simulation — including " +
+        "past the CutEvery lineage-cut boundary") {
       for (hops <- Seq(0, 1, 2, 3); m <- Seq(16, 64)) {
         run(graph, hops, m) shouldBe simulate(graph, hops, m)
       }
+      run(graph, 7, 64) shouldBe simulate(graph, 7, 64) // cut path
     }
 
     it("is monotone in hops (registers only ever grow)") {
@@ -114,6 +116,15 @@ class HyperBallSpec extends SparkSpec {
       // the full quantile is the true diameter
       HyperBall.effectiveDiameter(path.toDF("src", "dst"),
         maxHops = 5, q = 1.0, m = 64) shouldBe 3
+    }
+
+    it("effectiveDiameter is 0 on an empty / self-loop-only edge frame") {
+      import spark.implicits._
+      HyperBall.effectiveDiameter(
+        Seq.empty[(String, String)].toDF("src", "dst"),
+        maxHops = 2, m = 64) shouldBe 0
+      HyperBall.effectiveDiameter(Seq(("a", "a")).toDF("src", "dst"),
+        maxHops = 2, m = 64) shouldBe 0
     }
   }
 }

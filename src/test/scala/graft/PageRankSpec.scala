@@ -49,8 +49,9 @@ class PageRankSpec extends SparkSpec {
       ("a", "b"), // duplicate: counts once
       ("c", "c")) // self-loop: drops
 
-    it("matches the driver-local simulation of the stated recurrence") {
-      for (iters <- Seq(0, 1, 3)) {
+    it("matches the driver-local simulation of the stated recurrence — " +
+        "including past the CutEvery lineage-cut boundary") {
+      for (iters <- Seq(0, 1, 3, 10)) { // 10 > CutEvery: cut path
         run(graph, iters) shouldBe simulate(graph, iters)
       }
     }
@@ -148,6 +149,20 @@ class PageRankSpec extends SparkSpec {
       val pr = runSeeded(Seq(("a", "b")), Seq("z"), 2)
       pr("z") should be > 0L
       pr shouldBe simulateSeeded(Seq(("a", "b")), Set("z"), 2)
+    }
+
+    it("fails loudly on an empty seed set instead of returning NULLs") {
+      an[Exception] should be thrownBy
+        runSeeded(Seq(("a", "b")), Seq.empty, 1)
+    }
+
+    it("rejects a non-positive scale up front") {
+      import spark.implicits._
+      an[IllegalArgumentException] should be thrownBy
+        PageRank.pageRank(Seq(("a", "b")).toDF("src", "dst"), scale = 0L)
+      an[IllegalArgumentException] should be thrownBy
+        PageRank.pageRankWeighted(
+          Seq(("a", "b", 1L)).toDF("src", "dst", "w"), scale = -1L)
     }
   }
 
