@@ -125,8 +125,14 @@ object HyperBall {
     * materialized snapshots, not a growing plan); hop frames join back
     * on id — maxHops is small by construction (the effective
     * diameter). FP output; rankings are what it's for. */
-  def harmonicCentralities(edges: DataFrame, maxHops: Int = 4,
-      m: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+  /** Runs the hop recurrence once, hands `finish` the per-hop
+    * estimate frames (est_0 .. est_maxHops, each (id, est_t)), and
+    * applies the segment lineage policy around whatever single frame
+    * it builds — the shared engine under [[harmonicCentralities]] and
+    * [[closenessCentralities]]. */
+  private def withPerHopEstimates(edges: DataFrame, maxHops: Int,
+      m: Int, checkpointDir: Option[String])(
+      finish: Vector[DataFrame] => DataFrame): DataFrame = {
     import graft.util.Checkpoints.cut
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val doCut = maxHops > PageRank.CutEvery
@@ -142,11 +148,7 @@ object HyperBall {
       perHop = perHop :+ estimates(regs, m)
         .withColumnRenamed("est", s"est_$t")
     }
-    val joined = perHop.reduce(_.join(_, Seq("id")))
-    val h = (1 to maxHops).map(t =>
-      greatest(col(s"est_$t") - col(s"est_${t - 1}"), lit(0.0)) / t)
-      .reduce(_ + _)
-    val out0 = joined.select(col("id"), h.as("harmonic"))
+    val out0 = finish(perHop)
     if (doCut) {
       // ONE job materializes every per-hop estimate while the edge
       // cache is live; the result is then self-contained.
@@ -155,6 +157,36 @@ object HyperBall {
       out
     } else out0
   }
+
+  def harmonicCentralities(edges: DataFrame, maxHops: Int = 4,
+      m: Int = 64, checkpointDir: Option[String] = None): DataFrame =
+    withPerHopEstimates(edges, maxHops, m, checkpointDir) { perHop =>
+      val joined = perHop.reduce(_.join(_, Seq("id")))
+      val h = (1 to maxHops).map(t =>
+        greatest(col(s"est_$t") - col(s"est_${t - 1}"), lit(0.0)) / t)
+        .reduce(_ + _)
+      joined.select(col("id"), h.as("harmonic"))
+    }
+
+  /** Approximate closeness centrality on the reachable set (Lin's
+    * formulation, the one that stays meaningful on disconnected
+    * directed graphs): `C(v) = (r(v) - 1) / totdist(v)` with `r` the
+    * ball size at `maxHops` and `totdist = Σ_t t·Δ_t` the estimated
+    * sum of out-distances. 1.0 = everything reachable is adjacent;
+    * 0 for nodes that reach nothing. Same engine and lineage policy
+    * as [[harmonicCentralities]]. */
+  def closenessCentralities(edges: DataFrame, maxHops: Int = 4,
+      m: Int = 64, checkpointDir: Option[String] = None): DataFrame =
+    withPerHopEstimates(edges, maxHops, m, checkpointDir) { perHop =>
+      val joined = perHop.reduce(_.join(_, Seq("id")))
+      val totDist = (1 to maxHops).map(t =>
+        greatest(col(s"est_$t") - col(s"est_${t - 1}"), lit(0.0)) * t)
+        .reduce(_ + _)
+      val reach = greatest(col(s"est_$maxHops") - lit(1.0), lit(0.0))
+      joined.select(col("id"),
+        when(totDist > 0, reach / totDist).otherwise(lit(0.0))
+          .as("closeness"))
+    }
 
   /** Effective diameter at quantile `q` (HyperANF's headline number):
     * the smallest hop count t such that the estimated number of

@@ -118,6 +118,17 @@ class HyperBallSpec extends SparkSpec {
         maxHops = 5, q = 1.0, m = 64) shouldBe 3
     }
 
+    it("closenessCentralities gives an out-star hub ~1.0 and leaves 0") {
+      import spark.implicits._
+      val star = (1 to 10).map(i => ("hub", s"leaf$i"))
+      val c = HyperBall.closenessCentralities(star.toDF("src", "dst"),
+          maxHops = 2, m = 64)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      // exact: 10 reachable, all at distance 1 -> closeness 1.0
+      c("hub") shouldBe 1.0 +- 0.15
+      c("leaf7") shouldBe 0.0 // reaches nothing: exactly 0
+    }
+
     it("effectiveDiameter is 0 on an empty / self-loop-only edge frame") {
       import spark.implicits._
       HyperBall.effectiveDiameter(
