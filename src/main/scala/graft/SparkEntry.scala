@@ -2208,6 +2208,17 @@ object SparkEntry {
             lit(1L).as("w")),
         iterations = 3)),
 
+    // GRAPH AUDIT (operators/GraphAudit): link-graph structural health
+    // — reciprocity count + out-in degree assortativity as INTEGER
+    // sufficient statistics (the q87 regression-components
+    // discipline), one row, hash-exact and shard-mergeable; the FP
+    // ratios are consumer-side. Link rings and spam farms move these
+    // two numbers before any content signal fires.
+    "q180_graph_audit" -> ((s, d) =>
+      graft.operators.GraphAudit.linkGraphAudit(
+        EventGraph.linkSamples(s, d)
+          .select(col("subject").as("src"), col("target").as("dst")))),
+
     // ENCODING AUDIT (text/Encoding): the binary-junk class mojibake
     // repair can't fix — control chars and U+FFFD from PDF extractors
     // / truncated multibyte / binary-as-text. Synthetic injection per
@@ -4146,6 +4157,29 @@ object SparkEntry {
            |${iter(3)}
            |SELECT id, pr AS pr_micro FROM p3""".stripMargin
       },
+
+      // q180: reciprocity via EXISTS on the swapped pair, per-edge
+      // (outdeg(src), indeg(dst)) sums — the same integer sufficient
+      // statistics, stated directly.
+      "q180_graph_audit" ->
+        s"""WITH ev AS ($cte),
+           |e AS (SELECT DISTINCT subject AS src, target AS dst FROM ev
+           |  WHERE subject <> target),
+           |od AS (SELECT src, count(*) AS x FROM e GROUP BY 1),
+           |idg AS (SELECT dst, count(*) AS y FROM e GROUP BY 1),
+           |a AS (SELECT od.x, idg.y FROM e
+           |  JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst),
+           |r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+           |  FROM e WHERE EXISTS (SELECT 1 FROM e e2
+           |    WHERE e2.src = e.dst AND e2.dst = e.src))
+           |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |  (SELECT n_reciprocal FROM r) AS n_reciprocal,
+           |  CAST(sum(x) AS BIGINT) AS sum_x,
+           |  CAST(sum(y) AS BIGINT) AS sum_y,
+           |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           |  CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           |  CAST(sum(y * y) AS BIGINT) AS sum_yy
+           |FROM a""".stripMargin,
 
       // q179: same chr()-composed injection; the count classes are
       // ASCII-only so RE2 and Java regex agree exactly.
