@@ -104,6 +104,58 @@ object Motifs {
     e
   }
 
+  /** k-truss edge peeling (Cohen 2008): the maximal subgraph in which
+    * every edge closes at least k-2 triangles WITHIN the subgraph —
+    * the cohesion notion one step stronger than [[kCoreEdges]]
+    * (every k-truss is inside the (k-1)-core), and the standard way
+    * to carve dense communities out of a link graph while shedding
+    * tree-like spam tendrils. Same count-fixpoint loop as k-core with
+    * per-edge TRIANGLE SUPPORT in place of degree: each round is one
+    * [[triangles]] enumeration over the surviving canonical edge set
+    * (ordered wedge join — hash equi-joins, never all-pairs), a
+    * 3-way explode to per-edge support counts, and a left-semi keep
+    * join; rounds ≤ initial max support, each lineage-cut. */
+  def kTrussEdges(pairs: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
+    require(k >= 2, s"k must be >= 2, got $k")
+    // 2-truss = the whole graph (support >= 0 always holds); the loop
+    // below would wrongly drop triangle-free edges, which simply have
+    // no support row.
+    if (k == 2) return canonicalEdges(pairs)
+    var e = cut(canonicalEdges(pairs), checkpointDir, eager = false)
+    var n = e.count()
+    var done = n == 0L
+    while (!done) {
+      val tri = triangles(e)
+      val support = tri
+        .select(col("a").as("u"), col("b").as("v"))
+        .unionByName(tri.select(col("a").as("u"), col("c").as("v")))
+        .unionByName(tri.select(col("b").as("u"), col("c").as("v")))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+      val next = cut(
+        e.join(support.filter(col("support") >= k - 2)
+            .select(col("u"), col("v")),
+          Seq("u", "v"), "left_semi"),
+        checkpointDir, eager = false)
+      val m = next.count()
+      done = m == n || m == 0L
+      e = next
+      n = m
+    }
+    e
+  }
+
+  /** Nodes of the k-truss (endpoints of the surviving edge set). */
+  def kTrussNodes(pairs: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val e = kTrussEdges(pairs, k, checkpointDir)
+    e.select(col("u").as("node_id"))
+      .unionByName(e.select(col("v").as("node_id")))
+      .distinct()
+  }
+
   /** Nodes of the k-core (endpoints of the surviving edge set). */
   def kCoreNodes(pairs: DataFrame, k: Int,
       checkpointDir: Option[String] = None): DataFrame = {

@@ -61,6 +61,31 @@ class MotifsSpec extends SparkSpec {
     Motifs.kCoreNodes(g, 5).collect() shouldBe empty
   }
 
+  it("kTruss peels by triangle support, with cascades") {
+    import spark.implicits._
+    // K4 {a,b,c,d} + tail c—e—f: every K4 edge closes 2 triangles
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("c", "e"), ("e", "f")).toDF("s", "t")
+    Motifs.kTrussNodes(g, 4).collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("a", "b", "c", "d")
+    // 3-truss also keeps only the clique (tail edges close nothing)
+    Motifs.kTrussNodes(g, 3).collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("a", "b", "c", "d")
+    // 5-truss needs support 3: empty
+    Motifs.kTrussEdges(g, 5).collect() shouldBe empty
+    // 2-truss = the whole graph, INCLUDING triangle-free edges
+    Motifs.kTrussNodes(g, 2).collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("a", "b", "c", "d", "e", "f")
+    // cascade: two triangles sharing edge b—c — at k=4 the shared
+    // edge's support-2 survives round 1 but its triangles are gone,
+    // so round 2 empties the graph
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d")).toDF("s", "t")
+    Motifs.kTrussEdges(diamond, 4).collect() shouldBe empty
+    Motifs.kTrussNodes(diamond, 3).collect()
+      .map(_.getString(0)).sorted.toSeq shouldBe Seq("a", "b", "c", "d")
+  }
+
   it("kCore matches a naive driver-side peeling on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
