@@ -2219,6 +2219,39 @@ object SparkEntry {
         EventGraph.linkSamples(s, d)
           .select(col("subject").as("src"), col("target").as("dst")))),
 
+    // WEB-RANK E2E (the q171 flagship discipline, for the graph
+    // family): synthetic per-doc HTML → href extraction (Html.links)
+    // → host canonicalization (Urls.host) → host-level link graph →
+    // seeded TrustRank (seeds = the '-0' canonical mirrors, derived
+    // from the data, trust decaying around each source family's mod-7
+    // chain) → joined back to docs as the per-doc keep signal. ONE
+    // composed Catalyst plan across text + graph operators.
+    "q181_webrank_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val html = concat(
+        lit("<a href=\"https://www."), col("source"), lit("-"),
+        ((col("doc_id") + 1) % 7).cast("string"),
+        lit(".example.com/n\">next</a> <a href='http://"), col("lang"),
+        lit(".wiki.example.org/w/x'>wiki</a>"))
+      val withHost = docs.withColumn("host",
+        concat(col("source"), lit("-"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com")))
+      val links = withHost.select(col("host").as("src"),
+          explode(graft.text.Html.links(html)).as("url"))
+        .select(col("src"), graft.text.Urls.host(col("url")).as("dst"))
+        .filter(col("dst").isNotNull && col("dst") =!= "")
+      val seeds = links.select(col("src").as("id"))
+        .unionByName(links.select(col("dst").as("id")))
+        .filter(col("id").endsWith("-0.example.com"))
+        .distinct()
+      val pr = graft.operators.PageRank.personalizedPageRank(
+        links, seeds, iterations = 3)
+      withHost.select(col("doc_id"), col("host"))
+        .join(pr.withColumnRenamed("id", "host"), Seq("host"))
+        .select(col("doc_id"), col("host"), col("pr_micro"))
+    }),
+
     // ENCODING AUDIT (text/Encoding): the binary-junk class mojibake
     // repair can't fix — control chars and U+FFFD from PDF extractors
     // / truncated multibyte / binary-as-text. Synthetic injection per
@@ -4180,6 +4213,62 @@ object SparkEntry {
            |  CAST(sum(x * x) AS BIGINT) AS sum_xx,
            |  CAST(sum(y * y) AS BIGINT) AS sum_yy
            |FROM a""".stripMargin,
+
+      // q181: q133's href/host extraction chain feeding the q174
+      // seeded recurrence, seeds + nodes derived in-query, joined back
+      // per doc.
+      "q181_webrank_e2e" -> {
+        def iter(k: Int): String =
+          s"""c$k AS (SELECT e.dst AS id,
+             |    CAST(sum(p.pr // dg.od) AS BIGINT) AS inc
+             |  FROM e JOIN p${k - 1} p ON p.id = e.src
+             |  JOIN deg dg ON dg.src = e.src GROUP BY 1),
+             |d$k AS (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+             |  FROM p${k - 1} p WHERE NOT EXISTS
+             |    (SELECT 1 FROM deg x WHERE x.src = p.id)),
+             |p$k AS (SELECT n.id, n.seed,
+             |    n.seed * ((150 * 1000000000000)
+             |        // (1000 * (SELECT ns FROM ns))
+             |      + (850 * ((SELECT dang FROM d$k)
+             |        // (SELECT ns FROM ns))) // 1000)
+             |    + (850 * coalesce(c.inc, 0)) // 1000 AS pr
+             |  FROM p0 n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
+        s"""WITH wh AS (SELECT doc_id,
+           |    source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
+           |      '.example.com' AS host,
+           |    '<a href="https://www.' || source || '-' ||
+           |      CAST((doc_id + 1) % 7 AS VARCHAR) ||
+           |      '.example.com/n">next</a> <a href=''http://' || lang ||
+           |      '.wiki.example.org/w/x''>wiki</a>' AS html
+           |  FROM documents),
+           |l AS (SELECT host AS src,
+           |    unnest(regexp_extract_all(html,
+           |      ${sqlStr(graft.text.Html.HrefRe)}, 1)) AS url
+           |  FROM wh),
+           |ho AS (SELECT src,
+           |    regexp_replace(regexp_extract(lower(url),
+           |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+           |      '^www\\.', '') AS dst FROM l),
+           |e AS (SELECT DISTINCT src, dst FROM ho
+           |  WHERE dst IS NOT NULL AND dst <> '' AND src <> dst),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |seeds AS (SELECT id FROM nodes
+           |  WHERE id LIKE '%-0.example.com'),
+           |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+           |ns AS (SELECT count(*) AS ns FROM seeds),
+           |p0 AS (SELECT n.id,
+           |    CAST(CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END
+           |      AS BIGINT) AS seed,
+           |    CASE WHEN s.id IS NOT NULL
+           |      THEN 1000000000000 // (SELECT ns FROM ns)
+           |      ELSE CAST(0 AS BIGINT) END AS pr
+           |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT wh.doc_id, wh.host, p3.pr AS pr_micro
+           |FROM wh JOIN p3 ON p3.id = wh.host""".stripMargin
+      },
 
       // q179: same chr()-composed injection; the count classes are
       // ASCII-only so RE2 and Java regex agree exactly.
