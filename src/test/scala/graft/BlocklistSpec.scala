@@ -51,6 +51,26 @@ class BlocklistSpec extends SparkSpec {
       got.length shouldBe 1
     }
 
+    it("matches a naive docs-x-phrases containment check on seeded " +
+        "random word soup") {
+      val rnd = new scala.util.Random(41)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+        "zeta", "eta", "theta")
+      def soup(len: Int) =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (1L to 40L).map(i => (i, soup(6 + rnd.nextInt(10))))
+      val phrases = (1L to 12L).map(i => (i, soup(1 + rnd.nextInt(3))))
+      val naive = for {
+        (did, text) <- docs
+        (pid, p) <- phrases
+        if (" " + text + " ").contains(" " + p + " ")
+      } yield (did, pid)
+      val got = Blocklist.matches(docsDf(docs), phrasesDf(phrases))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe naive.toSet
+      naive should not be empty // the check must actually exercise hits
+    }
+
     it("filterClean returns exactly the complement") {
       val phrases = phrasesDf(Seq((10L, "cat dog")))
       val clean = Blocklist.filterClean(docsDf(docs), phrases)

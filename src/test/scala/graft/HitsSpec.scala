@@ -67,6 +67,16 @@ class HitsSpec extends SparkSpec {
       a("s3")._1 shouldBe 0L // s3 links to nothing: zero hub
     }
 
+    it("matches the simulation on seeded random multigraphs") {
+      val rnd = new scala.util.Random(23)
+      for (_ <- 1 to 3) {
+        val n = 8 + rnd.nextInt(8)
+        val edges = (1 to 50).map(_ =>
+          (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        run(edges, 2) shouldBe simulate(edges, 2)
+      }
+    }
+
     it("renormalizes each vector into the (scale - n, 2*scale) L1 band") {
       // floor division by floor(total/scale) keeps the new total in
       // [total/q - n, total/q] with total/q in [scale, 2*scale): the

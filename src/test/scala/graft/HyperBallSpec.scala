@@ -71,6 +71,16 @@ class HyperBallSpec extends SparkSpec {
       run(graph, 7, 64) shouldBe simulate(graph, 7, 64) // cut path
     }
 
+    it("matches the simulation on seeded random multigraphs") {
+      val rnd = new scala.util.Random(37)
+      for (_ <- 1 to 2) {
+        val n = 8 + rnd.nextInt(8)
+        val edges = (1 to 40).map(_ =>
+          (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        run(edges, 2, 64) shouldBe simulate(edges, 2, 64)
+      }
+    }
+
     it("is monotone in hops (registers only ever grow)") {
       val r1 = run(graph, 1, 64)
       val r2 = run(graph, 2, 64)

@@ -156,6 +156,28 @@ class PageRankSpec extends SparkSpec {
         runSeeded(Seq(("a", "b")), Seq.empty, 1)
     }
 
+    it("matches the simulation on seeded random multigraphs — plain, " +
+        "seeded, and weighted") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(11)
+      for (_ <- 1 to 3) {
+        val n = 8 + rnd.nextInt(8)
+        val edges = (1 to 50).map(_ =>
+          (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        run(edges, 3) shouldBe simulate(edges, 3)
+        val seeds = Seq(s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+          .distinct
+        runSeeded(edges, seeds, 2) shouldBe
+          simulateSeeded(edges, seeds.toSet, 2)
+        val weighted = edges.map { case (s, t) =>
+          (s, t, 1L + rnd.nextInt(9).toLong) }
+        val got = PageRank.pageRankWeighted(
+            weighted.toDF("src", "dst", "w"), iterations = 2)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        got shouldBe simulateWeighted(weighted, 2)
+      }
+    }
+
     it("rejects a non-positive scale up front") {
       import spark.implicits._
       an[IllegalArgumentException] should be thrownBy
