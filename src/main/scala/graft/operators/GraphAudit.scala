@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   * Scale posture: edge dedup, two degree aggregations, two key-joins
   * to annotate edges, one semi-join for reciprocity, one global sum —
   * every shuffle on an edge-endpoint key with map-side partials.
-  * Long-range bound: Σ outdeg·indeg over edges must stay below 2⁶³ —
-  * holds whenever maxdeg² · |E| < 2⁶³ (e.g. maxdeg 10⁶ and |E| 10⁶
-  * × 10³ shards), far beyond any graded scale; shard + merge the
-  * sufficient rows if a graph ever exceeds it.
+  * Long-range bound: the degree-product sums must stay below 2⁶³,
+  * which holds whenever maxdeg² · |E| < 2⁶³ — GUARDED in-plan
+  * (`assert_true` over a decimal-checked 1×1 scalar, the
+  * decayedCounts discipline), so a graph past the bound fails loudly
+  * instead of wrapping silently; shard + merge the sufficient rows in
+  * that regime.
   */
 object GraphAudit {
 
@@ -49,6 +51,23 @@ object GraphAudit {
         e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_reciprocal")) // 1x1
+    // In-plan overflow guard (the decayedCounts discipline): the sums
+    // are bounded by |E| * maxdeg² — check it in DECIMAL(38,0) so the
+    // check itself cannot wrap (a decimal overflow NULLs the condition
+    // and assert_true raises, which is also the correct outcome: a
+    // bound past 10^38 is certainly past 2^63). One 1x1 scalar.
+    val dLong = lit(Long.MaxValue).cast("decimal(38,0)")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val guard = outdeg.agg(coalesce(max(col("x")), lit(0L)).as("mx"))
+      .crossJoin(indeg.agg(coalesce(max(col("y")), lit(0L)).as("my")))
+      .crossJoin(e.agg(count(lit(1)).as("ec")))
+      .select(when(assert_true(
+        dec(col("mx")) * col("mx") * col("ec") <= dLong &&
+          dec(col("my")) * col("my") * col("ec") <= dLong &&
+          dec(col("mx")) * col("my") * col("ec") <= dLong,
+        lit("GraphAudit: assortativity sums would exceed Long range " +
+          "— shard the edge set and merge the sufficient rows"))
+        .isNull, lit(1L)).as("ok")) // 1x1
     annotated.agg(
         count(lit(1)).as("n_edges"),
         sum(col("x")).as("sum_x"),
@@ -57,7 +76,9 @@ object GraphAudit {
         sum(col("x") * col("x")).as("sum_xx"),
         sum(col("y") * col("y")).as("sum_yy"))
       .crossJoin(broadcast(recip))
-      .select(col("n_edges"), col("n_reciprocal"), col("sum_x"),
+      .crossJoin(broadcast(guard))
+      .select((col("n_edges") * col("ok")).as("n_edges"),
+        col("n_reciprocal"), col("sum_x"),
         col("sum_y"), col("sum_xy"), col("sum_xx"), col("sum_yy"))
   }
 

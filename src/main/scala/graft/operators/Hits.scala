@@ -61,6 +61,7 @@ object Hits {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val e = if (doCut) e0.persist() else e0
+    try {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -79,6 +80,12 @@ object Hits {
       .selectExpr("id", s"ok * ${scale}L AS a")
     var hub: DataFrame = null
     for (i <- 1 to iterations) {
+      // Lineage cuts on the segment policy (see PageRank's scaladoc:
+      // short runs stay fully lazy — eager checkpoints measured
+      // SLOWER than one deep action). At a boundary, hub is cut
+      // BEFORE auth's plan is built on it, so auth's cut job reads
+      // the materialized hub instead of re-executing its segment.
+      val boundary = doCut && i % cutEvery == 0
       val hRaw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("hraw"))
       val hTot = hRaw.agg(
@@ -89,6 +96,7 @@ object Hits {
         .selectExpr("id",
           s"coalesce(hraw, 0L) div greatest(1L, htot div ${scale}L)" +
             " AS h")
+      if (boundary) hub = cut(hub, checkpointDir)
       val aRaw = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("araw"))
       val aTot = aRaw.agg(
@@ -99,22 +107,17 @@ object Hits {
         .selectExpr("id",
           s"coalesce(araw, 0L) div greatest(1L, atot div ${scale}L)" +
             " AS a")
-      // Lineage cuts on the PageRank.CutEvery segment policy: short
-      // runs stay fully lazy (eager checkpoints measured SLOWER than
-      // one deep action — see PageRank's scaladoc); long runs cut
-      // every segment and before the cache drops.
-      if (doCut && i % cutEvery == 0) {
-        hub = cut(hub, checkpointDir)
-        auth = cut(auth, checkpointDir)
-      }
+      if (boundary) auth = cut(auth, checkpointDir)
     }
-    if (doCut) {
+    // self-contained before the cache drops; skip when the last loop
+    // iteration already cut both
+    if (doCut && iterations % cutEvery != 0) {
       hub = cut(hub, checkpointDir)
       auth = cut(auth, checkpointDir)
-      e.unpersist()
     }
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_micro"),
         col("a").as("auth_micro"))
+    } finally if (doCut) e.unpersist()
   }
 }

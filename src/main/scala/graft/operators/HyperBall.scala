@@ -73,9 +73,11 @@ object HyperBall {
     * `dst`). Self-loops drop, duplicate edges are harmless (max is
     * idempotent) but deduped anyway to shrink the join's left side.
     * Every endpoint appears (its own singleton sketch at minimum).
-    * Lineage policy = [[PageRank.CutEvery]]: interior cuts only every
-    * 8 hops (ReuseExchange dedupes within a segment), final frame
-    * always cut so it survives the edge cache release. */
+    * Lineage policy: runs of at most [[PageRank.CutEvery]] hops stay
+    * fully lazy; longer runs persist the edge list, cut every
+    * [[PageRank.CutEvery]] hops (ReuseExchange dedupes within a
+    * segment), and cut the final frame so it survives the cache
+    * release. */
   def ballRegisters(edges: DataFrame, hops: Int = 2,
       m: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
     import graft.util.Checkpoints.cut
@@ -83,17 +85,19 @@ object HyperBall {
     val doCut = hops > PageRank.CutEvery
     val (e0, nodes) = prep(edges)
     val e = if (doCut) e0.persist() else e0
-    var regs = seedRegs(nodes, m)
-    for (t <- 1 to hops) {
-      regs = hop(e, regs)
-      if (doCut && t % PageRank.CutEvery == 0)
+    try {
+      var regs = seedRegs(nodes, m)
+      for (t <- 1 to hops) {
+        regs = hop(e, regs)
+        if (doCut && t % PageRank.CutEvery == 0)
+          regs = cut(regs, checkpointDir)
+      }
+      // self-contained before the cache drops; skip when the last hop
+      // already cut it
+      if (doCut && hops % PageRank.CutEvery != 0)
         regs = cut(regs, checkpointDir)
-    }
-    if (doCut) {
-      regs = cut(regs, checkpointDir)
-      e.unpersist()
-    }
-    regs
+      regs
+    } finally if (doCut) e.unpersist()
   }
 
   /** Per-node HLL size estimate from a [[ballRegisters]] frame — the
@@ -117,19 +121,15 @@ object HyperBall {
       })
   }
 
-  /** Approximate harmonic centrality H(v) = Σ_{u≠v} 1/d(v,u) over out-
-    * distances, truncated at `maxHops`:
-    * `H(v) ≈ Σ_t (N̂(v,t) − N̂(v,t−1)) / t` with N̂ the per-hop HLL
-    * estimates. Runs the [[hop]] recurrence once, reading an estimate
-    * frame off each hop's CUT registers (so the final join is over
-    * materialized snapshots, not a growing plan); hop frames join back
-    * on id — maxHops is small by construction (the effective
-    * diameter). FP output; rankings are what it's for. */
   /** Runs the hop recurrence once, hands `finish` the per-hop
     * estimate frames (est_0 .. est_maxHops, each (id, est_t)), and
     * applies the segment lineage policy around whatever single frame
     * it builds — the shared engine under [[harmonicCentralities]] and
-    * [[closenessCentralities]]. */
+    * [[closenessCentralities]]. Short runs (maxHops at most
+    * [[PageRank.CutEvery]]) stay fully lazy; longer runs persist the
+    * edge list, cut registers each segment, and finish with ONE job
+    * that materializes every per-hop estimate while the edge cache is
+    * live, so the returned frame is self-contained. */
   private def withPerHopEstimates(edges: DataFrame, maxHops: Int,
       m: Int, checkpointDir: Option[String])(
       finish: Vector[DataFrame] => DataFrame): DataFrame = {
@@ -138,26 +138,28 @@ object HyperBall {
     val doCut = maxHops > PageRank.CutEvery
     val (e0, nodes) = prep(edges)
     val e = if (doCut) e0.persist() else e0
-    var regs = seedRegs(nodes, m)
-    var perHop = Vector(estimates(regs, m)
-      .withColumnRenamed("est", "est_0"))
-    for (t <- 1 to maxHops) {
-      regs = hop(e, regs)
-      if (doCut && t % PageRank.CutEvery == 0)
-        regs = cut(regs, checkpointDir)
-      perHop = perHop :+ estimates(regs, m)
-        .withColumnRenamed("est", s"est_$t")
-    }
-    val out0 = finish(perHop)
-    if (doCut) {
-      // ONE job materializes every per-hop estimate while the edge
-      // cache is live; the result is then self-contained.
-      val out = cut(out0, checkpointDir)
-      e.unpersist()
-      out
-    } else out0
+    try {
+      var regs = seedRegs(nodes, m)
+      var perHop = Vector(estimates(regs, m)
+        .withColumnRenamed("est", "est_0"))
+      for (t <- 1 to maxHops) {
+        regs = hop(e, regs)
+        if (doCut && t % PageRank.CutEvery == 0)
+          regs = cut(regs, checkpointDir)
+        perHop = perHop :+ estimates(regs, m)
+          .withColumnRenamed("est", s"est_$t")
+      }
+      val out0 = finish(perHop)
+      if (doCut) cut(out0, checkpointDir) else out0
+    } finally if (doCut) e.unpersist()
   }
 
+  /** Approximate harmonic centrality H(v) = Σ_{u≠v} 1/d(v,u) over out-
+    * distances, truncated at `maxHops`:
+    * `H(v) ≈ Σ_t (N̂(v,t) − N̂(v,t−1)) / t` with N̂ the per-hop HLL
+    * estimates; hop frames join back on id — maxHops is small by
+    * construction (the effective diameter). FP output; rankings are
+    * what it's for. Lineage policy = [[withPerHopEstimates]]. */
   def harmonicCentralities(edges: DataFrame, maxHops: Int = 4,
       m: Int = 64, checkpointDir: Option[String] = None): DataFrame =
     withPerHopEstimates(edges, maxHops, m, checkpointDir) { perHop =>
@@ -204,21 +206,22 @@ object HyperBall {
     require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
     val (e0, nodes) = prep(edges)
     val e = e0.persist()
-    // Per-hop cut here (not the segment policy): an ACTION runs every
-    // hop, and cross-job plans don't share shuffles — uncut, hop t's
-    // total() would re-execute all t-1 previous rounds.
-    var regs = cut(seedRegs(nodes, m), checkpointDir)
-    def total(): Double = estimates(regs, m)
-      .agg(coalesce(sum(col("est")), lit(0.0)))
-      .collect()(0).getDouble(0) // 1 scalar; 0.0 on an empty graph
-    val totals = Array.newBuilder[Double]
-    totals += total()
-    for (_ <- 1 to maxHops) {
-      regs = cut(hop(e, regs), checkpointDir)
+    val ts = try {
+      // Per-hop cut here (not the segment policy): an ACTION runs
+      // every hop, and cross-job plans don't share shuffles — uncut,
+      // hop t's total() would re-execute all t-1 previous rounds.
+      var regs = cut(seedRegs(nodes, m), checkpointDir)
+      def total(): Double = estimates(regs, m)
+        .agg(coalesce(sum(col("est")), lit(0.0)))
+        .collect()(0).getDouble(0) // 1 scalar; 0.0 on an empty graph
+      val totals = Array.newBuilder[Double]
       totals += total()
-    }
-    e.unpersist()
-    val ts = totals.result()
+      for (_ <- 1 to maxHops) {
+        regs = cut(hop(e, regs), checkpointDir)
+        totals += total()
+      }
+      totals.result()
+    } finally e.unpersist()
     val target = q * ts.last
     ts.indexWhere(_ >= target) match {
       case -1 => maxHops

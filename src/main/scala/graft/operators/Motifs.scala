@@ -35,14 +35,19 @@ object Motifs {
   }
 
   /** Every triangle as an ordered (a < b < c) triple, exactly once. */
-  def triangles(pairs: DataFrame): DataFrame = {
-    val e = canonicalEdges(pairs)
+  def triangles(pairs: DataFrame): DataFrame =
+    trianglesOfCanonical(canonicalEdges(pairs))
+
+  /** The [[triangles]] wedge join over an ALREADY-canonical (u < v,
+    * distinct) edge frame — skips the dedup shuffle for callers that
+    * hold the invariant (the k-truss peeling loop re-enumerates every
+    * round over an invariantly canonical survivor set). */
+  private def trianglesOfCanonical(e: DataFrame): DataFrame =
     e.as("e1")
       .join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e.as("e3"),
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-  }
 
   /** Per-node triangle participation counts (only nodes in ≥1 triangle
     * appear). The clustering-coefficient numerator. */
@@ -127,7 +132,7 @@ object Motifs {
     var n = e.count()
     var done = n == 0L
     while (!done) {
-      val tri = triangles(e)
+      val tri = trianglesOfCanonical(e)
       val support = tri
         .select(col("a").as("u"), col("b").as("v"))
         .unionByName(tri.select(col("a").as("u"), col("c").as("v")))

@@ -80,6 +80,7 @@ object PageRank {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val e = if (doCut) e0.persist() else e0
+    try {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -108,11 +109,11 @@ object PageRank {
             " div 1000 AS pr")
       if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
     }
-    if (doCut) { // self-contained before the cache drops
-      pr = cut(pr, checkpointDir)
-      e.unpersist()
-    }
+    // self-contained before the cache drops; skip when the last
+    // loop iteration already cut it
+    if (doCut && iterations % CutEvery != 0) pr = cut(pr, checkpointDir)
     pr.select(col("id"), col("pr").as("pr_micro"))
+    } finally if (doCut) e.unpersist()
   }
 
   /** Personalized PageRank with the teleport distribution restricted
@@ -152,6 +153,7 @@ object PageRank {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val e = if (doCut) e0.persist() else e0
+    try {
     val s = seeds.select(seeds.columns.head).toDF("id").distinct()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
@@ -190,11 +192,11 @@ object PageRank {
             s" + ($dampingPermille * coalesce(inc, 0L)) div 1000 AS pr")
       if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
     }
-    if (doCut) { // self-contained before the cache drops
-      pr = cut(pr, checkpointDir)
-      e.unpersist()
-    }
+    // self-contained before the cache drops; skip when the last
+    // loop iteration already cut it
+    if (doCut && iterations % CutEvery != 0) pr = cut(pr, checkpointDir)
     pr.select(col("id"), col("pr").as("pr_micro"))
+    } finally if (doCut) e.unpersist()
   }
 
   /** Weighted PageRank: rank mass leaves a node proportionally to
@@ -221,6 +223,7 @@ object PageRank {
       .filter(col("src") =!= col("dst") && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     val e = if (doCut) e0.persist() else e0
+    try {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -250,10 +253,10 @@ object PageRank {
             " div 1000 AS pr")
       if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
     }
-    if (doCut) { // self-contained before the cache drops
-      pr = cut(pr, checkpointDir)
-      e.unpersist()
-    }
+    // self-contained before the cache drops; skip when the last
+    // loop iteration already cut it
+    if (doCut && iterations % CutEvery != 0) pr = cut(pr, checkpointDir)
     pr.select(col("id"), col("pr").as("pr_micro"))
+    } finally if (doCut) e.unpersist()
   }
 }
