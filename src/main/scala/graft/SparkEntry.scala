@@ -2252,6 +2252,119 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("pr_micro"))
     }),
 
+    // LINK PREDICTION (operators/Motifs.linkPredictionCounts): the
+    // integer sufficient statistics of the classic index family —
+    // common neighbors + endpoint degrees per non-adjacent distance-2
+    // pair (Jaccard/Adamic-Adar/preferential-attachment all derive
+    // consumer-side). One wedge self-join (Σ deg² bound), pair count,
+    // anti-join vs direct edges, two degree annotations.
+    "q182_link_prediction" -> ((s, d) =>
+      graft.operators.Motifs.linkPredictionCounts(
+        EventGraph.linkSamples(s, d).select("subject", "target"))),
+
+    // VOCAB COVERAGE / OOV AUDIT (text/TextOps.oovStats): per doc,
+    // total tokens vs out-of-vocabulary count + distinct OOV types
+    // against the corpus df-top-100 vocab (the q32 derivation) — the
+    // tokenizer-drift / wrong-language signal. Vocab side is
+    // dimension-sized and broadcast; the corpus never shuffles on
+    // tokens.
+    "q183_oov_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(array_distinct(
+          graft.text.TextOps.tokens(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("token")).limit(100)
+        .select(col("token"))
+      graft.text.TextOps.oovStats(docs, vocab)
+    }),
+
+    // LEXICAL DIVERSITY (text/TextOps.lexicalStats): per-doc token /
+    // type / hapax counts — TTR and hapax ratio derive consumer-side
+    // (the q87 sufficient-statistics discipline). Low TTR at normal
+    // length flags template/generated filler the char-level
+    // repetition filters (q106) miss.
+    "q184_lexical_stats" -> ((s, d) =>
+      graft.text.TextOps.lexicalStats(Tables.documents(s, d))),
+
+    // TOKEN-RUN STUTTER (text/TextOps.maxTokenRun): longest run of
+    // consecutive identical tokens — the degenerate-generation /
+    // OCR-stutter detector, as ONE zero-shuffle sequential fold per
+    // doc. Synthetic stutter appended on doc_id % 7 == 0 (the q179
+    // injection discipline) so the gate exercises runs the corpus
+    // alone may not carry.
+    "q185_token_runs" -> ((s, d) => {
+      val t = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" loop loop loop loop")))
+        .otherwise(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextOps.tokenCount(t).cast("long").as("n_tokens"),
+        graft.text.TextOps.maxTokenRun(t).as("max_run"))
+    }),
+
+    // CRAWL-DELAY (text/Robots.delaysTable): the de-facto pacing
+    // directive of the star group — first star value wins, other
+    // groups' delays and non-integer values ignored, absent = NULL
+    // (fetcher default). Parse is the spec-checked typed flatMap; the
+    // gate states the per-host RESULT (the q159 VALUES discipline)
+    // over three body templates keyed by host-length mod 3.
+    "q186_crawl_delay" -> ((s, d) => {
+      val hosts = Tables.documents(s, d)
+        .select(concat(col("source"), lit(".example.com")).as("host"))
+        .distinct()
+      val m = length(col("host")) % 3
+      val body = when(m === 0, lit(
+        "User-agent: gptbot\nCrawl-delay: 99\n\nUser-agent: *\n" +
+          "# pacing\nCrawl-delay: 5\nDisallow: /tmp\nCrawl-delay: 7\n"))
+        .when(m === 1, lit(
+          "User-agent: gptbot\nCrawl-delay: 99\nDisallow: /\n"))
+        .otherwise(lit(
+          "User-agent: *\nDisallow: /x\nCrawl-delay: fast\n"))
+      graft.text.Robots.delaysTable(hosts.withColumn("body", body))
+    }),
+
+    // DEGREE HISTOGRAM (operators/GraphAudit.degreeHistogram): log2-
+    // bucketed in/out degree distribution — the power-law audit read
+    // before sizing any Σ deg²-bounded neighborhood join. bin() exists
+    // identically in Spark and DuckDB, so the bucket maths is stated
+    // verbatim.
+    "q187_degree_histogram" -> ((s, d) =>
+      graft.operators.GraphAudit.degreeHistogram(
+        EventGraph.linkSamples(s, d)
+          .select(col("subject").as("src"), col("target").as("dst")))),
+
+    // PAIR-DISTANCE CALIBRATION (similarity/Similarity
+    // .sampledPairStats): deterministic pseudo-random vector pairs
+    // with exact dot/norm² folds rounded to 6 (the q169 FP
+    // discipline) — the distribution read before picking any near-dup
+    // cosine threshold. md5-bucketed consecutive-rank pairing: O(n)
+    // pairs, never all-pairs, reproducible across engines.
+    "q188_pair_calibration" -> ((s, d) =>
+      graft.similarity.Similarity.sampledPairStats(
+        Tables.embeddings(s, d))),
+
+    // TOKENIZER QA E2E (the q171 flagship discipline for the
+    // tokenizer family): corpus df-top-100 vocab → per-doc OOV audit
+    // → per-language OOV mass rollup, ONE composed Catalyst plan —
+    // which languages the vocab actually serves, the signal a
+    // tokenizer retrain triggers on.
+    "q189_tokenizer_qa_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(array_distinct(
+          graft.text.TextOps.tokens(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("token")).limit(100)
+        .select(col("token"))
+      graft.text.TextOps.oovStats(docs, vocab)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_oov")).as("sum_oov"),
+          sum(col("n_oov_types")).as("sum_oov_types"))
+    }),
+
     // ENCODING AUDIT (text/Encoding): the binary-junk class mojibake
     // repair can't fix — control chars and U+FFFD from PDF extractors
     // / truncated multibyte / binary-as-text. Synthetic injection per
@@ -4269,6 +4382,163 @@ object SparkEntry {
            |SELECT wh.doc_id, wh.host, p3.pr AS pr_micro
            |FROM wh JOIN p3 ON p3.id = wh.host""".stripMargin
       },
+
+      // q182: the same wedge join / pair count / anti-join / degree
+      // annotation, stated directly on the canonical edge set.
+      "q182_link_prediction" ->
+        s"""WITH samples AS ($cte),
+           |e AS (SELECT DISTINCT least(subject, target) AS u,
+           |             greatest(subject, target) AS v
+           |      FROM samples WHERE subject <> target),
+           |sym AS (SELECT u AS node, v AS nbr FROM e
+           |  UNION ALL SELECT v, u FROM e),
+           |deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY 1),
+           |cm AS (SELECT x.node AS node_a, y.node AS node_b,
+           |    count(*) AS n_common
+           |  FROM sym x JOIN sym y
+           |    ON y.nbr = x.nbr AND x.node < y.node
+           |  GROUP BY 1, 2),
+           |nl AS (SELECT cm.* FROM cm WHERE NOT EXISTS
+           |  (SELECT 1 FROM e
+           |   WHERE e.u = cm.node_a AND e.v = cm.node_b))
+           |SELECT node_a, node_b, n_common,
+           |  da.degree AS deg_a, db.degree AS deg_b
+           |FROM nl JOIN deg da ON da.node = nl.node_a
+           |  JOIN deg db ON db.node = nl.node_b""".stripMargin,
+
+      // q183: the q32 df-top-100 vocab + left-join OOV classification,
+      // token-free docs kept at zero.
+      "q183_oov_audit" ->
+        s"""WITH dtoks AS (SELECT doc_id,
+           |    unnest(list_distinct($toksSql)) AS token FROM documents),
+           |v AS (SELECT token FROM (
+           |    SELECT token, count(*) AS df FROM dtoks GROUP BY 1
+           |    ORDER BY df DESC, token LIMIT 100)),
+           |allt AS (SELECT doc_id, unnest($toksSql) AS token
+           |  FROM documents),
+           |j AS (SELECT a.doc_id, a.token, v.token AS vt
+           |  FROM allt a LEFT JOIN v ON v.token = a.token),
+           |st AS (SELECT doc_id, count(*) AS n_tokens,
+           |    count(CASE WHEN vt IS NULL THEN 1 END) AS n_oov,
+           |    count(DISTINCT CASE WHEN vt IS NULL THEN token END)
+           |      AS n_oov_types
+           |  FROM j GROUP BY 1)
+           |SELECT d.doc_id, coalesce(st.n_tokens, 0) AS n_tokens,
+           |  coalesce(st.n_oov, 0) AS n_oov,
+           |  coalesce(st.n_oov_types, 0) AS n_oov_types
+           |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
+
+      // q184: per-(doc,token) counts → token/type/hapax sums,
+      // token-free docs kept at zero.
+      "q184_lexical_stats" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token
+           |  FROM documents),
+           |pc AS (SELECT doc_id, token, count(*) AS cnt
+           |  FROM tok GROUP BY 1, 2),
+           |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |    count(*) AS n_types,
+           |    count(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax
+           |  FROM pc GROUP BY 1)
+           |SELECT d.doc_id, coalesce(st.n_tokens, 0) AS n_tokens,
+           |  coalesce(st.n_types, 0) AS n_types,
+           |  coalesce(st.n_hapax, 0) AS n_hapax
+           |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
+
+      // q185: run starts via the list-index filter (the q160 range
+      // pattern), run lengths = consecutive-start differences with a
+      // len+1 sentinel, max via list_aggregate.
+      "q185_token_runs" ->
+        s"""WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+           |    THEN text || ' loop loop loop loop' ELSE text END AS text
+           |  FROM documents),
+           |base AS (SELECT doc_id, $toksSql AS t FROM t0),
+           |s AS (SELECT doc_id, t, list_append(list_filter(
+           |    range(1, len(t) + 1),
+           |    i -> i = 1 OR t[i] <> t[i - 1]), len(t) + 1) AS st
+           |  FROM base)
+           |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(CASE WHEN len(t) = 0 THEN 0 ELSE list_aggregate(
+           |    list_transform(range(1, len(st)),
+           |      j -> st[j + 1] - st[j]), 'max') END AS BIGINT)
+           |    AS max_run
+           |FROM s""".stripMargin,
+
+      // q186: the parse RESULT stated per host (the q159 VALUES
+      // discipline) — template m=0 carries a star-group delay 5 (the
+      // FIRST star value; 7 and gptbot's 99 ignored, comment
+      // neutral), m=1 only a non-star delay, m=2 a junk value — both
+      // NULL.
+      "q186_crawl_delay" ->
+        """WITH h AS (SELECT DISTINCT source || '.example.com' AS host
+          |  FROM documents)
+          |SELECT host, CASE WHEN length(host) % 3 = 0
+          |    THEN CAST(5 AS BIGINT) ELSE CAST(NULL AS BIGINT) END
+          |  AS crawl_delay_s
+          |FROM h""".stripMargin,
+
+      // q187: per-direction node degrees bucketed by binary-digit
+      // count — bin() agrees between engines.
+      "q187_degree_histogram" ->
+        s"""WITH samples AS ($cte),
+           |e AS (SELECT DISTINCT subject AS src, target AS dst
+           |  FROM samples WHERE subject <> target),
+           |od AS (SELECT src, count(*) AS degree FROM e GROUP BY 1),
+           |idg AS (SELECT dst, count(*) AS degree FROM e GROUP BY 1),
+           |alld AS (SELECT 'out' AS direction, degree FROM od
+           |  UNION ALL SELECT 'in', degree FROM idg)
+           |SELECT direction,
+           |  CAST(length(bin(degree)) AS BIGINT) AS bucket,
+           |  count(*) AS n_nodes, min(degree) AS min_degree,
+           |  max(degree) AS max_degree
+           |FROM alld GROUP BY 1, 2""".stripMargin,
+
+      // q188: the q43 md5 bucket + per-bucket rank pairing, then the
+      // q169 sequential folds rounded to 6.
+      "q188_pair_calibration" ->
+        """WITH r AS (SELECT vec_id AS id, embedding AS v,
+          |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+          |      ::BIGINT % 32 AS bkt
+          |  FROM embeddings),
+          |rk AS (SELECT *, row_number() OVER (
+          |    PARTITION BY bkt ORDER BY id) AS rn FROM r),
+          |p AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+          |  FROM rk a JOIN rk b ON b.bkt = a.bkt AND b.rn = a.rn + 1)
+          |SELECT id_a, id_b,
+          |  round(list_reduce(list_transform(range(1, len(va) + 1),
+          |    i -> va[i]::DOUBLE * vb[i]::DOUBLE),
+          |    (p, q) -> p + q), 6) AS dot_r,
+          |  round(list_reduce(list_transform(va,
+          |    x -> x::DOUBLE * x::DOUBLE), (p, q) -> p + q), 6) AS na2_r,
+          |  round(list_reduce(list_transform(vb,
+          |    x -> x::DOUBLE * x::DOUBLE), (p, q) -> p + q), 6) AS nb2_r
+          |FROM p""".stripMargin,
+
+      // q189: the q183 chain rolled up per language — integer sums.
+      "q189_tokenizer_qa_e2e" ->
+        s"""WITH dtoks AS (SELECT doc_id,
+           |    unnest(list_distinct($toksSql)) AS token FROM documents),
+           |v AS (SELECT token FROM (
+           |    SELECT token, count(*) AS df FROM dtoks GROUP BY 1
+           |    ORDER BY df DESC, token LIMIT 100)),
+           |allt AS (SELECT doc_id, unnest($toksSql) AS token
+           |  FROM documents),
+           |j AS (SELECT a.doc_id, a.token, v.token AS vt
+           |  FROM allt a LEFT JOIN v ON v.token = a.token),
+           |st AS (SELECT doc_id, count(*) AS n_tokens,
+           |    count(CASE WHEN vt IS NULL THEN 1 END) AS n_oov,
+           |    count(DISTINCT CASE WHEN vt IS NULL THEN token END)
+           |      AS n_oov_types
+           |  FROM j GROUP BY 1),
+           |pd AS (SELECT d.doc_id, d.lang,
+           |    coalesce(st.n_tokens, 0) AS n_tokens,
+           |    coalesce(st.n_oov, 0) AS n_oov,
+           |    coalesce(st.n_oov_types, 0) AS n_oov_types
+           |  FROM documents d LEFT JOIN st USING (doc_id))
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(n_oov) AS BIGINT) AS sum_oov,
+           |  CAST(sum(n_oov_types) AS BIGINT) AS sum_oov_types
+           |FROM pd GROUP BY 1""".stripMargin,
 
       // q179: same chr()-composed injection; the count classes are
       // ASCII-only so RE2 and Java regex agree exactly.

@@ -82,6 +82,34 @@ object GraphAudit {
         col("sum_y"), col("sum_xy"), col("sum_xx"), col("sum_yy"))
   }
 
+  /** Log₂-bucketed degree distribution of the directed link graph —
+    * the power-law / hub-structure audit read before sizing any
+    * neighborhood join (a missing heavy tail means the wedge bounds
+    * Σdeg² are loose; a fat one means cap or salt first).
+    *
+    * One row per (direction, bucket): direction ∈ {out, in}, bucket =
+    * number of binary digits of the degree (⌊log₂ d⌋ + 1 — `bin()`
+    * exists identically in Spark and DuckDB, so the bucket maths is
+    * stated verbatim by the oracle), with node count and the exact
+    * min/max degree inside the bucket. Scale: two degree aggregations
+    * (map-side partials absorb power-law fan-in) + one 2·buckets-row
+    * aggregate — nothing driver-side, no windows. */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    def side(key: String, name: String) = e.groupBy(col(key))
+      .agg(count(lit(1)).as("degree"))
+      .select(lit(name).as("direction"),
+        length(bin(col("degree"))).cast("long").as("bucket"),
+        col("degree"))
+    side("src", "out").unionByName(side("dst", "in"))
+      .groupBy(col("direction"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+  }
+
   /** The two FP ratios off a [[linkGraphAudit]] row — driver-side
     * convenience over the single-row frame. Returns (reciprocity,
     * assortativity); assortativity is None when a variance is zero

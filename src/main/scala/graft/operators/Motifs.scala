@@ -237,6 +237,42 @@ object Motifs {
       .select(col("a").as("node_id"), col("n_two_hop"))
   }
 
+  /** LINK PREDICTION sufficient statistics: for every non-adjacent
+    * node pair at distance 2 on the undirected graph, the integer
+    * triple the classic index family derives from —
+    * (n_common) shared neighbors, (deg_a, deg_b) endpoint degrees.
+    * common-neighbors = n_common; Jaccard = n_common /
+    * (deg_a + deg_b − n_common); preferential attachment =
+    * deg_a · deg_b — all consumer-side, so the gated frame stays
+    * integer-exact (the q87/q180 sufficient-statistics discipline).
+    *
+    * Shape: ONE wedge self-join of the symmetrized edge list on the
+    * shared neighbor (pair volume bounded by Σ deg² — the triangle /
+    * 2-hop bound; same hub caveats and cures), a map-side-combining
+    * pair count, an anti-join dropping already-linked pairs, and two
+    * broadcast-friendly degree annotations. Pairs come out canonical
+    * (a < b), each exactly once. */
+  def linkPredictionCounts(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val common = sym.as("x")
+      .join(sym.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("node_a"), col("y.node").as("node_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(e.select(col("u").as("node_a"), col("v").as("node_b")),
+        Seq("node_a", "node_b"), "left_anti")
+      .join(deg.select(col("node").as("node_a"),
+        col("degree").as("deg_a")), Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"),
+        col("degree").as("deg_b")), Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        col("deg_a"), col("deg_b"))
+  }
+
   def neighborDegreeStats(pairs: DataFrame): DataFrame = {
     val e = canonicalEdges(pairs)
     val sym = e.select(col("u").as("node_id"), col("v").as("nbr"))

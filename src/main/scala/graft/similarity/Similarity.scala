@@ -715,6 +715,47 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
+  /** THRESHOLD-CALIBRATION pair sample: deterministic pseudo-random
+    * vector pairs with their exact similarity sufficient statistics —
+    * the distribution you read BEFORE picking a near-dup cosine
+    * threshold (q28's `minCosine`, SemDeDup's percentile): random-pair
+    * similarity mass tells you where "unrelated" ends and the dup tail
+    * begins. Never all-pairs: vectors land in `buckets` md5-derived
+    * groups, are ranked inside each group by id (a PARTITIONED window —
+    * bucket count scales with n), and consecutive ranks pair up —
+    * ≈ n − buckets pairs, O(n), reproducible across runs/partitionings/
+    * engines. For a bounded sample at 100 TB, hash-filter the input
+    * first (the q43 draw) — calibration needs ~10⁵ pairs, not n.
+    *
+    * Output (id_a, id_b, dot_r, na2_r, nb2_r): the dot product and the
+    * two squared norms as sequential left folds rounded to 6 (the q169
+    * cross-engine FP discipline); cos = dot_r/sqrt(na2_r·nb2_r)
+    * consumer-side. */
+  def sampledPairStats(embeddings: DataFrame, buckets: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val bkt = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(buckets.toLong))
+    val ranked = embeddings.select(col(idCol).as("id"),
+        col(vecCol).as("v"), bkt.as("bkt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("id"))))
+    def sq(v: org.apache.spark.sql.Column) =
+      round(aggregate(transform(v, x => x.cast("double")), lit(0.0d),
+        (acc, x) => acc + x * x), 6)
+    val dot = round(aggregate(
+      zip_with(col("a.v"), col("b.v"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, p) => acc + p), 6)
+    ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.bkt") === col("b.bkt") && col("b.rn") === col("a.rn") + 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dot.as("dot_r"), sq(col("a.v")).as("na2_r"),
+        sq(col("b.v")).as("nb2_r"))
+  }
+
   /** LSH candidate pairs: vectors sharing a hyperplane-sign bucket.
     * Equi-join on the bucket id — the distributed ANN scale path; follow
     * with exact cosine on candidates only. */

@@ -100,4 +100,55 @@ object Robots {
       .withColumn("allowed", coalesce(col("__decision"), lit(true)))
       .drop("__decision")
   }
+
+  /** Crawl-delay of the `*` group: the polite-crawler pacing knob.
+    * Crawl-delay is NOT in RFC 9309 but is the de-facto extension most
+    * large sites still serve; the common semantics implemented here:
+    * the directive belongs to the group whose header precedes it (the
+    * same grouping state machine as [[parseStarRules]] — comments and
+    * blank lines neutral), integer seconds only (fractional or junk
+    * values ignored — fail open to "no delay", the conservative read
+    * being the CALLER's rate limiter's job), first star-group value
+    * wins when a file repeats it. None = no star crawl-delay. */
+  def parseStarDelay(body: String): Option[Long] = {
+    var inStar = false
+    var inHeader = false
+    var out: Option[Long] = None
+    for (raw <- body.split("\n")) {
+      val line = raw.takeWhile(_ != '#').trim
+      val lower = line.toLowerCase(java.util.Locale.ROOT)
+      if (line.isEmpty) {
+        // neutral (RFC 9309 §2.2 ignores comments/blanks entirely)
+      } else if (lower.startsWith("user-agent:")) {
+        val agent = line.substring("user-agent:".length).trim
+        if (!inHeader) { inStar = false; inHeader = true }
+        if (agent == "*") inStar = true
+      } else {
+        inHeader = false
+        if (inStar && out.isEmpty &&
+            lower.startsWith("crawl-delay:")) {
+          val v = line.substring("crawl-delay:".length).trim
+          if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 9)
+            out = Some(v.toLong)
+        }
+      }
+    }
+    out
+  }
+
+  /** Distributed [[parseStarDelay]] over a (host, body) table →
+    * (host, crawl_delay_s) — hosts WITHOUT a star crawl-delay keep a
+    * NULL row (the fetcher's default pacing applies), so the output is
+    * a left-joinable per-host pacing dimension. Same typed-flatMap
+    * parse shape as [[rulesTable]]. */
+  def delaysTable(bodies: DataFrame, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame = {
+    bodies.select(col(hostCol).cast("string"), col(bodyCol).cast("string"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .map { case (host, body) =>
+        (host, parseStarDelay(Option(body).getOrElse(""))
+          .map(java.lang.Long.valueOf).orNull)
+      }(Encoders.product[(String, java.lang.Long)])
+      .toDF(hostCol, "crawl_delay_s")
+  }
 }

@@ -452,4 +452,85 @@ object TextOps {
       }
     }.toDF(idCol, "deflate_bytes", "raw_bytes")
   }
+
+  /** Lexical-diversity sufficient statistics per doc: (n_tokens) total
+    * tokens, (n_types) distinct tokens, (n_hapax) tokens occurring
+    * exactly once — the type-token ratio TTR = n_types/n_tokens and
+    * hapax ratio derive consumer-side (integers gate, FP follows — the
+    * q87 discipline). Low TTR at normal length flags template/generated
+    * filler the char-level repetition filters (q106) can miss.
+    *
+    * Shape: one explode + (doc, token) hash count with map-side
+    * partials, one per-doc aggregation, and a left join back so
+    * token-free docs keep an all-zeros row. No windows, no UDFs. */
+  def lexicalStats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val perTok = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = perTok.groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("cnt") === 1, 1)).as("n_hapax"))
+    docs.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+  }
+
+  /** Longest run of consecutive IDENTICAL tokens — the degenerate-
+    * generation / OCR-stutter detector ("the the the …"): a single
+    * sequential fold over the token array (zero shuffle, no explode;
+    * `tokens` drops empties so the "" init sentinel can never collide
+    * with a real token). Returns 0 for token-free text. */
+  def maxTokenRun(text: Column): Column = {
+    val folded = aggregate(
+      tokens(text),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val r = when(t === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(t.as("prev"), r.as("run"),
+          greatest(acc("best"), r).as("best"))
+      })
+    folded("best")
+  }
+
+  /** Tokenizer-vocabulary coverage audit: per doc, total tokens beside
+    * the out-of-vocabulary token count and distinct OOV types against
+    * a vocab table (one `token` column — e.g. [[graft.text.Bpe.vocab]]
+    * output or the q32 df-top-K). High OOV ratio = wrong-language /
+    * encoding-damaged / domain-shifted text, and the corpus-level OOV
+    * mass is the signal a tokenizer retrain is due.
+    *
+    * Shape: explode + broadcast-friendly left join on the (small,
+    * vocab-bounded) token list, per-doc count/count-distinct, join
+    * back for token-free docs. The vocab side is dimension-sized by
+    * construction — Spark broadcasts it; the corpus never shuffles. */
+  def oovStats(docs: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val v = broadcast(
+      vocab.select(col("token")).distinct().withColumn("in_v", lit(1)))
+    val stats = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("token"))
+      .join(v, Seq("token"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_v").isNull, 1)).as("n_oov"),
+        countDistinct(when(col("in_v").isNull, col("token")))
+          .as("n_oov_types"))
+    docs.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("n_oov_types"), lit(0L)).as("n_oov_types"))
+  }
 }
