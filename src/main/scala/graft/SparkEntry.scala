@@ -2365,6 +2365,61 @@ object SparkEntry {
           sum(col("n_oov_types")).as("sum_oov_types"))
     }),
 
+    // CARD-NUMBER LUHN AUDIT (text/Pii.cardStats): payment-card-shaped
+    // digit runs vs Luhn-VALID ones — the distinction between a real
+    // PAN leak (block) and id/phone noise (don't). Injection per the
+    // q179 discipline: a valid test PAN on %5==0, an off-by-one
+    // invalid on %5==1, a 20-digit run on %5==2 (no \b boundary →
+    // correctly NOT a candidate). Zero-shuffle integer folds.
+    "q190_card_luhn" -> ((s, d) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" card 4111111111111111 ok"))
+          .when(col("doc_id") % 5 === 1, lit(" card 4111111111111112 bad"))
+          .when(col("doc_id") % 5 === 2,
+            lit(" ref 12345678901234567890 long"))
+          .otherwise(lit("")))
+      val (nc, nv) = graft.text.Pii.cardStats(t)
+      Tables.documents(s, d).select(col("doc_id"),
+        nc.as("n_card_candidates"), nv.as("n_luhn_valid"))
+    }),
+
+    // MODULARITY (operators/Communities.modularityComponents): how a
+    // community labeling is actually judged — per label, member /
+    // internal-edge / total-degree integer sufficient statistics plus
+    // the global edge count; Newman's Q derives consumer-side. Labels
+    // here = the node-id mod-3 families (deterministic, stated
+    // verbatim by the oracle); the q140 LPA output plugs into the
+    // same frame.
+    "q191_modularity" -> ((s, d) => {
+      val ls = EventGraph.linkSamples(s, d)
+        .select(col("subject").as("src"), col("target").as("dst"))
+      val ids = ls.select(col("src").as("id"))
+        .unionByName(ls.select(col("dst").as("id"))).distinct()
+      val labels = ids.select(col("id"),
+        concat(lit("c"), (substring(col("id"), 2, 10).cast("int") % 3)
+          .cast("string")).as("label"))
+      graft.operators.Communities.modularityComponents(ls, labels)
+    }),
+
+    // URL SPAM FEATURES (text/Urls.featureColumns): the integer
+    // lexical signals a crawl-frontier ranker reads before fetching —
+    // host digits, label depth, path depth/length, query-param count,
+    // explicit port. Synthetic URLs exercise every feature (the q141
+    // synthesis discipline); formulas stated verbatim by the oracle.
+    "q192_url_features" -> ((s, d) => {
+      val url = concat(lit("https://sub"),
+        (col("doc_id") % 3).cast("string"), lit("."), col("source"),
+        lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/a/b"),
+        when(col("doc_id") % 2 === 0, lit("/c")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x&id=1"))
+          .otherwise(lit("")))
+      Tables.documents(s, d).select(
+        (col("doc_id") +: url.as("url") +:
+          graft.text.Urls.featureColumns(url)): _*)
+    }),
+
     // ENCODING AUDIT (text/Encoding): the binary-junk class mojibake
     // repair can't fix — control chars and U+FFFD from PDF extractors
     // / truncated multibyte / binary-as-text. Synthetic injection per
@@ -4539,6 +4594,97 @@ object SparkEntry {
            |  CAST(sum(n_oov) AS BIGINT) AS sum_oov,
            |  CAST(sum(n_oov_types) AS BIGINT) AS sum_oov_types
            |FROM pd GROUP BY 1""".stripMargin,
+
+      // q190: same injection; Luhn as map-then-sum over right-indexed
+      // digits — each position's contribution independent, so both
+      // engines state it without a stateful fold.
+      "q190_card_luhn" ->
+        """WITH t0 AS (SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 5 = 0 THEN ' card 4111111111111111 ok'
+          |      WHEN doc_id % 5 = 1 THEN ' card 4111111111111112 bad'
+          |      WHEN doc_id % 5 = 2 THEN ' ref 12345678901234567890 long'
+          |      ELSE '' END AS t
+          |  FROM documents),
+          |cc AS (SELECT doc_id,
+          |    regexp_extract_all(t, '\b\d{13,16}\b', 0) AS cands
+          |  FROM t0)
+          |SELECT doc_id,
+          |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
+          |  CAST(len(list_filter(cands, c -> list_reduce(
+          |    list_transform(range(1, length(c) + 1), i ->
+          |      CASE WHEN i % 2 = 0 THEN
+          |        CASE WHEN CAST(substr(c, length(c) - i + 1, 1) AS INT)
+          |            * 2 > 9
+          |          THEN CAST(substr(c, length(c) - i + 1, 1) AS INT)
+          |            * 2 - 9
+          |          ELSE CAST(substr(c, length(c) - i + 1, 1) AS INT)
+          |            * 2 END
+          |        ELSE CAST(substr(c, length(c) - i + 1, 1) AS INT)
+          |      END),
+          |    (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+          |FROM cc""".stripMargin,
+
+      // q191: canonical edges, degrees, mod-3 id labels, per-label
+      // member/internal/degree sums + the global edge count.
+      "q191_modularity" ->
+        s"""WITH samples AS ($cte),
+           |e AS (SELECT DISTINCT least(subject, target) AS u,
+           |             greatest(subject, target) AS v
+           |      FROM samples WHERE subject <> target),
+           |sym AS (SELECT u AS id, v AS nbr FROM e
+           |  UNION ALL SELECT v, u FROM e),
+           |deg AS (SELECT id, count(*) AS degree FROM sym GROUP BY 1),
+           |lab AS (SELECT id, 'c' ||
+           |    CAST(CAST(substr(id, 2) AS INT) % 3 AS VARCHAR) AS label
+           |  FROM deg),
+           |pl AS (SELECT label, count(*) AS n_nodes,
+           |    CAST(sum(degree) AS BIGINT) AS sum_deg
+           |  FROM lab JOIN deg USING (id) GROUP BY 1),
+           |itl AS (SELECT la.label, count(*) AS n_internal
+           |  FROM e JOIN lab la ON la.id = e.u
+           |    JOIN lab lb ON lb.id = e.v
+           |  WHERE la.label = lb.label GROUP BY 1),
+           |mm AS (SELECT count(*) AS m FROM e)
+           |SELECT pl.label, pl.n_nodes,
+           |  coalesce(itl.n_internal, 0) AS n_internal, pl.sum_deg,
+           |  (SELECT m FROM mm) AS m
+           |FROM pl LEFT JOIN itl USING (label)""".stripMargin,
+
+      // q192: the same URL synthesis + each feature formula verbatim
+      // (all synthesized URLs parse, so the null-host lane is never
+      // hit — spec covers it).
+      "q192_url_features" ->
+        """WITH u AS (SELECT doc_id,
+          |    'https://sub' || CAST(doc_id % 3 AS VARCHAR) || '.' ||
+          |      source || '.example.com' ||
+          |      CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END ||
+          |      '/a/b' ||
+          |      CASE WHEN doc_id % 2 = 0 THEN '/c' ELSE '' END ||
+          |      CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=1'
+          |        ELSE '' END AS url
+          |  FROM documents),
+          |f AS (SELECT doc_id, url,
+          |    regexp_replace(regexp_extract(lower(url),
+          |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+          |      '^www\.', '') AS h0,
+          |    regexp_extract(url,
+          |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+          |    regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS q
+          |  FROM u)
+          |SELECT doc_id, url,
+          |  CAST(len(regexp_extract_all(h0, '[0-9]'))
+          |    AS BIGINT) AS host_digits,
+          |  CAST(len(regexp_extract_all(h0, '\.')) + 1
+          |    AS BIGINT) AS host_depth,
+          |  CAST(len(regexp_extract_all(p, '/')) AS BIGINT) AS path_depth,
+          |  CAST(length(p) AS BIGINT) AS path_len,
+          |  CAST(CASE WHEN q = '' THEN 0
+          |    ELSE len(regexp_extract_all(q, '&')) + 1 END
+          |    AS BIGINT) AS n_query_params,
+          |  CAST(CASE WHEN regexp_matches(lower(url),
+          |      '^[a-z][a-z0-9+.-]*://[^/?#]*:[0-9]+') THEN 1 ELSE 0 END
+          |    AS BIGINT) AS has_port
+          |FROM f""".stripMargin,
 
       // q179: same chr()-composed injection; the count classes are
       // ASCII-only so RE2 and Java regex agree exactly.

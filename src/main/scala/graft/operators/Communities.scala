@@ -52,4 +52,65 @@ object Communities {
     }
     labels
   }
+
+  /** MODULARITY sufficient statistics of a labeling over an
+    * (undirected, deduplicated) graph — how a community assignment
+    * (LPA output, source families, host clusters) is actually judged:
+    * per label, (n_nodes) members, (n_internal) edges with both ends
+    * inside, (sum_deg) total member degree, plus the global edge
+    * count (m) on every row as a 1×1 broadcast scalar. Newman's
+    * Q = Σ_c [ n_internal_c/m − (sum_deg_c/2m)² ] derives
+    * consumer-side (see [[modularity]]), so the gated frame stays
+    * integer-exact (the q87/q180 discipline).
+    *
+    * Unlabeled endpoints keep their own id as a singleton label
+    * (LPA's init convention), so Q is always over a total labeling.
+    * Shape: canonical edge dedup, one degree aggregation, two
+    * broadcast-friendly label joins, two keyed aggregations — every
+    * shuffle on a node or label key with map-side partials. */
+  def modularityComponents(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val sym = e.select(col("u").as("id"), col("v").as("nbr"))
+      .unionByName(e.select(col("v").as("id"), col("u").as("nbr")))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val lab = deg.select(col("id"))
+      .join(labels.select(col("id"), col("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    val perLabel = lab.join(deg, Seq("id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("sum_deg"))
+    val internal = e
+      .join(lab.select(col("id").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("id").as("v"), col("label").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label"))
+      .agg(count(lit(1)).as("n_internal"))
+    val m = e.agg(count(lit(1)).as("m")) // 1x1
+    perLabel.join(internal, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        col("sum_deg"), col("m"))
+  }
+
+  /** Newman modularity Q off a [[modularityComponents]] frame —
+    * driver-side convenience over the (label-count-sized) stats.
+    * 0.0 for an empty graph. */
+  def modularity(components: DataFrame): Double = {
+    val rows = components.select(col("n_internal"), col("sum_deg"),
+      col("m")).collect()
+    if (rows.isEmpty) return 0.0
+    val m = rows(0).getLong(2).toDouble
+    if (m == 0) return 0.0
+    rows.map { r =>
+      val frac = r.getLong(0) / m
+      val d = r.getLong(1) / (2.0 * m)
+      frac - d * d
+    }.sum
+  }
 }

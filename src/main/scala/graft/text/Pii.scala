@@ -47,6 +47,34 @@ object Pii {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Payment-card-shaped digit run: 13–16 digits with word boundaries
+    * (both engines' \b is the ASCII word boundary). Runs of 17+ digits
+    * match NOWHERE — no boundary splits them — which is the correct
+    * read: those are ids/hashes, not PANs. */
+  val CardRe = "\\b\\d{13,16}\\b"
+
+  /** Luhn checksum (ISO/IEC 7812) of a digit string as a pure integer
+    * column fold: from the RIGHT, double every second digit, subtract
+    * 9 past 9, sum. Each position's contribution is independent, so
+    * both engines state it as map-then-sum — no stateful fold. */
+  def luhnSum(digits: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(digits)), i => {
+        val d = digits.substr(length(digits) - i + 1, lit(1)).cast("int")
+        when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+
+  /** Per-doc card-number audit: candidate digit runs vs Luhn-VALID
+    * ones — the distinction that separates a real PAN leak (block the
+    * doc) from phone-number/id noise (don't). Zero shuffle. */
+  def cardStats(text: Column): (Column, Column) = {
+    val cands = regexp_extract_all(text, lit(CardRe), lit(0))
+    val valid = filter(cands, c => luhnSum(c) % 10 === 0)
+    (size(cands).cast("long"), size(valid).cast("long"))
+  }
+
   /** Per-doc PII audit: (doc_id, n_email, n_ip, n_phone, red_len) where
     * red_len is the redacted text length — the monitoring frame a
     * pipeline thresholds on before release. One projection, no shuffle. */

@@ -29,6 +29,33 @@ object Urls {
   def path(url: Column): Column =
     regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
 
+  /** URL-spam feature vector — the integer lexical signals a
+    * crawl-frontier ranker reads before fetching anything (SEO-spam
+    * and auto-generated hosts skew on every one of them): digit chars
+    * in the host, host label depth (dots + 1), path segment depth,
+    * path length, query-parameter count, and an explicit-port flag.
+    * Pure codegen regexp counts in the Java∩RE2 common subset so the
+    * oracle states each formula verbatim; null/unparseable URLs yield
+    * null host features and zero path/query counts. */
+  def featureColumns(url: Column): Seq[Column] = {
+    val h = host(url)
+    val p = path(url)
+    val q = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
+    Seq(
+      regexp_count(h, lit("[0-9]")).cast("long").as("host_digits"),
+      when(h.isNull, lit(null).cast("long"))
+        .otherwise(regexp_count(h, lit("\\.")).cast("long") + 1L)
+        .as("host_depth"),
+      regexp_count(p, lit("/")).cast("long").as("path_depth"),
+      length(p).cast("long").as("path_len"),
+      when(q === "", lit(0L))
+        .otherwise(regexp_count(q, lit("&")).cast("long") + 1L)
+        .as("n_query_params"),
+      regexp_count(lower(url),
+        lit("^[a-z][a-z0-9+.-]*://[^/?#]*:[0-9]+")).cast("long")
+        .as("has_port"))
+  }
+
   /** Keep at most `n` docs per host, chosen by deterministic hash draw
     * (ties by id) — reproducible domain-diversity capping, the
     * [[graft.pipeline.PipelineOps.sampleNPerStratum]] shape keyed on

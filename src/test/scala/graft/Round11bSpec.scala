@@ -172,6 +172,95 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  describe("Pii.cardStats / luhnSum") {
+
+    it("valid PANs pass, off-by-one fails, 17+ digit runs are not " +
+        "candidates, boundaries respected") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "pay 4111111111111111 now"),          // valid 16 (Visa test)
+        (2L, "pay 4111111111111112 now"),          // invalid
+        (3L, "id 12345678901234567890 here"),      // 20 digits: no \b cut
+        (4L, "amex 378282246310005 ok"),           // valid 15
+        (5L, "short 123456789012 run"),            // 12 digits: too short
+        (6L, "x4111111111111111 glued"),           // letter glue: \b still
+                                                   // splits letter→digit? no:
+                                                   // \w\w boundary absent
+        (7L, "two 4111111111111111 and 4012888888881881")) // both valid
+        .toDF("doc_id", "text")
+      val (nc, nv) = graft.text.Pii.cardStats(col("text"))
+      val got = docs.select(col("doc_id"), nc.as("c"), nv.as("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      got(1L) shouldBe ((1L, 1L))
+      got(2L) shouldBe ((1L, 0L))
+      got(3L) shouldBe ((0L, 0L))
+      got(4L) shouldBe ((1L, 1L))
+      got(5L) shouldBe ((0L, 0L))
+      got(6L) shouldBe ((0L, 0L)) // x4111… : no word boundary before 4
+      got(7L) shouldBe ((2L, 2L))
+    }
+  }
+
+  describe("Communities.modularityComponents") {
+
+    it("two triangles + bridge: hand stats and Q") {
+      import spark.implicits._
+      val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+        ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+      val labels = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+        ("d", "B"), ("e", "B"), ("f", "B")).toDF("id", "label")
+      val comp = graft.operators.Communities
+        .modularityComponents(edges, labels)
+      val got = comp.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      got("A") shouldBe ((3L, 3L, 7L, 7L))
+      got("B") shouldBe ((3L, 3L, 7L, 7L))
+      graft.operators.Communities.modularity(comp) shouldBe
+        (2.0 * (3.0 / 7 - 0.25)) +- 1e-12
+    }
+
+    it("unlabeled endpoints become singleton labels; reversed dups " +
+        "dedup") {
+      import spark.implicits._
+      val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+      val labels = Seq(("a", "A")).toDF("id", "label")
+      val got = graft.operators.Communities
+        .modularityComponents(edges, labels)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      got("A") shouldBe ((1L, 0L, 1L, 1L))
+      got("b") shouldBe ((1L, 0L, 1L, 1L))
+    }
+  }
+
+  describe("Urls.featureColumns") {
+
+    it("hand URLs: digits, depths, params, port, unparseable") {
+      import spark.implicits._
+      val urls = Seq(
+        (1L, "https://sub1.ex2.example.com:8080/a/b/c?x=1&y=2#f"),
+        (2L, "http://example.com"),
+        (3L, "not a url")).toDF("id", "url")
+      val got = urls.select((col("id") +:
+          graft.text.Urls.featureColumns(col("url"))): _*)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      val r1 = got(1L)
+      // host sub1.ex2.example.com: digits 2, labels 4
+      r1.getLong(1) shouldBe 2L; r1.getLong(2) shouldBe 4L
+      r1.getLong(3) shouldBe 3L; r1.getLong(4) shouldBe 6L // /a/b/c
+      r1.getLong(5) shouldBe 2L; r1.getLong(6) shouldBe 1L
+      val r2 = got(2L)
+      r2.getLong(1) shouldBe 0L; r2.getLong(2) shouldBe 2L
+      r2.getLong(3) shouldBe 0L; r2.getLong(4) shouldBe 0L
+      r2.getLong(5) shouldBe 0L; r2.getLong(6) shouldBe 0L
+      val r3 = got(3L)
+      r3.isNullAt(1) shouldBe true; r3.isNullAt(2) shouldBe true
+      r3.getLong(3) shouldBe 0L; r3.getLong(4) shouldBe 0L
+      r3.getLong(5) shouldBe 0L; r3.getLong(6) shouldBe 0L
+    }
+  }
+
   describe("Similarity.sampledPairStats") {
 
     it("pairs are consecutive ranks within md5 buckets, values match " +
