@@ -2401,6 +2401,31 @@ object SparkEntry {
       graft.operators.Communities.modularityComponents(ls, labels)
     }),
 
+    // INCREMENTAL CLUSTER MAINTENANCE (dedup/Dedup.clusterIncrement):
+    // the daily-ingest near-dup path — CC over the QUOTIENT graph
+    // (existing clusters contracted to their labels; batch-corpus
+    // candidates from the persistent LSH index, batch-batch from
+    // in-memory banding), O(batch), the corpus never re-clusters.
+    // Corpus = the base docs (index built once, cached); batch = the
+    // twin copies; output = applyIncrement's full updated label
+    // table. Oracle = q36's recursive closure over the union VERBATIM
+    // — increment-maintained ≡ rebuilt (the q114 discipline).
+    "q193_cluster_increment" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = corpus.select((col("doc_id") + TwinShift).as("doc_id"),
+        col("text"))
+      val idx = lshCorpusIndexCache.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_lsh_corpus_idx").toString
+        graft.dedup.Dedup.writeLshIndex(corpus, dir)
+        dir
+      })
+      val existing = graft.dedup.Dedup.clusterLabelsStar(
+        graft.dedup.Dedup.minhashCandidatePairs(corpus))
+      val delta = graft.dedup.Dedup.clusterIncrement(s, idx, batch, existing)
+      graft.dedup.Dedup.applyIncrement(existing, delta)
+    }),
+
     // URL SPAM FEATURES (text/Urls.featureColumns): the integer
     // lexical signals a crawl-frontier ranker reads before fetching —
     // host digits, label depth, path depth/length, query-param count,
@@ -2610,6 +2635,13 @@ object SparkEntry {
       graft.dedup.Dedup.writeLshIndex(doubledDocs(s, d), dir)
       dir
     })
+    lshCorpusIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lsh_corpus_idx").toString
+      graft.dedup.Dedup.writeLshIndex(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), dir)
+      dir
+    })
     val emb = Tables.embeddings(s, d)
     ivfIndexCache.getOrElseUpdate(d, {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
@@ -2642,6 +2674,11 @@ object SparkEntry {
 
   /** On-disk LSH dedup index per sfDir, built once per process (q114). */
   private val lshIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Corpus-only (un-doubled) LSH index per sfDir — q193's "yesterday's
+    * index" against which the twin batch increments. */
+  private val lshCorpusIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val warcCache =
@@ -4649,6 +4686,17 @@ object SparkEntry {
            |  coalesce(itl.n_internal, 0) AS n_internal, pl.sum_deg,
            |  (SELECT m FROM mm) AS m
            |FROM pl LEFT JOIN itl USING (label)""".stripMargin,
+
+      // q193: q36's recursive closure over the union VERBATIM — the
+      // increment-maintained label table must equal a full rebuild.
+      "q193_cluster_increment" ->
+        s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+           |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           |SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+           |FROM reach GROUP BY a""".stripMargin,
 
       // q192: the same URL synthesis + each feature formula verbatim
       // (all synthesized URLs parse, so the null-host lane is never

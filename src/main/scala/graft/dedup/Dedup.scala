@@ -514,19 +514,33 @@ object Dedup {
     * wants), else verified via a distributed semi-join. Decision is the
     * same integer inequality as [[nearDupSearch]]; columns identical:
     * (qid, did, n_shared, sz_q, sz_d). */
-  def searchLshIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, queries: DataFrame, thresholdPpm: Long = 500000L,
-      k: Int = 3, maxCandidateIds: Int = 10000,
+  /** LSH-banded CANDIDATE pairs of a query batch against a
+    * [[writeLshIndex]] layout — the un-verified stage [[searchLshIndex]]
+    * verifies: (qid, did) pairs sharing a band bucket with a stored
+    * doc. A doc's banding depends only on its text, so a (q, d) pair
+    * comes out iff `minhashCandidatePairs` over the union would emit
+    * it — the decomposition [[clusterIncrement]] builds on. Query side
+    * broadcast, bucket equi-join, distinct. */
+  def lshIndexCandidates(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val qb = bandedBuckets(queries, k, idCol, textCol)
     val buckets = spark.read.parquet(s"$indexDir/buckets")
-    val cand = buckets.as("c")
+    buckets.as("c")
       .join(broadcast(qb.as("q")),
         col("q.band") === col("c.band") &&
         col("q.bucket") === col("c.bucket") &&
         col("q.id") =!= col("c.id"))
       .select(col("q.id").as("qid"), col("c.id").as("did"))
-      .distinct().persist()
+      .distinct()
+  }
+
+  def searchLshIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, thresholdPpm: Long = 500000L,
+      k: Int = 3, maxCandidateIds: Int = 10000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cand = lshIndexCandidates(spark, indexDir, queries, k,
+      idCol, textCol).persist()
     // id-type-generic (string/long/... ids all work in isin)
     val candIds = cand.select(col("did")).distinct()
       .limit(maxCandidateIds + 1).collect().map(_.get(0))
@@ -554,6 +568,89 @@ object Dedup {
       .select(col("qid"), col("did"), col("n_shared"),
         col("sz_q"), col("sz_d"))
     graft.util.Checkpoints.materialize(out, unpersistAfter = Seq(cand))
+  }
+
+  /** The delta an incremental clustering round produces:
+    *  - `batchLabels` — (id, cluster) for batch docs in any candidate
+    *    pair (batch docs in none stay unlabeled, the
+    *    [[clusterLabelsStar]] convention);
+    *  - `relabels` — (cluster_old, cluster_new) for EXISTING clusters
+    *    whose label changed (a batch doc with a smaller id joined, or
+    *    a batch bridge merged two old clusters);
+    *  - `touchedLabels` — (id, cluster) for corpus docs that were
+    *    singletons and are now pulled into a cluster by a batch pair.
+    */
+  case class ClusterDelta(batchLabels: DataFrame, relabels: DataFrame,
+      touchedLabels: DataFrame)
+
+  /** INCREMENTAL near-dup cluster maintenance — the daily-ingest shape
+    * for [[dedupCorpus]]'s clustering, O(batch), never re-clustering
+    * the corpus: CC runs over the QUOTIENT graph where every existing
+    * cluster is contracted to its label node (corpus endpoints of
+    * batch→corpus candidate pairs map to their cluster; unlabeled
+    * corpus endpoints stay themselves). Contracting components of the
+    * already-clustered corpus-corpus pairs preserves the components of
+    * the union pair set, and every member ≥ its cluster label, so the
+    * emitted min-labels EQUAL a full rebuild's — spec-proven, and q193
+    * gates increment-maintained ≡ rebuilt against the q36 closure SQL.
+    *
+    * `bcPairs` — batch→corpus candidate pairs (qid = batch, did =
+    * corpus, e.g. [[lshIndexCandidates]]); `bbPairs` — batch-internal
+    * candidate pairs (id1, id2, e.g. [[minhashCandidatePairs]]);
+    * `existing` — the current (id, cluster) table. Precondition:
+    * batch ids are new (the [[appendLshIndex]] precondition;
+    * [[dedupIncrement]] is the same daily shape). */
+  def clusterIncrementFromPairs(bbPairs: DataFrame, bcPairs: DataFrame,
+      existing: DataFrame,
+      checkpointDir: Option[String] = None): ClusterDelta = {
+    val ex = existing.select(col("id"), col("cluster"))
+    val bc = bcPairs.select(col("qid"), col("did"))
+      .join(ex.withColumnRenamed("id", "did"), Seq("did"), "left")
+      .select(col("qid").as("id1"),
+        coalesce(col("cluster"), col("did")).as("id2"))
+    val edges = bbPairs.select(col("id1"), col("id2")).unionByName(bc)
+    val labels = clusterLabelsStar(edges, checkpointDir)
+    val batchIds = bbPairs.select(col("id1").as("id"))
+      .unionByName(bbPairs.select(col("id2").as("id")))
+      .unionByName(bcPairs.select(col("qid").as("id")))
+      .distinct()
+    val oldLabels = ex.select(col("cluster").as("id")).distinct()
+    val batchLabels = labels.join(batchIds, Seq("id"), "left_semi")
+    val relabels = labels.join(oldLabels, Seq("id"), "left_semi")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("cluster_old"), col("cluster").as("cluster_new"))
+    val touched = labels
+      .join(batchIds, Seq("id"), "left_anti")
+      .join(oldLabels, Seq("id"), "left_anti")
+    ClusterDelta(batchLabels, relabels, touched)
+  }
+
+  /** [[clusterIncrementFromPairs]] wired to the persistent-index daily
+    * flow: batch-internal candidates from [[minhashCandidatePairs]],
+    * batch→corpus candidates from [[lshIndexCandidates]] over a
+    * [[writeLshIndex]] layout. Run BEFORE [[appendLshIndex]] for the
+    * same batch (so the index holds only the corpus). */
+  def clusterIncrement(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, existing: DataFrame,
+      k: Int = 3, idCol: String = "doc_id", textCol: String = "text",
+      checkpointDir: Option[String] = None): ClusterDelta =
+    clusterIncrementFromPairs(
+      minhashCandidatePairs(batch, k, idCol, textCol),
+      lshIndexCandidates(spark, indexDir, batch, k, idCol, textCol),
+      existing, checkpointDir)
+
+  /** The full updated label table after a [[ClusterDelta]]: existing
+    * labels with merges applied + new batch labels + newly-touched
+    * corpus singletons. Equals a full re-cluster of the union
+    * (spec-proven; gate q193). */
+  def applyIncrement(existing: DataFrame, delta: ClusterDelta): DataFrame = {
+    val ex2 = existing.select(col("id"), col("cluster"))
+      .join(delta.relabels.withColumnRenamed("cluster_old", "cluster"),
+        Seq("cluster"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_new"), col("cluster")).as("cluster"))
+    ex2.unionByName(delta.batchLabels)
+      .unionByName(delta.touchedLabels)
   }
 
   /** Near-duplicate CLUSTERS from candidate pairs: connected components
