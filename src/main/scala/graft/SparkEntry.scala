@@ -2431,6 +2431,27 @@ object SparkEntry {
     // host digits, label depth, path depth/length, query-param count,
     // explicit port. Synthetic URLs exercise every feature (the q141
     // synthesis discipline); formulas stated verbatim by the oracle.
+    // CORPUS-OVERLAP AUDIT (dedup/Dedup.corpusOverlap): dataset-level
+    // Jaccard between two corpora (even/odd doc_id halves) — the
+    // MinHash-sketch estimate (two scans, H longs each, NO join: the
+    // 100 TB lane) side-by-side with the exact shingle-set Jaccard
+    // (one tagged-union group-by: the audit lane). 1×1 scalar combine.
+    "q194_corpus_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 === 1)
+      graft.dedup.Dedup.corpusOverlap(a, b)
+        .crossJoin(graft.dedup.Dedup.corpusShingleJaccard(a, b))
+    }),
+
+    // EMBEDDING GRAM MATRIX (similarity/Similarity.gramMatrixMicro):
+    // the Σ x·xᵀ sufficient statistic for covariance/PCA/whitening of
+    // a corpus's embeddings, floor(x·10⁶)-quantized so every product
+    // is exact and the sums commute (engine/partitioning-independent).
+    // Generator chain, zero shuffle before the d²-group map-side agg.
+    "q195_gram_matrix" -> ((s, d) =>
+      graft.similarity.Similarity.gramMatrixMicro(Tables.embeddings(s, d))),
+
     "q192_url_features" -> ((s, d) => {
       val url = concat(lit("https://sub"),
         (col("doc_id") % 3).cast("string"), lit("."), col("source"),
@@ -4697,6 +4718,64 @@ object SparkEntry {
            |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS cluster
            |FROM reach GROUP BY a""".stripMargin,
+
+      // q194: corpus-level MinHash fingerprints (the exact per-
+      // permutation mins over each half's shingle SET, the shared
+      // h32/a/b/P constants) + exact set Jaccard via INTERSECT/UNION;
+      // integral ppm divisions on both sides.
+      "q194_corpus_overlap" -> {
+        import graft.dedup.Dedup.{P, aConst, bConst, numHashes}
+        def corpSh(cte: String): String =
+          s"""SELECT * FROM (SELECT DISTINCT unnest(list_distinct(list_transform(
+             |      range(0, greatest(len($toksSql) - 3, 0) + 1),
+             |      i -> array_to_string($toksSql[i + 1 : i + 3], ' ')))) AS shingle
+             |    FROM $cte) WHERE shingle <> ''""".stripMargin
+        val sigCols = (0 until numHashes).map(i =>
+          s"min((x * ${aConst(i)} + ${bConst(i)}) % $P) AS sig_$i")
+          .mkString(",\n           |    ").stripMargin
+        val agree = (0 until numHashes)
+          .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH da AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+           |db AS (SELECT text FROM documents WHERE doc_id % 2 = 1),
+           |sha AS (${corpSh("da")}),
+           |shb AS (${corpSh("db")}),
+           |hxa AS (SELECT ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+           |  FROM sha),
+           |hxb AS (SELECT ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+           |  FROM shb),
+           |siga AS (SELECT $sigCols FROM hxa),
+           |sigb AS (SELECT $sigCols FROM hxb),
+           |ex AS (SELECT
+           |  (SELECT count(*) FROM (SELECT shingle FROM sha
+           |     INTERSECT SELECT shingle FROM shb)) AS n_shared,
+           |  (SELECT count(*) FROM (SELECT shingle FROM sha
+           |     UNION SELECT shingle FROM shb)) AS n_union)
+           |SELECT CAST($agree AS BIGINT) AS n_agree,
+           |  CAST($numHashes AS BIGINT) AS n_hashes,
+           |  CAST(($agree) * 1000000 // $numHashes AS BIGINT) AS est_ppm,
+           |  CAST(n_shared AS BIGINT) AS n_shared,
+           |  CAST(n_union AS BIGINT) AS n_union,
+           |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
+           |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
+      },
+
+      // q195: the floor(x·10⁶) quantization and exact integer
+      // product-sums verbatim (zipped unnest = posexplode; DECIMAL(38)
+      // sums; upper triangle i ≤ j).
+      "q195_gram_matrix" ->
+        """WITH xs AS (
+          |  SELECT vec_id,
+          |    unnest(range(0, len(embedding))) AS i,
+          |    unnest(list_transform(range(0, len(embedding)),
+          |      k -> CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000000)
+          |             AS BIGINT))) AS q
+          |  FROM embeddings)
+          |SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+          |  CAST(sum(CAST(a.q * b.q AS DECIMAL(38,0))) AS DECIMAL(38,0))
+          |    AS gram_micro2
+          |FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+          |GROUP BY 1, 2""".stripMargin,
 
       // q192: the same URL synthesis + each feature formula verbatim
       // (all synthesized URLs parse, so the null-host lane is never

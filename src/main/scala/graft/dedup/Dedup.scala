@@ -369,6 +369,71 @@ object Dedup {
   def aConst(i: Int): Long = ((2654435761L * (i + 1)) % P) | 1L
   def bConst(i: Int): Long = (40503L * (i + 7)) % P
 
+  /** CORPUS-level MinHash signature — ONE row, sig_0..sig_{H-1} =
+    * per-permutation min over the corpus's whole shingle SET (the
+    * union of every doc's shingles). This is the dataset fingerprint
+    * for [[corpusOverlap]]: constant-size output from one map-side-
+    * combining aggregate — at 100 TB each task reduces its shingles to
+    * H longs, so corpus-vs-corpus similarity costs two scans and no
+    * join. Per-doc duplicate shingles don't affect a min, so no
+    * distinct is needed. */
+  def corpusMinhash(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, k, idCol, textCol)
+      .withColumn("x", h32(col("shingle")))
+    val aggs = (0 until numHashes).map(i =>
+      min((col("x") * aConst(i) + bConst(i)) % P).as(s"sig_$i"))
+    sh.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Dataset-overlap ESTIMATE between two corpora from their
+    * [[corpusMinhash]] fingerprints: the fraction of the H
+    * permutations whose corpus-minima agree is an unbiased estimator
+    * of the Jaccard similarity of the two shingle SETS (the classic
+    * MinHash identity, Broder 1997). One row: (n_agree, n_hashes,
+    * est_ppm = n_agree·10⁶ ÷ H, integral). The audit a data-mixing
+    * pipeline runs before blending sources: sketch bytes instead of a
+    * 100 TB × 100 TB shingle join — for the exact (small-corpus /
+    * final-answer) lane use [[corpusShingleJaccard]]. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val sa = corpusMinhash(a, k, idCol, textCol)
+    val sb = corpusMinhash(b, k, idCol, textCol)
+    val renamed = sb.columns.foldLeft(sb)((d, c) =>
+      d.withColumnRenamed(c, s"b_$c"))
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"sig_$i") === col(s"b_sig_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    // deliberate 1×1 scalar combine of the two fingerprint rows
+    sa.crossJoin(renamed)
+      .select(agree.as("n_agree"), lit(numHashes.toLong).as("n_hashes"))
+      .select(col("n_agree"), col("n_hashes"),
+        intDiv(col("n_agree") * 1000000L, col("n_hashes")).as("est_ppm"))
+  }
+
+  /** EXACT shingle-set Jaccard between two corpora — the ground-truth
+    * twin of [[corpusOverlap]]: one row (n_shared, n_union,
+    * exact_ppm = n_shared·10⁶ ÷ n_union). One shuffle on the distinct
+    * shingle key (tagged union + group: no pairwise join, linear in
+    * the union size) — affordable for audit-sized corpora; at 100 TB
+    * prefer the sketch. */
+  def corpusShingleJaccard(a: DataFrame, b: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val sa = shingles(a, k, idCol, textCol).select(col("shingle"))
+      .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+    val sb = shingles(b, k, idCol, textCol).select(col("shingle"))
+      .withColumn("in_a", lit(0)).withColumn("in_b", lit(1))
+    sa.unionByName(sb)
+      .groupBy(col("shingle"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .agg(sum((col("in_a") * col("in_b")).cast("long")).as("n_shared"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_shared"), col("n_union"),
+        intDiv(col("n_shared") * 1000000L, col("n_union")).as("exact_ppm"))
+  }
+
   /** Per-doc MinHash signature columns sig_0..sig_{k-1}. */
   def minhashSignatures(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -1074,4 +1074,81 @@ object Similarity {
     graft.util.Checkpoints.materialize(out,
       unpersistAfter = Seq(unit, assigned))
   }
+
+  /** Scaled-integer Gram matrix Σᵣ xᵣ xᵣᵀ of an embedding column — the
+    * sufficient statistic for covariance / PCA / whitening of a corpus's
+    * embeddings (the preprocessing step in front of [[semDedup]]-style
+    * curation and embedding-drift audits: eigvecs of the d×d Gram fit
+    * on any driver, the projection is then a broadcast [[dot]]).
+    * Coordinates are quantized `floor(x·10⁶)` as LONG so every product
+    * is exact and the sums commute — partitioning/engine-independent
+    * (DuckDB states the identical math), unlike a float sum whose value
+    * depends on reduction order. Returns the upper triangle
+    * (i ≤ j, d(d+1)/2 rows): (i, j, gram_micro2 DECIMAL(38,0));
+    * gram ≈ gram_micro2 / 10¹².
+    *
+    * Shape: a chained posexplode generator (zero shuffle until the
+    * final d²-group aggregate, which map-side combines to ≤ d(d+1)/2
+    * partials per task). The d² row amplification is the tradeoff:
+    * fine for d ≲ 256; for larger d use [[gramMatrixMicroLocal]],
+    * which accumulates the triangle per partition in one pass. */
+  def gramMatrixMicro(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val q = graft.util.Spread.spread(embeddings)
+      .select(transform(col(vecCol),
+        x => floor(x.cast("double") * 1000000d).cast("long")).as("qs"))
+    q.select(posexplode(col("qs")).as(Seq("i", "qi")), col("qs"))
+      .select(col("i"), col("qi"),
+        posexplode(col("qs")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)"))
+        .as("gram_micro2"))
+  }
+
+  /** One-pass twin of [[gramMatrixMicro]] for large d: each partition
+    * accumulates the d(d+1)/2 upper-triangle LONG sums locally (no d²
+    * row amplification — O(d²) state per task, one exact product-sum
+    * pass over its rows), then the tiny per-partition triangles merge
+    * in a single d²-group aggregate. Long sums of exact integer
+    * products commute, so the result is bit-identical to
+    * [[gramMatrixMicro]] (spec-proven) and partitioning-independent.
+    * `Math.addExact` fails loudly if a partition's partial exceeds
+    * Long range (reachable past ~10⁶ rows/partition of unit vectors at
+    * 10¹² per product — repartition finer or shrink
+    * maxPartitionBytes). */
+  def gramMatrixMicroLocal(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val partials = embeddings.select(col(vecCol)).as[Array[Float]]
+      .mapPartitions { rows =>
+        var acc: Array[Long] = null
+        var d = 0
+        for (v <- rows) {
+          if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+          require(v.length == d, s"ragged embedding: ${v.length} vs $d")
+          val q = new Array[Long](d)
+          var i = 0
+          while (i < d) { q(i) = math.floor(v(i).toDouble * 1000000d).toLong; i += 1 }
+          var p = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              acc(p) = Math.addExact(acc(p), q(i) * q(j)); j += 1; p += 1
+            }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          var p = -1
+          for { i <- (0 until d).iterator; j <- (i until d).iterator }
+            yield { p += 1; (i, j, acc(p)) }
+        }
+      }.toDF("i", "j", "part")
+    partials.groupBy(col("i"), col("j"))
+      .agg(sum(col("part").cast("decimal(38,0)")).as("gram_micro2"))
+  }
 }

@@ -105,4 +105,112 @@ class Round11cSpec extends SparkSpec {
       applied.map(_._1) should not contain 4L
     }
   }
+
+  describe("Dedup.corpusOverlap / corpusShingleJaccard") {
+
+    it("identical corpora: every permutation min agrees, exact " +
+        "Jaccard = 1") {
+      import spark.implicits._
+      val docs = Seq((1L, "alpha beta gamma delta"),
+        (2L, "one two three four five")).toDF("doc_id", "text")
+      val sk = graft.dedup.Dedup.corpusOverlap(docs, docs)
+        .as[(Long, Long, Long)].collect().head
+      sk shouldBe ((16L, 16L, 1000000L))
+      val ex = graft.dedup.Dedup.corpusShingleJaccard(docs, docs)
+        .as[(Long, Long, Long)].collect().head
+      // 2 + 3 distinct 3-gram shingles
+      ex shouldBe ((5L, 5L, 1000000L))
+    }
+
+    it("disjoint corpora: zero shared shingles, sketch ~0 agreement") {
+      import spark.implicits._
+      val a = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      val b = Seq((2L, "six seven eight nine ten")).toDF("doc_id", "text")
+      val ex = graft.dedup.Dedup.corpusShingleJaccard(a, b)
+        .as[(Long, Long, Long)].collect().head
+      ex shouldBe ((0L, 5L, 0L))
+      // sketch: mins over disjoint sets CAN collide by chance, but the
+      // estimate stays far from 1; with these 5-shingle sets it is 0
+      val sk = graft.dedup.Dedup.corpusOverlap(a, b)
+        .as[(Long, Long, Long)].collect().head
+      sk._2 shouldBe 16L
+      sk._1 should be < 16L
+    }
+
+    it("overlap estimate is partitioning-independent and corpus-level " +
+        "(per-doc duplicate shingles don't shift it)") {
+      import spark.implicits._
+      val a = Seq((1L, "alpha beta gamma delta"),
+        (3L, "alpha beta gamma delta")) // duplicate doc: same shingle SET
+        .toDF("doc_id", "text")
+      val a1 = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      val b = Seq((2L, "alpha beta gamma nine ten")).toDF("doc_id", "text")
+      val full = graft.dedup.Dedup.corpusOverlap(a, b)
+        .as[(Long, Long, Long)].collect().head
+      val one = graft.dedup.Dedup.corpusOverlap(a1, b)
+        .as[(Long, Long, Long)].collect().head
+      full shouldBe one
+      val re = graft.dedup.Dedup.corpusOverlap(a.repartition(5), b)
+        .as[(Long, Long, Long)].collect().head
+      re shouldBe full
+      // exact: shingles "alpha beta gamma" + "beta gamma delta" vs
+      // "alpha beta gamma" + "beta gamma nine" + "gamma nine ten"
+      graft.dedup.Dedup.corpusShingleJaccard(a, b)
+        .as[(Long, Long, Long)].collect().head shouldBe ((1L, 4L, 250000L))
+    }
+  }
+
+  describe("Similarity.gramMatrixMicro / gramMatrixMicroLocal") {
+
+    it("matches hand-computed quantized products on the upper triangle") {
+      import spark.implicits._
+      val df = Seq((1L, Array(1.0f, -0.5f, 0.25f)),
+        (2L, Array(0.5f, 0.5f, -1.0f))).toDF("vec_id", "embedding")
+      val got = graft.similarity.Similarity.gramMatrixMicro(df)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getDecimal(2).longValueExact())).toMap
+      // q1 = (1000000, -500000, 250000); q2 = (500000, 500000, -1000000)
+      val q1 = Array(1000000L, -500000L, 250000L)
+      val q2 = Array(500000L, 500000L, -1000000L)
+      val expect = (for { i <- 0 until 3; j <- i until 3 } yield
+        ((i, j), q1(i) * q1(j) + q2(i) * q2(j))).toMap
+      got shouldBe expect
+    }
+
+    it("local one-pass twin is bit-identical and " +
+        "partitioning-independent") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val df = (1L to 40L).map(id =>
+          (id, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getDecimal(2).longValueExact())).toMap
+      val gen = canon(graft.similarity.Similarity.gramMatrixMicro(df))
+      gen should have size 36
+      canon(graft.similarity.Similarity.gramMatrixMicroLocal(df)) shouldBe gen
+      canon(graft.similarity.Similarity
+        .gramMatrixMicroLocal(df.repartition(7))) shouldBe gen
+      canon(graft.similarity.Similarity
+        .gramMatrixMicro(df.repartition(3))) shouldBe gen
+    }
+
+    it("floor quantization (not round) — negative halves go DOWN, " +
+        "matching the oracle's floor") {
+      import spark.implicits._
+      // -0.0000005 * 1e6 = -0.5 → floor -1 (round() would give 0 or -1
+      // depending on the engine's half rule; floor is unambiguous)
+      val df = Seq((1L, Array(-0.0000005f, 0.0000005f)))
+        .toDF("vec_id", "embedding")
+      val got = graft.similarity.Similarity.gramMatrixMicro(df)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getDecimal(2).longValueExact())).toMap
+      // quantized: floor(-0.5)=-1, floor(0.4999…)=0 (float 5e-7 is
+      // slightly below 0.5 after the double widening)
+      got((0, 0)) shouldBe 1L
+      got((1, 1)) shouldBe 0L
+      got((0, 1)) shouldBe 0L
+    }
+  }
 }
