@@ -2444,6 +2444,17 @@ object SparkEntry {
         .crossJoin(graft.dedup.Dedup.corpusShingleJaccard(a, b))
     }),
 
+    // INT8 EMBEDDING QUANTIZATION (similarity/Similarity.int8Quantize):
+    // the 4×-smaller storage/scan format for 100 TB vector stores —
+    // per-dim affine map of floor(x·10⁶) onto [-127,127] by INTEGER
+    // division (exact, engine-independent). Model fit is a bounded
+    // d-row collect; the quantize pass is a zero-shuffle projection.
+    "q196_int8_quant" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.similarity.Similarity.fitInt8(emb)
+      graft.similarity.Similarity.int8Quantize(emb, model)
+    }),
+
     // EMBEDDING GRAM MATRIX (similarity/Similarity.gramMatrixMicro):
     // the Σ x·xᵀ sufficient statistic for covariance/PCA/whitening of
     // a corpus's embeddings, floor(x·10⁶)-quantized so every product
@@ -4759,6 +4770,26 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q196: the same fit (per-dim micro min / span≥1) and the same
+      // affine integral-division map stated verbatim; TINYINT codes.
+      "q196_int8_quant" ->
+        """WITH xs AS (
+          |  SELECT unnest(range(0, len(embedding))) AS i,
+          |    unnest(list_transform(range(0, len(embedding)),
+          |      k -> CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000000)
+          |             AS BIGINT))) AS xm
+          |  FROM embeddings),
+          |stats AS (SELECT i, min(xm) AS mn,
+          |    greatest(max(xm) - min(xm), 1) AS span
+          |  FROM xs GROUP BY i),
+          |lists AS (SELECT list(mn ORDER BY i) AS mns,
+          |    list(span ORDER BY i) AS spans FROM stats)
+          |SELECT vec_id, list_transform(range(0, len(embedding)), k ->
+          |  CAST(((CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000000)
+          |      AS BIGINT) - mns[k + 1]) * 254) // spans[k + 1] - 127
+          |    AS TINYINT)) AS qvec
+          |FROM embeddings CROSS JOIN lists""".stripMargin,
 
       // q195: the floor(x·10⁶) quantization and exact integer
       // product-sums verbatim (zipped unnest = posexplode; DECIMAL(38)

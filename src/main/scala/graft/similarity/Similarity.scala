@@ -1151,4 +1151,158 @@ object Similarity {
     partials.groupBy(col("i"), col("j"))
       .agg(sum(col("part").cast("decimal(38,0)")).as("gram_micro2"))
   }
+
+  /** Per-dimension min/max of the floor(x·10⁶)-quantized coordinates —
+    * d rows (i, mn_micro, mx_micro). One map-side-combining aggregate
+    * (each task reduces to ≤ d partials); the fit step of
+    * [[fitInt8]]. */
+  def dimStatsMicro(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val micro = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000000d).cast("long"))
+    graft.util.Spread.spread(embeddings)
+      .select(posexplode(micro).as(Seq("i", "xm")))
+      .groupBy(col("i"))
+      .agg(min(col("xm")).as("mn_micro"), max(col("xm")).as("mx_micro"))
+  }
+
+  /** Per-dimension int8 range model: micro-quantized minima and spans
+    * (≥ 1 so the integral division is total). Integer-only, so
+    * quantization is exact, engine-independent, and a stored model
+    * reproduces bit-identical codes forever. */
+  case class Int8Model(mnMicro: Seq[Long], spanMicro: Seq[Long])
+
+  /** Fit an [[Int8Model]]: collect the d-row [[dimStatsMicro]] table
+    * (bounded by `maxDims` — a model, not data, the IVF-centroid
+    * discipline). */
+  def fitInt8(embeddings: DataFrame, vecCol: String = "embedding",
+      maxDims: Int = 4096): Int8Model = {
+    val rows = dimStatsMicro(embeddings, vecCol)
+      .limit(maxDims + 1).collect()
+    require(rows.length <= maxDims,
+      s"fitInt8: > $maxDims dims — not an embedding column?")
+    val byDim = rows.map(r => (r.getInt(0),
+      (r.getLong(1), r.getLong(2)))).toMap
+    require(byDim.keySet == (0 until byDim.size).toSet,
+      "fitInt8: non-contiguous dimension indexes (ragged vectors?)")
+    val sorted = (0 until byDim.size).map(byDim)
+    Int8Model(sorted.map(_._1),
+      sorted.map { case (mn, mx) => math.max(mx - mn, 1L) })
+  }
+
+  /** INT8 scalar quantization of an embedding column — the 4×-smaller
+    * storage/scan format for 100 TB vector stores (the raw-vector
+    * cousin of the IVF-PQ codes): per-dim affine map of the
+    * floor(x·10⁶) coordinate onto [-127, 127] by INTEGER division, so
+    * codes are exact and reproducible. The model is broadcast as two
+    * literal arrays; the quantize pass is a pure projection — ZERO
+    * shuffle, whole-stage codegen. Returns (idCol, qvec
+    * ARRAY<TINYINT>). */
+  def int8Quantize(embeddings: DataFrame, model: Int8Model,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val mns = typedlit(model.mnMicro)
+    val spans = typedlit(model.spanMicro)
+    val q = transform(col(vecCol), (x, i) => {
+      val xm = floor(x.cast("double") * 1000000d).cast("long")
+      (intDiv((xm - element_at(mns, i + 1)) * 254L,
+        element_at(spans, i + 1)) - 127L).cast("byte")
+    })
+    embeddings.select(col(idCol), q.as("qvec"))
+  }
+
+  /** Reconstruction from int8 codes: x̂ = (mn + (q+127)·span ÷ 254) /
+    * 10⁶. Max per-coordinate error ≤ span_micro/254 + 1 micro
+    * (spec-pinned) — the bound a recall analysis plugs in. */
+  def int8Dequantize(quantized: DataFrame, model: Int8Model,
+      qCol: String = "qvec", idCol: String = "vec_id"): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val mns = typedlit(model.mnMicro)
+    val spans = typedlit(model.spanMicro)
+    val x = transform(col(qCol), (q, i) =>
+      ((element_at(mns, i + 1) +
+        intDiv((q.cast("long") + 127L) * element_at(spans, i + 1),
+          lit(254L))).cast("double") / 1000000d).cast("float"))
+    quantized.select(col(idCol), x.as("embedding"))
+  }
+
+  /** Top-k principal directions of a corpus's embeddings from the
+    * [[gramMatrixMicro]] upper triangle — the whitening/PCA step in
+    * front of SemDeDup-style curation and Matryoshka-truncation
+    * audits. The d×d Gram is a MODEL-sized object (d ≤ `maxDim`
+    * guard): collect the triangle, run cyclic Jacobi on the driver
+    * (deterministic: fixed sweep order, sign fixed by the
+    * largest-|component|-positive convention), return (eigenvalue,
+    * eigenvector) pairs sorted descending. The distributed work stays
+    * in [[gramMatrixMicro]]; eigensolving d² doubles is driver
+    * arithmetic, not data. */
+  def pcaComponents(gram: DataFrame, topK: Int,
+      maxDim: Int = 1024): Seq[(Double, Array[Double])] = {
+    val rows = gram.collect()
+    val d = rows.iterator.map(r => r.getInt(1)).foldLeft(0)(math.max) + 1
+    require(d <= maxDim && rows.length == d * (d + 1) / 2,
+      s"pcaComponents: want a $maxDim-bounded upper triangle, " +
+        s"got ${rows.length} rows / dim $d")
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val v = r.getDecimal(2).doubleValue() / 1e12
+      a(r.getInt(0))(r.getInt(1)) = v
+      a(r.getInt(1))(r.getInt(0)) = v
+    }
+    // cyclic Jacobi: rotate out each off-diagonal (p,q) in fixed order
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) s += a(p)(q) * a(p)(q)
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-18 && sweep < 100) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+            case 0.0 => 1.0 // theta == 0 → 45° rotation
+            case x => x
+          }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+      sweep += 1
+    }
+    (0 until d).map { k =>
+      val vec = Array.tabulate(d)(i => v(i)(k))
+      // sign convention: largest-|component| coordinate positive
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      val signed = if (vec(m) < 0) vec.map(-_) else vec
+      (a(k)(k), signed)
+    }.sortBy(-_._1).take(topK)
+  }
+
+  /** Project embeddings onto [[pcaComponents]] directions: pc_k =
+    * x · v_k as a broadcast-literal sequential-fold dot — a pure
+    * projection, zero shuffle. */
+  def pcaProject(embeddings: DataFrame, comps: Seq[(Double, Array[Double])],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val xd = transform(col(vecCol), _.cast("double"))
+    val pcs = comps.zipWithIndex.map { case ((_, vec), k) =>
+      dotHof(xd, typedlit(vec.toSeq)).as(s"pc_$k")
+    }
+    embeddings.select(col(idCol) +: pcs: _*)
+  }
 }

@@ -213,4 +213,126 @@ class Round11cSpec extends SparkSpec {
       got((0, 1)) shouldBe 0L
     }
   }
+
+  describe("Similarity.fitInt8 / int8Quantize / int8Dequantize") {
+    import graft.similarity.Similarity
+
+    it("range endpoints map to ±127; codes match hand integer math") {
+      import spark.implicits._
+      val df = Seq((1L, Array(-1.0f, 0.0f)), (2L, Array(1.0f, 0.5f)),
+        (3L, Array(0.0f, 0.25f))).toDF("vec_id", "embedding")
+      val m = Similarity.fitInt8(df)
+      m.mnMicro shouldBe Seq(-1000000L, 0L)
+      m.spanMicro shouldBe Seq(2000000L, 500000L)
+      val got = Similarity.int8Quantize(df, m)
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Byte](1).map(_.toInt))).toMap
+      // doc1 = the per-dim minima on both dims → (-127, -127)
+      got(1L) shouldBe Seq(-127, -127)
+      got(2L) shouldBe Seq(127, 127)
+      // dim0: (0 - (-1e6))*254 // 2e6 - 127 = 127 - 127 = 0
+      // dim1: (250000*254) // 500000 - 127 = 127 - 127 = 0
+      got(3L) shouldBe Seq(0, 0)
+    }
+
+    it("constant dimension (span clamped to 1) is stable at -127 and " +
+        "dequantizes back exactly") {
+      import spark.implicits._
+      val df = Seq((1L, Array(0.5f)), (2L, Array(0.5f)))
+        .toDF("vec_id", "embedding")
+      val m = Similarity.fitInt8(df)
+      m.spanMicro shouldBe Seq(1L)
+      val q = Similarity.int8Quantize(df, m)
+      q.collect().map(_.getSeq[Byte](1).head).toSet shouldBe Set(-127.toByte)
+      val back = Similarity.int8Dequantize(q, m)
+        .collect().map(_.getSeq[Float](1).head).toSet
+      back shouldBe Set(0.5f)
+    }
+
+    it("round trip error is bounded by span/254 + 1 micro per " +
+        "coordinate, and codes are partitioning-independent") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(11)
+      val df = (1L to 100L).map(id =>
+          (id, Array.fill(6)(rnd.nextFloat() * 4 - 2)))
+        .toDF("vec_id", "embedding")
+      val m = Similarity.fitInt8(df)
+      val q = Similarity.int8Quantize(df, m)
+      val back = Similarity.int8Dequantize(q, m)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      val orig = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      for ((id, xs) <- orig; i <- xs.indices) {
+        val errMicro = math.abs(
+          math.floor(back(id)(i).toDouble * 1000000).toLong -
+          math.floor(xs(i).toDouble * 1000000).toLong)
+        errMicro should be <= (m.spanMicro(i) / 254 + 2)
+      }
+      val re = Similarity.int8Quantize(df.repartition(7), m)
+        .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+      re shouldBe Similarity.int8Quantize(df, m)
+        .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    }
+  }
+
+  describe("Similarity.pcaComponents / pcaProject") {
+    import graft.similarity.Similarity
+
+    it("recovers a planted dominant direction; eigenpairs satisfy " +
+        "A·v = λ·v against the collected Gram") {
+      import spark.implicits._
+      val d = 5
+      val dir = Array(3.0, 1.0, 2.0, -1.0, 0.5)
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      val v0 = dir.map(_ / n)
+      val rnd = new scala.util.Random(3)
+      val df = (1L to 200L).map { id =>
+        val s = rnd.nextGaussian() * 2
+        val noise = Array.fill(d)(rnd.nextGaussian() * 0.05)
+        (id, Array.tabulate(d)(i => (s * v0(i) + noise(i)).toFloat))
+      }.toDF("vec_id", "embedding")
+      val gram = Similarity.gramMatrixMicro(df)
+      val comps = Similarity.pcaComponents(gram, 3)
+      val eigs = comps.map(_._1)
+      eigs shouldBe eigs.sorted(Ordering[Double].reverse)
+      val top = comps.head._2
+      val cos = top.zip(v0).map { case (a, b) => a * b }.sum
+      math.abs(cos) should be > 0.999
+      // residual check against the dense Gram the op consumed
+      val a = Array.ofDim[Double](d, d)
+      gram.collect().foreach { r =>
+        val x = r.getDecimal(2).doubleValue() / 1e12
+        a(r.getInt(0))(r.getInt(1)) = x
+        a(r.getInt(1))(r.getInt(0)) = x
+      }
+      for ((lam, vec) <- comps) {
+        val av = Array.tabulate(d)(i =>
+          (0 until d).map(j => a(i)(j) * vec(j)).sum)
+        val res = math.sqrt(av.zip(vec)
+          .map { case (x, y) => (x - lam * y) * (x - lam * y) }.sum)
+        res should be < 1e-6 * math.max(math.abs(lam), 1.0)
+      }
+      // projection: pc_0 carries the planted variance, pc_1 the noise
+      val proj = Similarity.pcaProject(df, comps.take(2)).collect()
+        .map(r => (r.getDouble(1), r.getDouble(2)))
+      def variance(xs: Seq[Double]) = {
+        val m = xs.sum / xs.size
+        xs.map(x => (x - m) * (x - m)).sum / xs.size
+      }
+      variance(proj.map(_._1).toSeq) should be >
+        10 * variance(proj.map(_._2).toSeq)
+    }
+
+    it("deterministic: same gram → identical components across calls") {
+      import spark.implicits._
+      val df = Seq((1L, Array(1.0f, 0.2f, 0.0f)),
+        (2L, Array(0.1f, -1.0f, 0.4f)),
+        (3L, Array(0.3f, 0.5f, 0.9f))).toDF("vec_id", "embedding")
+      val gram = Similarity.gramMatrixMicro(df)
+      val c1 = Similarity.pcaComponents(gram, 3)
+      val c2 = Similarity.pcaComponents(gram, 3)
+      c1.map(_._1) shouldBe c2.map(_._1)
+      c1.map(_._2.toSeq) shouldBe c2.map(_._2.toSeq)
+    }
+  }
 }
