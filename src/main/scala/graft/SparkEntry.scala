@@ -2444,6 +2444,25 @@ object SparkEntry {
         .crossJoin(graft.dedup.Dedup.corpusShingleJaccard(a, b))
     }),
 
+    // k-NN LABEL-AGREEMENT AUDIT (similarity/Similarity
+    // .knnLabelAgreement): the confident-learning label-noise screen
+    // over the labeled embeddings — per audited vector, how many of
+    // its 5 nearest cosine neighbors share its label. Query set
+    // bounded (the bruteTopK audit discipline); broadcast label joins.
+    "q197_knn_label_noise" -> ((s, d) =>
+      graft.similarity.Similarity.knnLabelAgreement(
+        Tables.embeddings(s, d), k = 5, maxQueryId = 500L)),
+
+    // PRECISION/RECALL CURVE (pipeline/Stats.prCurve): the filter-
+    // threshold calibration table — n_chars as the score, lang='en' as
+    // the gold positive; one point per distinct score via the two-pass
+    // prefix scan, totals as a 1×1 scalar combine.
+    "q198_pr_curve" -> ((s, d) =>
+      graft.pipeline.Stats.prCurve(
+        Tables.documents(s, d).select(col("n_chars"),
+          (col("lang") === "en").as("is_en")),
+        "n_chars", "is_en")),
+
     // INT8 EMBEDDING QUANTIZATION (similarity/Similarity.int8Quantize):
     // the 4×-smaller storage/scan format for 100 TB vector stores —
     // per-dim affine map of floor(x·10⁶) onto [-127,127] by INTEGER
@@ -4770,6 +4789,59 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q197: q25's brute ranking (rounded cos DESC, nid tiebreak) at
+      // k=5 + label agreement counts; integral ppm.
+      "q197_knn_label_noise" ->
+        s"""WITH base AS (SELECT vec_id AS id, embedding, label
+           |  FROM embeddings),
+           |unit AS (SELECT id, label, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
+           |pairs AS (SELECT q.id AS qid, q.label AS label,
+           |    b.label AS nlbl, b.id AS nid,
+           |    round(list_reduce(list_transform(range(1, 65),
+           |      i -> q.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
+           |  FROM unit q JOIN unit b ON q.id <> b.id
+           |  WHERE q.id < 500),
+           |topk AS (SELECT * FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+           |  WHERE rn <= 5)
+           |SELECT qid, label,
+           |  CAST(sum(CASE WHEN nlbl = label THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_agree,
+           |  CAST(5 AS BIGINT) AS k,
+           |  CAST(sum(CASE WHEN nlbl = label THEN 1 ELSE 0 END)
+           |    * 1000000 // 5 AS BIGINT) AS agree_ppm
+           |FROM topk GROUP BY qid, label""".stripMargin,
+
+      // q198: the keep-rule `score ≥ s` curve stated with window sums
+      // over the per-score counts (one row per distinct n_chars).
+      "q198_pr_curve" ->
+        """WITH c AS (SELECT n_chars AS threshold,
+          |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+          |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+          |  FROM documents GROUP BY 1),
+          |w AS (SELECT threshold,
+          |    coalesce(sum(pos) OVER (ORDER BY threshold
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS pos_below,
+          |    coalesce(sum(neg) OVER (ORDER BY threshold
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS neg_below,
+          |    sum(pos) OVER () AS tot_pos, sum(neg) OVER () AS tot_neg
+          |  FROM c)
+          |SELECT threshold, CAST(tot_pos - pos_below AS BIGINT) AS tp,
+          |  CAST(tot_neg - neg_below AS BIGINT) AS fp,
+          |  CAST(pos_below AS BIGINT) AS fn,
+          |  CAST((tot_pos - pos_below) * 1000000 //
+          |    greatest(tot_pos - pos_below + tot_neg - neg_below, 1)
+          |    AS BIGINT) AS precision_ppm,
+          |  CAST((tot_pos - pos_below) * 1000000 // greatest(tot_pos, 1)
+          |    AS BIGINT) AS recall_ppm
+          |FROM w""".stripMargin,
 
       // q196: the same fit (per-dim micro min / span≥1) and the same
       // affine integral-division map stated verbatim; TINYINT codes.

@@ -239,4 +239,44 @@ object Stats {
         (col("__dbelow") + 1L).as(denseRankCol)),
       Seq(valueCol), "left")
   }
+
+  /** PRECISION/RECALL CURVE of an integer quality score against gold
+    * labels — the calibration table a filter-threshold decision reads
+    * (FineWeb-style "pick the classifier cutoff" step). One point per
+    * DISTINCT score s, for the keep-rule `score ≥ s`:
+    * (threshold, tp, fp, fn, precision_ppm, recall_ppm), integral ppm.
+    *
+    * Shape: per-score (n_pos, n_neg) aggregate (map-side combine), two
+    * [[PipelineOps.exclusivePrefixSum]] ascending passes for the
+    * strictly-below sums (never a one-task global window past the
+    * probe), totals as a 1×1 scalar combine: tp = total_pos −
+    * pos_below, fp = total_neg − neg_below. Linear, skew-free — the
+    * threshold table is as big as the distinct-score set, not the
+    * corpus. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      windowThreshold: Int = 1 << 20): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val counts = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__neg"))
+      .withColumn("__all", lit(0))
+    val below = PipelineOps.exclusivePrefixSum(
+      PipelineOps.exclusivePrefixSum(counts, "__all", Seq("threshold"),
+        "__pos", "__pos_below", windowThreshold),
+      "__all", Seq("threshold"), "__neg", "__neg_below", windowThreshold)
+    val totals = counts.agg(sum(col("__pos")).as("__tot_pos"),
+      sum(col("__neg")).as("__tot_neg"))
+    below.crossJoin(broadcast(totals)) // deliberate 1×1 scalar combine
+      .select(col("threshold"),
+        (col("__tot_pos") - col("__pos_below")).as("tp"),
+        (col("__tot_neg") - col("__neg_below")).as("fp"),
+        col("__pos_below").as("fn"),
+        col("__tot_pos").as("total_pos"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        intDiv(col("tp") * 1000000L,
+          greatest(col("tp") + col("fp"), lit(1L))).as("precision_ppm"),
+        intDiv(col("tp") * 1000000L,
+          greatest(col("total_pos"), lit(1L))).as("recall_ppm"))
+  }
 }

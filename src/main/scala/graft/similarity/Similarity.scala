@@ -1294,6 +1294,39 @@ object Similarity {
     }.sortBy(-_._1).take(topK)
   }
 
+  /** LABEL-NOISE SCREEN via k-NN agreement (the confident-learning
+    * heuristic a classifier-filtered corpus runs before trusting its
+    * labels): for each audited vector, the fraction of its k nearest
+    * cosine neighbors sharing its label — rows with agree_ppm ≈ 0 in a
+    * dense region are likely mislabeled. Neighbor ranking and tie
+    * rules are exactly [[bruteTopK]]'s (bounded query set — an AUDIT
+    * samples queries; wire [[ivfTopK]] candidates for an unbounded
+    * sweep); label lookups join the small top-k frame against the
+    * corpus projection, broadcast on the audit side. Returns
+    * (qid, label, n_agree, k, agree_ppm — integral). */
+  def knnLabelAgreement(embeddings: DataFrame, k: Int = 5,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding", maxQueryId: Long = Long.MaxValue,
+      allowUnboundedQueries: Boolean = false): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val topk = bruteTopK(embeddings, k, idCol, vecCol, maxQueryId,
+      allowUnboundedQueries)
+    val labels = embeddings.select(col(idCol).as("__lid"),
+      col(labelCol).as("__lbl"))
+    val withN = broadcast(topk)
+      .join(labels, col("nid") === col("__lid"))
+      .select(col("qid"), col("nid"), col("__lbl").as("nlbl"))
+    val withQ = broadcast(withN)
+      .join(labels, col("qid") === col("__lid"))
+      .select(col("qid"), col("__lbl").as("label"), col("nlbl"))
+    withQ.groupBy(col("qid"), col("label"))
+      .agg(sum(when(col("nlbl") === col("label"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .select(col("qid"), col("label"), col("n_agree"),
+        lit(k.toLong).as("k"),
+        intDiv(col("n_agree") * 1000000L, lit(k.toLong)).as("agree_ppm"))
+  }
+
   /** Project embeddings onto [[pcaComponents]] directions: pc_k =
     * x · v_k as a broadcast-literal sequential-fold dot — a pure
     * projection, zero shuffle. */

@@ -323,6 +323,54 @@ class Round11cSpec extends SparkSpec {
         10 * variance(proj.map(_._2).toSeq)
     }
 
+    it("flags a planted mislabel: the noisy point's neighbors all " +
+        "disagree, clean points mostly agree") {
+      import spark.implicits._
+      // two tight clusters along +x and +y; vec 99 sits in the +x
+      // cluster but carries the +y cluster's label
+      val xs = (1L to 6L).map(id =>
+        (id, Array(1.0f, 0.01f * id, 0.0f), 0))
+      val ys = (11L to 16L).map(id =>
+        (id, Array(0.01f * (id - 10), 1.0f, 0.0f), 1))
+      val noisy = Seq((99L, Array(1.0f, 0.035f, 0.0f), 1))
+      val df = (xs ++ ys ++ noisy).toDF("vec_id", "embedding", "label")
+      val got = graft.similarity.Similarity
+        .knnLabelAgreement(df, k = 5, maxQueryId = 500L)
+        .collect().map(r => (r.getLong(0),
+          (r.getInt(1), r.getLong(2), r.getLong(4)))).toMap
+      got(99L) shouldBe ((1, 0L, 0L)) // all 5 neighbors are x-cluster
+      // a clean x point: neighbors = 4 x-mates + the mislabeled 99,
+      // which still AGREES by geometry but not label → 4/5 at least
+      for (id <- 1L to 6L) got(id)._2 should be >= 4L
+      for (id <- 11L to 16L) {
+        got(id)._1 shouldBe 1
+        got(id)._2 shouldBe 5L // 5 y-mates beat any x dot
+      }
+    }
+
+    it("prCurve: hand-checked thresholds, endpoint semantics, and " +
+        "window-vs-two-pass parity") {
+      import spark.implicits._
+      // scores: 1(neg) 2(pos) 2(neg) 3(pos) 3(pos) 5(neg)
+      val df = Seq((1L, false), (2L, true), (2L, false), (3L, true),
+        (3L, true), (5L, false)).toDF("score", "gold")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val got = canon(graft.pipeline.Stats.prCurve(df, "score", "gold"))
+      // s=1: keep all → tp=3 fp=3 fn=0; s=2: tp=3 fp=2; s=3: tp=2
+      // fp=1; s=5: tp=0 fp=1 → precision 0
+      got(1L) shouldBe ((3L, 3L, 0L, 500000L, 1000000L))
+      got(2L) shouldBe ((3L, 2L, 0L, 600000L, 1000000L))
+      got(3L) shouldBe ((2L, 1L, 1L, 666666L, 666666L))
+      got(5L) shouldBe ((0L, 1L, 3L, 0L, 0L))
+      // two-pass path (windowThreshold = 0) states the same table
+      canon(graft.pipeline.Stats.prCurve(df, "score", "gold",
+        windowThreshold = 0)) shouldBe got
+      canon(graft.pipeline.Stats.prCurve(df.repartition(5), "score",
+        "gold")) shouldBe got
+    }
+
     it("deterministic: same gram → identical components across calls") {
       import spark.implicits._
       val df = Seq((1L, Array(1.0f, 0.2f, 0.0f)),
