@@ -269,6 +269,38 @@ object PipelineOps {
       schema)
   }
 
+  /** BALANCED SHARD ASSIGNMENT for the output-writer stage: route each
+    * doc to one of `nShards` shards so per-shard ROW counts differ by
+    * ≤ 1 and per-shard SIZE totals are near-equal (boustrophedon /
+    * "snake draft" over the size-descending order: position p →
+    * shard p%n on even rounds, n−1−(p%n) on odd — each consecutive
+    * n-block hands every shard exactly one doc, alternating pick order
+    * so no shard systematically gets the bigger half). Deterministic
+    * (ties broken by id), one range-sort + zipWithIndex — the
+    * [[shuffleDeterministic]] dense-index shape, never a one-task
+    * window. Returns the input + `shard` INT. */
+  def shardBalanced(df: DataFrame, sizeCol: String, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = df.sparkSession
+    val sorted = df.sort(col(sizeCol).desc, col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("__pos",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val withPos = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    import graft.time.Buckets.intDiv
+    val n = lit(nShards.toLong)
+    val k = pmod(col("__pos"), n)
+    withPos.withColumn("shard",
+        when(pmod(intDiv(col("__pos"), n), lit(2L)) === 0L, k)
+          .otherwise(lit(nShards - 1L) - k).cast("int"))
+      .drop("__pos")
+  }
+
   /** Contiguous sequence packing: assign documents to fixed-capacity
     * token bins, per stratum, in id order — bin = exclusive-prefix token
     * count ÷ capacity. The deterministic streaming-concat packing used

@@ -253,6 +253,47 @@ object Stats {
     * pos_below, fp = total_neg − neg_below. Linear, skew-free — the
     * threshold table is as big as the distinct-score set, not the
     * corpus. */
+  /** DATASET CARD: the per-language corpus profile a data release
+    * ships — docs, tokens, chars, exact p50/p90 length, exact-dup
+    * count — in ONE composed Catalyst plan (the e2e-composition
+    * discipline). Quantiles are computed on the per-(lang, value)
+    * COUNT table, not per-row: the cumulative window scans the
+    * value-DOMAIN (bounded) instead of funneling a billion rows per
+    * language through one task — the [[globalRanks]] discipline. The
+    * p_q definition matches [[exactQuantiles]]: smallest v with
+    * cum·10⁶ ≥ q·tot, ties inclusive. Dup count = docs − distinct
+    * normalized-token fingerprints. */
+  def datasetCard(docs: DataFrame, langCol: String = "lang",
+      textCol: String = "text", charsCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(langCol).as("lang"),
+      col(charsCol).as("__chars"),
+      graft.text.TextOps.tokenCount(col(textCol)).cast("long").as("__toks"),
+      graft.text.TextOps.fingerprint(col(textCol)).as("__fp"))
+    val agg = t.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_toks"),
+        sum(col("__chars")).as("sum_chars"),
+        countDistinct(col("__fp")).as("__uniq"))
+      .select(col("lang"), col("n_docs"), col("n_toks"),
+        col("sum_chars"), (col("n_docs") - col("__uniq")).as("n_dup"))
+    val counts = docs.groupBy(col(langCol).as("lang"),
+        col(charsCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy(col("lang"))
+    val qs = counts
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__tot", sum(col("__cnt")).over(wp))
+      .groupBy(col("lang"))
+      .agg(min(when(col("__cum") * 1000000L >= col("__tot") * 500000L,
+          col("__v"))).as("p50_chars"),
+        min(when(col("__cum") * 1000000L >= col("__tot") * 900000L,
+          col("__v"))).as("p90_chars"))
+    agg.join(broadcast(qs), Seq("lang"))
+  }
+
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
       windowThreshold: Int = 1 << 20): DataFrame = {
     import graft.time.Buckets.intDiv

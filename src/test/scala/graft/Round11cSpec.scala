@@ -371,6 +371,56 @@ class Round11cSpec extends SparkSpec {
         "gold")) shouldBe got
     }
 
+    it("shardBalanced: snake order, ±1 row counts, near-equal size " +
+        "totals, repartition-stable") {
+      import spark.implicits._
+      // sizes 20,19,...,1 over 4 shards: snake rounds give totals
+      // 54/53/52/51 — spread ≤ nShards, vs 74 for naive round-robin
+      val df = (1L to 20L).map(id => (id, 21L - id)).toDF("doc_id", "sz")
+      val got = graft.pipeline.PipelineOps.shardBalanced(df, "sz", 4)
+        .as[(Long, Long, Int)].collect()
+      got.length shouldBe 20
+      val byShard = got.groupBy(_._3)
+      byShard.keySet shouldBe Set(0, 1, 2, 3)
+      byShard.values.map(_.size).toSet shouldBe Set(5)
+      byShard.map { case (s, rows) => (s, rows.map(_._2).sum) } shouldBe
+        Map(0 -> 54L, 1 -> 53L, 2 -> 52L, 3 -> 51L)
+      // first snake rounds: pos0(sz20)→s0, pos3(sz17)→s3,
+      // pos4(sz16)→s3 (odd round reverses), pos7(sz13)→s0
+      val shardOf = got.map(r => (r._1, r._3)).toMap
+      shardOf(1L) shouldBe 0
+      shardOf(4L) shouldBe 3
+      shardOf(5L) shouldBe 3
+      shardOf(8L) shouldBe 0
+      val re = graft.pipeline.PipelineOps
+        .shardBalanced(df.repartition(7), "sz", 4)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._3)).toMap
+      re shouldBe shardOf
+      // nShards = 1 degenerates to a single shard
+      graft.pipeline.PipelineOps.shardBalanced(df, "sz", 1)
+        .as[(Long, Long, Int)].collect().map(_._3).toSet shouldBe Set(0)
+    }
+
+    it("datasetCard: hand-checked per-language profile") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "en", "hello world", 11L),
+        (2L, "en", "hello world", 11L),    // exact dup of 1
+        (3L, "en", "one two three", 13L),
+        (4L, "en", "four five", 9L),
+        (5L, "de", "hallo welt", 10L)
+      ).toDF("doc_id", "lang", "text", "n_chars")
+      val got = graft.pipeline.Stats.datasetCard(docs)
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().map(r => (r._1, (r._2, r._3, r._4, r._5, r._6, r._7)))
+        .toMap
+      // en: 4 docs, 2+2+3+2 = 9 toks, 44 chars, 1 dup;
+      // chars sorted: 9,11,11,13 → p50 = 11 (cum 3/4 ≥ .5 at 11),
+      // p90 = 13
+      got("en") shouldBe ((4L, 9L, 44L, 1L, 11L, 13L))
+      got("de") shouldBe ((1L, 2L, 10L, 0L, 10L, 10L))
+    }
+
     it("deterministic: same gram → identical components across calls") {
       import spark.implicits._
       val df = Seq((1L, Array(1.0f, 0.2f, 0.0f)),
