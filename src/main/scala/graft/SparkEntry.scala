@@ -2453,6 +2453,15 @@ object SparkEntry {
         .crossJoin(graft.dedup.Dedup.corpusShingleJaccard(a, b))
     }),
 
+    // EXACT ROC AUC (pipeline/Stats.aucExact): the one-number filter
+    // quality score next to q198's curve — Mann-Whitney 2U stated
+    // integer-exactly, DECIMAL(38) where n_pos·n_neg would overflow.
+    "q201_auc" -> ((s, d) =>
+      graft.pipeline.Stats.aucExact(
+        Tables.documents(s, d).select(col("n_chars"),
+          (col("lang") === "en").as("is_en")),
+        "n_chars", "is_en")),
+
     // BALANCED SHARD ASSIGNMENT (pipeline/PipelineOps.shardBalanced):
     // the output-writer routing — snake draft over the size-descending
     // order, ±1 row counts and near-equal byte totals per shard.
@@ -4826,6 +4835,27 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q201: the 2U identity over per-score counts; ppm by integral
+      // division with the ties-½ convention.
+      "q201_auc" ->
+        """WITH c AS (SELECT n_chars AS s,
+          |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+          |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+          |  FROM documents GROUP BY 1),
+          |w AS (SELECT pos, neg,
+          |    coalesce(sum(neg) OVER (ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS neg_below
+          |  FROM c)
+          |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+          |  CAST(sum(neg) AS BIGINT) AS n_neg,
+          |  CAST(sum(pos * (neg_below * 2 + neg)) AS DECIMAL(38,0))
+          |    AS two_u,
+          |  CAST(CAST(sum(pos * (neg_below * 2 + neg)) AS HUGEINT)
+          |    * 500000 // CAST(greatest(sum(pos) * sum(neg), 1) AS HUGEINT)
+          |    AS BIGINT) AS auc_ppm
+          |FROM w""".stripMargin,
 
       // q199: the snake formula verbatim over row_number's 0-based
       // size-descending position.

@@ -253,6 +253,39 @@ object Stats {
     * pos_below, fp = total_neg − neg_below. Linear, skew-free — the
     * threshold table is as big as the distinct-score set, not the
     * corpus. */
+  /** EXACT ROC AUC of an integer score against gold labels — the
+    * one-number companion of [[prCurve]] (Mann–Whitney U: the
+    * probability a random positive outscores a random negative, ties
+    * ½). Stated integer-exactly: 2U = Σ over distinct scores of
+    * pos_cnt·(2·neg_strictly_below + neg_ties), auc_ppm =
+    * 2U·5·10⁵ ÷ (n_pos·n_neg) by integral division in DECIMAL(38,0)
+    * (n_pos·n_neg overflows LONG past ~3·10⁹ rows a side). Same
+    * machinery as prCurve: per-score counts, one ascending
+    * exclusive-prefix pass, scalar combine. One row:
+    * (n_pos, n_neg, two_u, auc_ppm). */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
+      windowThreshold: Int = 1 << 20): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val counts = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__neg"))
+      .withColumn("__all", lit(0))
+    val below = PipelineOps.exclusivePrefixSum(counts, "__all",
+      Seq("__s"), "__neg", "__neg_below", windowThreshold)
+    below.agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"),
+        sum((col("__pos") *
+          (col("__neg_below") * 2L + col("__neg"))).cast("decimal(38,0)"))
+          .as("__two_u"))
+      .select(col("n_pos"), col("n_neg"),
+        col("__two_u").cast("decimal(38,0)").as("two_u"),
+        intDiv(col("__two_u") * lit(500000L).cast("decimal(38,0)"),
+          greatest((col("n_pos") * col("n_neg")).cast("decimal(38,0)"),
+            lit(1L).cast("decimal(38,0)"))).as("auc_ppm"))
+  }
+
   /** DATASET CARD: the per-language corpus profile a data release
     * ships — docs, tokens, chars, exact p50/p90 length, exact-dup
     * count — in ONE composed Catalyst plan (the e2e-composition

@@ -401,6 +401,33 @@ class Round11cSpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().map(_._3).toSet shouldBe Set(0)
     }
 
+    it("aucExact: hand 2U with ties, perfect/inverted/random endpoints") {
+      import spark.implicits._
+      // scores: pos {3,3,2}, neg {2,1,1} → pairs (9): 3>2 ×2·1? count:
+      // pos3 vs neg2: 2 pos·1 neg strictly above = 2; pos3 vs neg1 ×2:
+      // 2·2=4; pos2 vs neg2: tie (½); pos2 vs neg1 ×2: 2.
+      // U = 2+4+2+0.5 = 8.5 → 2U = 17, auc = 17/18
+      val df = Seq((3L, true), (3L, true), (2L, true),
+        (2L, false), (1L, false), (1L, false)).toDF("score", "gold")
+      val got = graft.pipeline.Stats.aucExact(df, "score", "gold")
+        .collect().head
+      got.getLong(0) shouldBe 3L
+      got.getLong(1) shouldBe 3L
+      got.getDecimal(2).longValueExact() shouldBe 17L
+      got.getLong(3) shouldBe (17L * 500000L / 9L) // 944444
+      // perfect separation → 1.0; inverted → 0; all-tied → exactly ½
+      def auc(rows: Seq[(Long, Boolean)]): Long =
+        graft.pipeline.Stats.aucExact(rows.toDF("score", "gold"),
+          "score", "gold").collect().head.getLong(3)
+      auc(Seq((2L, true), (1L, false))) shouldBe 1000000L
+      auc(Seq((1L, true), (2L, false))) shouldBe 0L
+      auc(Seq((1L, true), (1L, false), (1L, true))) shouldBe 500000L
+      // two-pass parity
+      graft.pipeline.Stats.aucExact(df.repartition(5), "score", "gold",
+          windowThreshold = 0)
+        .collect().head.getLong(3) shouldBe got.getLong(3)
+    }
+
     it("datasetCard: hand-checked per-language profile") {
       import spark.implicits._
       val docs = Seq(
