@@ -2453,6 +2453,33 @@ object SparkEntry {
         .crossJoin(graft.dedup.Dedup.corpusShingleJaccard(a, b))
     }),
 
+    // ROBOTS WILDCARD MATCHING (text/Robots.matchUrlsWildcard): RFC
+    // 9309 §2.2.3 parity — `*` and end-`$` rules the prefix matcher
+    // fails open on. Bodies parsed by the real distributed parser
+    // (a non-* group ignored); five URL lanes hit star-vs-prefix
+    // precedence, the $ anchor both holding and failing, and star+$.
+    "q202_robots_wildcard" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val host = concat(col("source"), lit(".example.com"))
+      val idStr = col("doc_id").cast("string")
+      val urls = docs.select(host.as("host"),
+        when(col("doc_id") % 5 === 0,
+            concat(lit("/pub/a/ok/"), idStr))
+          .when(col("doc_id") % 5 === 1, concat(lit("/pub/x/"), idStr))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("/file/"), idStr, lit(".pdf")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("/file/"), idStr, lit(".pdfx")))
+          .otherwise(concat(lit("/tmp"), idStr)).as("path"))
+      val bodies = docs.select(host.as("host")).distinct()
+        .withColumn("body", lit(
+          "User-agent: gptbot\nDisallow: /\n\n" +
+            "User-agent: *\n# wildcards\nDisallow: /*.pdf$\n" +
+            "Allow: /pub/*/ok\nDisallow: /pub/\nDisallow: /tmp*$\n"))
+      graft.text.Robots.matchUrlsWildcard(urls,
+        graft.text.Robots.rulesTable(bodies))
+    }),
+
     // EXACT ROC AUC (pipeline/Stats.aucExact): the one-number filter
     // quality score next to q198's curve — Mann-Whitney 2U stated
     // integer-exactly, DECIMAL(38) where n_pos·n_neg would overflow.
@@ -4834,6 +4861,47 @@ object SparkEntry {
            |  CAST(n_union AS BIGINT) AS n_union,
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
+      },
+
+      // q202: rule set as VALUES (q159 discipline) + the SAME
+      // escape-chain → `*`/`$` translation and longest-rule/Allow-tie
+      // decision verbatim. Template + replace (not s-interp): the SQL
+      // is full of literal `$`.
+      "q202_robots_wildcard" -> {
+        val metas = Seq("\\", ".", "+", "?", "(", ")", "[", "]",
+          "{", "}", "|", "^", "$")
+        val escChain = metas.foldLeft("prefix")((acc, m) =>
+          "replace(" + acc + ", '" + m + "', '\\" + m + "')")
+        """WITH u AS (SELECT source || '.example.com' AS host,
+          |    CASE WHEN doc_id % 5 = 0
+          |        THEN '/pub/a/ok/' || CAST(doc_id AS VARCHAR)
+          |      WHEN doc_id % 5 = 1
+          |        THEN '/pub/x/' || CAST(doc_id AS VARCHAR)
+          |      WHEN doc_id % 5 = 2
+          |        THEN '/file/' || CAST(doc_id AS VARCHAR) || '.pdf'
+          |      WHEN doc_id % 5 = 3
+          |        THEN '/file/' || CAST(doc_id AS VARCHAR) || '.pdfx'
+          |      ELSE '/tmp' || CAST(doc_id AS VARCHAR) END AS path
+          |  FROM documents),
+          |r AS (SELECT * FROM (VALUES (FALSE, '/*.pdf$'),
+          |    (TRUE, '/pub/*/ok'), (FALSE, '/pub/'), (FALSE, '/tmp*$'))
+          |    AS t(allow, prefix)),
+          |t1 AS (SELECT allow, prefix, ESCCHAIN AS esc FROM r),
+          |t2 AS (SELECT allow, prefix, replace(esc, '*', '.*') AS st
+          |  FROM t1),
+          |t3 AS (SELECT allow, prefix,
+          |    '^' || CASE WHEN ends_with(prefix, '$')
+          |      THEN substr(st, 1, length(st) - 2) || '$' ELSE st END
+          |      AS rx
+          |  FROM t2),
+          |m AS (SELECT u.host, u.path, t3.allow, length(t3.prefix) AS len
+          |  FROM u JOIN t3 ON regexp_matches(u.path, t3.rx)),
+          |d AS (SELECT host, path, allow, row_number() OVER (
+          |    PARTITION BY host, path ORDER BY len DESC, allow DESC)
+          |    AS rn FROM m)
+          |SELECT u.host, u.path, COALESCE(d.allow, TRUE) AS allowed
+          |FROM u LEFT JOIN d ON d.host = u.host AND d.path = u.path
+          |  AND d.rn = 1""".stripMargin.replace("ESCCHAIN", escChain)
       },
 
       // q201: the 2U identity over per-score counts; ppm by integral

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** robots.txt (REP, RFC 9309) handling — the crawl-etiquette gate that
@@ -92,6 +92,52 @@ object Robots {
     val matched = urls.select(col(hostCol), col(pathCol))
       .join(rules, Seq(hostCol))
       .filter(startswith(col(pathCol), col("prefix")))
+      .groupBy(col(hostCol), col(pathCol))
+      .agg(max_by(col("allow"),
+        struct(length(col("prefix")).as("len"), col("allow")))
+        .as("__decision"))
+    urls.join(matched, Seq(hostCol, pathCol), "left")
+      .withColumn("allowed", coalesce(col("__decision"), lit(true)))
+      .drop("__decision")
+  }
+
+  /** RFC 9309 §2.2.3 wildcard rule → anchored regex, as a pure column
+    * expression (so the oracle states the identical translation):
+    * every regex metacharacter escaped by LITERAL replace (backslash
+    * first, or it would re-escape the escapes), `*` → `.*`, and a
+    * TRAILING `$` in the original rule (the end-of-path designator)
+    * converted to the regex end anchor — a mid-rule `$` stays literal,
+    * the "only meaningful at the end" convention. Patterns stay in the
+    * Java∩RE2 common subset (escaped literals, `.*`, anchors). */
+  def ruleRegex(prefix: Column): Column = {
+    val metas = Seq("\\", ".", "+", "?", "(", ")", "[", "]",
+      "{", "}", "|", "^", "$")
+    val escaped = metas.foldLeft(prefix)((c, m) =>
+      replace(c, lit(m), lit("\\" + m)))
+    val starred = replace(escaped, lit("*"), lit(".*"))
+    // the escaped trailing designator is the 2-char token \$ — drop
+    // it, append the real anchor
+    val anchored = when(endswith(prefix, lit("$")),
+      concat(starred.substr(lit(1), length(starred) - 2), lit("$")))
+      .otherwise(starred)
+    concat(lit("^"), anchored)
+  }
+
+  /** [[matchUrls]] with RFC 9309 §2.2.3 WILDCARDS — full spec parity
+    * for the `*` / end-`$` rules large sites actually serve (the
+    * prefix-only matcher fails open on a "Disallow: star-dot-pdf,
+    * end-anchored" rule).
+    * Most-specific = longest RULE in octets (wildcards count as
+    * written, the RFC convention), Allow wins ties, no match →
+    * allowed. The regex pattern is a per-rule derived column (compiled
+    * per row): rules tables are site-sized, and the host equi-join
+    * keeps each path row against its own host's handful of rules —
+    * never a corpus × all-rules product. */
+  def matchUrlsWildcard(urls: DataFrame, rules: DataFrame,
+      hostCol: String = "host", pathCol: String = "path"): DataFrame = {
+    val matched = urls.select(col(hostCol), col(pathCol))
+      .join(rules, Seq(hostCol))
+      .filter(regexp_like(col(pathCol), ruleRegex(col("prefix"))))
       .groupBy(col(hostCol), col(pathCol))
       .agg(max_by(col("allow"),
         struct(length(col("prefix")).as("len"), col("allow")))

@@ -401,6 +401,41 @@ class Round11cSpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().map(_._3).toSet shouldBe Set(0)
     }
 
+    it("Robots.ruleRegex: metas escaped, * expanded, trailing-$ " +
+        "anchored, mid-$ literal") {
+      import spark.implicits._
+      val got = Seq("/a/*.pdf$", "/p(1)+x", "/m$id/y", "/raw*$", "/s")
+        .toDF("prefix")
+        .select(col("prefix"),
+          graft.text.Robots.ruleRegex(col("prefix")).as("rx"))
+        .as[(String, String)].collect().toMap
+      got("/a/*.pdf$") shouldBe "^/a/.*\\.pdf$"
+      got("/p(1)+x") shouldBe "^/p\\(1\\)\\+x"
+      got("/m$id/y") shouldBe "^/m\\$id/y" // mid-$ stays literal
+      got("/raw*$") shouldBe "^/raw.*$"
+      got("/s") shouldBe "^/s"
+    }
+
+    it("matchUrlsWildcard: $ anchor holds and fails, star-vs-prefix " +
+        "precedence by raw rule length, Allow tie, default allow") {
+      import spark.implicits._
+      val rules = Seq(
+        (false, "/*.pdf$"), (true, "/pub/*/ok"), (false, "/pub/"),
+        (true, "/t/a*"), (false, "/t/a*") // exact tie → Allow wins
+      ).map { case (a, p) => ("h", a, p) }.toDF("host", "allow", "prefix")
+      val urls = Seq("/x/a.pdf", "/x/a.pdfz", "/pub/q/ok/1", "/pub/q/1",
+        "/t/a9", "/none").map(("h", _)).toDF("host", "path")
+      val got = graft.text.Robots.matchUrlsWildcard(urls, rules)
+        .select(col("path"), col("allowed"))
+        .as[(String, Boolean)].collect().toMap
+      got("/x/a.pdf") shouldBe false   // $ holds
+      got("/x/a.pdfz") shouldBe true   // $ fails → no rule → default
+      got("/pub/q/ok/1") shouldBe true // len 9 Allow beats len 5 Disallow
+      got("/pub/q/1") shouldBe false
+      got("/t/a9") shouldBe true       // identical-length tie → Allow
+      got("/none") shouldBe true
+    }
+
     it("aucExact: hand 2U with ties, perfect/inverted/random endpoints") {
       import spark.implicits._
       // scores: pos {3,3,2}, neg {2,1,1} → pairs (9): 3>2 ×2·1? count:
