@@ -1307,13 +1307,38 @@ object Similarity {
   def knnLabelAgreement(embeddings: DataFrame, k: Int = 5,
       labelCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding", maxQueryId: Long = Long.MaxValue,
-      allowUnboundedQueries: Boolean = false): DataFrame = {
+      allowUnboundedQueries: Boolean = false): DataFrame =
+    labelAgreementFrom(
+      bruteTopK(embeddings, k, idCol, vecCol, maxQueryId,
+        allowUnboundedQueries),
+      embeddings, k, labelCol, idCol)
+
+  /** The SCALE path of [[knnLabelAgreement]]: neighbors from
+    * [[ivfTopK]]'s probe-pruned search instead of the linear-in-corpus
+    * brute scan (the 100× sweep measured brute at 107× time for 100×
+    * corpus — exact but linear by construction; IVF scans only the
+    * nprobe closest inverted lists). Same agreement semantics; equals
+    * the brute answer whenever the probed lists contain the true
+    * top-k (spec-pinned on clustered data). */
+  def knnLabelAgreementIvf(embeddings: DataFrame, k: Int = 5,
+      nprobe: Int = 2, centroidStride: Int = 50,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxQueryId: Long = Long.MaxValue): DataFrame =
+    labelAgreementFrom(
+      ivfTopK(embeddings, k, nprobe, centroidStride, idCol, vecCol,
+        maxQueryId),
+      embeddings, k, labelCol, idCol)
+
+  /** Agreement aggregation over ANY (qid, nid) neighbor frame — the
+    * shared tail of the brute audit and the IVF scale path. */
+  def labelAgreementFrom(topk: DataFrame, embeddings: DataFrame,
+      k: Int, labelCol: String = "label",
+      idCol: String = "vec_id"): DataFrame = {
     import graft.time.Buckets.intDiv
-    val topk = bruteTopK(embeddings, k, idCol, vecCol, maxQueryId,
-      allowUnboundedQueries)
     val labels = embeddings.select(col(idCol).as("__lid"),
       col(labelCol).as("__lbl"))
-    val withN = broadcast(topk)
+    val withN = broadcast(topk.select(col("qid"), col("nid")))
       .join(labels, col("nid") === col("__lid"))
       .select(col("qid"), col("nid"), col("__lbl").as("nlbl"))
     val withQ = broadcast(withN)

@@ -401,6 +401,26 @@ class Round11cSpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().map(_._3).toSet shouldBe Set(0)
     }
 
+    it("IVF scale path equals the brute audit on clustered data") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(5)
+      // two clearly-separated clusters, 30 vectors each
+      val df = (0 until 60).map { i =>
+        val base = if (i < 30) Array(1.0f, 0.0f, 0.0f)
+          else Array(0.0f, 1.0f, 0.0f)
+        (i.toLong, base.map(_ + rnd.nextFloat() * 0.05f), i / 30)
+      }.toDF("vec_id", "embedding", "label")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0),
+          (r.getInt(1), r.getLong(2), r.getLong(4)))).toMap
+      val brute = canon(graft.similarity.Similarity
+        .knnLabelAgreement(df, k = 5, maxQueryId = 1000L))
+      val ivf = canon(graft.similarity.Similarity
+        .knnLabelAgreementIvf(df, k = 5, nprobe = 2, centroidStride = 10))
+      ivf shouldBe brute
+      brute.values.foreach { case (_, nAgree, _) => nAgree shouldBe 5L }
+    }
+
     it("Robots.ruleRegex: metas escaped, * expanded, trailing-$ " +
         "anchored, mid-$ literal") {
       import spark.implicits._
