@@ -571,14 +571,6 @@ object Dedup {
     sh.unpersist()
   }
 
-  /** [[nearDupSearch]] THROUGH a [[writeLshIndex]] layout: the query
-    * batch is banded in memory (tiny) and broadcast against the stored
-    * bucket table; candidate corpus ids, when ≤ `maxCandidateIds`, are
-    * collected and pushed down as an In() filter on the sorted shingle
-    * table (row-group skipping — the point-lookup path a daily batch
-    * wants), else verified via a distributed semi-join. Decision is the
-    * same integer inequality as [[nearDupSearch]]; columns identical:
-    * (qid, did, n_shared, sz_q, sz_d). */
   /** LSH-banded CANDIDATE pairs of a query batch against a
     * [[writeLshIndex]] layout — the un-verified stage [[searchLshIndex]]
     * verifies: (qid, did) pairs sharing a band bucket with a stored
@@ -600,6 +592,15 @@ object Dedup {
       .distinct()
   }
 
+  /** [[nearDupSearch]] THROUGH a [[writeLshIndex]] layout: the query
+    * batch is banded in memory (tiny) and broadcast against the stored
+    * bucket table ([[lshIndexCandidates]]); candidate corpus ids, when
+    * ≤ `maxCandidateIds`, are collected and pushed down as an In()
+    * filter on the sorted shingle table (row-group skipping — the
+    * point-lookup path a daily batch wants), else verified via a
+    * distributed semi-join. Decision is the same integer inequality as
+    * [[nearDupSearch]]; columns identical:
+    * (qid, did, n_shared, sz_q, sz_d). */
   def searchLshIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, thresholdPpm: Long = 500000L,
       k: Int = 3, maxCandidateIds: Int = 10000,
@@ -668,16 +669,22 @@ object Dedup {
   def clusterIncrementFromPairs(bbPairs: DataFrame, bcPairs: DataFrame,
       existing: DataFrame,
       checkpointDir: Option[String] = None): ClusterDelta = {
+    // The candidate frames are the EXPENSIVE inputs (banding self-join
+    // / index scan) and feed both the edge set and batchIds, which
+    // every delta frame joins — persist once, release after the three
+    // outputs are materialized (searchLshIndex's cand discipline).
+    val bb = bbPairs.select(col("id1"), col("id2")).persist()
+    val bcp = bcPairs.select(col("qid"), col("did")).persist()
     val ex = existing.select(col("id"), col("cluster"))
-    val bc = bcPairs.select(col("qid"), col("did"))
+    val bc = bcp
       .join(ex.withColumnRenamed("id", "did"), Seq("did"), "left")
       .select(col("qid").as("id1"),
         coalesce(col("cluster"), col("did")).as("id2"))
-    val edges = bbPairs.select(col("id1"), col("id2")).unionByName(bc)
+    val edges = bb.unionByName(bc)
     val labels = clusterLabelsStar(edges, checkpointDir)
-    val batchIds = bbPairs.select(col("id1").as("id"))
-      .unionByName(bbPairs.select(col("id2").as("id")))
-      .unionByName(bcPairs.select(col("qid").as("id")))
+    val batchIds = bb.select(col("id1").as("id"))
+      .unionByName(bb.select(col("id2").as("id")))
+      .unionByName(bcp.select(col("qid").as("id")))
       .distinct()
     val oldLabels = ex.select(col("cluster").as("id")).distinct()
     val batchLabels = labels.join(batchIds, Seq("id"), "left_semi")
@@ -687,7 +694,9 @@ object Dedup {
     val touched = labels
       .join(batchIds, Seq("id"), "left_anti")
       .join(oldLabels, Seq("id"), "left_anti")
-    ClusterDelta(batchLabels, relabels, touched)
+    import graft.util.Checkpoints.materialize
+    ClusterDelta(materialize(batchLabels), materialize(relabels),
+      materialize(touched, unpersistAfter = Seq(bb, bcp)))
   }
 
   /** [[clusterIncrementFromPairs]] wired to the persistent-index daily

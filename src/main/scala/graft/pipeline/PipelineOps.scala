@@ -256,12 +256,20 @@ object PipelineOps {
     * is global and dense without any single-partition window, and any
     * re-run (or engine) produces the identical permutation. */
   def shuffleDeterministic(df: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    denseIndex(df, Seq(hashDraw(col(idCol)), col(idCol)), "shuffle_idx")
+
+  /** Dense 0-based global position in `sortCols` order — the shared
+    * range-sort + zipWithIndex mechanism of [[shuffleDeterministic]]
+    * and [[shardBalanced]] (global and dense without a one-task
+    * window; identical across re-runs and partitionings). */
+  private def denseIndex(df: DataFrame, sortCols: Seq[Column],
+      outCol: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.sort(hashDraw(col(idCol)), col(idCol))
+    val sorted = df.sort(sortCols: _*)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("shuffle_idx",
+        org.apache.spark.sql.types.StructField(outCol,
           org.apache.spark.sql.types.LongType, nullable = false))
     spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) =>
@@ -282,16 +290,8 @@ object PipelineOps {
   def shardBalanced(df: DataFrame, sizeCol: String, nShards: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val spark = df.sparkSession
-    val sorted = df.sort(col(sizeCol).desc, col(idCol))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("__pos",
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val withPos = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    val withPos = denseIndex(df,
+      Seq(col(sizeCol).desc, col(idCol)), "__pos")
     import graft.time.Buckets.intDiv
     val n = lit(nShards.toLong)
     val k = pmod(col("__pos"), n)

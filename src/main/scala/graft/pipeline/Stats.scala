@@ -240,32 +240,21 @@ object Stats {
       Seq(valueCol), "left")
   }
 
-  /** PRECISION/RECALL CURVE of an integer quality score against gold
-    * labels — the calibration table a filter-threshold decision reads
-    * (FineWeb-style "pick the classifier cutoff" step). One point per
-    * DISTINCT score s, for the keep-rule `score ≥ s`:
-    * (threshold, tp, fp, fn, precision_ppm, recall_ppm), integral ppm.
-    *
-    * Shape: per-score (n_pos, n_neg) aggregate (map-side combine), two
-    * [[PipelineOps.exclusivePrefixSum]] ascending passes for the
-    * strictly-below sums (never a one-task global window past the
-    * probe), totals as a 1×1 scalar combine: tp = total_pos −
-    * pos_below, fp = total_neg − neg_below. Linear, skew-free — the
-    * threshold table is as big as the distinct-score set, not the
-    * corpus. */
   /** EXACT ROC AUC of an integer score against gold labels — the
     * one-number companion of [[prCurve]] (Mann–Whitney U: the
     * probability a random positive outscores a random negative, ties
     * ½). Stated integer-exactly: 2U = Σ over distinct scores of
     * pos_cnt·(2·neg_strictly_below + neg_ties), auc_ppm =
-    * 2U·5·10⁵ ÷ (n_pos·n_neg) by integral division in DECIMAL(38,0)
-    * (n_pos·n_neg overflows LONG past ~3·10⁹ rows a side). Same
-    * machinery as prCurve: per-score counts, one ascending
-    * exclusive-prefix pass, scalar combine. One row:
-    * (n_pos, n_neg, two_u, auc_ppm). */
+    * 2U·5·10⁵ ÷ (n_pos·n_neg) by integral division — every
+    * multiplication on DECIMAL(19,0)-cast operands so nothing wraps in
+    * LONG first (n_pos·n_neg and the per-score product both exceed
+    * LONG past ~3·10⁹ rows a side). Same machinery as prCurve:
+    * per-score counts, one ascending exclusive-prefix pass, scalar
+    * combine. One row: (n_pos, n_neg, two_u, auc_ppm). */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
       windowThreshold: Int = 1 << 20): DataFrame = {
     import graft.time.Buckets.intDiv
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
     val counts = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("__s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
@@ -276,13 +265,13 @@ object Stats {
     below.agg(
         sum(col("__pos")).as("n_pos"),
         sum(col("__neg")).as("n_neg"),
-        sum((col("__pos") *
-          (col("__neg_below") * 2L + col("__neg"))).cast("decimal(38,0)"))
-          .as("__two_u"))
+        sum((dec(col("__pos")) *
+          (dec(col("__neg_below")) * 2 + dec(col("__neg"))))
+          .cast("decimal(38,0)")).as("__two_u"))
       .select(col("n_pos"), col("n_neg"),
         col("__two_u").cast("decimal(38,0)").as("two_u"),
         intDiv(col("__two_u") * lit(500000L).cast("decimal(38,0)"),
-          greatest((col("n_pos") * col("n_neg")).cast("decimal(38,0)"),
+          greatest(dec(col("n_pos")) * dec(col("n_neg")),
             lit(1L).cast("decimal(38,0)"))).as("auc_ppm"))
   }
 
@@ -327,6 +316,20 @@ object Stats {
     agg.join(broadcast(qs), Seq("lang"))
   }
 
+  /** PRECISION/RECALL CURVE of an integer quality score against gold
+    * labels — the calibration table a filter-threshold decision reads
+    * (FineWeb-style "pick the classifier cutoff" step). One point per
+    * DISTINCT score s, for the keep-rule `score ≥ s`:
+    * (threshold, tp, fp, fn, precision_ppm, recall_ppm), integral ppm.
+    *
+    * Shape: per-score (n_pos, n_neg) aggregate (map-side combine), two
+    * [[PipelineOps.exclusivePrefixSum]] ascending passes for the
+    * strictly-below sums (never a one-task global window past the
+    * probe), totals aggregated from the already-materialized prefix
+    * frame (no second input scan) as a 1×1 scalar combine: tp =
+    * total_pos − pos_below, fp = total_neg − neg_below. Linear,
+    * skew-free — the threshold table is as big as the distinct-score
+    * set, not the corpus. NULL labels count as negatives. */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
       windowThreshold: Int = 1 << 20): DataFrame = {
     import graft.time.Buckets.intDiv
@@ -339,7 +342,9 @@ object Stats {
       PipelineOps.exclusivePrefixSum(counts, "__all", Seq("threshold"),
         "__pos", "__pos_below", windowThreshold),
       "__all", Seq("threshold"), "__neg", "__neg_below", windowThreshold)
-    val totals = counts.agg(sum(col("__pos")).as("__tot_pos"),
+    // totals from the (materialized) prefix frame — not a second scan
+    // of the input
+    val totals = below.agg(sum(col("__pos")).as("__tot_pos"),
       sum(col("__neg")).as("__tot_neg"))
     below.crossJoin(broadcast(totals)) // deliberate 1×1 scalar combine
       .select(col("threshold"),

@@ -1102,7 +1102,10 @@ object Similarity {
         posexplode(col("qs")).as(Seq("j", "qj")))
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)"))
+      // multiply on DECIMAL operands — a LONG product wraps silently
+      // past |x| ≈ 3036 (q ≈ 3·10⁹, q² > Long.MaxValue)
+      .agg(sum((col("qi").cast("decimal(19,0)") *
+          col("qj").cast("decimal(19,0)")).cast("decimal(38,0)"))
         .as("gram_micro2"))
   }
 
@@ -1136,7 +1139,11 @@ object Similarity {
           while (i < d) {
             var j = i
             while (j < d) {
-              acc(p) = Math.addExact(acc(p), q(i) * q(j)); j += 1; p += 1
+              // multiplyExact too: q(i)·q(j) wraps silently past
+              // |x| ≈ 3036 and addExact would accumulate the garbage
+              acc(p) = Math.addExact(acc(p),
+                Math.multiplyExact(q(i), q(j)))
+              j += 1; p += 1
             }
             i += 1
           }
@@ -1205,8 +1212,13 @@ object Similarity {
     val spans = typedlit(model.spanMicro)
     val q = transform(col(vecCol), (x, i) => {
       val xm = floor(x.cast("double") * 1000000d).cast("long")
-      (intDiv((xm - element_at(mns, i + 1)) * 254L,
-        element_at(spans, i + 1)) - 127L).cast("byte")
+      // clamp BEFORE the byte cast: quantizing NEW vectors with a
+      // stored model (the advertised reuse) can land outside the
+      // fitted range, and an unclamped 130 would byte-wrap to −126 —
+      // silently inverting the dimension downstream
+      val raw = intDiv((xm - element_at(mns, i + 1)) * 254L,
+        element_at(spans, i + 1)) - 127L
+      greatest(least(raw, lit(127L)), lit(-127L)).cast("byte")
     })
     embeddings.select(col(idCol), q.as("qvec"))
   }

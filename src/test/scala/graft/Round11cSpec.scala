@@ -249,6 +249,19 @@ class Round11cSpec extends SparkSpec {
       back shouldBe Set(0.5f)
     }
 
+    it("stored-model reuse clamps out-of-range coordinates to ±127 " +
+        "instead of byte-wrapping") {
+      import spark.implicits._
+      val fitOn = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val m = Similarity.fitInt8(fitOn)
+      // new batch outside the fitted range on both sides
+      val batch = Seq((3L, Array(2.5f, -1.5f))).toDF("vec_id", "embedding")
+      val got = Similarity.int8Quantize(batch, m)
+        .collect().head.getSeq[Byte](1).map(_.toInt)
+      got shouldBe Seq(127, -127)
+    }
+
     it("round trip error is bounded by span/254 + 1 micro per " +
         "coordinate, and codes are partitioning-independent") {
       import spark.implicits._
