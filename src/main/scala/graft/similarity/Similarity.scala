@@ -1250,7 +1250,14 @@ object Similarity {
     * arithmetic, not data. */
   def pcaComponents(gram: DataFrame, topK: Int,
       maxDim: Int = 1024): Seq[(Double, Array[Double])] = {
-    val rows = gram.collect()
+    // bounded collect (the BoundedCollect discipline): limit BEFORE
+    // collecting so a mistakenly-huge frame fails the require instead
+    // of OOMing the driver
+    val bound = maxDim * (maxDim + 1) / 2
+    val rows = gram.limit(bound + 1).collect()
+    require(rows.length <= bound,
+      s"pcaComponents: more than $bound rows — not a $maxDim-bounded " +
+        "Gram triangle")
     val d = rows.iterator.map(r => r.getInt(1)).foldLeft(0)(math.max) + 1
     require(d <= maxDim && rows.length == d * (d + 1) / 2,
       s"pcaComponents: want a $maxDim-bounded upper triangle, " +
