@@ -2453,6 +2453,21 @@ object SparkEntry {
         .crossJoin(graft.dedup.Dedup.corpusShingleJaccard(a, b))
     }),
 
+    // MULTI-BENCHMARK CONTAMINATION SUMMARY (text/Decontaminate
+    // .contaminationSummary): the per-eval-suite table a data card
+    // publishes — three benches from the doc_id % 97 holdout, ONE pass
+    // over corpus grams for all suites, corpus size a scalar combine.
+    "q203_contam_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val benches = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("b"),
+          (graft.time.Buckets.intDiv(col("doc_id"), lit(97L)) % 3)
+            .cast("string")).as("bench"),
+          col("doc_id"), col("text"))
+      graft.text.Decontaminate.contaminationSummary(
+        docs.filter(col("doc_id") % 97 =!= 0), benches, n = 3)
+    }),
+
     // ROBOTS WILDCARD MATCHING (text/Robots.matchUrlsWildcard): RFC
     // 9309 §2.2.3 parity — `*` and end-`$` rules the prefix matcher
     // fails open on. Bodies parsed by the real distributed parser
@@ -4862,6 +4877,29 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q203: q111's gram SQL with bench names; per-bench distinct
+      // grams, per-(doc,bench) counts, summary with integral ppm.
+      "q203_contam_report" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(0, len(t) - 2),
+           |    i -> array_to_string(t[i+1:i+3], ' ')))) AS gram
+           |  FROM base WHERE len(t) >= 3),
+           |bg AS (SELECT DISTINCT
+           |    'b' || CAST((doc_id // 97) % 3 AS VARCHAR) AS bench, gram
+           |  FROM g WHERE doc_id % 97 = 0),
+           |per AS (SELECT g.doc_id, bg.bench, count(*) AS n_shared
+           |  FROM g JOIN bg USING (gram)
+           |  WHERE g.doc_id % 97 <> 0 GROUP BY 1, 2),
+           |tot AS (SELECT count(*) AS n_corpus FROM documents
+           |  WHERE doc_id % 97 <> 0)
+           |SELECT bench, count(*) AS n_docs_flagged,
+           |  CAST(sum(n_shared) AS BIGINT) AS n_hits,
+           |  CAST(count(*) * 1000000 //
+           |    greatest((SELECT n_corpus FROM tot), 1) AS BIGINT)
+           |    AS flagged_ppm
+           |FROM per GROUP BY bench""".stripMargin,
 
       // q202: rule set as VALUES (q159 discipline) + the SAME
       // escape-chain → `*`/`$` translation and longest-rule/Allow-tie

@@ -51,4 +51,49 @@ object Decontaminate {
     corpus.join(overlapReport(corpus, bench, n, idCol, textCol)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** [[overlapReport]] against MANY benchmarks at once — `benches`
+    * carries a name column; returns (doc_id, bench, n_shared_grams)
+    * per contaminated (corpus doc, benchmark) pair. One pass over the
+    * corpus grams for ALL benchmarks (the release-audit shape: eval
+    * suites arrive as one union, not N separate scans of 100 TB);
+    * benchmark grams broadcast, inner-join fan-out bounded by the
+    * number of benchmarks sharing a gram. */
+  def overlapReportByBench(corpus: DataFrame, benches: DataFrame,
+      n: Int = 8, benchCol: String = "bench", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val bg = broadcast(benches
+      .select(col(benchCol).as("bench"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("bench"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => array_join(slice(col("t"), i + 1, lit(n)), " "))))
+        .as("gram"))
+      .distinct())
+    grams(corpus, n, idCol, textCol)
+      .join(bg, Seq("gram"))
+      .groupBy(col("doc_id"), col("bench"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Per-benchmark release summary over [[overlapReportByBench]]:
+    * (bench, n_docs_flagged, n_hits, flagged_ppm of the corpus) — the
+    * table a data card publishes per eval suite. Corpus size enters as
+    * a 1×1 scalar combine; ppm integral. */
+  def contaminationSummary(corpus: DataFrame, benches: DataFrame,
+      n: Int = 8, benchCol: String = "bench", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.time.Buckets.intDiv
+    val per = overlapReportByBench(corpus, benches, n, benchCol,
+      idCol, textCol)
+    val total = corpus.agg(count(lit(1)).as("__n_corpus"))
+    per.groupBy(col("bench"))
+      .agg(count(lit(1)).as("n_docs_flagged"),
+        sum(col("n_shared_grams")).as("n_hits"))
+      .crossJoin(broadcast(total)) // deliberate 1×1 scalar combine
+      .select(col("bench"), col("n_docs_flagged"), col("n_hits"),
+        intDiv(col("n_docs_flagged") * 1000000L,
+          greatest(col("__n_corpus"), lit(1L))).as("flagged_ppm"))
+  }
 }

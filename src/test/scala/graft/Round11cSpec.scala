@@ -434,6 +434,28 @@ class Round11cSpec extends SparkSpec {
       brute.values.foreach { case (_, nAgree, _) => nAgree shouldBe 5L }
     }
 
+    it("multi-benchmark contamination: per-(doc,bench) distinct-gram " +
+        "counts and the release summary") {
+      import spark.implicits._
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps"),   // hits b0 (2 grams)
+        (2L, "totally clean original text"), // no hits
+        (3L, "lazy dog sleeps all day")      // hits b1 (1 gram)
+      ).toDF("doc_id", "text")
+      val benches = Seq(
+        ("b0", 100L, "the quick brown fox"), // shares 2 grams with doc1
+        ("b1", 101L, "fox jumps high lazy dog sleeps") // 1 gram of doc3
+      ).toDF("bench", "doc_id", "text")
+      val per = graft.text.Decontaminate
+        .overlapReportByBench(corpus, benches, n = 3)
+        .as[(Long, String, Long)].collect().toSet
+      per shouldBe Set((1L, "b0", 2L), (3L, "b1", 1L))
+      val sum = graft.text.Decontaminate
+        .contaminationSummary(corpus, benches, n = 3)
+        .as[(String, Long, Long, Long)].collect().toSet
+      sum shouldBe Set(("b0", 1L, 2L, 333333L), ("b1", 1L, 1L, 333333L))
+    }
+
     it("Robots.ruleRegex: metas escaped, * expanded, trailing-$ " +
         "anchored, mid-$ literal") {
       import spark.implicits._
