@@ -2468,6 +2468,81 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0), benches, n = 3)
     }),
 
+    // K-ANONYMITY / L-DIVERSITY AUDIT (pipeline/Privacy
+    // .kAnonymityAudit): the metadata-release gate — every
+    // (nation, segment) quasi-identifier combination that is below
+    // k = 10 rows or below l = 3 distinct sensitive values. ONE hash
+    // aggregate over the QI columns; suppression/summary spec-checked.
+    "q204_kanonymity" -> ((s, d) =>
+      graft.pipeline.Privacy.kAnonymityAudit(
+        Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 3)),
+
+    // MEMORIZATION AUDIT (text/Memorization.repeatedNgrams): word
+    // 3-grams repeated across ≥ 3 distinct docs with doc/occurrence
+    // counts (Lee et al. 2022 / Carlini et al. 2022 — duplication
+    // count predicts verbatim extraction). One explode + one gram-keyed
+    // hash agg; threshold filter, not top-k, so fully deterministic.
+    "q205_repeated_ngrams" -> ((s, d) =>
+      graft.text.Memorization.repeatedNgrams(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        n = 3, minDocs = 3)),
+
+    // BLOOM-PREFILTERED DECONTAMINATION (text/Decontaminate
+    // .overlapReportBloom): q111's exact overlap report, computed the
+    // way a too-big-to-broadcast benchmark forces — corpus grams shed
+    // against broadcast Bloom BITS (m = 4096, k = 3) before a shuffled
+    // exact verify join. Bloom negatives exact + verify kills false
+    // positives ⇒ result IDENTICAL to the plain exact join (the oracle
+    // states the exact join; the filter is invisible by construction).
+    "q206_bloom_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.text.Decontaminate.overlapReportBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 2, m = 4096, kHash = 3)
+    }),
+
+    // KMV SKETCH SOURCE-OVERLAP MATRIX (sketch/Kmv.pairwiseOverlap):
+    // per source-pair vocabulary overlap from k = 32 minimum-value
+    // registers over token hashes — the theta-sketch intersection
+    // algebra HLL registers cannot do. The corpus enters ONCE
+    // (registers); the pair expansion runs on the ≤ |sources|·k
+    // register table. Registers/merge law + FP estimator spec-checked.
+    "q207_kmv_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("text"))
+      val toks = docs.select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      graft.sketch.Kmv.pairwiseOverlap(
+        graft.sketch.Kmv.registers(toks, Seq("source"), col("tok"), k = 32),
+        "source", k = 32)
+    }),
+
+    // Z-ORDER LAYOUT AUDIT (pipeline/Layout.zBucketStats): Morton-key
+    // bucket rectangles over lineitem (l_partkey, l_suppkey) at 8 bits
+    // per dimension, 6-bit bucket prefix — the multi-dimensional
+    // data-skipping layout (Delta OPTIMIZE ZORDER); tight per-bucket
+    // min/max on BOTH dims is the skipping evidence. Bounds enter as
+    // one 1×1 scalar combine; writer + non-overlap spec-checked.
+    "q208_zorder" -> ((s, d) =>
+      graft.pipeline.Layout.zBucketStats(
+        Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", bits = 8, prefixBits = 6)),
+
+    // TAKEDOWN PROPAGATION (dedup/Dedup.takedownManifest): removal
+    // requests (doc_id % 53 = 0, plus one id absent from the corpus)
+    // expand through near-dup clusters — seeds' cluster-mates ship as
+    // reason = 'neardup', the absent seed as a NULL-cluster 'seed' row.
+    // Clusters = the q36 LSH→star-CC path over the doubled corpus; at
+    // scale the manifest runs on the STORED label table (broadcast
+    // seed semi-joins, corpus untouched).
+    "q209_takedown" -> ((s, d) => {
+      val seeds = doubledDocs(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 53 === 0)
+        .unionByName(s.range(1).select(
+          lit(1999999999L).as("doc_id")))
+      graft.dedup.Dedup.takedownManifest(doubledDocs(s, d), seeds)
+    }),
+
     // ROBOTS WILDCARD MATCHING (text/Robots.matchUrlsWildcard): RFC
     // 9309 §2.2.3 parity — `*` and end-`$` rules the prefix matcher
     // fails open on. Bodies parsed by the real distributed parser
@@ -4877,6 +4952,118 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q204: one GROUP BY + HAVING — k-anonymity (group size) and
+      // l-diversity (distinct sensitive values) stated directly.
+      "q204_kanonymity" ->
+        """SELECT c_nationkey, c_mktsegment, count(*) AS group_n,
+          |  count(DISTINCT c_acctbal) AS n_sensitive
+          |FROM customer GROUP BY 1, 2
+          |HAVING count(*) < 10 OR count(DISTINCT c_acctbal) < 3""".stripMargin,
+
+      // q205: q111's gram construction WITHOUT list_distinct (occurrence
+      // counts need multiplicity); distinct docs via count(DISTINCT).
+      "q205_repeated_ngrams" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(
+           |    range(0, len(t) - 2),
+           |    i -> array_to_string(t[i+1:i+3], ' '))) AS gram
+           |  FROM base WHERE len(t) >= 3)
+           |SELECT gram, count(DISTINCT doc_id) AS n_docs,
+           |  count(*) AS n_occurrences
+           |FROM g GROUP BY gram
+           |HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+
+      // q206: the EXACT 2-gram overlap join — the engine's Bloom
+      // prefilter must be invisible (exact negatives, verified
+      // positives), so the oracle deliberately states no filter.
+      "q206_bloom_decontam" ->
+        s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(0, len(t) - 1),
+           |    i -> array_to_string(t[i+1:i+2], ' ')))) AS gram
+           |  FROM base WHERE len(t) >= 2),
+           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+           |SELECT doc_id, count(*) AS n_shared_grams
+           |FROM g JOIN bench USING (gram)
+           |WHERE doc_id % 97 <> 0 GROUP BY doc_id""".stripMargin,
+
+      // q207: KMV registers = k smallest distinct 60-bit md5 hashes per
+      // source (the simhash 15-hex-char convention); pair overlap over
+      // the union's own k smallest. Integral ppm via //.
+      "q207_kmv_overlap" ->
+        s"""WITH toks AS (SELECT source, unnest($toksSql) AS tok
+           |    FROM documents),
+           |hx AS (SELECT DISTINCT source,
+           |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+           |regs AS (SELECT source, h FROM (
+           |    SELECT source, h, row_number() OVER (
+           |      PARTITION BY source ORDER BY h) AS rk FROM hx)
+           |  WHERE rk <= 32),
+           |prs AS (SELECT a.source AS ga, b.source AS gb
+           |  FROM (SELECT DISTINCT source FROM regs) a
+           |  JOIN (SELECT DISTINCT source FROM regs) b
+           |    ON a.source < b.source),
+           |u AS (SELECT p.ga, p.gb, r.h,
+           |    max(CASE WHEN r.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+           |    max(CASE WHEN r.source = p.gb THEN 1 ELSE 0 END) AS in_b
+           |  FROM prs p JOIN regs r ON r.source IN (p.ga, p.gb)
+           |  GROUP BY 1, 2, 3),
+           |k AS (SELECT *, row_number() OVER (
+           |    PARTITION BY ga, gb ORDER BY h) AS rk FROM u)
+           |SELECT ga, gb, count(*) AS n_union_k,
+           |  CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+           |  CAST((sum(in_a * in_b) * 1000000) // count(*) AS BIGINT)
+           |    AS jaccard_ppm
+           |FROM k WHERE rk <= 32 GROUP BY ga, gb""".stripMargin,
+
+      // q208: the Morton interleave stated as an arithmetic bit sum —
+      // scale each dim to [0,256) with integral //, interleave 8 bits
+      // each, bucket by the top 6 key bits.
+      "q208_zorder" -> {
+        val terms = (0 until 8).map(i =>
+          s"(((xs >> $i) & 1) << ${2 * i}) + (((ys >> $i) & 1) << ${2 * i + 1})")
+          .mkString("\n    + ")
+        s"""WITH b AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+           |    min(l_suppkey) AS ylo, max(l_suppkey) AS yhi FROM lineitem),
+           |s AS (SELECT l_partkey, l_suppkey,
+           |    ((l_partkey - xlo) * 255) // greatest(xhi - xlo, 1) AS xs,
+           |    ((l_suppkey - ylo) * 255) // greatest(yhi - ylo, 1) AS ys
+           |  FROM lineitem, b),
+           |z AS (SELECT l_partkey, l_suppkey,
+           |    ($terms) AS zk
+           |  FROM s)
+           |SELECT CAST(zk >> 10 AS BIGINT) AS z_bucket, count(*) AS n,
+           |  min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+           |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+           |FROM z GROUP BY 1""".stripMargin
+      },
+
+      // q209: q36's recursive component closure + seed propagation —
+      // members of seed-touched clusters with seed/neardup reasons,
+      // absent seeds as NULL-cluster rows.
+      "q209_takedown" ->
+        s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+           |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach(a, b) AS (SELECT a, b FROM edges
+           |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |labels AS (SELECT a AS id, CAST(least(a, min(b)) AS BIGINT)
+           |    AS cluster FROM reach GROUP BY a),
+           |corpus AS ($doubledSql),
+           |seeds AS (SELECT doc_id AS id FROM corpus WHERE doc_id % 53 = 0
+           |  UNION SELECT 1999999999),
+           |sc AS (SELECT DISTINCT cluster FROM labels JOIN seeds USING (id)),
+           |flagged AS (SELECT l.id AS doc_id, l.cluster,
+           |    CASE WHEN s.id IS NOT NULL THEN 'seed' ELSE 'neardup' END
+           |      AS reason
+           |  FROM labels l JOIN sc USING (cluster)
+           |  LEFT JOIN seeds s ON l.id = s.id),
+           |lone AS (SELECT id AS doc_id, CAST(NULL AS BIGINT) AS cluster,
+           |    'seed' AS reason FROM seeds
+           |  WHERE id NOT IN (SELECT id FROM labels))
+           |SELECT doc_id, cluster, reason FROM flagged
+           |UNION ALL SELECT doc_id, cluster, reason FROM lone""".stripMargin,
 
       // q203: q111's gram SQL with bench names; per-bench distinct
       // grams, per-(doc,bench) counts, summary with integral ppm.

@@ -867,6 +867,56 @@ object Dedup {
     withC.join(winners, col(idCol) === col("__win"), "left_semi")
   }
 
+  /** Compliance takedown with near-dup PROPAGATION, from a stored
+    * label table: a removal request (copyright claim, opt-out, court
+    * order) names seed docs, but the corpus also holds their
+    * near-duplicates — shipping those defeats the removal. Given the
+    * cluster label table ((id, cluster) — [[clusterLabelsStar]]'s
+    * output, maintained incrementally by [[clusterIncrement]]; docs in
+    * no candidate pair are absent) and a seed frame, returns the
+    * removal MANIFEST: (idCol, cluster, reason) with reason `'seed'`
+    * for requested docs and `'neardup'` for cluster-mates pulled in by
+    * propagation; a seed in no cluster appears with a NULL cluster.
+    *
+    * Scale: request batches are tiny — both seed joins are broadcast
+    * semi-joins against the label table; the 100 TB corpus is never
+    * touched (that is the point of operating on the STORED labels). */
+  def takedownManifestFromLabels(labels: DataFrame, seeds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    // id/cluster stay whatever type the label table carries — the null
+    // cluster of lone seeds is typed off the table, not assumed long.
+    val clusterType = labels.schema("cluster").dataType
+    val seedIds = broadcast(seeds.select(col(idCol).as("id")).distinct())
+    val seedClusters = broadcast(labels
+      .join(seedIds, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct())
+    val members = labels.join(seedClusters, Seq("cluster"), "left_semi")
+    val flagged = members
+      .join(seedIds.withColumn("__is_seed", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        when(col("__is_seed").isNotNull, lit("seed"))
+          .otherwise(lit("neardup")).as("reason"))
+    val loneSeeds = seedIds.join(labels, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), lit(null).cast(clusterType).as("cluster"),
+        lit("seed").as("reason"))
+    flagged.unionByName(loneSeeds)
+  }
+
+  /** [[takedownManifestFromLabels]] when no label table exists yet:
+    * cluster the corpus first (LSH candidates → star-CC labels), then
+    * propagate. The self-contained form for one-off audits; a
+    * production pipeline keeps the labels stored and incremental. */
+  def takedownManifest(docs: DataFrame, seeds: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    takedownManifestFromLabels(
+      clusterLabelsStar(minhashCandidatePairs(docs, k, idCol, textCol)),
+      seeds, idCol)
+
+  /** The corpus minus a takedown manifest — the enforcement anti-join. */
+  def applyTakedown(docs: DataFrame, manifest: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(manifest.select(col(idCol)), Seq(idCol), "left_anti")
+
   /** 60-bit SimHash per doc: per-token md5-derived hash, bitwise
     * majority vote over token occurrences. Runs as the codegen'd
     * [[graft.functions.SimHash60]] expression — the interpreted

@@ -50,15 +50,18 @@ object Bloom {
     * filter side stays a relational frame (broadcastable when small). */
   def filterMaybeContains(probe: DataFrame, bits: DataFrame, key: Column,
       m: Int = 4096, k: Int = 4): DataFrame = {
-    val withPos = probe.withColumn("__pos", positions(key, m, k))
-    val hits = withPos
-      .select(key.cast("string").as("__k"), explode(col("__pos")).as("bit"))
+    // Membership is decided per DISTINCT key — a key probed from many
+    // rows must still see exactly k exploded positions, or the
+    // count == k test below would reject every repeated key (each
+    // occurrence would add k more counted rows).
+    val keys = probe.select(key.cast("string").as("__k")).distinct()
+    val hits = keys
+      .select(col("__k"), explode(positions(col("__k"), m, k)).as("bit"))
       .join(broadcast(bits), Seq("bit"))
       .groupBy(col("__k")).agg(count(lit(1)).as("__nset"))
       .filter(col("__nset") === k)
       .select(col("__k"))
-    withPos.drop("__pos")
-      .join(broadcast(hits), key.cast("string") === col("__k"), "left_semi")
+    probe.join(hits, key.cast("string") === col("__k"), "left_semi")
   }
 
   /** Bloom-prefiltered equi-join — the runtime-filter pattern: build a

@@ -52,6 +52,31 @@ object Decontaminate {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[overlapReport]] with a Bloom-filter prefilter on the corpus
+    * gram stream — the shape for when the benchmark union is too big
+    * to broadcast as STRINGS but its bit filter is not (a 100 M-gram
+    * eval union is gigabytes of text yet one 256 MB filter). The
+    * corpus side sheds non-matching grams against the broadcast bits
+    * BEFORE the exact verify join ships anything; Bloom negatives are
+    * exact, false positives are removed by the verify, so the result
+    * is IDENTICAL to [[overlapReport]] (same oracle). The verify join
+    * runs as a plain shuffled equi-join on the survivors — deliberately
+    * not broadcast, matching the premise that the bench gram table is
+    * large. */
+  def overlapReportBloom(corpus: DataFrame, bench: DataFrame, n: Int = 8,
+      m: Int = 1 << 16, kHash: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.sketch.Bloom
+    val benchGrams = grams(bench, n, idCol, textCol)
+      .select(col("gram")).distinct()
+    val bits = Bloom.setBits(benchGrams, col("gram"), m, kHash)
+    Bloom.filterMaybeContains(
+        grams(corpus, n, idCol, textCol), bits, col("gram"), m, kHash)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** [[overlapReport]] against MANY benchmarks at once — `benches`
     * carries a name column; returns (doc_id, bench, n_shared_grams)
     * per contaminated (corpus doc, benchmark) pair. One pass over the

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Layout, Privacy}
+import graft.sketch.{Bloom, Kmv}
+import graft.text.{Decontaminate, Memorization}
+import graft.dedup.Dedup
+
+/** Round-11 fourth batch: privacy audit, memorization audit, Bloom
+  * prefilter fix, KMV sketch, z-order layout, takedown propagation. */
+class Round11dSpec extends SparkSpec {
+
+  describe("Privacy.kAnonymityAudit") {
+    import spark.implicits._
+    // (zip, age) QI; salary sensitive. Group A: 3 rows 2 salaries;
+    // group B: 1 row; group C: 4 rows 4 salaries.
+    val rows = Seq(
+      ("94110", 30, 100), ("94110", 30, 100), ("94110", 30, 200),
+      ("94110", 31, 50),
+      ("10001", 40, 10), ("10001", 40, 20), ("10001", 40, 30),
+      ("10001", 40, 40)
+    ).toDF("zip", "age", "salary")
+
+    it("flags sub-k groups and sub-l groups, passes the rest") {
+      val bad = Privacy.kAnonymityAudit(rows, Seq("zip", "age"),
+        "salary", k = 3, l = 3).collect()
+      val byKey = bad.map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+      // A: n=3 passes k but 2 distinct salaries < l=3 → flagged
+      byKey(("94110", 30)) shouldBe ((3L, 2L))
+      // B: n=1 < k → flagged
+      byKey(("94110", 31)) shouldBe ((1L, 1L))
+      // C passes both
+      byKey.keySet should not contain (("10001", 40))
+    }
+
+    it("summary reports achieved k and rows at risk") {
+      val s = Privacy.kAnonymitySummary(rows, Seq("zip", "age"),
+        "salary", k = 3, l = 3).collect()(0)
+      s.getLong(0) shouldBe 3L // n_groups
+      s.getLong(1) shouldBe 2L // n_violating
+      s.getLong(2) shouldBe 1L // rows_at_risk (only sub-k group B)
+      s.getLong(3) shouldBe 1L // min_group_n = achieved k
+    }
+
+    it("suppression leaves a k-anonymous remainder, null QI handled") {
+      val withNull = rows.unionByName(
+        Seq((null.asInstanceOf[String], 99, 1)).toDF("zip", "age", "salary"))
+      val kept = Privacy.suppressSmallGroups(withNull, Seq("zip", "age"), 3)
+      kept.count() shouldBe 7L // drops group B (1 row) and the null row
+      val sizes = kept.groupBy("zip", "age").count()
+        .select(min("count")).collect()(0).getLong(0)
+      sizes should be >= 3L
+    }
+  }
+
+  describe("Memorization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown dog sits"),
+      (3L, "the quick brown cat naps the quick brown cat naps"),
+      (4L, "entirely unique words here")
+    ).toDF("doc_id", "text")
+
+    it("repeatedNgrams counts distinct docs and raw occurrences") {
+      val r = Memorization.repeatedNgrams(docs, n = 3, minDocs = 3)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      // 'the quick brown' in docs 1,2,3; doc 3 has it twice → 4 occ
+      r should contain(("the quick brown", 3L, 4L))
+      // 'quick brown cat' only in doc 3 (twice) → below minDocs
+      r.map(_._1) should not contain "quick brown cat"
+    }
+
+    it("exposure scores docs by repeated-gram share") {
+      val e = Memorization.exposure(docs, n = 3, minDocs = 3).collect()
+        .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+      e(1L)._2 shouldBe 1L // one distinct repeated gram
+      e(4L) shouldBe ((2L, 0L)) // no repeated grams, still reported
+    }
+  }
+
+  describe("Bloom.filterMaybeContains (repeated-key fix)") {
+    import spark.implicits._
+    it("keeps every true member even when a key repeats across rows") {
+      val members = Seq("a", "a", "a", "b", "b").toDF("k")
+      val bits = Bloom.setBits(Seq("a", "b").toDF("k"), col("k"), 256, 3)
+      Bloom.filterMaybeContains(members, bits, col("k"), 256, 3)
+        .count() shouldBe 5L
+    }
+    it("overlapReportBloom equals the exact overlapReport") {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+      val exact = Decontaminate.overlapReport(corpus, bench, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val bloom = Decontaminate
+        .overlapReportBloom(corpus, bench, n = 2, m = 2048, kHash = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      bloom shouldBe exact
+      exact.length should be > 0
+    }
+  }
+
+  describe("Kmv sketch") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (s"g${i % 3}", s"v${i % 40}"))
+      .toDF("g", "v")
+
+    it("registers are the k smallest distinct hashes, deterministic") {
+      val r1 = Kmv.registers(df, Seq("g"), col("v"), k = 8)
+      val r2 = Kmv.registers(df.repartition(7), Seq("g"), col("v"), k = 8)
+      r1.collect().map(r => (r.getString(0), r.getLong(1))).sorted shouldBe
+        r2.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      r1.groupBy("g").count().collect()
+        .foreach(_.getLong(1) should be <= 8L)
+    }
+
+    it("merge law: registers(A ∪ B) == merge(registers(A), registers(B))") {
+      val a = df.filter(col("v").substr(2, 2).cast("int") % 2 === 0)
+      val b = df.filter(col("v").substr(2, 2).cast("int") % 2 =!= 0)
+      val whole = Kmv.registers(df, Seq("g"), col("v"), k = 8)
+        .select("g", "h").collect().map(r => (r.getString(0), r.getLong(1)))
+      val merged = Kmv.merge(
+        Kmv.registers(a, Seq("g"), col("v"), k = 8).unionByName(
+          Kmv.registers(b, Seq("g"), col("v"), k = 8)),
+        Seq("g"), k = 8)
+        .select("g", "h").collect().map(r => (r.getString(0), r.getLong(1)))
+      merged.sorted shouldBe whole.sorted
+    }
+
+    it("small groups estimate exactly; estimator tracks true distinct") {
+      val regs = Kmv.registers(df, Seq("g"), col("v"), k = 64)
+      val est = Kmv.distinctEstimates(regs, Seq("g"), k = 64).collect()
+        .map(r => (r.getString(0), r.getDouble(3))).toMap
+      // each group holds < 64 distinct values → register count IS exact
+      val truth = df.select("g", "v").distinct().groupBy("g").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      truth.foreach { case (g, n) => est(g) shouldBe n.toDouble }
+    }
+
+    it("pairwiseOverlap: identical sets → ppm 1e6, disjoint → 0") {
+      val same = Seq(("a", "x1"), ("a", "x2"), ("a", "x3"),
+        ("b", "x1"), ("b", "x2"), ("b", "x3"),
+        ("c", "y1"), ("c", "y2")).toDF("g", "v")
+      val regs = Kmv.registers(same, Seq("g"), col("v"), k = 8)
+      val o = Kmv.pairwiseOverlap(regs, "g", k = 8).collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      o(("a", "b")) shouldBe ((3L, 3L, 1000000L))
+      o(("a", "c")) shouldBe ((5L, 0L, 0L))
+    }
+  }
+
+  describe("Layout (z-order)") {
+    import spark.implicits._
+
+    it("zorderKey interleaves bits (worked 2-D example)") {
+      // x=0b101=5, y=0b011=3 → key bits x@even y@odd:
+      // i0: x1→b0, y1→b1; i1: x0→b2, y1→b3; i2: x1→b4, y0→b5
+      // = 0b011011 = 27
+      val r = Seq((5L, 3L)).toDF("x", "y")
+        .select(Layout.zorderKey(Seq(col("x"), col("y")), 3).as("z"))
+        .collect()(0).getLong(0)
+      r shouldBe 27L
+    }
+
+    it("scaleToBits maps [lo,hi] onto [0, 2^bits) with clamping") {
+      val out = Seq(0L, 50L, 100L, 200L).toDF("x")
+        .select(Layout.scaleToBits(col("x"), lit(0L), lit(100L), 8).as("s"))
+        .collect().map(_.getLong(0))
+      out shouldBe Array(0L, 127L, 255L, 255L)
+    }
+
+    it("writeZOrdered produces non-overlapping z-ranges per file") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("zorder").toString
+      val df = spark.range(0, 4096).select(
+        (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      Layout.writeZOrdered(df, s"$dir/t", "x", "y",
+        0L, 63L, 0L, 63L, bits = 6, numFiles = 8)
+      val back = spark.read.parquet(s"$dir/t")
+      back.count() shouldBe 4096L
+      // re-derive each file's z-range; ranges must not overlap
+      val ranges = back
+        .withColumn("z", Layout.zorderKey2(col("x"), lit(0L), lit(63L),
+          col("y"), lit(0L), lit(63L), 6))
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      ranges.length should be > 1
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => lo2 should be > hi1
+        case _ =>
+      }
+    }
+
+    it("zBucketStats buckets are tight rectangles on BOTH dims") {
+      val df = spark.range(0, 4096).select(
+        (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      val stats = Layout.zBucketStats(df, "x", "y",
+        bits = 6, prefixBits = 4).collect()
+      stats.length shouldBe 16
+      stats.foreach { r =>
+        val (xmin, xmax) = (r.getLong(2), r.getLong(3))
+        val (ymin, ymax) = (r.getLong(4), r.getLong(5))
+        // a 4-bit prefix of a 6+6-bit key = 16x16 tiles
+        (xmax - xmin) should be <= 16L
+        (ymax - ymin) should be <= 16L
+      }
+    }
+  }
+
+  describe("Dedup.takedownManifest") {
+    import spark.implicits._
+    it("propagates seeds through clusters; lone seeds keep NULL cluster") {
+      val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+        (11L, 10L)).toDF("id", "cluster")
+      val seeds = Seq(2L, 99L).toDF("doc_id")
+      val m = Dedup.takedownManifestFromLabels(labels, seeds)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .sortBy(_._1)
+      m shouldBe Array((1L, 1L, "neardup"), (2L, 1L, "seed"),
+        (3L, 1L, "neardup"), (99L, -1L, "seed"))
+    }
+    it("applyTakedown removes exactly the manifest") {
+      val docs = Seq((1L, "a"), (2L, "b"), (5L, "c")).toDF("doc_id", "text")
+      val manifest = Seq((1L, 1L, "seed")).toDF("doc_id", "cluster", "reason")
+      Dedup.applyTakedown(docs, manifest).collect()
+        .map(_.getLong(0)).sorted shouldBe Array(2L, 5L)
+    }
+  }
+}
