@@ -2470,13 +2470,19 @@ object SparkEntry {
 
     // K-ANONYMITY / L-DIVERSITY AUDIT (pipeline/Privacy
     // .kAnonymityAudit): the metadata-release gate — every
-    // (nation, segment) quasi-identifier combination that is below
-    // k = 10 rows or below l = 3 distinct sensitive values. ONE hash
-    // aggregate over the QI columns; suppression/summary spec-checked.
+    // (nation, segment, balance-bucket) quasi-identifier combination
+    // below k = 10 rows or l = 3 distinct sensitive values. The bucket
+    // is integer-exact cents shifted nonnegative before the truncating
+    // div (negative balances would split floor-vs-truncate between the
+    // engines). ONE hash aggregate; suppression/summary spec-checked.
     "q204_kanonymity" -> ((s, d) =>
       graft.pipeline.Privacy.kAnonymityAudit(
-        Tables.customer(s, d),
-        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 3)),
+        Tables.customer(s, d).withColumn("bal_bucket",
+          graft.time.Buckets.intDiv(
+            round(col("c_acctbal") * 100).cast("long") + 100000L,
+            lit(200000L))),
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
+        "c_acctbal", k = 10, l = 3)),
 
     // MEMORIZATION AUDIT (text/Memorization.repeatedNgrams): word
     // 3-grams repeated across ≥ 3 distinct docs with doc/occurrence
@@ -4956,9 +4962,13 @@ object SparkEntry {
       // q204: one GROUP BY + HAVING — k-anonymity (group size) and
       // l-diversity (distinct sensitive values) stated directly.
       "q204_kanonymity" ->
-        """SELECT c_nationkey, c_mktsegment, count(*) AS group_n,
+        """WITH c AS (SELECT c_nationkey, c_mktsegment,
+          |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+          |      AS bal_bucket, c_acctbal FROM customer)
+          |SELECT c_nationkey, c_mktsegment, bal_bucket,
+          |  count(*) AS group_n,
           |  count(DISTINCT c_acctbal) AS n_sensitive
-          |FROM customer GROUP BY 1, 2
+          |FROM c GROUP BY 1, 2, 3
           |HAVING count(*) < 10 OR count(DISTINCT c_acctbal) < 3""".stripMargin,
 
       // q205: q111's gram construction WITHOUT list_distinct (occurrence
