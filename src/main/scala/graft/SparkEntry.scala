@@ -2468,6 +2468,55 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0), benches, n = 3)
     }),
 
+    // SAFE-RELEASE PREP E2E (the round-11 composition flagship): ONE
+    // Catalyst plan chaining four release gates — (1) metadata
+    // k-anonymity suppression on (lang, source), (2) exact-dup
+    // takedown propagation from %53 seeds (every doc sharing a seed's
+    // text hash goes), (3) benchmark decontamination vs the %97
+    // holdout, (4) PII redaction over the decorated text — ending in
+    // the hash-checkable redacted corpus manifest.
+    "q210_release_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val anon = graft.pipeline.Privacy.suppressSmallGroups(
+        docs, Seq("lang", "source"), 10)
+      val seedHashes = anon.filter(col("doc_id") % 53 === 0)
+        .select(md5(col("text")).as("__h")).distinct()
+      val afterTd = anon.join(broadcast(seedHashes),
+        md5(col("text")) === col("__h"), "left_anti")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val clean = graft.text.Decontaminate.decontaminate(
+        afterTd.filter(col("doc_id") % 97 =!= 0), bench, n = 3)
+      graft.text.Pii.redactDocs(piiDecorated(clean))
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("clean_md5"))
+    }),
+
+    // CSV QUARANTINE INGEST (io/Csv.parseWithQuarantine): the Jsonl
+    // front door for CSV wires — %13 rows arrive with missing columns
+    // (PERMISSIVE null-fills WITHOUT marking corrupt: the
+    // required-field check catches them), %17 rows with a non-numeric
+    // id (type error → corrupt record). ok + raw lanes hash-checked.
+    "q211_csv_quarantine" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val good = concat_ws(",", col("doc_id"), col("lang"), col("text"))
+      val lines = docs.select(
+        when(col("doc_id") % 13 === 0, col("doc_id").cast("string"))
+          .when(col("doc_id") % 17 === 0,
+            concat(lit("x"), good))
+          .otherwise(good).as("line"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("text", "string")
+      graft.io.Csv.parseWithQuarantine(lines, schema,
+          required = Seq("doc_id", "lang", "text"))
+        .select(when(col("ok"), col("doc_id")).as("doc_id"),
+          when(col("ok"), col("lang")).as("lang"),
+          when(col("ok"), md5(col("text"))).as("text_md5"),
+          col("ok"), md5(col("raw")).as("raw_md5"))
+    }),
+
     // K-ANONYMITY / L-DIVERSITY AUDIT (pipeline/Privacy
     // .kAnonymityAudit): the metadata-release gate — every
     // (nation, segment, balance-bucket) quasi-identifier combination
@@ -4958,6 +5007,54 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q210: the four release stages stated relationally — QUALIFY
+      // window count (suppression), hash NOT IN (takedown), the q111
+      // gram join (decontamination), the q110 decorate+redact chain.
+      "q210_release_e2e" ->
+        s"""WITH anon AS (SELECT * FROM documents
+           |    QUALIFY count(*) OVER (PARTITION BY lang, source) >= 10),
+           |seeds AS (SELECT DISTINCT md5(text) AS h FROM anon
+           |  WHERE doc_id % 53 = 0),
+           |td AS (SELECT * FROM anon
+           |  WHERE md5(text) NOT IN (SELECT h FROM seeds)),
+           |base AS (SELECT doc_id, $toksSql AS t FROM td
+           |  WHERE doc_id % 97 <> 0),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(0, len(t) - 2),
+           |    i -> array_to_string(t[i+1:i+3], ' ')))) AS gram
+           |  FROM base WHERE len(t) >= 3),
+           |bb AS (SELECT doc_id, $toksSql AS t FROM documents
+           |  WHERE doc_id % 97 = 0),
+           |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+           |    range(0, len(t) - 2),
+           |    i -> array_to_string(t[i+1:i+3], ' ')))) AS gram
+           |  FROM bb WHERE len(t) >= 3),
+           |flagged AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)),
+           |clean AS (SELECT * FROM td WHERE doc_id % 97 <> 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+           |dec AS (SELECT doc_id, lang, source, $piiDecorationSql AS text
+           |  FROM clean)
+           |SELECT doc_id, lang, source,
+           |  md5(${piiRedactSql("text")}) AS clean_md5 FROM dec""".stripMargin,
+
+      // q211: q154's outcome-prediction discipline for CSV — %13 rows
+      // ship only the id column (null-filled, NOT corrupt-marked:
+      // caught by the required check), %17 a non-numeric id.
+      "q211_csv_quarantine" ->
+        """WITH c AS (SELECT doc_id, lang, text,
+          |    CASE WHEN doc_id % 13 = 0 THEN CAST(doc_id AS VARCHAR)
+          |      WHEN doc_id % 17 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+          |        || ',' || lang || ',' || text
+          |      ELSE CAST(doc_id AS VARCHAR) || ',' || lang || ',' || text
+          |    END AS line,
+          |    doc_id % 13 = 0 OR doc_id % 17 = 0 AS bad FROM documents)
+          |SELECT CASE WHEN bad THEN NULL ELSE doc_id END AS doc_id,
+          |  CASE WHEN bad THEN NULL ELSE lang END AS lang,
+          |  CASE WHEN bad THEN NULL ELSE md5(text) END AS text_md5,
+          |  NOT bad AS ok,
+          |  CASE WHEN bad THEN md5(line) ELSE NULL END AS raw_md5
+          |FROM c""".stripMargin,
 
       // q204: one GROUP BY + HAVING — k-anonymity (group size) and
       // l-diversity (distinct sensitive values) stated directly.

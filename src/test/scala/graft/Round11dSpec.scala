@@ -213,6 +213,41 @@ class Round11dSpec extends SparkSpec {
     }
   }
 
+  describe("Csv.parseWithQuarantine") {
+    import spark.implicits._
+    import graft.io.Csv
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string").add("score", "int")
+
+    it("routes good, short, and type-broken lines correctly") {
+      val lines = Seq(
+        "1,alice,10", // good
+        "2,bob", // short: score null-fills, NOT corrupt-marked
+        "x,carol,30", // bad long: corrupt record
+        "4,dave,notanint", // bad int: corrupt record
+        "5,eve,50" // good
+      ).toDF("line")
+      val parsed = Csv.parseWithQuarantine(lines, schema,
+        required = Seq("id", "name", "score"))
+      val (good, quarantine) = Csv.route(parsed)
+      good.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .sorted shouldBe Array((1L, "alice", 10), (5L, "eve", 50))
+      quarantine.as[String].collect().sorted shouldBe
+        Array("2,bob", "4,dave,notanint", "x,carol,30")
+      // conservation: ok + quarantined == input
+      parsed.count() shouldBe 5L
+    }
+
+    it("quoted separators parse; corrupt-name collision avoided") {
+      val s2 = new org.apache.spark.sql.types.StructType()
+        .add("_corrupt", "string").add("v", "string")
+      val lines = Seq("a,\"x,y\"").toDF("line")
+      val parsed = Csv.parseWithQuarantine(lines, s2, required = Seq("v"))
+      parsed.select("v").as[String].collect() shouldBe Array("x,y")
+      parsed.select("ok").as[Boolean].collect() shouldBe Array(true)
+    }
+  }
+
   describe("Dedup.takedownManifest") {
     import spark.implicits._
     it("propagates seeds through clusters; lone seeds keep NULL cluster") {

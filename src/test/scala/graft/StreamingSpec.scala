@@ -468,4 +468,30 @@ class StreamingSpec extends SparkSpec {
       streamed shouldBe batch
     } finally q.stop()
   }
+
+  it("Bloom.setBits runs unchanged as a streaming update-mode distinct " +
+      "and lands on the batch bits (OR-mergeable property)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[String]
+    // the bit table IS a distinct over exploded positions — an
+    // update-mode aggregation Structured Streaming maintains as-is
+    val q = graft.sketch.Bloom.setBits(
+        input.toDF().toDF("k"), col("k"), m = 512, k = 3)
+      .writeStream.format("memory").queryName("bloom_t1")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1 to 100).map(i => s"w$i"): _*)
+      q.processAllAvailable()
+      input.addData((51 to 150).map(i => s"w$i"): _*) // overlap: OR
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_t1")
+        .select(col("bit")).distinct().as[Long].collect().sorted
+      val batch = graft.sketch.Bloom.setBits(
+          (1 to 150).map(i => s"w$i").toDF("k"), col("k"), m = 512, k = 3)
+        .as[Long].collect().sorted
+      streamed shouldBe batch
+    } finally q.stop()
+  }
 }
