@@ -2468,6 +2468,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0), benches, n = 3)
     }),
 
+    // RETRIEVAL EVAL METRICS (similarity/RetrievalEval.perQuery): the
+    // index-release evaluation lane — exact MRR / precision@10 /
+    // recall@10 per query against label-derived qrels, all scaled
+    // integers (nDCG is the spec-checked FP consumer). Results = the
+    // q25 brute ranking at k = 10; one (qid, nid) equi-join + per-qid
+    // hash aggregates.
+    "q212_retrieval_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val results = graft.similarity.Similarity.bruteTopK(
+        emb, k = 10, maxQueryId = 500)
+      val ids = emb.select(col("vec_id").cast("long").as("id"),
+        col("label"))
+      val rels = ids.select(col("id").as("qid"), col("label"))
+        .filter(col("qid") < 500)
+        .join(ids.select(col("id").as("nid"), col("label")), Seq("label"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"))
+      graft.similarity.RetrievalEval.perQuery(results, rels, k = 10)
+    }),
+
     // SAFE-RELEASE PREP E2E (the round-11 composition flagship): ONE
     // Catalyst plan chaining four release gates — (1) metadata
     // k-anonymity suppression on (lang, source), (2) exact-dup
@@ -5007,6 +5027,47 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q212: q25's ranking SQL at k = 10 + label-derived qrels; the
+      // metric arithmetic is all integral (// after ×10⁶).
+      "q212_retrieval_metrics" ->
+        s"""WITH base AS (SELECT vec_id AS id, embedding, label
+           |    FROM embeddings),
+           |unit AS (SELECT id, list_transform(range(1, 65), i ->
+           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+           |  FROM base),
+           |pairs AS (SELECT q.id AS qid, b.id AS nid,
+           |    round(list_reduce(list_transform(range(1, 65),
+           |      i -> q.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
+           |  FROM unit q JOIN unit b ON q.id <> b.id
+           |  WHERE q.id < 500),
+           |res AS (SELECT qid, nid, rn AS rank FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+           |  WHERE rn <= 10),
+           |rels AS (SELECT a.id AS qid, b.id AS nid FROM base a
+           |  JOIN base b ON a.label = b.label AND a.id <> b.id
+           |  WHERE a.id < 500),
+           |tot AS (SELECT qid, count(*) AS n_rel_total FROM rels
+           |  GROUP BY qid),
+           |hit AS (SELECT r.qid,
+           |    sum(CASE WHEN rel.nid IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS n_rel_topk,
+           |    min(CASE WHEN rel.nid IS NOT NULL THEN r.rank END) AS frr
+           |  FROM res r LEFT JOIN rels rel
+           |    ON r.qid = rel.qid AND r.nid = rel.nid
+           |  GROUP BY r.qid)
+           |SELECT h.qid, CAST(h.n_rel_topk AS BIGINT) AS n_rel_topk,
+           |  CAST(coalesce(t.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+           |  CAST(coalesce(h.frr, 0) AS BIGINT) AS first_rel_rank,
+           |  CAST(CASE WHEN h.frr IS NOT NULL THEN 1000000 // h.frr
+           |    ELSE 0 END AS BIGINT) AS rr_micro,
+           |  CAST(h.n_rel_topk * 1000000 // 10 AS BIGINT) AS precision_ppm,
+           |  CAST(CASE WHEN coalesce(t.n_rel_total, 0) > 0
+           |    THEN h.n_rel_topk * 1000000 // t.n_rel_total
+           |    ELSE 0 END AS BIGINT) AS recall_ppm
+           |FROM hit h LEFT JOIN tot t USING (qid)""".stripMargin,
 
       // q210: the four release stages stated relationally — QUALIFY
       // window count (suppression), hash NOT IN (takedown), the q111

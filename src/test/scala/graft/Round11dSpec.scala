@@ -213,6 +213,46 @@ class Round11dSpec extends SparkSpec {
     }
   }
 
+  describe("RetrievalEval") {
+    import spark.implicits._
+    import graft.similarity.RetrievalEval
+    // q1: relevant at ranks 2,3 of 3 rels; q2: nothing relevant in
+    // top-k; q3: relevant at rank 1, the only rel.
+    val results = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L), (3L, 31L, 2L)).toDF("qid", "nid", "rank")
+    val rels = Seq((1L, 11L), (1L, 12L), (1L, 99L),
+      (2L, 98L), (3L, 30L)).toDF("qid", "nid")
+
+    it("perQuery: exact integer MRR/precision/recall") {
+      val m = RetrievalEval.perQuery(results, rels, k = 3).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      m(1L) shouldBe ((2L, 3L, 2L, 500000L, 666666L, 666666L))
+      m(2L) shouldBe ((0L, 1L, 0L, 0L, 0L, 0L))
+      m(3L) shouldBe ((1L, 1L, 1L, 1000000L, 333333L, 1000000L))
+    }
+
+    it("summary: truncating means over queries") {
+      val s = RetrievalEval.summary(
+        RetrievalEval.perQuery(results, rels, k = 3)).collect()(0)
+      s.getLong(0) shouldBe 3L // n_queries
+      s.getLong(1) shouldBe 3L // n_hits
+      s.getLong(2) shouldBe 500000L // (500000+0+1000000)/3
+    }
+
+    it("ndcg: perfect single-rel ranking scores 1.0, misses 0.0") {
+      val n = RetrievalEval.ndcg(results, rels, k = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toMap
+      n(3L) shouldBe 1.0 +- 1e-12
+      n(2L) shouldBe 0.0
+      // q1: DCG = 1/log2(3) + 1/log2(4); IDCG = 1 + 1/log2(3) + 1/log2(4)
+      val dcg = 1.0 / (math.log(3) / math.log(2)) + 0.5
+      val idcg = 1.0 + dcg
+      n(1L) shouldBe (dcg / idcg) +- 1e-12
+    }
+  }
+
   describe("Csv.parseWithQuarantine") {
     import spark.implicits._
     import graft.io.Csv
