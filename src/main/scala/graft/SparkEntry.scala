@@ -2468,6 +2468,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0), benches, n = 3)
     }),
 
+    // JOIN-SIZE ESTIMATE FROM SKETCHES (sketch/Cms.joinSizeEstimate):
+    // the "will this join blow up" planner probe — |orders ⋈ lineitem|
+    // estimated as the min-across-depths CMS inner product (never an
+    // undercount), next to the exact count as a 1×1 scalar combine.
+    // Two register tables ≤ 4×8192 rows each; neither side rescanned.
+    "q213_join_estimate" -> ((s, d) => {
+      import graft.sketch.Cms
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val est = Cms.joinSizeEstimate(
+        Cms.registers(o, col("k"), depth = 4, width = 8192),
+        Cms.registers(l, col("k"), depth = 4, width = 8192))
+      val exact = o.join(l, Seq("k")).agg(count(lit(1)).as("exact_n"))
+      est.crossJoin(broadcast(exact)) // deliberate 1×1 scalar combine
+    }),
+
     // RETRIEVAL EVAL METRICS (similarity/RetrievalEval.perQuery): the
     // index-release evaluation lane — exact MRR / precision@10 /
     // recall@10 per query against label-derived qrels, all scaled
@@ -5027,6 +5043,30 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q213: q69's register SQL on both join sides, per-depth dot
+      // product, min across depths; exact count as scalar subqueries.
+      "q213_join_estimate" ->
+        """WITH oa AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+          |lb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+          |ra AS (SELECT d AS depth,
+          |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || k), 1, 8))::BIGINT
+          |      % 8192 AS slot, count(*) AS ca
+          |  FROM oa CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+          |  GROUP BY 1, 2),
+          |rb AS (SELECT d AS depth,
+          |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || k), 1, 8))::BIGINT
+          |      % 8192 AS slot, count(*) AS cb
+          |  FROM lb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+          |  GROUP BY 1, 2),
+          |dots AS (SELECT ra.depth, sum(ca * cb) AS dot
+          |  FROM ra JOIN rb ON ra.depth = rb.depth AND ra.slot = rb.slot
+          |  GROUP BY 1),
+          |ex AS (SELECT count(*) AS exact_n FROM orders o
+          |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+          |SELECT CAST((SELECT min(dot) FROM dots) AS DECIMAL(38,0))
+          |    AS join_size_est,
+          |  (SELECT exact_n FROM ex) AS exact_n""".stripMargin,
 
       // q212: q25's ranking SQL at k = 10 + label-derived qrels; the
       // metric arithmetic is all integral (// after ×10⁶).

@@ -34,6 +34,27 @@ object Cms {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join CARDINALITY estimate from two register tables built with
+    * the SAME geometry over the two sides' join keys — the classic CMS
+    * inner-product estimator (Cormode & Muthukrishnan 2005 §4.2):
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated per depth as the dot
+    * product of that depth's rows and taken as the MIN across depths
+    * (each row only ever overcounts). One (depth, slot) equi-join over
+    * two (depth×width)-bounded frames — the "will this join blow up"
+    * planner probe answered without touching either 100 TB side again.
+    * Returns one row: (join_size_est). Exact integers end to end;
+    * per-depth dot products are DECIMAL(38,0) sums of long×long
+    * products so 2⁶³-adjacent counts cannot wrap. */
+  def joinSizeEstimate(regsA: DataFrame, regsB: DataFrame): DataFrame = {
+    val a = regsA.select(col("depth"), col("slot"), col("cnt").as("ca"))
+    val b = regsB.select(col("depth"), col("slot"), col("cnt").as("cb"))
+    a.join(b, Seq("depth", "slot"))
+      .groupBy(col("depth"))
+      .agg(sum(col("ca").cast("decimal(38,0)") *
+        col("cb").cast("decimal(38,0)")).as("dot"))
+      .agg(min(col("dot")).cast("decimal(38,0)").as("join_size_est"))
+  }
+
   /** Frequency point-estimates for `keys` against a [[registers]]
     * frame: min over depths of the key's slot count. Returns
     * (key, est). Estimates never undercount the true frequency. */

@@ -87,7 +87,12 @@ object Kmv {
     * (document sources, shards, snapshot names — not raw keys). */
   def pairwiseOverlap(regs: DataFrame, groupCol: String,
       k: Int): DataFrame = {
-    val r = regs.select(col(groupCol).as("g"), col("h"))
+    // The register plan (token explode → distinct → top-k window) is
+    // referenced from FIVE branches below (groups twice via pairs,
+    // both join sides, and the merge); materialize it once — it is
+    // ≤ |groups|·k rows by construction, the cheapest possible cut.
+    val r = graft.util.Checkpoints.materialize(
+      regs.select(col(groupCol).as("g"), col("h")))
     val groups = r.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("ga"))
       .crossJoin(groups.select(col("g").as("gb")))

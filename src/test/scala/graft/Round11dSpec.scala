@@ -213,6 +213,32 @@ class Round11dSpec extends SparkSpec {
     }
   }
 
+  describe("Cms.joinSizeEstimate") {
+    import spark.implicits._
+    import graft.sketch.Cms
+    it("never undercounts; collision-free geometry is exact") {
+      val a = Seq("k1", "k1", "k2", "k3").toDF("k")
+      val b = Seq("k1", "k2", "k2", "k9").toDF("k")
+      // true |A join B| = 2*1 (k1) + 1*2 (k2) = 4
+      val est = Cms.joinSizeEstimate(
+        Cms.registers(a, col("k"), depth = 4, width = 4096),
+        Cms.registers(b, col("k"), depth = 4, width = 4096))
+        .collect()(0).getDecimal(0).longValueExact()
+      est should be >= 4L
+      est shouldBe 4L // 5 keys in 4096 slots: no collisions
+    }
+    it("estimate dominates the exact join size on real keys") {
+      val a = (1L to 500L).toDF("k")
+      val b = (250L to 1000L).flatMap(x => Seq(x, x)).toDF("k")
+      val exact = a.join(b, Seq("k")).count()
+      val est = Cms.joinSizeEstimate(
+        Cms.registers(a, col("k"), depth = 4, width = 512),
+        Cms.registers(b, col("k"), depth = 4, width = 512))
+        .collect()(0).getDecimal(0).longValueExact()
+      est should be >= exact
+    }
+  }
+
   describe("RetrievalEval") {
     import spark.implicits._
     import graft.similarity.RetrievalEval
