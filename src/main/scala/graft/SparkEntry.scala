@@ -5221,6 +5221,8 @@ object SparkEntry {
            |    PARTITION BY ga, gb ORDER BY h) AS rk FROM u)
            |SELECT ga, gb, count(*) AS n_union_k,
            |  CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+           |  CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+           |  CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS n_only_b,
            |  CAST((sum(in_a * in_b) * 1000000) // count(*) AS BIGINT)
            |    AS jaccard_ppm
            |FROM k WHERE rk <= 32 GROUP BY ga, gb""".stripMargin,

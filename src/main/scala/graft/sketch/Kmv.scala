@@ -76,10 +76,12 @@ object Kmv {
 
   /** Pairwise overlap of groups' sketches: for every group pair
     * (ga < gb), restrict the unioned registers to the union sketch's
-    * own k smallest, and count how many of those hashes both sides
-    * hold — (ga, gb, n_union_k, n_shared, jaccard_ppm). n_shared /
-    * n_union_k is the standard KMV Jaccard estimator; all three
-    * outputs are exact integers over the register table.
+    * own k smallest, and count how those hashes distribute —
+    * (ga, gb, n_union_k, n_shared, n_only_a, n_only_b, jaccard_ppm).
+    * n_shared / n_union_k is the standard KMV Jaccard estimator, and
+    * n_only_a / n_union_k the set-DIFFERENCE fraction (the theta
+    * algebra's A∖B — what HLL registers cannot answer); all counts are
+    * exact integers over the register table.
     *
     * Scale: this runs on the REGISTER table (≤ |groups|·k rows — the
     * 100 TB corpus entered once, in [[registers]]); the pair expansion
@@ -111,8 +113,11 @@ object Kmv {
       .filter(col("rk") <= k)
       .groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("n_union_k"),
-        sum(col("in_a") * col("in_b")).as("n_shared"))
+        sum(col("in_a") * col("in_b")).as("n_shared"),
+        sum(col("in_a") * (lit(1L) - col("in_b"))).as("n_only_a"),
+        sum(col("in_b") * (lit(1L) - col("in_a"))).as("n_only_b"))
       .select(col("ga"), col("gb"), col("n_union_k"), col("n_shared"),
+        col("n_only_a"), col("n_only_b"),
         intDiv(col("n_shared") * 1000000L, col("n_union_k"))
           .as("jaccard_ppm"))
   }

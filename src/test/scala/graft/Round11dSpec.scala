@@ -141,16 +141,18 @@ class Round11dSpec extends SparkSpec {
       truth.foreach { case (g, n) => est(g) shouldBe n.toDouble }
     }
 
-    it("pairwiseOverlap: identical sets → ppm 1e6, disjoint → 0") {
+    it("pairwiseOverlap: identical sets → ppm 1e6, disjoint → 0, " +
+        "difference counts partition the union") {
       val same = Seq(("a", "x1"), ("a", "x2"), ("a", "x3"),
         ("b", "x1"), ("b", "x2"), ("b", "x3"),
         ("c", "y1"), ("c", "y2")).toDF("g", "v")
       val regs = Kmv.registers(same, Seq("g"), col("v"), k = 8)
       val o = Kmv.pairwiseOverlap(regs, "g", k = 8).collect()
         .map(r => ((r.getString(0), r.getString(1)),
-          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-      o(("a", "b")) shouldBe ((3L, 3L, 1000000L))
-      o(("a", "c")) shouldBe ((5L, 0L, 0L))
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6)))).toMap
+      o(("a", "b")) shouldBe ((3L, 3L, 0L, 0L, 1000000L))
+      o(("a", "c")) shouldBe ((5L, 0L, 3L, 2L, 0L))
     }
   }
 
@@ -210,6 +212,23 @@ class Round11dSpec extends SparkSpec {
         (xmax - xmin) should be <= 16L
         (ymax - ymin) should be <= 16L
       }
+    }
+  }
+
+  describe("ORC roundtrip (built-in columnar sibling of parquet)") {
+    it("writes and reads back documents losslessly with pushdown on") {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("orc").toString
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      docs.write.mode("overwrite").orc(s"$dir/docs")
+      val back = spark.read.orc(s"$dir/docs")
+      back.count() shouldBe docs.count()
+      back.filter(col("lang") === "en").count() shouldBe
+        docs.filter(col("lang") === "en").count()
+      val plan = back.filter(col("doc_id") > 10)
+        .queryExecution.executedPlan.toString
+      plan should include("PushedFilters")
     }
   }
 
