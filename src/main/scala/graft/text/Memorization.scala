@@ -40,10 +40,17 @@ object Memorization {
   def repeatedNgrams(docs: DataFrame, n: Int, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1 && minDocs >= 1, s"bad params n=$n minDocs=$minDocs")
+    // Two-stage instead of count_distinct: the (gram, doc) pre-agg
+    // combines map-side (in-doc repeats collapse before any shuffle)
+    // and avoids the Expand node a distinct-count plans — at 100× the
+    // single-stage form spent its time shuffling duplicate
+    // (gram, doc) pairs through the expand.
     gramOccurrences(docs, n, idCol, textCol)
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("__n_in_doc"))
       .groupBy(col("gram"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n_in_doc")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
   }
 
