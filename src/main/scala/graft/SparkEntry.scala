@@ -2468,6 +2468,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0), benches, n = 3)
     }),
 
+    // LANGUAGE-ID CONFUSION MATRIX (the q17 classifier evaluated
+    // against the labeled lang column): per (label, prediction) cell
+    // counts — the operator-quality audit a pipeline publishes before
+    // trusting langid-based routing. One hash agg over q17's codegen
+    // prediction expression.
+    "q214_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          graft.text.TextOps.predictedLangCodegen(col("text"))
+            .as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))),
+
     // JOIN-SIZE ESTIMATE FROM SKETCHES (sketch/Cms.joinSizeEstimate):
     // the "will this join blow up" planner probe — |orders ⋈ lineitem|
     // estimated as the min-across-depths CMS inner product (never an
@@ -3198,6 +3211,26 @@ object SparkEntry {
 
   /** DuckDB: MinHash-LSH candidate pairs on the doubled corpus (states
     * Dedup.minhashCandidatePairs' exact math; shared by q23 and q36). */
+  /** DuckDB: (doc_id, lang, predicted) — TextOps.predictedLang's oracle
+    * twin, generated from the SAME langMarkers constants; shared by
+    * q17 (per-doc) and q214 (confusion rollup). */
+  private def langPredictedSql: String = {
+    val langs = graft.text.TextOps.langMarkers.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ms) =>
+      s"len(list_filter($toksSql, t -> list_contains(${sqlList(ms)}, t))) AS s_$l"
+    }.mkString(",\n  ")
+    val maxExpr = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+    val caseArms = langs.map { case (l, _) =>
+      s"WHEN s_$l = $maxExpr THEN '$l'"
+    }.mkString("\n      ")
+    s"""SELECT doc_id, lang,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |      WHEN $maxExpr = 0 THEN 'und'
+       |      $caseArms
+       |    END AS predicted
+       |  FROM (SELECT doc_id, lang, text, $scoreCols FROM documents)""".stripMargin
+  }
+
   private def minhashPairsSql: String =
     s"""WITH docs AS ($doubledSql),
        |$bandedCtesSql
@@ -3905,23 +3938,14 @@ object SparkEntry {
            |FROM documents""".stripMargin
       },
 
-      "q17_langid" -> {
-        val langs = graft.text.TextOps.langMarkers.toSeq.sortBy(_._1)
-        val scoreCols = langs.map { case (l, ms) =>
-          s"len(list_filter($toksSql, t -> list_contains(${sqlList(ms)}, t))) AS s_$l"
-        }.mkString(",\n  ")
-        val maxExpr = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
-        val caseArms = langs.map { case (l, _) =>
-          s"WHEN s_$l = $maxExpr THEN '$l'"
-        }.mkString("\n      ")
-        s"""SELECT doc_id, lang, predicted, lang = predicted AS correct FROM (
-           |  SELECT doc_id, lang,
-           |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-           |      WHEN $maxExpr = 0 THEN 'und'
-           |      $caseArms
-           |    END AS predicted
-           |  FROM (SELECT doc_id, lang, text, $scoreCols FROM documents))""".stripMargin
-      },
+      "q17_langid" ->
+        s"""SELECT doc_id, lang, predicted, lang = predicted AS correct
+           |FROM ($langPredictedSql)""".stripMargin,
+
+      // q214: q17's prediction SQL rolled up into the confusion matrix.
+      "q214_lang_confusion" ->
+        s"""SELECT lang, predicted, count(*) AS n
+           |FROM ($langPredictedSql) GROUP BY 1, 2""".stripMargin,
 
       "q18_token_count" ->
         s"""SELECT doc_id,

@@ -469,6 +469,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it("applyTakedownStream drops manifest ids from every micro-batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    val manifest = Seq(2L, 4L).toDF("doc_id")
+    val q = graft.streaming.StreamingIngest.applyTakedownStream(
+        input.toDF().toDF("doc_id", "text"), manifest)
+      .writeStream.format("memory").queryName("takedown_t1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      input.addData((4L, "d"), (5L, "e"))
+      q.processAllAvailable()
+      spark.table("takedown_t1").select(col("doc_id"))
+        .as[Long].collect().sorted shouldBe Array(1L, 3L, 5L)
+    } finally q.stop()
+  }
+
   it("Bloom.setBits runs unchanged as a streaming update-mode distinct " +
       "and lands on the batch bits (OR-mergeable property)") {
     implicit val sql = spark.sqlContext
