@@ -5086,9 +5086,12 @@ object SparkEntry {
           |dots AS (SELECT ra.depth, sum(ca * cb) AS dot
           |  FROM ra JOIN rb ON ra.depth = rb.depth AND ra.slot = rb.slot
           |  GROUP BY 1),
+          |dd AS (SELECT DISTINCT depth FROM ra),
+          |mind AS (SELECT min(coalesce(dot, 0)) AS m
+          |  FROM dd LEFT JOIN dots USING (depth)),
           |ex AS (SELECT count(*) AS exact_n FROM orders o
           |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
-          |SELECT CAST((SELECT min(dot) FROM dots) AS DECIMAL(38,0))
+          |SELECT CAST((SELECT m FROM mind) AS DECIMAL(38,0))
           |    AS join_size_est,
           |  (SELECT exact_n FROM ex) AS exact_n""".stripMargin,
 

@@ -28,8 +28,10 @@ object RetrievalEval {
     require(k >= 1, s"bad k=$k")
     val r = results.select(col("qid"), col("nid"), col("rank"))
       .filter(col("rank") <= k)
-    val q = rels.select(col("qid"), col("nid"),
-      lit(1L).as("__rel"))
+    // Defensive distinct: a duplicated qrels row would multiply the
+    // left join below and double-count hits.
+    val q = rels.select(col("qid"), col("nid")).distinct()
+      .withColumn("__rel", lit(1L))
     val relTotals = q.groupBy(col("qid"))
       .agg(count(lit(1)).as("n_rel_total"))
     val hits = r.join(q, Seq("qid", "nid"), "left")

@@ -48,11 +48,18 @@ object Cms {
   def joinSizeEstimate(regsA: DataFrame, regsB: DataFrame): DataFrame = {
     val a = regsA.select(col("depth"), col("slot"), col("cnt").as("ca"))
     val b = regsB.select(col("depth"), col("slot"), col("cnt").as("cb"))
-    a.join(b, Seq("depth", "slot"))
+    // A depth whose slot sets do not overlap has dot product ZERO —
+    // it must enter the min as 0, not vanish from it (disjoint key
+    // sets would otherwise report the min of the OTHER depths, or an
+    // empty frame's NULL).
+    val depths = a.select(col("depth")).distinct()
+    val dots = a.join(b, Seq("depth", "slot"))
       .groupBy(col("depth"))
       .agg(sum(col("ca").cast("decimal(38,0)") *
         col("cb").cast("decimal(38,0)")).as("dot"))
-      .agg(min(col("dot")).cast("decimal(38,0)").as("join_size_est"))
+    depths.join(dots, Seq("depth"), "left")
+      .agg(min(coalesce(col("dot"), lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("join_size_est"))
   }
 
   /** Frequency point-estimates for `keys` against a [[registers]]

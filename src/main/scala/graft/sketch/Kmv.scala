@@ -39,7 +39,11 @@ object Kmv {
     require(k >= 2, s"bad k=$k")
     val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col("h"))
-    df.select(g :+ hash60(key).as("h"): _*).distinct()
+    // NULL keys hash to NULL — drop them explicitly (a null register
+    // would also sort differently across engines: Spark nulls-first,
+    // SQL oracles nulls-last).
+    df.select(g :+ hash60(key).as("h"): _*)
+      .filter(col("h").isNotNull).distinct()
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }

@@ -246,6 +246,16 @@ class Round11dSpec extends SparkSpec {
       est should be >= 4L
       est shouldBe 4L // 5 keys in 4096 slots: no collisions
     }
+    it("empty build side estimates zero, not null") {
+      val a = Seq("k1", "k2").toDF("k")
+      val b = a.filter(col("k") === "nope")
+      val est = Cms.joinSizeEstimate(
+        Cms.registers(a, col("k"), depth = 4, width = 64),
+        Cms.registers(b, col("k"), depth = 4, width = 64))
+        .collect()(0)
+      est.isNullAt(0) shouldBe false
+      est.getDecimal(0).longValueExact() shouldBe 0L
+    }
     it("estimate dominates the exact join size on real keys") {
       val a = (1L to 500L).toDF("k")
       val b = (250L to 1000L).flatMap(x => Seq(x, x)).toDF("k")
