@@ -2468,6 +2468,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0), benches, n = 3)
     }),
 
+    // DISTRIBUTION-DRIFT BUCKETS (pipeline/Stats.driftBuckets): the
+    // PSI input table between two corpus snapshots — doc-length
+    // distributions of the even/odd doc_id halves, 100-char buckets,
+    // per-bucket counts + integral ppm shares (PSI itself is the FP
+    // spec-checked consumer). Bucket-keyed outer merge; totals are
+    // 1×1 scalar combines.
+    "q215_drift_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars"))
+      graft.pipeline.Stats.driftBuckets(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars", 100L)
+    }),
+
     // LANGUAGE-ID CONFUSION MATRIX (the q17 classifier evaluated
     // against the labeled lang column): per (label, prediction) cell
     // counts — the operator-quality audit a pipeline publishes before
@@ -5067,6 +5081,21 @@ object SparkEntry {
            |  CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_ppm
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
+
+      // q215: fixed-width buckets + full outer merge + integral shares.
+      "q215_drift_buckets" ->
+        """WITH a AS (SELECT n_chars // 100 AS bucket, count(*) AS n_a
+          |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          |b AS (SELECT n_chars // 100 AS bucket, count(*) AS n_b
+          |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+          |ta AS (SELECT count(*) AS t FROM documents WHERE doc_id % 2 = 0),
+          |tb AS (SELECT count(*) AS t FROM documents WHERE doc_id % 2 = 1)
+          |SELECT bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+          |  CAST(coalesce(n_a, 0) * 1000000 //
+          |    greatest((SELECT t FROM ta), 1) AS BIGINT) AS ppm_a,
+          |  CAST(coalesce(n_b, 0) * 1000000 //
+          |    greatest((SELECT t FROM tb), 1) AS BIGINT) AS ppm_b
+          |FROM a FULL OUTER JOIN b USING (bucket)""".stripMargin,
 
       // q213: q69's register SQL on both join sides, per-depth dot
       // product, min across depths; exact count as scalar subqueries.

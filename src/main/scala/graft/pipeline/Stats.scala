@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.time.Buckets.intDiv
 
 /** Exact grouped least-squares components. Floating-point sums are
   * association-order-dependent, so a distributed `corr`/`slope` is not
@@ -357,5 +358,47 @@ object Stats {
           greatest(col("tp") + col("fp"), lit(1L))).as("precision_ppm"),
         intDiv(col("tp") * 1000000L,
           greatest(col("total_pos"), lit(1L))).as("recall_ppm"))
+  }
+
+  /** Distribution-drift bucket table between two snapshots of the same
+    * numeric column — the input to PSI / chi-square release checks
+    * ("did this week's corpus shift?"). Fixed-width integer buckets
+    * (`value div width`, truncating — callers with negative domains
+    * shift first, the q204 discipline), per-bucket counts and integral
+    * ppm shares of each side. Two scans + one hash agg each + a
+    * bucket-keyed outer merge; bucket count bounds the shuffle. */
+  def driftBuckets(a: DataFrame, b: DataFrame, valueCol: String,
+      width: Long): DataFrame = {
+    require(width >= 1, s"bad width=$width")
+    def side(df: DataFrame, n: String): DataFrame =
+      df.select(intDiv(col(valueCol).cast("long"), lit(width))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val na = side(a, "n_a")
+    val nb = side(b, "n_b")
+    val ta = a.agg(count(lit(1)).as("__ta"))
+    val tb = b.agg(count(lit(1)).as("__tb"))
+    na.join(nb, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(ta)) // deliberate 1×1 scalar combines
+      .crossJoin(broadcast(tb))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        intDiv(col("n_a") * 1000000L, greatest(col("__ta"), lit(1L)))
+          .as("ppm_a"),
+        intDiv(col("n_b") * 1000000L, greatest(col("__tb"), lit(1L)))
+          .as("ppm_b"))
+  }
+
+  /** Population Stability Index over a [[driftBuckets]] table — the FP
+    * consumer (ln of share ratios): PSI = Σ (p_a − p_b)·ln(p_a / p_b)
+    * with the conventional ε-floor on empty buckets so a bucket
+    * appearing/vanishing contributes a large-but-finite term.
+    * Spec-checked; < 0.1 stable / 0.1–0.25 drifting / > 0.25 shifted
+    * is the usual reading. */
+  def psi(buckets: DataFrame, epsPpm: Long = 1L): DataFrame = {
+    val pa = greatest(col("ppm_a"), lit(epsPpm)).cast("double") / 1e6
+    val pb = greatest(col("ppm_b"), lit(epsPpm)).cast("double") / 1e6
+    buckets.agg(sum((pa - pb) * log(pa / pb)).as("psi"))
   }
 }

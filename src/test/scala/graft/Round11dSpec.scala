@@ -215,6 +215,29 @@ class Round11dSpec extends SparkSpec {
     }
   }
 
+  describe("Stats drift buckets + PSI") {
+    import spark.implicits._
+    import graft.pipeline.Stats
+    it("bucket counts, shares, and the identical-distribution zero") {
+      val a = Seq(10L, 20L, 110L, 120L).toDF("v")
+      val bkts = Stats.driftBuckets(a, a, "v", 100L).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      bkts(0L) shouldBe ((2L, 2L, 500000L, 500000L))
+      bkts(1L) shouldBe ((2L, 2L, 500000L, 500000L))
+      Stats.psi(Stats.driftBuckets(a, a, "v", 100L))
+        .collect()(0).getDouble(0) shouldBe 0.0 +- 1e-12
+    }
+    it("a vanished bucket contributes a large finite PSI term") {
+      val a = Seq(10L, 20L, 110L, 120L).toDF("v")
+      val b = Seq(10L, 20L, 30L, 40L).toDF("v")
+      val p = Stats.psi(Stats.driftBuckets(a, b, "v", 100L))
+        .collect()(0).getDouble(0)
+      p should be > 0.25 // "shifted" band: half the mass moved buckets
+      p.isInfinite shouldBe false
+    }
+  }
+
   describe("ORC roundtrip (built-in columnar sibling of parquet)") {
     it("writes and reads back documents losslessly with pushdown on") {
       import spark.implicits._
