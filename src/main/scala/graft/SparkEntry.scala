@@ -2564,7 +2564,12 @@ object SparkEntry {
     "q211_csv_quarantine" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"))
-      val good = concat_ws(",", col("doc_id"), col("lang"), col("text"))
+      // CSV metacharacters stripped BEFORE line building (and the
+      // oracle hashes the same cleaned text): the gate's ok-lane
+      // prediction must not depend on whether the corpus generator
+      // happens to emit commas/quotes/newlines.
+      val clean = regexp_replace(col("text"), "[,\"\\n\\r]", " ")
+      val good = concat_ws(",", col("doc_id"), col("lang"), clean)
       val lines = docs.select(
         when(col("doc_id") % 13 === 0, col("doc_id").cast("string"))
           .when(col("doc_id") % 17 === 0,
@@ -5199,13 +5204,16 @@ object SparkEntry {
       // ship only the id column (null-filled, NOT corrupt-marked:
       // caught by the required check), %17 a non-numeric id.
       "q211_csv_quarantine" ->
-        """WITH c AS (SELECT doc_id, lang, text,
+        """WITH cl AS (SELECT doc_id, lang,
+          |    regexp_replace(text, '[,"\n\r]', ' ', 'g') AS text
+          |  FROM documents),
+          |c AS (SELECT doc_id, lang, text,
           |    CASE WHEN doc_id % 13 = 0 THEN CAST(doc_id AS VARCHAR)
           |      WHEN doc_id % 17 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
           |        || ',' || lang || ',' || text
           |      ELSE CAST(doc_id AS VARCHAR) || ',' || lang || ',' || text
           |    END AS line,
-          |    doc_id % 13 = 0 OR doc_id % 17 = 0 AS bad FROM documents)
+          |    doc_id % 13 = 0 OR doc_id % 17 = 0 AS bad FROM cl)
           |SELECT CASE WHEN bad THEN NULL ELSE doc_id END AS doc_id,
           |  CASE WHEN bad THEN NULL ELSE lang END AS lang,
           |  CASE WHEN bad THEN NULL ELSE md5(text) END AS text_md5,

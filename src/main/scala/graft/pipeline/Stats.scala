@@ -370,14 +370,20 @@ object Stats {
   def driftBuckets(a: DataFrame, b: DataFrame, valueCol: String,
       width: Long): DataFrame = {
     require(width >= 1, s"bad width=$width")
+    // ONE scan per side: the bucket tables are materialized (they are
+    // |buckets|-sized) and the totals derive from them — every row
+    // lands in exactly one bucket, so sum(n) IS count(*); a second
+    // full-input scan just for totals would double the I/O this
+    // operator exists to bound.
     def side(df: DataFrame, n: String): DataFrame =
-      df.select(intDiv(col(valueCol).cast("long"), lit(width))
-          .as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+      graft.util.Checkpoints.materialize(
+        df.select(intDiv(col(valueCol).cast("long"), lit(width))
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as(n)))
     val na = side(a, "n_a")
     val nb = side(b, "n_b")
-    val ta = a.agg(count(lit(1)).as("__ta"))
-    val tb = b.agg(count(lit(1)).as("__tb"))
+    val ta = na.agg(coalesce(sum(col("n_a")), lit(0L)).as("__ta"))
+    val tb = nb.agg(coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
     na.join(nb, Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))

@@ -70,7 +70,10 @@ object RetrievalEval {
   def ndcg(results: DataFrame, rels: DataFrame, k: Int): DataFrame = {
     val r = results.select(col("qid"), col("nid"), col("rank"))
       .filter(col("rank") <= k)
-    val q = rels.select(col("qid"), col("nid"), lit(1).as("__rel"))
+    // Same defensive distinct as perQuery — duplicated qrels rows would
+    // double a hit's discount AND inflate IDCG's relevant count.
+    val q = rels.select(col("qid"), col("nid")).distinct()
+      .withColumn("__rel", lit(1))
     val dcg = r.join(q, Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
       .agg(sum(when(col("__rel").isNotNull,

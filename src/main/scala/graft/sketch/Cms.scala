@@ -51,14 +51,19 @@ object Cms {
     // A depth whose slot sets do not overlap has dot product ZERO —
     // it must enter the min as 0, not vanish from it (disjoint key
     // sets would otherwise report the min of the OTHER depths, or an
-    // empty frame's NULL).
-    val depths = a.select(col("depth")).distinct()
+    // empty frame's NULL). Depths come from EITHER side (an empty A
+    // must not empty the depth domain), and the final coalesce covers
+    // both sides empty: no data ⇒ estimate 0, never NULL.
+    val depths = a.select(col("depth"))
+      .unionByName(b.select(col("depth"))).distinct()
     val dots = a.join(b, Seq("depth", "slot"))
       .groupBy(col("depth"))
       .agg(sum(col("ca").cast("decimal(38,0)") *
         col("cb").cast("decimal(38,0)")).as("dot"))
     depths.join(dots, Seq("depth"), "left")
-      .agg(min(coalesce(col("dot"), lit(0).cast("decimal(38,0)")))
+      .agg(coalesce(
+        min(coalesce(col("dot"), lit(0).cast("decimal(38,0)"))),
+        lit(0).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as("join_size_est"))
   }
 

@@ -97,8 +97,12 @@ object Kmv {
     // referenced from FIVE branches below (groups twice via pairs,
     // both join sides, and the merge); materialize it once — it is
     // ≤ |groups|·k rows by construction, the cheapest possible cut.
+    // A NULL group value carries no identity for an overlap audit and
+    // the ga < gb pairing would silently drop it (NULL comparisons):
+    // exclude it EXPLICITLY — callers who care filter/label upstream.
     val r = graft.util.Checkpoints.materialize(
-      regs.select(col(groupCol).as("g"), col("h")))
+      regs.select(col(groupCol).as("g"), col("h"))
+        .filter(col("g").isNotNull))
     val groups = r.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("ga"))
       .crossJoin(groups.select(col("g").as("gb")))

@@ -99,23 +99,23 @@ object StreamingIngest {
         max(col("epochMs")).as("latest_ms"))
   }
 
-  /** Streaming exact dedup for document ingestion: drop re-observed
-    * content (by normalized-token fingerprint) within the watermark
-    * horizon. `dropDuplicatesWithinWatermark` keys state on the content
-    * hash and EXPIRES it past the watermark — bounded state, unlike a
-    * bare dropDuplicates whose key set grows forever. The streaming twin
-    * of Dedup.exact. Input columns: doc_id, text, epoch_ms. */
-  /** Enforce a takedown manifest on a live document stream: a
-    * stream-static LEFT ANTI join on the id — the streaming half of
-    * [[graft.dedup.Dedup.applyTakedown]]. Structured Streaming
+  /** Enforce a takedown manifest on a live document stream: the
+    * streaming half of [[graft.dedup.Dedup.applyTakedown]] (delegates —
+    * one enforcement semantics for both lanes). Structured Streaming
     * re-evaluates the static side per micro-batch, so appending new
     * rows to a parquet-backed manifest takes effect on the NEXT batch
     * without restarting the query — the compliance property a takedown
     * lane needs. */
   def applyTakedownStream(docs: DataFrame, manifest: DataFrame,
       idCol: String = "doc_id"): DataFrame =
-    docs.join(manifest.select(col(idCol)), Seq(idCol), "left_anti")
+    graft.dedup.Dedup.applyTakedown(docs, manifest, idCol)
 
+  /** Streaming exact dedup for document ingestion: drop re-observed
+    * content (by normalized-token fingerprint) within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` keys state on the content
+    * hash and EXPIRES it past the watermark — bounded state, unlike a
+    * bare dropDuplicates whose key set grows forever. The streaming twin
+    * of Dedup.exact. Input columns: doc_id, text, epoch_ms. */
   def dedupDocStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("content_hash", graft.text.TextOps.fingerprint(col("text")))

@@ -64,9 +64,15 @@ object Memorization {
     * matches at most one repeated-set row, so fan-out is linear. */
   def exposure(docs: DataFrame, n: Int, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val repeated = repeatedNgrams(docs, n, minDocs, idCol, textCol)
-      .select(col("gram"))
-    val perDoc = gramOccurrences(docs, n, idCol, textCol).distinct()
+    // ONE tokenize+explode scan: the distinct (gram, doc) stream is
+    // materialized and reused by all three consumers below (the
+    // repeated set only needs DISTINCT doc counts, so it derives from
+    // the same frame — no separate repeatedNgrams pass).
+    val perDoc = graft.util.Checkpoints.materialize(
+      gramOccurrences(docs, n, idCol, textCol).distinct())
+    val repeated = perDoc.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs).select(col("gram"))
     perDoc.join(repeated, Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
       .join(perDoc.groupBy(col("doc_id"))

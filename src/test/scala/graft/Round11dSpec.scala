@@ -269,6 +269,16 @@ class Round11dSpec extends SparkSpec {
       est should be >= 4L
       est shouldBe 4L // 5 keys in 4096 slots: no collisions
     }
+    it("empty PROBE side also estimates zero (depths from either side)") {
+      val a = Seq("k1", "k2").toDF("k")
+      val est = Cms.joinSizeEstimate(
+        Cms.registers(a.filter(col("k") === "nope"), col("k"),
+          depth = 4, width = 64),
+        Cms.registers(a, col("k"), depth = 4, width = 64))
+        .collect()(0)
+      est.isNullAt(0) shouldBe false
+      est.getDecimal(0).longValueExact() shouldBe 0L
+    }
     it("empty build side estimates zero, not null") {
       val a = Seq("k1", "k2").toDF("k")
       val b = a.filter(col("k") === "nope")
@@ -317,6 +327,20 @@ class Round11dSpec extends SparkSpec {
       s.getLong(0) shouldBe 3L // n_queries
       s.getLong(1) shouldBe 3L // n_hits
       s.getLong(2) shouldBe 500000L // (500000+0+1000000)/3
+    }
+
+    it("ndcg and perQuery are invariant to duplicated qrels rows") {
+      val dupRels = rels.unionByName(rels)
+      val n1 = RetrievalEval.ndcg(results, rels, k = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toMap
+      val n2 = RetrievalEval.ndcg(results, dupRels, k = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toMap
+      n1.foreach { case (q, v) => n2(q) shouldBe v +- 1e-12 }
+      val m1 = RetrievalEval.perQuery(results, rels, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(4))).toMap
+      val m2 = RetrievalEval.perQuery(results, dupRels, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(4))).toMap
+      m1 shouldBe m2
     }
 
     it("ndcg: perfect single-rel ranking scores 1.0, misses 0.0") {
