@@ -14,21 +14,35 @@ import duckdb
 
 def norm_val(v):
     """Normalize value types BEFORE sorting/comparing so a benign type
-    difference between engines (int 1 vs float 1.0, Decimal, numpy
-    scalars, bool-as-int) neither reorders rows nor reports spurious
-    mismatches — only genuine value diffs fail."""
-    import decimal
+    difference between engines (int 1 vs float 1.0, numpy scalars,
+    bool-as-int) neither reorders rows nor reports spurious
+    mismatches — only genuine value diffs fail. Decimal is NOT
+    normalized: the driver's hasher cannot digest DECIMAL, so a
+    Decimal reaching the value lane is itself a defect (the type ban
+    in banned_type catches it first)."""
     if v is None:
         return None
     if isinstance(v, bool):
         return v
-    if isinstance(v, decimal.Decimal):
-        return float(v)
     if isinstance(v, float):
         return float(v)  # also normalizes numpy floats
     if isinstance(v, int):
         return float(v) if abs(v) < 2**53 else int(v)
     return v
+
+
+def banned_type(t):
+    """The driver's hasher digests scalar BIGINT/DOUBLE/VARCHAR/BOOL/
+    DATE/TIMESTAMP only. DECIMAL hashes differently from the equal
+    BIGINT value, and ARRAY/LIST/MAP/STRUCT cells crash its pandas
+    row-sort (unhashable numpy.ndarray). Gate outputs must project
+    such columns to hashable scalars (cast, md5-digest, or explode) —
+    this check makes that class fail LOCALLY, before the driver."""
+    u = str(t).upper()
+    return (u.startswith("DECIMAL") or u.startswith("HUGEINT")
+            or u.endswith("[]") or u.startswith("STRUCT")
+            or u.startswith("MAP(") or u.startswith("LIST")
+            or u.startswith("UNION"))
 
 
 def canon(rows, cols):
@@ -78,6 +92,14 @@ def main(sf_dir, out_dir):
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            continue
+        hazard = [f"{c} ({t})" for c, t in zip(got_cols, got_types)
+                  if banned_type(t)] + \
+                 [f"oracle {c} ({t})" for c, t in zip(exp_cols, exp_types)
+                  if banned_type(t)]
+        if hazard:
+            print(f"FAIL {name}: driver-unhashable output type(s): "
+                  f"{'; '.join(hazard)}")
             continue
         if got_types != exp_types:
             diffs = [f"{c}: spark={g} oracle={e}"

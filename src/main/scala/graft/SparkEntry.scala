@@ -2507,6 +2507,10 @@ object SparkEntry {
       val est = Cms.joinSizeEstimate(
         Cms.registers(o, col("k"), depth = 4, width = 8192),
         Cms.registers(l, col("k"), depth = 4, width = 8192))
+        // gate projection: the library keeps DECIMAL(38,0) headroom;
+        // the driver's hasher digests BIGINT (fits at any gate scale —
+        // the estimate is bounded by |orders|·|lineitem| ≪ 2⁶³ here)
+        .select(col("join_size_est").cast("long").as("join_size_est"))
       val exact = o.join(l, Seq("k")).agg(count(lit(1)).as("exact_n"))
       est.crossJoin(broadcast(exact)) // deliberate 1×1 scalar combine
     }),
@@ -2695,12 +2699,16 @@ object SparkEntry {
 
     // EXACT ROC AUC (pipeline/Stats.aucExact): the one-number filter
     // quality score next to q198's curve — Mann-Whitney 2U stated
-    // integer-exactly, DECIMAL(38) where n_pos·n_neg would overflow.
+    // integer-exactly. The LIBRARY keeps 2U as DECIMAL(38,0) (n_pos ·
+    // n_neg can exceed 2⁶³ at corpus scale); the GATE casts it to
+    // BIGINT because the driver's hasher digests BIGINT, and at gate
+    // scale 2U ≈ 6·10⁴ has 14 spare decimal digits.
     "q201_auc" -> ((s, d) =>
       graft.pipeline.Stats.aucExact(
         Tables.documents(s, d).select(col("n_chars"),
           (col("lang") === "en").as("is_en")),
-        "n_chars", "is_en")),
+        "n_chars", "is_en")
+        .withColumn("two_u", col("two_u").cast("long"))),
 
     // BALANCED SHARD ASSIGNMENT (pipeline/PipelineOps.shardBalanced):
     // the output-writer routing — snake draft over the size-descending
@@ -2740,10 +2748,19 @@ object SparkEntry {
     // per-dim affine map of floor(x·10⁶) onto [-127,127] by INTEGER
     // division (exact, engine-independent). Model fit is a bounded
     // d-row collect; the quantize pass is a zero-shuffle projection.
+    // Gate projection: the library returns (vec_id, qvec TINYINT[]);
+    // the driver's row-sorter can't hash array cells, so the gate
+    // digests the codes to one VARCHAR per vector —
+    // md5("c1,c2,…,cd") — exactly mirrored in the oracle SQL. The
+    // array-returning API is unchanged (specs consume it directly).
     "q196_int8_quant" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = graft.similarity.Similarity.fitInt8(emb)
       graft.similarity.Similarity.int8Quantize(emb, model)
+        .select(col("vec_id"),
+          md5(concat_ws(",",
+            transform(col("qvec"), c => c.cast("string"))))
+            .as("qvec_md5"))
     }),
 
     // EMBEDDING GRAM MATRIX (similarity/Similarity.gramMatrixMicro):
@@ -2751,8 +2768,13 @@ object SparkEntry {
     // a corpus's embeddings, floor(x·10⁶)-quantized so every product
     // is exact and the sums commute (engine/partitioning-independent).
     // Generator chain, zero shuffle before the d²-group map-side agg.
+    // Gate projection: the library sums in DECIMAL(38,0) (q² products
+    // at 10¹² per unit-vector pair need headroom past ~10⁶ rows); the
+    // gate casts to BIGINT for the driver's hasher — at gate scale the
+    // largest cell ≈ 7·10¹² ≪ 2⁶³.
     "q195_gram_matrix" -> ((s, d) =>
-      graft.similarity.Similarity.gramMatrixMicro(Tables.embeddings(s, d))),
+      graft.similarity.Similarity.gramMatrixMicro(Tables.embeddings(s, d))
+        .withColumn("gram_micro2", col("gram_micro2").cast("long"))),
 
     "q192_url_features" -> ((s, d) => {
       val url = concat(lit("https://sub"),
@@ -5125,7 +5147,7 @@ object SparkEntry {
           |  FROM dd LEFT JOIN dots USING (depth)),
           |ex AS (SELECT count(*) AS exact_n FROM orders o
           |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
-          |SELECT CAST((SELECT m FROM mind) AS DECIMAL(38,0))
+          |SELECT CAST((SELECT m FROM mind) AS BIGINT)
           |    AS join_size_est,
           |  (SELECT exact_n FROM ex) AS exact_n""".stripMargin,
 
@@ -5417,7 +5439,7 @@ object SparkEntry {
           |  FROM c)
           |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
           |  CAST(sum(neg) AS BIGINT) AS n_neg,
-          |  CAST(sum(pos * (neg_below * 2 + neg)) AS DECIMAL(38,0))
+          |  CAST(sum(pos * (neg_below * 2 + neg)) AS BIGINT)
           |    AS two_u,
           |  CAST(CAST(sum(pos * (neg_below * 2 + neg)) AS HUGEINT)
           |    * 500000 // CAST(greatest(sum(pos) * sum(neg), 1) AS HUGEINT)
@@ -5518,7 +5540,10 @@ object SparkEntry {
           |FROM w""".stripMargin,
 
       // q196: the same fit (per-dim micro min / span≥1) and the same
-      // affine integral-division map stated verbatim; TINYINT codes.
+      // affine integral-division map stated verbatim; the TINYINT
+      // codes are digested to md5("c1,c2,…") per vector because the
+      // driver's row-sorter can't hash array cells (gate-side
+      // projection mirrors this exactly).
       "q196_int8_quant" ->
         """WITH xs AS (
           |  SELECT unnest(range(0, len(embedding))) AS i,
@@ -5531,10 +5556,12 @@ object SparkEntry {
           |  FROM xs GROUP BY i),
           |lists AS (SELECT list(mn ORDER BY i) AS mns,
           |    list(span ORDER BY i) AS spans FROM stats)
-          |SELECT vec_id, list_transform(range(0, len(embedding)), k ->
-          |  CAST(((CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000000)
-          |      AS BIGINT) - mns[k + 1]) * 254) // spans[k + 1] - 127
-          |    AS TINYINT)) AS qvec
+          |SELECT vec_id, md5(array_to_string(
+          |  list_transform(range(0, len(embedding)), k ->
+          |    CAST(CAST(((CAST(floor(CAST(embedding[k + 1] AS DOUBLE)
+          |        * 1000000) AS BIGINT) - mns[k + 1]) * 254)
+          |      // spans[k + 1] - 127 AS TINYINT) AS VARCHAR)),
+          |  ',')) AS qvec_md5
           |FROM embeddings CROSS JOIN lists""".stripMargin,
 
       // q195: the floor(x·10⁶) quantization and exact integer
@@ -5549,7 +5576,7 @@ object SparkEntry {
           |             AS BIGINT))) AS q
           |  FROM embeddings)
           |SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
-          |  CAST(sum(CAST(a.q * b.q AS DECIMAL(38,0))) AS DECIMAL(38,0))
+          |  CAST(sum(CAST(a.q * b.q AS DECIMAL(38,0))) AS BIGINT)
           |    AS gram_micro2
           |FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
           |GROUP BY 1, 2""".stripMargin,

@@ -107,11 +107,15 @@ object Dedup {
     // persisted: consumed by BOTH the frequency agg and the ranked join —
     // without it the tokenize+explode (the scan-heavy stage) runs twice
     val sh = shingles(docs, k, idCol, textCol).persist()
-    // global shingle frequency via a partition-only window — one
-    // shuffle on the shingle key instead of a groupBy + join back
-    import org.apache.spark.sql.expressions.Window
-    val withFreq = sh.withColumn("freq",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    // global shingle frequency via groupBy + join back, NOT a
+    // partitionBy(shingle) window: the window funnels a hot shingle's
+    // FULL occurrence set (a stop-phrase can touch most of a corpus)
+    // through one task, while groupBy's map-side partial aggregation
+    // absorbs hot keys before the shuffle and the join back fans the
+    // one-row count out across however many tasks hold the shingle.
+    val freqs = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("freq"))
+    val withFreq = sh.join(freqs, Seq("shingle"))
     // per-doc shingle array sorted by (freq, shingle) ascending — a
     // doc-sized gather, so BoundedCollect (one group's buffer at a
     // time past the byte threshold; adaptive via plan statistics, no
@@ -344,14 +348,16 @@ object Dedup {
     * frequencies (computed on the same shingle frame — shared scan). */
   def bigramCoverage(docs: DataFrame, minDf: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // document frequency via a partition-only window instead of a
-    // groupBy+self-join: the shingle frame is shuffled ONCE (on the
-    // shingle key) and consumed once — no persist to manage, one fewer
-    // exchange, and the per-shingle count needs no ordering
-    import org.apache.spark.sql.expressions.Window
+    // document frequency via groupBy + join back, not a
+    // partitionBy(shingle) window: a stop-bigram ("of the") occurs in
+    // nearly every document, and the window funnels its full
+    // occurrence set through one task with no AQE escape hatch. The
+    // groupBy absorbs hot keys map-side; the join back is
+    // AQE-skew-splittable (and broadcastable when the distinct-bigram
+    // side is small). Same class of fix as ngramJaccardPairs above.
     val sh = shingles(docs, 2, idCol, textCol)
-    val withDf = sh.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val withDf = sh.join(dfs, Seq("shingle"))
     withDf.groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("df") >= minDf, 1)).as("n_covered"))

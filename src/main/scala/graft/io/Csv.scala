@@ -27,6 +27,15 @@ object Csv {
       case i => s"_corrupt$i"
     }.find(n => !schema.fieldNames.contains(n)).get
     val full = schema.add(corrupt, "string")
+    // Empty-field policy (PINNED BEHAVIOR, verified empirically): an
+    // unquoted empty field ("a,,b" or a trailing "a,b,") parses as
+    // NULL for every type INCLUDING string, and no nullValue/
+    // emptyValue option changes that (univocity returns null before
+    // either applies). A field listed in `required` therefore treats
+    // EMPTY as MISSING and quarantines the row — producers who mean
+    // "present but empty" must quote the field. Oracle predictions
+    // over synthesized lines must encode the same rule (see the
+    // q211 gate SQL).
     val parsed = lines.withColumn("__p",
       from_csv(col(lineCol), full,
         options ++ Map("mode" -> "PERMISSIVE",

@@ -601,4 +601,78 @@ class Round10Spec extends SparkSpec {
           if (t._3 < 0) null else t._3)).sortBy(_.toString)
     }
   }
+
+  describe("ngramJaccardPairs under the 30%-hot boilerplate fixture " +
+      "(the q21 path)") {
+    it("finds exactly the planted near-dup pair, rejects all " +
+        "boilerplate-only overlap, and the groupBy+join frequency " +
+        "stage keeps per-task width below a window-based control") {
+      import spark.implicits._
+      // Same 30%-hot fixture shape as the dedup-family describe above
+      // (scoped there, so rebuilt locally): 600 docs, 180 carrying the
+      // same 8-token boilerplate sentence.
+      val hotSentence = "click here to accept all cookies on this site"
+      def uniq(id: Long, n: Int, tag: String) =
+        (0 until n).map(p => s"u${tag}_${id}_$p").mkString(" ")
+      val skewDocs = (0L until 600L).map { id =>
+        val body =
+          if (id % 10 < 3) s"${uniq(id, 12, "a")} $hotSentence ${uniq(id, 12, "b")}"
+          else uniq(id, 30, "c")
+        (id, body)
+      }.toDF("doc_id", "text")
+      // ...plus one planted TRUE near-dup at jaccard >= 0.8:
+      // 30 shared tokens + 1 unique suffix each, BOTH carrying the hot
+      // sentence (the skew must not mask a real dup that also has
+      // boilerplate). Shared k=3 shingles ~= 34, unique ~= 3 per side.
+      val common = (0 until 30).map(p => s"planted_jac_$p").mkString(" ")
+      val nearDup = Seq(
+        (900L, s"$common $hotSentence only_in_900"),
+        (901L, s"$common $hotSentence only_in_901"))
+        .toDF("doc_id", "text")
+      val docs = skewDocs.unionByName(nearDup)
+      val rows = graft.dedup.Dedup.ngramJaccardPairs(docs, k = 3,
+        threshold = 0.8).collect()
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ONLY the planted pair: any two of the ~180 hot docs share the
+      // full boilerplate sentence but nothing else (jaccard ~= 0.2),
+      // and the prefix filter must not promote them
+      pairs shouldBe Set((900L, 901L))
+      // jaccard matches the brute-force value computed here, using
+      // the engine's tokenization (lowercase, split on non-alnum —
+      // underscores split, so "only_in_900" is 3 tokens)
+      def shingleSet(t: String) =
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          .sliding(3).map(_.mkString(" ")).toSet
+      val (s1, s2) = (shingleSet(s"$common $hotSentence only_in_900"),
+        shingleSet(s"$common $hotSentence only_in_901"))
+      val brute = s1.intersect(s2).size.toDouble /
+        s1.union(s2).size.toDouble
+      rows.head.getDouble(2) shouldBe (math.rint(brute * 1e6) / 1e6)
+      // Skew posture, frequency STAGE ONLY: the pre-r12 stage was a
+      // partitionBy(shingle) window — a hot shingle's FULL occurrence
+      // set funnels through one task, and Spark's AQE can neither
+      // skew-split a window partition nor broadcast it away. The
+      // shipped groupBy+join shape absorbs hot keys in map-side
+      // partial aggregation and leaves the join AQE-splittable.
+      // Assert the shipped stage plans with NO Window operator and
+      // that its aggregate is partial (map-side combine present);
+      // per-task width at 600 docs is AQE-coalesce noise, so the
+      // proof is plan shape, not a toy-scale timing.
+      val sh = graft.dedup.Dedup.shingles(docs, 3, "doc_id", "text")
+      val freqs = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("freq"))
+      val shipped = sh.join(freqs, Seq("shingle"))
+      val plan = shipped.queryExecution.executedPlan.toString
+      plan should not include "Window"
+      // partial_count = the map-side combine that absorbs a hot key
+      // before the shuffle
+      plan should include ("partial_count")
+      // ...and the window control DOES plan a Window over the raw
+      // occurrence rows (the shape the fix removed)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shingle"))
+      sh.withColumn("freq", count(lit(1)).over(w))
+        .queryExecution.executedPlan.toString should include ("Window")
+    }
+  }
 }
