@@ -3250,8 +3250,6 @@ object SparkEntry {
        |JOIN szs d ON d.id = s.did
        |WHERE s.n_shared * 1000000 >= 500000 * (q.sz + d.sz - s.n_shared)""".stripMargin
 
-  /** DuckDB: MinHash-LSH candidate pairs on the doubled corpus (states
-    * Dedup.minhashCandidatePairs' exact math; shared by q23 and q36). */
   /** DuckDB: (doc_id, lang, predicted) — TextOps.predictedLang's oracle
     * twin, generated from the SAME langMarkers constants; shared by
     * q17 (per-doc) and q214 (confusion rollup). */
@@ -3272,6 +3270,8 @@ object SparkEntry {
        |  FROM (SELECT doc_id, lang, text, $scoreCols FROM documents)""".stripMargin
   }
 
+  /** DuckDB: MinHash-LSH candidate pairs on the doubled corpus (states
+    * Dedup.minhashCandidatePairs' exact math; shared by q23 and q36). */
   private def minhashPairsSql: String =
     s"""WITH docs AS ($doubledSql),
        |$bandedCtesSql
@@ -5109,14 +5109,20 @@ object SparkEntry {
            |FROM siga sa CROSS JOIN sigb sb CROSS JOIN ex""".stripMargin
       },
 
-      // q215: fixed-width buckets + full outer merge + integral shares.
+      // q215: fixed-width buckets + full outer merge + integral
+      // shares; null values excluded before bucketing (driftBuckets'
+      // pinned null policy — no NULL bucket the merge can't match).
       "q215_drift_buckets" ->
         """WITH a AS (SELECT n_chars // 100 AS bucket, count(*) AS n_a
-          |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+          |  GROUP BY 1),
           |b AS (SELECT n_chars // 100 AS bucket, count(*) AS n_b
-          |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
-          |ta AS (SELECT count(*) AS t FROM documents WHERE doc_id % 2 = 0),
-          |tb AS (SELECT count(*) AS t FROM documents WHERE doc_id % 2 = 1)
+          |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+          |  GROUP BY 1),
+          |ta AS (SELECT count(*) AS t FROM documents
+          |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+          |tb AS (SELECT count(*) AS t FROM documents
+          |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL)
           |SELECT bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
           |  CAST(coalesce(n_a, 0) * 1000000 //
           |    greatest((SELECT t FROM ta), 1) AS BIGINT) AS ppm_a,

@@ -111,6 +111,7 @@ object Betweenness {
     val sources = nodes
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(k).collect().map(_.get(0))
+    import graft.util.Checkpoints.free
     var acc = nodes.select(col("id"), lit(0.0).as("delta"))
       .localCheckpoint(true)
     for (s <- sources) {
@@ -119,6 +120,7 @@ object Betweenness {
         .select(col("id"), lit(1.0).as("sigma")).localCheckpoint(true)
       var levels = List(lvl0)
       var visited = lvl0.select(col("id")).localCheckpoint(true)
+      var retiredVisited = List.empty[org.apache.spark.sql.DataFrame]
       var frontier = lvl0
       var done = frontier.isEmpty
       while (!done) {
@@ -127,18 +129,28 @@ object Betweenness {
           .join(visited, Seq("id"), "left_anti")
           .groupBy(col("id")).agg(sum(col("sigma")).as("sigma"))
           .localCheckpoint(true)
-        if (nxt.isEmpty) done = true
+        if (nxt.isEmpty) { free(nxt); done = true }
         else {
           levels = nxt :: levels // deepest first
-          visited = visited.unionByName(nxt.select(col("id")))
+          val grown = visited.unionByName(nxt.select(col("id")))
             .localCheckpoint(true)
+          // superseded visited frames: retire, free at source end
+          // (frontier/levels still reference their blocks' siblings)
+          retiredVisited ::= visited
+          visited = grown
           frontier = nxt
         }
       }
       // backward: δ(v) = Σ_{w: dist w = dist v + 1, v~w} σv/σw (1+δw);
-      // `levels` is deepest-first, so level i's successors are i−1
+      // `levels` is deepest-first, so level i's successors are i−1.
+      // Each node lives in EXACTLY ONE level, so the source's total
+      // delta is the UNION of per-level deltas — accumulated into
+      // `acc` ONCE per source (not once per level, which checkpointed
+      // a full-node frame O(sources × depth) times and never released
+      // the retired copies).
       val lv = levels.toIndexedSeq
       var delta = lv(0).select(col("id"), lit(0.0).as("delta"))
+      var perLevel = List(delta) // lv(0)'s deltas are all 0 — harmless
       for (i <- 1 until lv.size) {
         val deeper = delta.select(col("id").as("w"),
           col("delta").as("delta_w"))
@@ -154,14 +166,22 @@ object Betweenness {
           .join(contrib, Seq("id"), "left")
           .select(col("id"), coalesce(col("d2"), lit(0.0)).as("delta"))
           .localCheckpoint(true)
-        acc = acc.join(
-            delta.filter(col("id") =!= lit(s))
-              .select(col("id"), col("delta").as("dd")),
-            Seq("id"), "left")
-          .select(col("id"),
-            (col("delta") + coalesce(col("dd"), lit(0.0))).as("delta"))
-          .localCheckpoint(true)
+        perLevel ::= delta
       }
+      val srcDelta = perLevel.reduce(_ unionByName _)
+        .filter(col("id") =!= lit(s))
+        .select(col("id"), col("delta").as("dd"))
+      val grownAcc = acc.join(srcDelta, Seq("id"), "left")
+        .select(col("id"),
+          (col("delta") + coalesce(col("dd"), lit(0.0))).as("delta"))
+        .localCheckpoint(true)
+      // grownAcc is materialized: everything this source checkpointed
+      // (levels, per-level deltas, visited history, the retired acc)
+      // is now dead weight — release the executor storage before the
+      // next source starts, keeping live blocks O(|V|) not O(k·depth)
+      free(acc); acc = grownAcc
+      (levels ++ perLevel ++ retiredVisited).foreach(free)
+      free(visited)
     }
     val scale = if (extrapolate) nV.toDouble / k else 1.0
     val out = acc.select(col("id"),

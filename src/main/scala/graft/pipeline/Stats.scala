@@ -375,9 +375,16 @@ object Stats {
     // lands in exactly one bucket, so sum(n) IS count(*); a second
     // full-input scan just for totals would double the I/O this
     // operator exists to bound.
+    // NULL policy: null values are EXCLUDED before bucketing (they
+    // carry no drift signal and would land in a NULL bucket the
+    // equality merge below can never match — two unmerged rows for
+    // the same "bucket"). Shares are therefore over non-null rows;
+    // callers tracking null-rate drift should compare null counts as
+    // their own metric.
     def side(df: DataFrame, n: String): DataFrame =
       graft.util.Checkpoints.materialize(
-        df.select(intDiv(col(valueCol).cast("long"), lit(width))
+        df.filter(col(valueCol).isNotNull)
+          .select(intDiv(col(valueCol).cast("long"), lit(width))
             .as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as(n)))
     val na = side(a, "n_a")

@@ -53,14 +53,19 @@ object RetrievalEval {
 
   /** One-row rollup of [[perQuery]]: exact integer means (truncating)
     * of rr/precision/recall micros plus query and hit counts — the
-    * number an index release publishes as "MRR@k". */
+    * number an index release publishes as "MRR@k". An EMPTY perQuery
+    * frame yields the well-defined zero row (0 queries, 0 hits, all
+    * means 0), never NULL metrics — sums coalesce to 0 and the
+    * divisor floors at 1, the zero convention used elsewhere here. */
   def summary(per: DataFrame): DataFrame =
     per.agg(count(lit(1)).as("n_queries"),
-      sum(col("n_rel_topk")).as("n_hits"),
-      intDiv(sum(col("rr_micro")), count(lit(1))).as("mean_rr_micro"),
-      intDiv(sum(col("precision_ppm")), count(lit(1)))
-        .as("mean_precision_ppm"),
-      intDiv(sum(col("recall_ppm")), count(lit(1))).as("mean_recall_ppm"))
+      coalesce(sum(col("n_rel_topk")), lit(0L)).as("n_hits"),
+      intDiv(coalesce(sum(col("rr_micro")), lit(0L)),
+        greatest(count(lit(1)), lit(1L))).as("mean_rr_micro"),
+      intDiv(coalesce(sum(col("precision_ppm")), lit(0L)),
+        greatest(count(lit(1)), lit(1L))).as("mean_precision_ppm"),
+      intDiv(coalesce(sum(col("recall_ppm")), lit(0L)),
+        greatest(count(lit(1)), lit(1L))).as("mean_recall_ppm"))
 
   /** nDCG@k per query — the graded-relevance metric, FP by nature
     * (log₂ discount): DCG = Σ rel_i / log₂(rank_i + 1) over the top-k,

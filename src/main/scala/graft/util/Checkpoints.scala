@@ -40,6 +40,20 @@ object Checkpoints {
       out
     } else df
 
+  /** Release the block-manager storage of a frame produced by
+    * `localCheckpoint` once it is SUPERSEDED (a newer checkpoint holds
+    * everything downstream still needs). Unlike `unpersist()` on the
+    * frame (a no-op — localCheckpoint registers no CacheManager
+    * entry), this frees the exact RDD backing the checkpoint, keyed
+    * off the plan's LogicalRDD leaf — no global persistent-RDD diff,
+    * so concurrent operators' blocks are never touched. CAUTION: the
+    * checkpointed lineage cannot recompute; only call on frames no
+    * consumer will scan again. */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+
   @volatile private var configuredDir: Option[String] = None
 
   def cut(df: DataFrame, checkpointDir: Option[String] = None,

@@ -64,5 +64,20 @@ class BetweennessSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
       s1 shouldBe s2
     }
+
+    it("releases its per-source checkpoints: persistent-RDD count " +
+        "does not grow with sources x depth") {
+      // an 8-node path (depth 7) x 8 sources: the pre-r12 shape
+      // retired ~sources x depth full-node acc checkpoints plus every
+      // level/visited frame — over 100 leaked persistent RDDs; the
+      // released shape leaves only the final acc (+ the session's
+      // unrelated cache noise, bounded here by a generous margin)
+      val edges = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+      val before = spark.sparkContext.getPersistentRDDs.size
+      Betweenness.sampled(edges, nSources = 8, extrapolate = false)
+        .collect()
+      val leaked = spark.sparkContext.getPersistentRDDs.size - before
+      leaked should be <= 3
+    }
   }
 }

@@ -236,6 +236,20 @@ class Round11dSpec extends SparkSpec {
       p should be > 0.25 // "shifted" band: half the mass moved buckets
       p.isInfinite shouldBe false
     }
+    it("null values are excluded before bucketing — never an " +
+        "unmergeable NULL bucket, shares over non-null rows") {
+      val a = Seq(Some(10L), None, Some(110L)).toDF("v")
+      val b = Seq(Some(20L), None, None).toDF("v")
+      val rows = Stats.driftBuckets(a, b, "v", 100L).collect()
+      // no NULL bucket row at all (the old shape emitted TWO — one
+      // per side — because the equality merge can't match NULL keys)
+      rows.foreach(r => r.isNullAt(0) shouldBe false)
+      val bkts = rows.map(r => (r.getLong(0), (r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      bkts(0L) shouldBe ((1L, 1L, 500000L, 1000000L))
+      bkts(1L) shouldBe ((1L, 0L, 500000L, 0L))
+      bkts.size shouldBe 2
+    }
   }
 
   describe("ORC roundtrip (built-in columnar sibling of parquet)") {
@@ -327,6 +341,18 @@ class Round11dSpec extends SparkSpec {
       s.getLong(0) shouldBe 3L // n_queries
       s.getLong(1) shouldBe 3L // n_hits
       s.getLong(2) shouldBe 500000L // (500000+0+1000000)/3
+    }
+
+    it("summary of an EMPTY perQuery frame is the zero row, not NULLs") {
+      val s = RetrievalEval.summary(
+        RetrievalEval.perQuery(results.filter(col("qid") < 0L),
+          rels, k = 3)).collect()(0)
+      (0 until 5).foreach(i => s.isNullAt(i) shouldBe false)
+      s.getLong(0) shouldBe 0L
+      s.getLong(1) shouldBe 0L
+      s.getLong(2) shouldBe 0L
+      s.getLong(3) shouldBe 0L
+      s.getLong(4) shouldBe 0L
     }
 
     it("ndcg and perQuery are invariant to duplicated qrels rows") {
