@@ -77,7 +77,15 @@ object Bench {
     // run-to-run noise of a 32-thread local JVM (GC, JIT recompiles)
     val pass1 = names.map(n => n -> run(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), run(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // REVERSE-sorted key order in the printed map: the driver's
+    // BENCH_r{N}.json keeps only the LAST ~62 entries of this line, so
+    // reverse order lands q01–q36 (the SURVEY §2-mapped gates) AND the
+    // q03 marker inside the kept tail window — ratios vs first-
+    // recorded stay computable from driver artifacts alone. JSON maps
+    // are order-insensitive, so consumers are unaffected; the full map
+    // is ALSO persisted to bench_full.json below.
+    val qs = results.sortBy(_._1)(Ordering[String].reverse)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =

@@ -1475,6 +1475,29 @@ object SparkEntry {
         nprobe = 2, maxQueryId = 500L)
     }),
 
+    // IVF RECALL@3 vs the exact brute baseline (Similarity
+    // .topKRecall): the driver-checked number behind "the IVF lane is
+    // the 100 TB scale path" — how much of the true top-3 the
+    // nprobe=2 probe recovers on the gate corpus, rolled up to ONE
+    // integral-ppm row (per-query recall is the spec-checked
+    // consumer). Both sides reuse the q25/q35 searches; one equi-join
+    // + two hash aggs on (qid, nid) pairs.
+    "q216_ivf_recall" -> ((s, d) => {
+      import graft.time.Buckets.intDiv
+      val emb = Tables.embeddings(s, d)
+      val brute = graft.similarity.Similarity.bruteTopK(emb, k = 3,
+        maxQueryId = 500L)
+      val ivf = graft.similarity.Similarity.ivfTopK(emb, k = 3,
+        nprobe = 2, maxQueryId = 500L)
+      graft.similarity.Similarity.topKRecall(ivf, brute)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_exact")).as("n_exact"),
+          sum(col("n_hit")).as("n_hit"))
+        .select(col("n_queries"), col("n_exact"), col("n_hit"),
+          intDiv(col("n_hit") * 1000000L,
+            greatest(col("n_exact"), lit(1L))).as("recall_ppm"))
+    }),
+
     // The SAME search through the ON-DISK partitioned IVF index: write
     // the centroid-partitioned layout, then probe-restricted search
     // reads only the probed partitions (PartitionFilters at the scan).
@@ -3738,6 +3761,41 @@ object SparkEntry {
              |  SELECT *, row_number() OVER (
              |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
              |WHERE rn <= 3""".stripMargin
+    // q25's exact brute-force cosine top-3 — shared with q216, where
+    // it is the recall denominator.
+    val bruteTopkSql =
+      s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+         |unit AS (SELECT id, list_transform(range(1, 65), i ->
+         |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+         |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
+         |  FROM base),
+         |pairs AS (SELECT q.id AS qid, b.id AS nid,
+         |    round(list_reduce(list_transform(range(1, 65),
+         |      i -> q.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
+         |  FROM unit q JOIN unit b ON q.id <> b.id
+         |  WHERE q.id < 500)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+         |WHERE rn <= 3""".stripMargin
+    // q216: the IVF scale path's driver-checked quality number — the
+    // q35 statement and the q25 statement verbatim as CTE subqueries,
+    // recall@3 = |ivf ∩ brute| / |brute| per query, rolled up to one
+    // integral-ppm row.
+    val ivfRecallSql =
+      s"""WITH ivf AS (SELECT * FROM ($ivfTopkSql) t1),
+         |ex AS (SELECT * FROM ($bruteTopkSql) t2),
+         |per AS (SELECT e.qid, count(*) AS n_exact,
+         |    sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM ex e LEFT JOIN ivf i ON i.qid = e.qid AND i.nid = e.nid
+         |  GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(n_exact) AS BIGINT) AS n_exact,
+         |  CAST(sum(n_hit) AS BIGINT) AS n_hit,
+         |  CAST(CAST(sum(n_hit) AS HUGEINT) * 1000000 //
+         |    greatest(CAST(sum(n_exact) AS HUGEINT), 1) AS BIGINT)
+         |    AS recall_ppm
+         |FROM per""".stripMargin
     // q105: the identical IVF probe structure + PQ asymmetric distance.
     // States searchIvfPqIndex's exact math: stride-50 centroids (cosine
     // probe), stride-50 PQ seeds → per-sub codebooks (dense_rank code
@@ -4070,21 +4128,8 @@ object SparkEntry {
       // Mirrors the engine exactly: per-vector unit normalization first,
       // then one fused dot product per pair (same fold order ⇒ identical
       // doubles before rounding).
-      "q25_ann_topk" ->
-        s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
-           |unit AS (SELECT id, list_transform(range(1, 65), i ->
-           |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
-           |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
-           |  FROM base),
-           |pairs AS (SELECT q.id AS qid, b.id AS nid,
-           |    round(list_reduce(list_transform(range(1, 65),
-           |      i -> q.u[i] * b.u[i]), (x, y) -> x + y), 6) AS cos
-           |  FROM unit q JOIN unit b ON q.id <> b.id
-           |  WHERE q.id < 500)
-           |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
-           |  SELECT *, row_number() OVER (
-           |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
-           |WHERE rn <= 3""".stripMargin,
+      "q25_ann_topk" -> bruteTopkSql,
+      "q216_ivf_recall" -> ivfRecallSql,
 
       "q26_ann_lsh" ->
         s"""WITH b AS (SELECT vec_id AS id,
@@ -5133,15 +5178,15 @@ object SparkEntry {
       // q213: q69's register SQL on both join sides, per-depth dot
       // product, min across depths; exact count as scalar subqueries.
       "q213_join_estimate" ->
-        """WITH oa AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
-          |lb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        """WITH oa AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hh FROM orders),
+          |lb AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hh FROM lineitem),
           |ra AS (SELECT d AS depth,
-          |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || k), 1, 8))::BIGINT
+          |    ('0x' || substr(hh, d * 8 + 1, 8))::BIGINT
           |      % 8192 AS slot, count(*) AS ca
           |  FROM oa CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
           |  GROUP BY 1, 2),
           |rb AS (SELECT d AS depth,
-          |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || k), 1, 8))::BIGINT
+          |    ('0x' || substr(hh, d * 8 + 1, 8))::BIGINT
           |      % 8192 AS slot, count(*) AS cb
           |  FROM lb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
           |  GROUP BY 1, 2),
@@ -6490,10 +6535,12 @@ object SparkEntry {
           |  count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing
           |FROM events GROUP BY 1""".stripMargin,
 
+      // depth d's hash = the d-th 8-hex-char window of ONE md5(token)
+      // digest (Cms.registers' single-digest slicing, r12)
       "q69_cms_registers" ->
-        s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+        s"""WITH toks AS (SELECT md5(unnest($toksSql)) AS hh FROM documents),
            |h AS (SELECT d,
-           |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || token), 1, 8))::BIGINT AS x
+           |    ('0x' || substr(hh, d * 8 + 1, 8))::BIGINT AS x
            |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d))
            |SELECT d AS depth, x % 512 AS slot, count(*) AS cnt
            |FROM h GROUP BY 1, 2""".stripMargin,

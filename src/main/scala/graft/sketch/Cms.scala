@@ -19,16 +19,22 @@ object Cms {
 
   /** Register table for the stream of `key` values: one row per
     * non-empty (depth, slot), `cnt` = number of stream elements hashing
-    * there. Row d's hash salts the key with `d#`. */
+    * there. Row d's 32-bit hash is the d-th disjoint 8-hex-char window
+    * of ONE md5(key) digest (32 hex chars = 4 windows): one hash
+    * invocation per stream element instead of `depth` — md5 dominated
+    * the register build 4:1 when each depth salted its own digest
+    * (r12 finding: q213's register stage was ~3 s/side at sf0.1). */
   def registers(df: DataFrame, key: Column, depth: Int = 4,
       width: Int = 512): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch geometry $depth x $width")
-    val d = explode(sequence(lit(0), lit(depth - 1)))
+    require(depth <= 4, s"depth=$depth > 4: one md5 digest carries four " +
+      "independent 32-bit windows")
     df.select(key.cast("string").as("k"))
-      .select(col("k"), d.as("depth"))
+      .select(md5(col("k")).as("h"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("depth"),
+        col("h"))
       .select(col("depth"),
-        pmod(conv(substring(md5(
-          concat(col("depth").cast("string"), lit("#"), col("k"))), 1, 8),
+        pmod(conv(col("h").substr(col("depth") * 8 + 1, lit(8)),
           16, 10).cast("long"), lit(width.toLong)).as("slot"))
       .groupBy(col("depth"), col("slot"))
       .agg(count(lit(1)).as("cnt"))
@@ -46,8 +52,15 @@ object Cms {
     * per-depth dot products are DECIMAL(38,0) sums of long×long
     * products so 2⁶³-adjacent counts cannot wrap. */
   def joinSizeEstimate(regsA: DataFrame, regsB: DataFrame): DataFrame = {
-    val a = regsA.select(col("depth"), col("slot"), col("cnt").as("ca"))
-    val b = regsB.select(col("depth"), col("slot"), col("cnt").as("cb"))
+    // Register frames are usually LAZY plans over the (100 TB) base
+    // tables. Both are consumed twice below (depth domain + dot
+    // products), so materialize the ≤ depth×width-row tables once —
+    // otherwise each side's full scan-hash-aggregate runs twice (the
+    // r11 depth-domain fix silently doubled q213's cost this way).
+    val a = graft.util.Checkpoints.materialize(
+      regsA.select(col("depth"), col("slot"), col("cnt").as("ca")))
+    val b = graft.util.Checkpoints.materialize(
+      regsB.select(col("depth"), col("slot"), col("cnt").as("cb")))
     // A depth whose slot sets do not overlap has dot product ZERO —
     // it must enter the min as 0, not vanish from it (disjoint key
     // sets would otherwise report the min of the OTHER depths, or an
@@ -74,10 +87,11 @@ object Cms {
       depth: Int = 4, width: Int = 512): DataFrame = {
     val probes = keys
       .select(col(keyCol).cast("string").as("k"))
-      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("depth"))
+      .select(col("k"), md5(col("k")).as("h"))
+      .select(col("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("depth"), col("h"))
       .select(col("k"), col("depth"),
-        pmod(conv(substring(md5(
-          concat(col("depth").cast("string"), lit("#"), col("k"))), 1, 8),
+        pmod(conv(col("h").substr(col("depth") * 8 + 1, lit(8)),
           16, 10).cast("long"), lit(width.toLong)).as("slot"))
     probes.join(registers, Seq("depth", "slot"), "left")
       .groupBy(col("k"))

@@ -7,17 +7,26 @@ import graft.operators._
 import graft.query.{GetSnapshot, Query}
 
 /** The reference's README executed as a test (its `test-readme/` tier,
-  * README.md:68 "this README is also a test script") — the two
-  * walkthroughs re-expressed against the Spark engine:
+  * README.md:68 "this README is also a test script") — every executable
+  * walkthrough re-expressed against the Spark engine:
   *
   *  1. "basic" (README.md:94-208): two switch findings → snapshot from
   *     switch1 → the exact node/link/timestamp expectations, plus the
   *     GraphML rendering step;
-  *  2. "merge-link-attrs" (README.md:615-746): the SignalStrengths
+  *  2. "weaver" (README.md:235-321): the in-memory quick-start —
+  *     newWeaver policyOverwrite, pure addFoundNode, getSnapshot
+  *     unifyToOne;
+  *  3. "interval" (README.md:441-499): querying the past excludes
+  *     newer findings;
+  *  4. "multi-link" (README.md:502-605): two port-distinguished links
+  *     between one switch pair via the link sub-ID unifier, plus the
+  *     README's "without the sub-ID you get one link" remark;
+  *  5. "merge-link-attrs" (README.md:615-746): the SignalStrengths
   *     mergeSamples exemplar — each end observes its own RX signal
   *     strength; a custom list-valued merge combines BOTH ends'
   *     attributes into one link whose at_source/at_dest orientation
-  *     follows the latest base sample.
+  *     follows the latest base sample;
+  *  plus the repo README's own pipeline-cookbook snippets.
   */
 class ReadmeSpec extends SparkSpec {
 
@@ -222,5 +231,65 @@ class ReadmeSpec extends SparkSpec {
     // the source (switch2) is -5.5, at the destination (switch1) -4.3
     val attrs = l.getMap[String, String](4).toMap
     attrs shouldBe Map("at_source" -> "-5.5", "at_dest" -> "-4.3")
+  }
+
+  it("Weaver quick-start — snapshot on memory, no store " +
+      "(README.md:235-321)") {
+    // newWeaver policyOverwrite; two findings added as pure ops;
+    // getSnapshot unifyToOne — all samples between a pair become one
+    // link (the StdUnifier default with no sub-ID).
+    val w = new Weaver(spark)
+    w.addFoundNode(fn("switch1", "2018-08-20T12:53:38",
+        Seq(fl("switch2"), fl("switch3")), seq = 0))
+      .addFoundNode(fn("switch2", "2018-08-20T13:00:22",
+        Seq(fl("switch4"), fl("switch1")), seq = 0))
+    val g = w.getSnapshot()
+    // map nodeId got_nodes `shouldBe` [switch1..switch4]
+    g.nodes.collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("switch1", "switch2", "switch3", "switch4")
+    // map linkNodePair got_links `shouldBe` the three swap-insensitive
+    // pairs
+    g.links.collect()
+      .map { r =>
+        val (s, d) = (r.getString(0), r.getString(1))
+        (Seq(s, d).min, Seq(s, d).max)
+      }.sorted.toSeq shouldBe
+      Seq(("switch1", "switch2"), ("switch1", "switch3"),
+        ("switch2", "switch4"))
+  }
+
+  it("multi-link walkthrough — two port-distinguished links between " +
+      "one switch pair (README.md:502-605)") {
+    // one finding: switch1 sees switch2 over TWO physical links,
+    // distinguished only by Ports(sport, tport)
+    val finding1 = fn("switch1", "2018-09-13T12:43:10", Seq(
+      fl("switch2", Map("sport" -> "Gi0/0", "tport" -> "Gi0/12")),
+      fl("switch2", Map("sport" -> "Gi0/1", "tport" -> "Gi0/13"))),
+      seq = 1)
+    val findings = Findings.fromSeq(spark, Seq(finding1))
+    import spark.implicits._
+    // linkSubIdWithPorts: the swap-immune Pair((subject, sport),
+    // (target, tport)) — stated as (least, greatest) of the two
+    // endpoint|port strings, the reference's Pair Eq/Ord semantics
+    val withPorts = new StdUnifier(subId = Seq(
+      least(concat_ws("|", col("subject"), col("link_attrs")("sport")),
+        concat_ws("|", col("target"), col("link_attrs")("tport"))),
+      greatest(concat_ws("|", col("subject"), col("link_attrs")("sport")),
+        concat_ws("|", col("target"), col("link_attrs")("tport")))))
+    val g = GetSnapshot(spark, findings,
+      Query(Seq("switch1"), unifier = withPorts))
+    val links = g.links.collect()
+    // length raw_links `shouldBe` 2, both ("switch1","switch2")
+    links.length shouldBe 2
+    links.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("switch1", "switch2"), ("switch1", "switch2"))
+    // linkAttributes shouldMatchList [Ports Gi0/0 Gi0/12, Gi0/1 Gi0/13]
+    links.map(_.getMap[String, String](4).toMap).toSet shouldBe Set(
+      Map("sport" -> "Gi0/0", "tport" -> "Gi0/12"),
+      Map("sport" -> "Gi0/1", "tport" -> "Gi0/13"))
+    // ...and WITHOUT the sub-ID the result collapses to ONE link
+    // (README: "the result would contain just one link")
+    GetSnapshot(spark, findings, Query(Seq("switch1")))
+      .links.count() shouldBe 1L
   }
 }
