@@ -12,13 +12,18 @@ import graft.operators.LinkOps
   *
   *   runMain graft.rpl.RplCli <logPathGlob> <cooja|syslog:YEAR> [mode]
   *     [-s NODE-ID]... [-f TIMESTAMP] [-t TIMESTAMP] [-d SECONDS]
-  *     [--filter none|latest]
+  *     [--filter none|latest|keep:N]
   *
   * Timestamps accept the `i`/`x` inclusivity prefixes and `±inf`
   * (Interval.parseEnd). --duration composes with exactly one bound
   * (secSince/secUntil inclusivity flip). --filter latest = keep only
-  * each node's latest finding before the query (CLI.hs:236-247).
-  * Modes: summary | nodes | links | graphml.
+  * each node's latest finding before the query (CLI.hs:236-247);
+  * --filter keep:N = each node keeps its latest N findings
+  * (PolicyKeepN, the library retention between the reference's
+  * policyOverwrite and policyAppend).
+  * Modes: summary | nodes | links | graphml | unifylog (the reference
+  * Weaver's per-pair "Unify link [a]-[b]: from N samples to M samples"
+  * decision lines, per layer).
   */
 object RplCli {
 
@@ -55,7 +60,13 @@ object RplCli {
           if (to.isEmpty) return Left(s"bad --time-to: ${args(i + 1)}")
           i += 2
         case "-d" | "--duration" => dur = Some(args(i + 1).toLong); i += 2
-        case "--filter" => filter = args(i + 1); i += 2
+        case "--filter" =>
+          filter = args(i + 1)
+          if (filter != "none" && filter != "latest" &&
+              !(filter.startsWith("keep:") &&
+                filter.drop(5).toIntOption.exists(_ >= 1)))
+            return Left(s"bad --filter: $filter (none|latest|keep:N)")
+          i += 2
         case m if !m.startsWith("-") && i == 2 => mode = m; i += 1
         case other => return Left(s"unknown option: $other")
       }
@@ -164,12 +175,18 @@ object RplCli {
     dao ++ dio
   }
 
-  private def cis(spark: SparkSession, dioF0: DataFrame, daoF0: DataFrame,
-      opts: Opts): Unit = {
-    // P5 pre-insert filter (CLI.hs:236-247,366-383)
+  private[graft] def cis(spark: SparkSession, dioF0: DataFrame,
+      daoF0: DataFrame, opts: Opts): Unit = {
+    // P5 pre-insert filter (CLI.hs:236-247,366-383); keep:N is the
+    // PolicyKeepN retention (the library generalization between the
+    // reference's policyOverwrite and policyAppend) reachable from the
+    // CLI grammar: each subject keeps its latest N findings.
     def preFilter(df: DataFrame): DataFrame = opts.filter match {
       case "latest" =>
         LinkOps.latestPerKey(df, Seq("subject"), Seq("epoch_ms", "finding_seq"))
+      case k if k.startsWith("keep:") =>
+        graft.operators.Weave.retainFindings(df,
+          graft.operators.PolicyKeepN(k.drop(5).toInt))
       case _ => df
     }
     val dioF = preFilter(dioF0)
@@ -206,6 +223,20 @@ object RplCli {
           .collect().foreach(r => println(r.getString(0)))
       case "graphml" =>
         println(graft.io.GraphMl.write(combined))
+      case "unifylog" =>
+        // the reference Weaver's per-decision debug lines
+        // (Weaver.hs:186-189), one per unordered pair per layer —
+        // forensics for "why did these samples become that link"
+        Seq("dio" -> (dioF, Rpl.DioUnifier: graft.operators.LinkUnifier),
+            "dao" -> (daoF, Rpl.daoUnifier: graft.operators.LinkUnifier))
+          .foreach { case (layer, (f, u)) =>
+            graft.operators.Weave
+              .unificationLog(f.filter(interval.predicate(col("epoch_ms"))),
+                unifier = u)
+              .orderBy(col("pair_lo"), col("pair_hi"))
+              .select(col("log_line")).collect()
+              .foreach(r => println(s"[$layer] ${r.getString(0)}"))
+          }
       case other => System.err.println(s"unknown mode: $other"); sys.exit(2)
     }
   }

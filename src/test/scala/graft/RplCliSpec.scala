@@ -39,6 +39,58 @@ class RplCliSpec extends SparkSpec {
     RplCli.parseArgs(base ++ Array("--nope")).isLeft shouldBe true
   }
 
+  it("parses --filter keep:N, rejects malformed variants") {
+    RplCli.parseArgs(base ++ Array("--filter", "keep:2"))
+      .toOption.get.filter shouldBe "keep:2"
+    RplCli.parseArgs(base ++ Array("--filter", "keep:0")).isLeft shouldBe true
+    RplCli.parseArgs(base ++ Array("--filter", "keep:x")).isLeft shouldBe true
+    RplCli.parseArgs(base ++ Array("--filter", "newest")).isLeft shouldBe true
+  }
+
+  it("cis --filter keep:1 behaves as latest; keep:N is reachable " +
+      "from the grammar (PolicyKeepN wired through)") {
+    val fixture = "/root/reference/net-spider-rpl/test/data/syslog_sr_tables.log"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
+      cancel("fixture missing")
+    val (dioF, daoF) = graft.rpl.ContikiNg.readLogs(spark, fixture,
+      graft.rpl.ContikiNg.SyslogHead(2019))
+    def summaryWith(filter: String): String = {
+      val opts = RplCli.parseArgs(Array(fixture, "syslog:2019",
+        "summary", "--filter", filter)).toOption.get
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        RplCli.cis(spark, dioF, daoF, opts)
+      }
+      out.toString.trim
+    }
+    val latest = summaryWith("latest")
+    summaryWith("keep:1") shouldBe latest
+    // keep:99 retains everything here (few findings per node) — the
+    // unfiltered result
+    summaryWith("keep:99") shouldBe summaryWith("none")
+  }
+
+  it("unifylog mode prints the reference Weaver's per-pair decision " +
+      "lines (Weaver.hs:186-189) for both layers") {
+    val fixture = "/root/reference/net-spider-rpl/test/data/syslog_sr_tables.log"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
+      cancel("fixture missing")
+    val (dioF, daoF) = graft.rpl.ContikiNg.readLogs(spark, fixture,
+      graft.rpl.ContikiNg.SyslogHead(2019))
+    val opts = RplCli.parseArgs(Array(fixture, "syslog:2019",
+      "unifylog")).toOption.get
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      RplCli.cis(spark, dioF, daoF, opts)
+    }
+    val lines = out.toString.split("\n").filter(_.nonEmpty).toSeq
+    lines should not be empty
+    all(lines) should fullyMatch regex
+      """\[(dio|dao)\] Unify link \[.+\]-\[.+\]: from \d+ samples to \d+ samples"""
+    // at least one line per layer on this fixture
+    lines.count(_.startsWith("[dao]")) should be >= 1
+  }
+
   it("assembles secSince/secUntil with inclusivity flip") {
     val since = RplCli.parseArgs(base ++
       Array("-f", "1970-01-01T00:00:01", "-d", "60")).toOption.get
