@@ -52,31 +52,22 @@ object Cms {
     * per-depth dot products are DECIMAL(38,0) sums of long×long
     * products so 2⁶³-adjacent counts cannot wrap. */
   def joinSizeEstimate(regsA: DataFrame, regsB: DataFrame): DataFrame = {
-    // Register frames are usually LAZY plans over the (100 TB) base
-    // tables. Both are consumed twice below (depth domain + dot
-    // products), so materialize the ≤ depth×width-row tables once —
-    // otherwise each side's full scan-hash-aggregate runs twice (the
-    // r11 depth-domain fix silently doubled q213's cost this way).
-    val a = graft.util.Checkpoints.materialize(
-      regsA.select(col("depth"), col("slot"), col("cnt").as("ca")))
-    val b = graft.util.Checkpoints.materialize(
-      regsB.select(col("depth"), col("slot"), col("cnt").as("cb")))
-    // A depth whose slot sets do not overlap has dot product ZERO —
-    // it must enter the min as 0, not vanish from it (disjoint key
-    // sets would otherwise report the min of the OTHER depths, or an
-    // empty frame's NULL). Depths come from EITHER side (an empty A
-    // must not empty the depth domain), and the final coalesce covers
-    // both sides empty: no data ⇒ estimate 0, never NULL.
-    val depths = a.select(col("depth"))
-      .unionByName(b.select(col("depth"))).distinct()
-    val dots = a.join(b, Seq("depth", "slot"))
+    val a = regsA.select(col("depth"), col("slot"), col("cnt").as("ca"))
+    val b = regsB.select(col("depth"), col("slot"), col("cnt").as("cb"))
+    // A depth whose slot sets do not overlap has dot product ZERO — it
+    // must enter the min as 0, not vanish from it. Stated as ONE LEFT
+    // join from A to the broadcast B table: [[registers]] emits EVERY
+    // depth for any non-empty input, so each A depth is present and an
+    // unmatched slot contributes ca·0 — no second consumption of
+    // either register plan (the r11 union-of-depths form re-ran each
+    // side's full scan-hash-aggregate just to list depths), no shuffle
+    // (B is ≤ depth×width rows). Empty A ⇒ empty aggregate ⇒ the outer
+    // coalesce reports 0; empty B ⇒ all-null cb ⇒ every dot is 0.
+    a.join(broadcast(b), Seq("depth", "slot"), "left")
       .groupBy(col("depth"))
       .agg(sum(col("ca").cast("decimal(38,0)") *
-        col("cb").cast("decimal(38,0)")).as("dot"))
-    depths.join(dots, Seq("depth"), "left")
-      .agg(coalesce(
-        min(coalesce(col("dot"), lit(0).cast("decimal(38,0)"))),
-        lit(0).cast("decimal(38,0)"))
+        coalesce(col("cb"), lit(0L)).cast("decimal(38,0)")).as("dot"))
+      .agg(coalesce(min(col("dot")), lit(0).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as("join_size_est"))
   }
 
