@@ -608,7 +608,14 @@ object SparkEntry {
     // sequence packing. Every stage is an already-gate-verified
     // operator; the value here is that the COMPOSITION stays one
     // declarative Catalyst plan (shared scans, pushed filters, no
-    // materialization between stages).
+    // materialization between stages). The pushed quality filter DOES
+    // inline the tokenization into the scan-side Filter (the q160
+    // trap), so tokens evaluate ~3× per surviving row — but the
+    // generator-barrier alternative was A/B-measured SLOWER here
+    // (1.5–2.1 s vs 1.2 s standalone at sf0.1): blocking pushdown
+    // also blocks the row pruning that keeps language-ID and the
+    // fingerprint md5 off 2/3 of the corpus. Pushdown wins; keep the
+    // filter inline.
     "q71_pipeline_e2e" -> ((s, d) => {
       import graft.text.TextOps
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -633,8 +640,8 @@ object SparkEntry {
         .filter(col("__keep")).drop("__keep")
       val sampled = graft.pipeline.PipelineOps.stratifiedSample(
         deduped, samplingRatesPpm, strataCol = "plang")
-      graft.pipeline.PipelineOps.packSequences(sampled, capacity = 2048,
-          strataCol = "plang")
+      graft.pipeline.PipelineOps.packSequencesByCount(sampled,
+          capacity = 2048, strataCol = "plang")
         .select(col("doc_id"), col("plang"), col("n_tokens"), col("bin"))
     }),
 

@@ -322,14 +322,28 @@ object PipelineOps {
   def packSequences(docs: DataFrame, capacity: Int = 2048,
       strataCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text", windowThreshold: Int = 1 << 20): DataFrame = {
-    require(capacity > 0, s"capacity must be positive, got $capacity")
     // coalesce: tokenCount is null for null text; a null would NPE the
     // per-partition scans, so degrade to a zero-token doc instead.
-    val toks = docs.select(col(idCol), col(strataCol),
-      coalesce(TextOps.tokenCount(col(textCol)).cast("long"), lit(0L))
-        .as("n_tokens"))
-    exclusivePrefixSum(toks, strataCol, Seq(idCol), "n_tokens", "__cum",
-      windowThreshold)
+    packSequencesByCount(
+      docs.select(col(idCol), col(strataCol),
+        coalesce(TextOps.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens")),
+      capacity, strataCol, idCol, windowThreshold = windowThreshold)
+  }
+
+  /** [[packSequences]] over an ALREADY-COUNTED frame — callers that
+    * have computed `countCol` upstream (q71's one-tokenization
+    * composition) must not pay the tokenizer again just to pack.
+    * `countCol` must be non-null. Returns (id, stratum, countCol,
+    * bin). */
+  def packSequencesByCount(counted: DataFrame, capacity: Int = 2048,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      countCol: String = "n_tokens",
+      windowThreshold: Int = 1 << 20): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    exclusivePrefixSum(
+      counted.select(col(idCol), col(strataCol), col(countCol)),
+      strataCol, Seq(idCol), countCol, "__cum", windowThreshold)
       .withColumn("bin", graft.time.Buckets.intDiv(col("__cum"),
         lit(capacity.toLong)).cast("long"))
       .drop("__cum")
