@@ -52,6 +52,11 @@ def main():
         # sub-noise-floor gates can double on scheduler jitter alone
         if raw > GATE and now[q] >= 0.3:
             breaches.append(q)
+    # a baseline row carrying a 'note' is an ADJUDICATED first-record
+    # anomaly (documented investigation in BENCH_BASELINES.json) — it
+    # is reported but does not re-trip the gate every round
+    adjudicated = [q for q in breaches if base[q].get("note")]
+    breaches = [q for q in breaches if not base[q].get("note")]
 
     rows.sort(reverse=True)
     print(f"{'eff':>6} {'raw':>6} {'norm':>6}  query (first@round -> now)")
@@ -70,11 +75,14 @@ def main():
             json.dump(base_doc, open("BENCH_BASELINES.json", "w"), indent=1)
             print("BENCH_BASELINES.json: appended "
                   f"{len(new_qs)} rows (set 'round' when committing)")
+    if adjudicated:
+        print(f"\nadjudicated >2x rows (see BENCH_BASELINES notes): "
+              + ", ".join(adjudicated))
     if breaches:
         print(f"\n2x BREACHES ({len(breaches)}): " + ", ".join(breaches))
         return 1
-    print(f"\nno 2x breach across {len(rows)} gated queries "
-          f"(marker now = {marker_now}s)")
+    print(f"\nno unadjudicated 2x breach across {len(rows)} gated "
+          f"queries (marker now = {marker_now}s)")
     return 0
 
 

@@ -1488,7 +1488,10 @@ object SparkEntry {
     // nprobe=2 probe recovers on the gate corpus, rolled up to ONE
     // integral-ppm row (per-query recall is the spec-checked
     // consumer). Both sides reuse the q25/q35 searches; one equi-join
-    // + two hash aggs on (qid, nid) pairs.
+    // + two hash aggs on (qid, nid) pairs. BY-DESIGN-LINEAR in the
+    // collection (the q25 brute-audit class): ground-truth recall is
+    // always sampled-queries × full collection — the query cap bounds
+    // it, and production evals shrink the sample, not the truth.
     "q216_ivf_recall" -> ((s, d) => {
       import graft.time.Buckets.intDiv
       val emb = Tables.embeddings(s, d)
