@@ -3172,6 +3172,21 @@ object SparkEntry {
   private def toksOfSql(e: String): String =
     s"list_filter(regexp_split_to_array(lower($e), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** RE2 spelling of [[graft.text.TextOps.WsClass]] — the explicit
+    * Unicode White_Space class shared by both engines (fuzz finding:
+    * Java `\s` is ASCII-only while DuckDB's `trim` eats NBSP). */
+  private val wsClassSql = "[\\t\\n\\x0B\\f\\r \\x{0085}\\x{00A0}" +
+    "\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}" +
+    "\\x{205F}\\x{3000}]"
+
+  /** DuckDB: md5 of the joined normalized token stream — an EMPTY
+    * stream hashes as md5('') like Spark's array_join (DuckDB's
+    * array_to_string of an empty list is NULL — fuzz finding), null
+    * text stays NULL (matching TextOps.fingerprint). */
+  private def fpSql(e: String): String =
+    s"CASE WHEN $e IS NULL THEN NULL ELSE " +
+      s"md5(coalesce(array_to_string(${toksOfSql(e)}, ' '), '')) END"
+
   private val toksSql = toksOfSql("text")
 
   private def sqlList(xs: Seq[String]): String =
@@ -4064,13 +4079,13 @@ object SparkEntry {
 
       "q19_fingerprint" ->
         s"""SELECT doc_id,
-           |  md5(array_to_string($toksSql, ' ')) AS fp,
-           |  ('0x' || substr(md5(array_to_string($toksSql, ' ')), 1, 8))::BIGINT AS fp_bucket
+           |  ${fpSql("text")} AS fp,
+           |  ('0x' || substr(${fpSql("text")}, 1, 8))::BIGINT AS fp_bucket
            |FROM documents""".stripMargin,
 
       "q20_dedup_exact" ->
         s"""WITH docs AS ($doubledSql)
-           |SELECT md5(array_to_string($toksSql, ' ')) AS content_hash,
+           |SELECT ${fpSql("text")} AS content_hash,
            |  min(doc_id) AS rep_id, count(*) AS n_docs
            |FROM docs GROUP BY 1""".stripMargin,
 
@@ -4278,7 +4293,7 @@ object SparkEntry {
           |    unnest(range(0, len(ss))) AS j FROM st)
           |SELECT doc_id, j AS chunk_idx, ss[j+1] AS start_tok,
           |  es[j+1] - ss[j+1] AS n_toks,
-          |  md5(array_to_string(t[ss[j+1]+1 : es[j+1]], ' '))
+          |  md5(coalesce(array_to_string(t[ss[j+1]+1 : es[j+1]], ' '), ''))
           |    AS chunk_md5
           |FROM c""".stripMargin,
 
@@ -5526,7 +5541,7 @@ object SparkEntry {
         s"""WITH agg AS (SELECT lang, count(*) AS n_docs,
            |    CAST(sum(len($toksSql)) AS BIGINT) AS n_toks,
            |    sum(n_chars) AS sum_chars,
-           |    count(*) - count(DISTINCT md5(array_to_string($toksSql, ' ')))
+           |    count(*) - count(DISTINCT ${fpSql("text")})
            |      AS n_dup
            |  FROM documents GROUP BY lang),
            |c AS (SELECT lang, n_chars AS v, count(*) AS cnt
@@ -5617,12 +5632,12 @@ object SparkEntry {
           |  FROM xs GROUP BY i),
           |lists AS (SELECT list(mn ORDER BY i) AS mns,
           |    list(span ORDER BY i) AS spans FROM stats)
-          |SELECT vec_id, md5(array_to_string(
+          |SELECT vec_id, md5(coalesce(array_to_string(
           |  list_transform(range(0, len(embedding)), k ->
           |    CAST(CAST(((CAST(floor(CAST(embedding[k + 1] AS DOUBLE)
           |        * 1000000) AS BIGINT) - mns[k + 1]) * 254)
           |      // spans[k + 1] - 127 AS TINYINT) AS VARCHAR)),
-          |  ',')) AS qvec_md5
+          |  ','), '')) AS qvec_md5
           |FROM embeddings CROSS JOIN lists""".stripMargin,
 
       // q195: the floor(x·10⁶) quantization and exact integer
@@ -5787,7 +5802,8 @@ object SparkEntry {
           |    b -> length(b.txt) >= 20 AND b.ac * 3 <= length(b.txt))
           |    AS kept FROM c)
           |SELECT doc_id,
-          |  md5(array_to_string(list_transform(kept, b -> b.txt), ' '))
+          |  md5(coalesce(array_to_string(
+          |      list_transform(kept, b -> b.txt), ' '), ''))
           |    AS content_md5,
           |  CAST(len(scored) AS BIGINT) AS n_blocks,
           |  CAST(len(kept) AS BIGINT) AS n_kept
@@ -5801,7 +5817,9 @@ object SparkEntry {
           |    text || '. ' || text || '! done.' AS t FROM documents),
           |c AS (SELECT doc_id, ${toksOfSql("t")} AS toks,
           |    list_filter(regexp_split_to_array(t, '[.!?]+'),
-          |      x -> trim(x) <> '') AS sents FROM s)
+          |      x -> regexp_replace(x,
+          |        '^$wsClassSql+|$wsClassSql+$$', '', 'g') <> '')
+          |      AS sents FROM s)
           |SELECT doc_id,
           |  CAST(len(toks) AS BIGINT) AS n_words,
           |  CAST(greatest(len(sents), 1) AS BIGINT) AS n_sentences,
@@ -6321,21 +6339,26 @@ object SparkEntry {
           |  GROUP BY nline HAVING count(*) >= 3),
           |hotarr AS (SELECT coalesce(list(nline), []) AS h FROM hot)
           |SELECT d.doc_id AS id,
-          |  md5(array_to_string(list_filter(string_split(d.text, chr(10)),
+          |  md5(coalesce(array_to_string(
+          |    list_filter(string_split(d.text, chr(10)),
           |    l -> trim(l) = '' OR NOT list_contains(ha.h, trim(l))),
-          |    chr(10))) AS clean_md5,
+          |    chr(10)), '')) AS clean_md5,
           |  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
           |  CAST(len(list_filter(string_split(d.text, chr(10)),
           |    l -> trim(l) = '' OR NOT list_contains(ha.h, trim(l))))
           |    AS BIGINT) AS n_kept
           |FROM documents d CROSS JOIN hotarr ha""".stripMargin,
 
+      // wsTrim per sentence (TextOps.sentences): built-in trims
+      // disagree cross-engine on NBSP
       "q55_sentence_stats" ->
-        """WITH s AS (SELECT doc_id,
-          |    list_filter(list_transform(
-          |      regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
-          |      x -> x <> '') AS sents
-          |  FROM documents),
+        s"""WITH s AS (SELECT doc_id,
+           |    list_filter(list_transform(
+           |      regexp_split_to_array(text, '[.!?]+'),
+           |      x -> regexp_replace(x,
+           |        '^$wsClassSql+|$wsClassSql+$$', '', 'g')),
+           |      x -> x <> '') AS sents
+           |  FROM documents),
           |l AS (SELECT doc_id, sents,
           |    list_transform(sents, x -> CAST(len(x) AS BIGINT)) AS lens
           |  FROM s)
@@ -6347,12 +6370,15 @@ object SparkEntry {
           |  ELSE 0.0 END AS mean_sent_chars
           |FROM l""".stripMargin,
 
+      // explicit Unicode whitespace class on both engines (plain trim
+      // is safe AFTER the collapse — edges are single ASCII spaces)
       "q37_normalize" ->
-        """WITH n AS (SELECT doc_id,
-          |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
-          |  FROM documents)
-          |SELECT doc_id, md5(norm) AS norm_md5,
-          |  CAST(len(norm) AS BIGINT) AS n_chars_norm FROM n""".stripMargin,
+        s"""WITH n AS (SELECT doc_id,
+           |  trim(regexp_replace(lower(nfc_normalize(text)),
+           |    '$wsClassSql+', ' ', 'g')) AS norm
+           |  FROM documents)
+           |SELECT doc_id, md5(norm) AS norm_md5,
+           |  CAST(len(norm) AS BIGINT) AS n_chars_norm FROM n""".stripMargin,
 
       "q38_contamination" ->
         s"""WITH trsh AS (SELECT * FROM (
@@ -6479,7 +6505,7 @@ object SparkEntry {
            |filt AS (SELECT * FROM ann
            |  WHERE n_tokens >= 30 AND n_digits * 5 < n_chars),
            |reps AS (SELECT min(doc_id) AS doc_id FROM filt
-           |  GROUP BY md5(array_to_string($toksSql, ' '))),
+           |  GROUP BY ${fpSql("text")}),
            |ded AS (SELECT f.* FROM filt f JOIN reps USING (doc_id)),
            |samp AS (SELECT * FROM ded
            |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000

@@ -103,7 +103,9 @@ object TextOps {
     * consumer-side (the PMI discipline) while the counts hash-gate. */
   def readabilityColumns(text: Column): Seq[Column] = {
     val toks = tokens(text)
-    val sents = filter(split(text, "[.!?]+"), s => trim(s) =!= "")
+    // wsTrim for the emptiness test: an NBSP-only segment is blank in
+    // both engines only under the explicit class
+    val sents = filter(split(text, "[.!?]+"), s => wsTrim(s) =!= "")
     val syll = aggregate(
       transform(toks, t => greatest(
         size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))), lit(1))),
@@ -210,10 +212,28 @@ object TextOps {
     * ends trimmed. All stages fuse into one whole-stage-codegen span;
     * DuckDB states the identical transform with nfc_normalize + lower +
     * regexp_replace('\\s+', ' ', 'g') + trim. */
+  /** Unicode White_Space character class, stated EXPLICITLY because
+    * engine defaults disagree (fuzz-harness finding, round 12): Java's
+    * `\s` is ASCII-only and Spark's `trim` strips ASCII space, while
+    * DuckDB's `trim` also eats NBSP — a document with exotic
+    * whitespace normalized differently per engine. Every
+    * whitespace-sensitive operator whose STRINGS surface in oracle
+    * outputs uses this class on both sides. */
+  val WsClass: String = "[\\t\\n\\u000B\\f\\r \\u0085\\u00A0\\u1680" +
+    "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+
+  /** Trim using [[WsClass]] — identical semantics in both engines,
+    * unlike the built-in trims. */
+  def wsTrim(c: Column): Column =
+    regexp_replace(c, s"^$WsClass+|$WsClass+$$", "")
+
   def normalizeText(text: Column): Column =
+    // collapse with the EXPLICIT class; after collapsing, any edge
+    // whitespace is a single ASCII space, which both engines' plain
+    // trim remove identically
     trim(regexp_replace(
       lower(graft.functions.TextExpressions.nfcNormalize(text)),
-      "\\s+", " "))
+      s"$WsClass+", " "))
 
   /** Duplicate-line ratio — the C4-style boilerplate/repetition filter:
     * 1 − distinct non-blank lines ÷ total non-blank lines. High values
@@ -235,7 +255,9 @@ object TextOps {
     * max_sent_chars, mean_sent_chars) — the mean is ONE division of an
     * integer-exact sum, so the doubles compare exactly. */
   def sentences(text: Column): Column =
-    filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
+    // wsTrim, not trim: sentence strings surface in oracle-compared
+    // outputs, and built-in trims differ cross-engine on NBSP
+    filter(transform(split(text, "[.!?]+"), s => wsTrim(s)), s => s =!= "")
 
   def sentenceCount(text: Column): Column = size(sentences(text))
 

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CROSS-ENGINE FUZZ: run real gates over a seeded EDGE-CASE corpus
+  * and compare against the real DuckDB oracles via the real
+  * `scripts/selfcheck.py` — the driver's exact comparison path, on
+  * value domains the generated testdata never exercises (empty /
+  * whitespace-only / unicode / combining-char / regex-metachar /
+  * repeated-token / very-long documents; tiny / negative / one-hot /
+  * all-equal embedding vectors). A drift here is a REAL cross-engine
+  * parity bug in an operator or its oracle SQL, found before a user's
+  * corpus finds it.
+  *
+  * Deterministic: fixed literals + a seeded LCG, no wall clock. The
+  * non-fuzzed TPC-H tables come from sf0.001 so every oracle view
+  * binds. */
+class FuzzSpec extends SparkSpec {
+
+  private val repo = new java.io.File(".").getCanonicalPath
+  private def haveTool: Boolean =
+    try {
+      new ProcessBuilder("python3", "-c", "import duckdb").start()
+        .waitFor() == 0
+    } catch { case _: Throwable => false }
+
+  // the fuzz-relevant gate subset: text analysis, dedup, stats,
+  // similarity, sketches, CSV/JSONL prediction — gates whose math is
+  // sensitive to text/vector value domains. Heavy e2e compositions and
+  // TPC-H-only gates are exercised by the main battery instead.
+  private val gates = Seq(
+    "q16_text_quality", "q17_langid", "q18_token_count",
+    "q19_fingerprint", "q37_normalize", "q45_length_quantiles",
+    "q55_sentence_stats", "q164_readability", "q173_mojibake",
+    "q184_lexical_stats", "q185_token_runs", "q106_repetition",
+    "q53_boilerplate", "q20_dedup_exact", "q21_ngram_jaccard",
+    "q22_minhash_sig", "q24_simhash", "q47_dup_lines",
+    "q127_line_dedup_global", "q205_repeated_ngrams",
+    "q201_auc", "q198_pr_curve", "q215_drift_buckets",
+    "q25_ann_topk", "q195_gram_matrix", "q196_int8_quant",
+    "q216_ivf_recall", "q69_cms_registers", "q63_hll_registers",
+    "q211_csv_quarantine", "q112_chunk",
+    "q200_dataset_card", "q71_pipeline_e2e")
+
+  private def fuzzDocs: Seq[(Long, String, String, String)] = {
+    // seeded LCG for the bulk rows (never java.util.Random — the seed
+    // path must be stable across JVMs)
+    var s = 0x5DEECE66DL
+    def nxt(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n }
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val langs = Vector("en", "es", "de", "fr")
+    val edge = Seq(
+      (0L, "", "en", "src0"),                       // EMPTY text
+      (1L, "   ", "en", "src0"),                    // whitespace only
+      (2L, "!!! ??? ...", "es", "src1"),            // punctuation only
+      (3L, "1234567890 00 42", "de", "src1"),       // digits only
+      (4L, "Straße café 日本語 текст", "de", "src2"), // unicode mix
+      (5L, "étude résumé naive", "fr", "src2"),   // combining chars (NFC path)
+      (6L, "a.b a*b (x) [y] {z} a+b a|b", "en", "src0"), // regex metachars
+      (7L, "one", "en", "src1"),                    // single token
+      (8L, ("spam " * 200).trim, "en", "src2"),     // heavy repetition
+      (9L, (0 until 4000).map(i => words(i % 12)).mkString(" "), "en", "src0"), // very long
+      (10L, "comma, \"quoted\" line\nbreak\r tab\t end", "es", "src1"), // CSV metachars
+      (11L, "The quick brown fox. Jumps over! The lazy dog? Twice.", "en", "src2"),
+      (12L, "MiXeD CaSe TeXt MIXED case text", "en", "src0"),
+      (13L, "    odd whitespace here", "en", "src1"), // exotic whitespace
+      (14L, "word " + "� broken � encoding", "en", "src2"), // replacement chars
+      // NBSP-only sentence segment between terminators (trim-class
+      // drift: Java \s and Spark trim are ASCII-only, DuckDB trim
+      // eats NBSP) + a trailing exotic-whitespace-only doc
+      (60L, "first.\u00A0\u00A0. second!", "en", "src0"),
+      (61L, "\u00A0\u2028\u2029", "en", "src1"),
+      // three docs sharing EVERY non-blank line: the boilerplate
+      // remover strips all of them (empty clean stream must hash as
+      // md5('') on both engines)
+      (62L, "shared hot line", "en", "src0"),
+      (63L, "shared hot line", "en", "src1"),
+      (64L, "shared hot line", "en", "src2")) // all-boilerplate trio
+    val dup = Seq( // exact-dup pair + near-dup pair for the dedup gates
+      (15L, "identical duplicate document body for exact dedup", "en", "src0"),
+      (16L, "identical duplicate document body for exact dedup", "en", "src1"),
+      (17L, (0 until 40).map(i => s"near_$i").mkString(" ") + " tail_a", "en", "src0"),
+      (18L, (0 until 40).map(i => s"near_$i").mkString(" ") + " tail_b", "en", "src1"))
+    val bulk = (19L until 60L).map { id =>
+      val n = 20 + nxt(60)
+      val body = (0 until n).map(_ => words(nxt(12))).mkString(" ")
+      (id, body, langs(nxt(4)), s"src${nxt(3)}")
+    }
+    edge ++ dup ++ bulk
+  }
+
+  private def fuzzEmbeddings: Seq[(Long, Array[Float], Int)] = {
+    var s = 42L
+    def nxt: Float = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % 2000).toInt - 1000) / 1000.0f }
+    val edge = Seq(
+      (0L, Array.fill(64)(1e-30f), 0),              // tiny norm
+      (1L, Array.tabulate(64)(i => if (i == 0) 1f else 0f), 1), // one-hot
+      (2L, Array.fill(64)(0.5f), 2),                // all-equal
+      (3L, Array.fill(64)(-0.25f), 0),              // all-negative
+      (4L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f), 1))
+    val bulk = (5L until 40L).map(id =>
+      (id, Array.fill(64)(nxt), (id % 3).toInt))
+    edge ++ bulk
+  }
+
+  it("33 gates match their DuckDB oracles on the edge-case corpus") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    import spark.implicits._
+    val sf = java.nio.file.Files.createTempDirectory("fuzz_sf").toString
+    val out = java.nio.file.Files.createTempDirectory("fuzz_out").toString
+    // DuckDB's oracle views read single parquet FILES (the driver's
+    // testdata layout), so copy the static tables byte-for-byte and
+    // relocate each fuzz table's single part file.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        java.nio.file.Paths.get(s"$sf/$t.parquet"))
+    def writeAsFile(df: org.apache.spark.sql.DataFrame, t: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"fuzz_$t").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$sf/$t.parquet"))
+    }
+    writeAsFile(fuzzDocs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long")),
+      "documents")
+    writeAsFile(fuzzEmbeddings.toDF("vec_id", "embedding", "label"),
+      "embeddings")
+
+    // the Verify dump loop, verbatim semantics
+    gates.foreach { name =>
+      SparkEntry.queries(name)(spark, sf).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$name")
+    }
+    def q(str: String): String = "\"" + str.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val oracle = SparkEntry.oracleSql.filter(kv => gates.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"), oracle)
+
+    val pb = new ProcessBuilder("python3", s"$repo/scripts/selfcheck.py",
+      sf, out).redirectErrorStream(true)
+    val p = pb.start()
+    val log = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val rc = p.waitFor()
+    val failLines = log.linesIterator
+      .filter(l => l.startsWith("FAIL") || l.contains("Error")).toSeq
+    withClue((if (failLines.nonEmpty) failLines
+        else log.linesIterator.toSeq.takeRight(15))
+        .mkString("selfcheck output:\n", "\n", "\n")) {
+      rc shouldBe 0
+      log should include (s"== ${gates.size}/${gates.size} queries match ==")
+    }
+  }
+}
