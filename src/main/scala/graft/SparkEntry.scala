@@ -5038,12 +5038,15 @@ object SparkEntry {
           |SELECT id_a, id_b,
           |  round(list_reduce(list_transform(range(1, len(va) + 1),
           |    i -> va[i]::DOUBLE * vb[i]::DOUBLE),
-          |    (p, q) -> p + q), 6) AS dot_r,
+          |    (p, q) -> p + q), 6) + 0.0 AS dot_r,
           |  round(list_reduce(list_transform(va,
-          |    x -> x::DOUBLE * x::DOUBLE), (p, q) -> p + q), 6) AS na2_r,
+          |    x -> x::DOUBLE * x::DOUBLE), (p, q) -> p + q), 6) + 0.0 AS na2_r,
           |  round(list_reduce(list_transform(vb,
-          |    x -> x::DOUBLE * x::DOUBLE), (p, q) -> p + q), 6) AS nb2_r
+          |    x -> x::DOUBLE * x::DOUBLE), (p, q) -> p + q), 6) + 0.0 AS nb2_r
           |FROM p""".stripMargin,
+      // (+ 0.0 normalizes DuckDB's signed zero: round(-1e-29, 6) is
+      // -0.0 there, while Spark's BigDecimal round returns +0.0 —
+      // fuzz-harness finding on a tiny-norm vector pair)
 
       // q189: the q183 chain rolled up per language — integer sums.
       "q189_tokenizer_qa_e2e" ->

@@ -32,9 +32,15 @@ object Html {
     * flag). */
   val TagRe = "<[^>]*>"
 
-  /** Explicit whitespace class — Java's `\s` includes `\x0B`, RE2's
-    * does not; the explicit class is identical in both. */
-  val WsRe = "[ \\t\\r\\n\\f]+"
+  /** Whitespace run, INCLUDING Unicode whitespace as literal chars —
+    * Scala's \\uXXXX escapes resolve at compile time, so the regex
+    * sees literal characters, which parse identically in Java regex
+    * and RE2 — the one spelling serves both engines (fuzz-harness
+    * trim-drift class: DuckDB's trim eats NBSP, Spark's doesn't;
+    * collapsing exotic whitespace to ASCII spaces BEFORE the trim
+    * makes both trims agree). */
+  val WsRe = "[ \\t\\r\\n\\f\u000B\u0085\u00A0\u1680" +
+    "\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]+"
 
   /** href attribute value (single- or double-quoted, case-insensitive;
     * explicit whitespace class for the same `\s` reason). */

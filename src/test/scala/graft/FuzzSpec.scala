@@ -42,6 +42,41 @@ class FuzzSpec extends SparkSpec {
     "q211_csv_quarantine", "q112_chunk",
     "q200_dataset_card", "q71_pipeline_e2e")
 
+  // tranche 2: the remaining documents/embeddings-derived gates —
+  // URL/HTML synthesis, PII/blocklist regexes, BM25/PMI ratios,
+  // decontamination, LSH/IVF lanes, samplers, mixers. Event- and
+  // TPC-H-only gates are excluded (their inputs are the copied real
+  // tables — no fuzz value).
+  private val gates2 = Seq(
+    "q23_minhash_lsh", "q26_ann_lsh", "q28_embed_neardup",
+    "q29_simhash_neardup", "q30_ivf_assign", "q32_vocab_topk",
+    "q33_lang_stats", "q34_redact", "q35_ivf_topk",
+    "q36_neardup_clusters", "q38_contamination", "q42_lang_vocab",
+    "q43_fixed_sample", "q44_quantize", "q46_bigram_coverage",
+    "q50_dedup_corpus", "q52_kmeans_partial", "q64_postings",
+    "q83_heavy_hitters", "q84_span_dedup", "q92_pmi",
+    "q102_containment", "q109_neardup_search", "q110_pii",
+    "q111_decontaminate", "q115_quality_model", "q118_rag_prep",
+    "q120_lm_components", "q123_corpus_shuffle", "q125_semdedup",
+    "q126_dsir_components", "q128_cluster_balance",
+    "q129_ccnet_buckets", "q132_html_extract", "q133_link_graph",
+    "q134_script_detect", "q136_source_overlap", "q139_global_rank",
+    "q141_url_canon", "q142_entity_resolution", "q143_split_assign",
+    "q144_web_prep", "q145_weighted_choice", "q146_temperature_mix",
+    "q147_anchor_text", "q148_bm25", "q149_cdc_chunk",
+    "q150_leakage_split", "q151_knn_topics", "q153_keep_best",
+    "q154_jsonl_quarantine", "q155_matryoshka_topk", "q156_rrf_fusion",
+    "q157_negative_samples", "q158_corpus_diff", "q159_robots_match",
+    "q160_phrase_search", "q161_sitemap_frontier", "q163_weighted_sample",
+    "q165_line_shape", "q166_main_content", "q167_comparable_pairs",
+    "q168_fertility", "q169_embedding_health", "q170_rank_blend",
+    "q177_blocklist", "q179_encoding_audit", "q183_oov_audit",
+    "q186_crawl_delay", "q188_pair_calibration", "q190_card_luhn",
+    "q192_url_features", "q194_corpus_overlap", "q197_knn_label_noise",
+    "q202_robots_wildcard", "q203_contam_report", "q206_bloom_decontam",
+    "q207_kmv_overlap", "q209_takedown", "q212_retrieval_metrics",
+    "q214_lang_confusion")
+
   private def fuzzDocs: Seq[(Long, String, String, String)] = {
     // seeded LCG for the bulk rows (never java.util.Random — the seed
     // path must be stable across JVMs)
@@ -106,11 +141,10 @@ class FuzzSpec extends SparkSpec {
     edge ++ bulk
   }
 
-  it("33 gates match their DuckDB oracles on the edge-case corpus") {
-    if (!haveTool) cancel("python3/duckdb not available")
+  // corpus built once, shared by both tranches
+  private lazy val fuzzSfDir: String = {
     import spark.implicits._
     val sf = java.nio.file.Files.createTempDirectory("fuzz_sf").toString
-    val out = java.nio.file.Files.createTempDirectory("fuzz_out").toString
     // DuckDB's oracle views read single parquet FILES (the driver's
     // testdata layout), so copy the static tables byte-for-byte and
     // relocate each fuzz table's single part file.
@@ -133,9 +167,16 @@ class FuzzSpec extends SparkSpec {
       "documents")
     writeAsFile(fuzzEmbeddings.toDF("vec_id", "embedding", "label"),
       "embeddings")
+    sf
+  }
 
+  /** Verify-dump the named gates over the fuzz corpus and compare via
+    * the real selfcheck.py; fails with the FAIL lines as the clue. */
+  private def runTranche(names: Seq[String]): Unit = {
+    val sf = fuzzSfDir
+    val out = java.nio.file.Files.createTempDirectory("fuzz_out").toString
     // the Verify dump loop, verbatim semantics
-    gates.foreach { name =>
+    names.foreach { name =>
       SparkEntry.queries(name)(spark, sf).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/$name")
     }
@@ -148,7 +189,7 @@ class FuzzSpec extends SparkSpec {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val oracle = SparkEntry.oracleSql.filter(kv => gates.contains(kv._1))
+    val oracle = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/oracle_sql.json"), oracle)
@@ -164,7 +205,19 @@ class FuzzSpec extends SparkSpec {
         else log.linesIterator.toSeq.takeRight(15))
         .mkString("selfcheck output:\n", "\n", "\n")) {
       rc shouldBe 0
-      log should include (s"== ${gates.size}/${gates.size} queries match ==")
+      log should include (s"== ${names.size}/${names.size} queries match ==")
     }
+  }
+
+  it("tranche 1: 33 text/dedup/stats/similarity gates match their " +
+      "DuckDB oracles on the edge-case corpus") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    runTranche(gates)
+  }
+
+  it("tranche 2: 80 URL/HTML/PII/LSH/IVF/sampler gates match their " +
+      "DuckDB oracles on the edge-case corpus") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    runTranche(gates2)
   }
 }
