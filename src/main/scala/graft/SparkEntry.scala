@@ -4195,14 +4195,19 @@ object SparkEntry {
           |FROM a JOIN b ON a.user_id = b.user_id
           |  AND a_lo < b_hi AND b_lo < a_hi""".stripMargin,
 
+      // NULL values carry NULL ranks (globalRanks excludes them from
+      // the rank domain; a bare window would NUMBER them — and on
+      // opposite ends per engine)
       "q139_global_rank" ->
         """WITH ev AS (SELECT event_id,
-          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
-          |  FROM events)
-          |SELECT event_id, cents,
-          |  rank() OVER (ORDER BY cents) AS rnk,
-          |  dense_rank() OVER (ORDER BY cents) AS drnk
-          |FROM ev""".stripMargin,
+          |    CAST(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+          |  FROM events),
+          |r AS (SELECT event_id,
+          |    rank() OVER (ORDER BY cents) AS rnk,
+          |    dense_rank() OVER (ORDER BY cents) AS drnk
+          |  FROM ev WHERE cents IS NOT NULL)
+          |SELECT e.event_id, e.cents, r.rnk, r.drnk
+          |FROM ev e LEFT JOIN r USING (event_id)""".stripMargin,
 
       // q145: the same replicate-by-weight min-draw, weights as
       // integer floor division of n_chars.
@@ -6465,7 +6470,7 @@ object SparkEntry {
           |    unnest([b0, b0 - 1800000]) AS win_start FROM b)
           |SELECT win_start, win_start + 3600000 AS win_end, event_type,
           |  count(*) AS n,
-          |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          |  CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
           |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
       "q60_shortest_paths" ->
@@ -6568,11 +6573,20 @@ object SparkEntry {
           |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user
           |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
 
+      // json_valid + try_cast mirror get_json_object's null-on-anything
+      // semantics (DuckDB's bare json_extract ERRORS on malformed
+      // input — fuzz finding); probed identical on valid/missing/null/
+      // huge/malformed/empty props.
       "q68_json_extract" ->
-        """SELECT event_type,
-          |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-          |  count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing
-          |FROM events GROUP BY 1""".stripMargin,
+        """WITH e AS (SELECT event_type,
+          |    CASE WHEN props IS NOT NULL AND json_valid(props)
+          |      THEN try_cast(json_extract_string(props, '$.k') AS BIGINT)
+          |    END AS k
+          |  FROM events)
+          |SELECT event_type,
+          |  CAST(sum(k) AS BIGINT) AS sum_k,
+          |  count(*) FILTER (WHERE k IS NULL) AS n_missing
+          |FROM e GROUP BY 1""".stripMargin,
 
       // depth d's hash = the d-th 8-hex-char window of ONE md5(token)
       // digest (Cms.registers' single-digest slicing, r12)
@@ -6661,7 +6675,7 @@ object SparkEntry {
         """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events)
           |SELECT user_id, event_id,
           |  CAST(count(*) OVER w AS BIGINT) AS n_window,
-          |  CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum5
+          |  CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum5
           |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
           |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
 
@@ -6808,7 +6822,7 @@ object SparkEntry {
 
       "q91_incremental_agg" ->
         """WITH ev AS (SELECT event_type,
-          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+          |    CAST(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
           |    epoch_ms(ts) // 86400000 AS day FROM events)
           |SELECT event_type, count(*) AS n,
           |  CAST(sum(cents) AS DOUBLE) AS sum_cents,
@@ -6872,12 +6886,13 @@ object SparkEntry {
 
       "q104_winsorize" ->
         """WITH b AS (SELECT event_id, event_type,
-          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+          |    CAST(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
           |  FROM events),
           |c AS (SELECT *, count(*) OVER (PARTITION BY event_type
           |      ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |      AS cum,
-          |    count(*) OVER (PARTITION BY event_type) AS tot FROM b),
+          |    count(*) OVER (PARTITION BY event_type) AS tot FROM b
+          |  WHERE cents IS NOT NULL),
           |q AS (SELECT event_type,
           |    min(CASE WHEN cum * 1000000 >= 50000 * tot THEN cents END) AS p05,
           |    min(CASE WHEN cum * 1000000 >= 950000 * tot THEN cents END) AS p95
@@ -7179,7 +7194,7 @@ object SparkEntry {
 
       "q103_time_rolling" ->
         """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
-          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+          |    CAST(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
           |  FROM events)
           |SELECT user_id, event_id, ms,
           |  count(*) OVER (PARTITION BY user_id ORDER BY ms
@@ -7188,14 +7203,21 @@ object SparkEntry {
           |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_cents_1h
           |FROM ev""".stripMargin,
 
+      // moment arithmetic in HUGEINT (INT128) to mirror Spark's
+      // DECIMAL(38,0): cents up to ~1e17 square to ~1e34 and the
+      // deviation products reach ~1e38 — INT64 overflows (fuzz
+      // finding; the library documents the |x| bound)
       "q101_outliers" ->
         """WITH b AS (SELECT event_id, event_type,
-          |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+          |    CAST(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
           |  FROM events),
-          |s AS (SELECT event_type, count(*) AS n, sum(cents) AS sx,
-          |    sum(cents * cents) AS sxx FROM b GROUP BY 1)
+          |s AS (SELECT event_type, count(*) AS n,
+          |    sum(CAST(cents AS HUGEINT)) AS sx,
+          |    sum(CAST(cents AS HUGEINT) * cents) AS sxx FROM b GROUP BY 1)
           |SELECT event_id, event_type, cents FROM b JOIN s USING (event_type)
-          |WHERE (n * cents - sx) * (n * cents - sx) > 9 * (n * sxx - sx * sx)
+          |WHERE (n * CAST(cents AS HUGEINT) - sx)
+          |    * (n * CAST(cents AS HUGEINT) - sx)
+          |  > 9 * (n * sxx - sx * sx)
           |""".stripMargin,
 
       "q100_gap_fill" ->

@@ -60,7 +60,9 @@ object Stats {
     * (an FP mean/stddev can flip it). One aggregation for the group
     * moments (broadcast — |groups| rows) + one scan with the decimal
     * predicate. Returns the flagged rows. `x` must be integer-valued
-    * (scale to cents first). */
+    * (scale to cents first) with n·|x| ≲ 10¹⁹ per group — the squared
+    * deviation must fit DECIMAL(38,0) (Spark silently NULLs past it;
+    * the INT128 oracle twin errors). */
   def sigmaOutliers(df: DataFrame, groupCols: Seq[String], x: Column,
       nSigma: Int = 3): DataFrame = {
     val dx = x.cast("decimal(38,0)")
@@ -87,7 +89,12 @@ object Stats {
     val part = Window.partitionBy(groupCols.map(col): _*)
     val cumW = part.orderBy(col("__v"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL values are NOT part of the quantile domain: a NULL would
+    // sort FIRST under Spark's window order and LAST under DuckDB's,
+    // silently shifting every cumulative count by one (fuzz finding —
+    // a NaN-derived NULL moved p05 by a row).
     val base = df.select(groupCols.map(col) :+ value.as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .withColumn("__cum", count(lit(1)).over(cumW))
       .withColumn("__tot", count(lit(1)).over(part))
     val exprs = qsPpm.map(q => min(when(

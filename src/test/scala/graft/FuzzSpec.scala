@@ -77,6 +77,106 @@ class FuzzSpec extends SparkSpec {
     "q207_kmv_overlap", "q209_takedown", "q212_retrieval_metrics",
     "q214_lang_confusion")
 
+  // tranche 3: every gate deriving from the EVENTS table — directly
+  // (sessionize/funnel/windows/rolling/intervals) or through
+  // EventGraph (the whole weave family and the graph analytics built
+  // on it). Edge cases target the classic cross-engine traps:
+  // same-microsecond ties, interval-bound inclusivity, session-gap
+  // boundaries, value ties and extremes (0 / negative / 1e15 / 1e-7 /
+  // NaN), unknown and empty event types, malformed/missing JSON props.
+  private val gates3 = Seq(
+    "q01_p1_interval", "q02_p2_latest_per_node", "q03_a1_unify_latest",
+    "q04_j4_boundary", "q05_a4_graph_ts", "q08_j5_seqid",
+    "q09_p4_negation", "q10_a1_subid", "q11_j2_side_merge",
+    "q12_bfs_reachable", "q13_a9_degrees", "q14_a11_summary",
+    "q15_j3_combine", "q31_sessionize", "q48_list_merge",
+    "q49_triangles", "q51_clustering_coeff", "q56_asof_join",
+    "q57_range_join", "q59_sliding_window", "q60_shortest_paths",
+    "q62_pivot", "q67_window_funcs", "q68_json_extract", "q70_funnel",
+    "q72_hll_grouped", "q73_snapshot_diff", "q74_link_flaps",
+    "q75_interval_merge", "q76_rolling", "q77_scc", "q78_rank_funcs",
+    "q85_transitions", "q86_cohort_retention", "q88_set_ops",
+    "q90_quality_audit", "q91_incremental_agg", "q93_scd2",
+    "q95_keep_n", "q96_neighbor_stats", "q97_temporal_reach",
+    "q99_debounce", "q100_gap_fill", "q101_outliers",
+    "q103_time_rolling", "q104_winsorize", "q108_two_hop",
+    "q117_skew_audit", "q135_random_walks", "q137_node2vec_walks",
+    "q138_interval_overlap", "q139_global_rank", "q140_label_prop",
+    "q162_decayed_counts", "q172_pagerank", "q174_trustrank",
+    "q175_hits", "q176_hyperball", "q178_weighted_pagerank",
+    "q180_graph_audit", "q182_link_prediction", "q187_degree_histogram",
+    "q191_modularity")
+
+  /** (event_id, ts_micros, user_id, event_type, value, props). */
+  private def fuzzEvents: Seq[(Long, Long, Long, String, Double, String)] = {
+    val LoMs = 1704844800000L // the q01 interval bounds
+    val HiMs = 1705708800000L
+    def us(ms: Long, micro: Long = 0L): Long = ms * 1000 + micro
+    var s = 7L
+    def nxt(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n }
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    var id = 0L
+    def ev(tsUs: Long, u: Long, t: String, v: Double, p: String) = {
+      id += 1; (id, tsUs, u, t, v, p)
+    }
+    val t0 = LoMs + 3600000L // inside the interval
+    val edge = Seq(
+      // u1: same-MICROSECOND tie (two events, identical ts, different
+      // ids) + a third 1µs later with a VALUE tie against the first
+      ev(us(t0, 778549), 1, "view", 1.0, """{"k": 1}"""),
+      ev(us(t0, 778549), 1, "click", 2.0, """{"k": 2}"""),
+      ev(us(t0, 778550), 1, "purchase", 1.0, """{"k": 3}"""),
+      // u2: single event, empty-object props
+      ev(us(t0 + 60000), 2, "signup", 0.0, "{}"),
+      // u3: 5-event burst 200ms apart, then an EXACT 30-minute gap,
+      // then +30min+1ms (sessionize/debounce boundaries)
+      ev(us(t0 + 100000), 3, "view", 3.0, """{"k": 5}"""),
+      ev(us(t0 + 100200), 3, "view", 3.0, """{"k": 5}"""),
+      ev(us(t0 + 100400), 3, "view", 3.1, """{"k": 6}"""),
+      ev(us(t0 + 100600), 3, "click", 3.2, """{"k": 7}"""),
+      ev(us(t0 + 100800), 3, "click", 3.2, """{"k": 8}"""),
+      ev(us(t0 + 100800 + 1800000), 3, "view", 4.0, """{"k": 9}"""),
+      ev(us(t0 + 100800 + 3600001), 3, "purchase", 5.0, """{"k": 10}"""),
+      // u5: interval-bound inclusivity — exactly at LoMs (in),
+      // LoMs-1ms (out), HiMs-1ms (in), exactly HiMs (out)
+      ev(us(LoMs), 5, "view", 6.0, """{"k": 11}"""),
+      ev(us(LoMs - 1), 5, "view", 6.0, """{"k": 12}"""),
+      ev(us(HiMs - 1), 5, "click", 6.5, """{"k": 13}"""),
+      ev(us(HiMs), 5, "click", 6.5, """{"k": 14}"""),
+      // u6: value extremes (zero, negative, huge, tiny, NaN)
+      ev(us(t0 + 200000), 6, "error", 0.0, """{"k": 15}"""),
+      ev(us(t0 + 201000), 6, "error", -5.5, """{"k": 16}"""),
+      ev(us(t0 + 202000), 6, "view", 1e15, """{"k": 17}"""),
+      ev(us(t0 + 203000), 6, "view", 1e-7, """{"k": 18}"""),
+      ev(us(t0 + 204000), 6, "view", Double.NaN, """{"k": 19}"""),
+      // u7: perfect funnel order; u8: purchase BEFORE view; u9:
+      // view+click at the same instant
+      ev(us(t0 + 300000), 7, "view", 1.0, """{"k": 20}"""),
+      ev(us(t0 + 301000), 7, "click", 1.0, """{"k": 21}"""),
+      ev(us(t0 + 302000), 7, "purchase", 9.99, """{"k": 22}"""),
+      ev(us(t0 + 300000), 8, "purchase", 9.99, """{"k": 23}"""),
+      ev(us(t0 + 301000), 8, "view", 1.0, """{"k": 24}"""),
+      ev(us(t0 + 300000, 5), 9, "view", 1.0, """{"k": 25}"""),
+      ev(us(t0 + 300000, 5), 9, "click", 1.0, """{"k": 26}"""),
+      // u10: props edge cases — missing k, null k, big k, malformed,
+      // empty string, unknown/empty event types
+      ev(us(t0 + 400000), 10, "view", 1.0, "{}"),
+      ev(us(t0 + 401000), 10, "view", 1.0, """{"k": null}"""),
+      ev(us(t0 + 402000), 10, "view", 1.0, """{"k": 123456789012}"""),
+      ev(us(t0 + 403000), 10, "zz_unknown", 1.0, "not json"),
+      ev(us(t0 + 404000), 10, "", 1.0, ""))
+    // bulk: 90 events across 8 users and ~40 days, µs jitter included
+    val bulk = (0 until 90).map { _ =>
+      ev(us(LoMs - 86400000L * 5 + nxt(45).toLong * 86400000L +
+          nxt(86400000).toLong, nxt(1000000).toLong),
+        11 + nxt(8).toLong, types(nxt(5)),
+        math.rint(nxt(40000) / 100.0 * 100) / 100.0,
+        s"""{"k": ${nxt(100)}}""")
+    }
+    edge ++ bulk
+  }
+
   private def fuzzDocs: Seq[(Long, String, String, String)] = {
     // seeded LCG for the bulk rows (never java.util.Random — the seed
     // path must be stable across JVMs)
@@ -149,7 +249,7 @@ class FuzzSpec extends SparkSpec {
     // testdata layout), so copy the static tables byte-for-byte and
     // relocate each fuzz table's single part file.
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events"))
+        "orders", "lineitem"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
         java.nio.file.Paths.get(s"$sf/$t.parquet"))
@@ -167,6 +267,16 @@ class FuzzSpec extends SparkSpec {
       "documents")
     writeAsFile(fuzzEmbeddings.toDF("vec_id", "embedding", "label"),
       "embeddings")
+    // events carry real timestamp[us] like the driver's generator
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    writeAsFile(fuzzEvents
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("ts_us"))
+          .as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")),
+      "events")
     sf
   }
 
@@ -219,5 +329,11 @@ class FuzzSpec extends SparkSpec {
       "DuckDB oracles on the edge-case corpus") {
     if (!haveTool) cancel("python3/duckdb not available")
     runTranche(gates2)
+  }
+
+  it("tranche 3: 63 events/weave/graph gates match their DuckDB " +
+      "oracles on the edge-case event stream") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    runTranche(gates3)
   }
 }
