@@ -717,6 +717,11 @@ object SparkEntry {
     // query. Revenue of the 10 biggest undelivered orders in the
     // BUILDING segment — broadcast/AQE joins, decimal-exact revenue,
     // distributed TakeOrderedAndProject (never a global sort).
+    // PRECONDITION (fuzz-documented): prices/discounts carry ≤ 2
+    // decimals, so each line's revenue has ≤ 4 decimals and the
+    // DECIMAL(30,4) cast is EXACT. A 5th-decimal half-tie cannot agree
+    // cross-engine (Spark rounds the double's shortest decimal string
+    // HALF_UP; DuckDB rounds the binary value).
     "q80_top_orders" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
@@ -1369,9 +1374,15 @@ object SparkEntry {
     // 2 over the part-name vocabulary — symmetric-delete blocking
     // (deletion-variant equi-join) + levenshtein verify; the oracle
     // states the brute-force definition the blocking must reproduce.
+    // Gate domain: ASCII words only — Spark's levenshtein counts
+    // CHARACTERS (the correct text semantics, spec-pinned in
+    // ScdFuzzySpec) while DuckDB's counts BYTES, so a non-ASCII word
+    // would hash-diverge (fuzz finding: 'widget'↔'wídget' is 1 vs 2).
+    // The operator itself is unrestricted.
     "q94_fuzzy_match" -> ((s, d) => {
       val words = Tables.part(s, d)
         .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(!col("word").rlike("[^\\x00-\\x7F]"))
       graft.text.Fuzzy.fuzzyPairs(words, "word", maxDist = 2)
     }),
 
@@ -7272,9 +7283,12 @@ object SparkEntry {
           |SELECT user_id, state, valid_from, valid_to,
           |  valid_to IS NULL AS is_current FROM v""".stripMargin,
 
+      // ASCII-only domain (DuckDB's levenshtein is byte-based; see
+      // the gate comment)
       "q94_fuzzy_match" ->
-        """WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word
-          |  FROM part)
+        """WITH w AS (SELECT DISTINCT word FROM (
+          |    SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+          |  WHERE NOT regexp_matches(word, '[^\x00-\x7F]'))
           |SELECT a.word AS w1, b.word AS w2,
           |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
           |FROM w a JOIN w b ON a.word < b.word

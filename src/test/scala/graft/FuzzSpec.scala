@@ -107,6 +107,98 @@ class FuzzSpec extends SparkSpec {
     "q180_graph_audit", "q182_link_prediction", "q187_degree_histogram",
     "q191_modularity")
 
+  // tranche 4: the relational (TPC-H-shaped) gates — decimal-exact
+  // pricing/rollups, top-k with tie-breaks, skyline, regression,
+  // fuzzy match, k-anonymity buckets, z-order. Edge cases: zero /
+  // negative / huge / cent-tie decimals, boundary dates, orphan
+  // foreign keys, duplicate and unicode names, empty flag strings.
+  private val gates4 = Seq(
+    "q06_agg_pricing", "q07_j1_dim_join", "q41_star_rollup",
+    "q58_rollup", "q61_hist_registers", "q65_profile", "q66_cube",
+    "q79_semi_anti", "q80_top_orders", "q81_above_brand_avg",
+    "q87_regression", "q89_skyline", "q90_quality_audit",
+    "q94_fuzzy_match", "q98_weighted_median", "q142_entity_resolution",
+    "q204_kanonymity", "q208_zorder", "q213_join_estimate")
+
+  /** (orderkey, partkey, suppkey, linenumber, qty, price, discount,
+    * tax, returnflag, linestatus, shipdate_us). */
+  private def fuzzLineitem: Seq[(Long, Long, Long, Int, Double, Double,
+      Double, Double, String, String, Long)] = {
+    val day = 86400000000L // µs
+    val base = 1704067200000000L // 2024-01-01 UTC in µs
+    var s = 11L
+    def nxt(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n }
+    val edge = Seq(
+      // zero and fractional quantities; prices stay 2-decimal (the
+      // generator contract q80's DECIMAL(30,4) revenue cast relies
+      // on: a 3-decimal price x 2-decimal discount makes a 5th-
+      // decimal HALF-TIE, which Spark rounds via the shortest decimal
+      // string and DuckDB via the binary value - an impossible
+      // cross-engine parity, so it is a documented PREcondition)
+      (1L, 1L, 1L, 1, 0.0, 100.05, 0.05, 0.02, "N", "O", base),
+      (1L, 2L, 1L, 2, 0.5, 99.99, 0.0, 0.0, "N", "O", base + day),
+      // negative price/qty (returns), discount 0 and 1
+      (2L, 1L, 2L, 1, -3.0, -150.25, 1.0, 0.08, "R", "F", base + 2 * day),
+      (2L, 3L, 2L, 2, 7.0, 1e12, 0.1, 0.0, "A", "F", base + 2 * day),
+      // duplicate (orderkey, part) with different line numbers; an
+      // ORPHAN orderkey (no orders row) for join-semantics probing
+      (999L, 2L, 1L, 1, 4.0, 42.42, 0.04, 0.04, "N", "O", base + 3 * day),
+      (999L, 2L, 1L, 2, 4.0, 42.42, 0.04, 0.04, "N", "O", base + 3 * day),
+      // empty flag strings; epoch-adjacent date
+      (3L, 4L, 1L, 1, 1.0, 10.10, 0.02, 0.01, "", "", 0L))
+    val bulk = (0 until 50).map { i =>
+      ((4 + nxt(8)).toLong, (1 + nxt(5)).toLong, (1 + nxt(3)).toLong,
+        1 + nxt(4), (1 + nxt(40)).toDouble,
+        math.rint(nxt(900000) / 9.0) / 100.0, nxt(11) / 100.0,
+        nxt(9) / 100.0, Vector("N", "R", "A")(nxt(3)),
+        Vector("O", "F")(nxt(2)), base + nxt(400).toLong * day)
+    }
+    edge ++ bulk
+  }
+
+  /** (orderkey, custkey, status, totalprice, orderdate_us, priority). */
+  private def fuzzOrders: Seq[(Long, Long, String, Double, Long, String)] = {
+    val day = 86400000000L
+    val base = 1704067200000000L
+    Seq(
+      (1L, 1L, "O", 200.0, base, "1-URGENT"),
+      (2L, 2L, "F", 1e12, base + day, "5-LOW"),
+      (3L, 3L, "P", -10.5, base + 2 * day, "3-MEDIUM"),
+      // ORPHAN custkey; duplicate totalprice tie for top-k ordering
+      (4L, 777L, "O", 500.5, base + 3 * day, "2-HIGH"),
+      (5L, 1L, "O", 500.5, base + 4 * day, "2-HIGH"),
+      (6L, 2L, "", 0.0, 0L, ""),
+      (7L, 3L, "O", 500.5, base + 5 * day, "4-NOT SPECIFIED"),
+      (8L, 1L, "F", 123.45, base + 6 * day, "1-URGENT"),
+      (9L, 2L, "O", 99.99, base + 7 * day, "5-LOW"),
+      (10L, 3L, "O", 88.88, base + 8 * day, "3-MEDIUM"),
+      (11L, 1L, "F", 77.77, base + 9 * day, "1-URGENT"))
+  }
+
+  /** (custkey, name, nationkey, acctbal, mktsegment). */
+  private def fuzzCustomer: Seq[(Long, String, Int, Double, String)] = Seq(
+    // negative balances and EXACT bucket boundaries for the
+    // k-anonymity shift-then-divide (cents at ±100000/200000)
+    (1L, "Customer#One", 0, -1000.0, "BUILDING"),
+    (2L, "Customer#Two", 1, 1000.0, "BUILDING"),
+    (3L, "Cüstömer#Üni", 0, 0.0, "MACHINERY"),
+    (4L, "Customer#Four", 2, -999.995, "BUILDING"),
+    (5L, "Customer#Five", 1, 2000.0, ""),
+    (6L, "Customer#Six", 0, 999.995, "AUTOMOBILE"),
+    (7L, "Customer#Seven", 1, 1000.0, "BUILDING"),
+    (8L, "Customer#Eight", 9, 50.5, "HOUSEHOLD")) // orphan nationkey
+
+  /** (partkey, name, brand, type, size, retailprice). */
+  private def fuzzPart: Seq[(Long, String, String, String, Int, Double)] = Seq(
+    // near-identical names (edit-distance ties for fuzzy match),
+    // unicode, shared brand prefixes, zero/negative sizes
+    (1L, "steel widget large", "Brand#11", "STANDARD", 10, 100.0),
+    (2L, "steel widget largo", "Brand#11", "STANDARD", 10, 100.0),
+    (3L, "steel widget larg", "Brand#12", "ECONOMY", 0, 50.0),
+    (4L, "Stähl Wídget", "Brand#2", "PROMO", -1, 0.0),
+    (5L, "completely different part", "Brand#11", "STANDARD", 25, 1e6))
+
   /** (event_id, ts_micros, user_id, event_type, value, props). */
   private def fuzzEvents: Seq[(Long, Long, Long, String, Double, String)] = {
     val LoMs = 1704844800000L // the q01 interval bounds
@@ -248,8 +340,7 @@ class FuzzSpec extends SparkSpec {
     // DuckDB's oracle views read single parquet FILES (the driver's
     // testdata layout), so copy the static tables byte-for-byte and
     // relocate each fuzz table's single part file.
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem"))
+    for (t <- Seq("region", "nation", "supplier"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
         java.nio.file.Paths.get(s"$sf/$t.parquet"))
@@ -267,9 +358,26 @@ class FuzzSpec extends SparkSpec {
       "documents")
     writeAsFile(fuzzEmbeddings.toDF("vec_id", "embedding", "label"),
       "embeddings")
-    // events carry real timestamp[us] like the driver's generator
+    // events/lineitem/orders carry real timestamp[us] like the
+    // driver's generator
     spark.conf.set("spark.sql.parquet.outputTimestampType",
       "TIMESTAMP_MICROS")
+    val tsu = org.apache.spark.sql.functions.timestamp_micros _
+    writeAsFile(fuzzLineitem.toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "ship_us")
+      .withColumn("l_shipdate", tsu(col("ship_us"))).drop("ship_us"),
+      "lineitem")
+    writeAsFile(fuzzOrders.toDF("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "od_us", "o_orderpriority")
+      .withColumn("o_orderdate", tsu(col("od_us"))).drop("od_us")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      "orders")
+    writeAsFile(fuzzCustomer.toDF("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment"), "customer")
+    writeAsFile(fuzzPart.toDF("p_partkey", "p_name", "p_brand",
+      "p_type", "p_size", "p_retailprice"), "part")
     writeAsFile(fuzzEvents
       .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .select(col("event_id"),
@@ -335,5 +443,11 @@ class FuzzSpec extends SparkSpec {
       "oracles on the edge-case event stream") {
     if (!haveTool) cancel("python3/duckdb not available")
     runTranche(gates3)
+  }
+
+  it("tranche 4: 19 relational gates match their DuckDB oracles on " +
+      "the edge-case TPC-H tables") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    runTranche(gates4)
   }
 }

@@ -91,5 +91,20 @@ class ScdFuzzySpec extends SparkSpec {
       got shouldBe Seq(("cat", "cat"), ("nose", "nose"),
         ("rose", "nose"), ("rosy", "nose"))
     }
+
+    it("levenshtein counts CHARACTERS, not bytes — the engine-side " +
+        "unicode contract (DuckDB's is byte-based, so the q94 gate " +
+        "constrains its oracle-checked domain to ASCII)") {
+      import spark.implicits._
+      val words = Seq("widget", "wídget", "stähl", "steel").toDF("word")
+      val pairs = graft.text.Fuzzy.fuzzyPairs(words, "word", maxDist = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // one SUBSTITUTION apart regardless of UTF-8 byte width
+      pairs should contain (("widget", "wídget", 1L))
+      // stähl→steel: 2 substitutions at character level (ä→e, h→e...
+      // exactly 2: st[ä]h[l] vs st[e]e[l] — ä→e and h→e)
+      pairs should contain (("steel", "stähl", 2L))
+    }
   }
 }
