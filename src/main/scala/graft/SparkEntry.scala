@@ -3276,13 +3276,18 @@ object SparkEntry {
        |tgt(stratum, target_ppm) AS (VALUES ('en', 300000),
        |  ('de', 250000), ('es', 200000), ('fr', 150000),
        |  ('zh', 100000)),
-       |j AS (SELECT a.stratum, a.n_toks, b,
+       |m AS (SELECT coalesce(a.stratum, tgt.stratum) AS stratum,
+       |    coalesce(a.n_toks, 0) AS n_toks,
        |    CAST(coalesce(target_ppm, 0) AS BIGINT) AS ppm
-       |  FROM a CROSS JOIN tot
-       |  LEFT JOIN tgt ON tgt.stratum = a.stratum),
+       |  FROM a FULL OUTER JOIN tgt ON tgt.stratum = a.stratum),
+       |j AS (SELECT m.*, b FROM m CROSS JOIN tot),
        |w AS (SELECT stratum, n_toks,
        |    (b // 1000000) * ppm + (b % 1000000) * ppm // 1000000
        |      AS want_toks FROM j)""".stripMargin
+  // ^ FULL OUTER like Mixture.plan: a target stratum absent from the
+  //   corpus must surface as an (n_toks 0) row, not vanish (fuzz
+  //   finding — the corpus-only LEFT JOIN dropped 'zh' when no zh
+  //   docs existed); the budget `b` stays the corpus total.
 
   /** DuckDB: asymmetric near-dup search of the doc_id<50 query set
     * against the doubled corpus (Dedup.nearDupSearch's exact math).

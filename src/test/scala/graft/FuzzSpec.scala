@@ -2,18 +2,25 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** CROSS-ENGINE FUZZ: run real gates over a seeded EDGE-CASE corpus
-  * and compare against the real DuckDB oracles via the real
+/** CROSS-ENGINE FUZZ: run ALL 216 gates over a seeded EDGE-CASE
+  * corpus and compare against the real DuckDB oracles via the real
   * `scripts/selfcheck.py` — the driver's exact comparison path, on
   * value domains the generated testdata never exercises (empty /
   * whitespace-only / unicode / combining-char / regex-metachar /
   * repeated-token / very-long documents; tiny / negative / one-hot /
-  * all-equal embedding vectors). A drift here is a REAL cross-engine
-  * parity bug in an operator or its oracle SQL, found before a user's
-  * corpus finds it.
+  * all-equal embedding vectors; same-microsecond event ties,
+  * interval-bound and session-gap boundaries, NaN values, malformed
+  * JSON; zero/negative/huge/tied decimals, orphan foreign keys,
+  * unicode names). A drift here is a REAL cross-engine parity bug in
+  * an operator or its oracle SQL, found before a user's corpus finds
+  * it — round 12's runs surfaced and closed ten distinct classes
+  * (empty-list stringification, whitespace classes, signed zero,
+  * NULL quantile/rank domains, NaN casts, byte-vs-char levenshtein,
+  * JSON error-vs-null, INT64 moment overflow, decimal half-ties
+  * (documented as a precondition), full-outer plan strata).
   *
   * Deterministic: fixed literals + a seeded LCG, no wall clock. The
-  * non-fuzzed TPC-H tables come from sf0.001 so every oracle view
+  * non-fuzzed dimension tables come from sf0.001 so every oracle view
   * binds. */
 class FuzzSpec extends SparkSpec {
 
@@ -449,5 +456,25 @@ class FuzzSpec extends SparkSpec {
       "the edge-case TPC-H tables") {
     if (!haveTool) cancel("python3/duckdb not available")
     runTranche(gates4)
+  }
+
+  // tranche 5: everything left — the e2e compositions, disk-index
+  // lanes (fresh temp index per fuzz sfDir), media stubs (md5-derived
+  // from the fuzz documents), mixture/split/packing, WARC roundtrip.
+  // Slowest tranche; completes full-gate fuzz coverage.
+  private val gates5 = Seq(
+    "q27_media_features", "q39_stratified_sample", "q40_seq_packing",
+    "q54_ivf_disk_search", "q82_bloom_bits", "q105_ivfpq_search",
+    "q107_dedup_increment", "q113_bpe_pairs", "q114_lsh_index_search",
+    "q116_mixture_plan", "q119_mixture_apply", "q121_daily_ingest",
+    "q122_domain_ops", "q124_image_neardup", "q130_audio_neardup",
+    "q131_video_neardup", "q152_warc_roundtrip", "q171_curate_e2e",
+    "q181_webrank_e2e", "q189_tokenizer_qa_e2e", "q193_cluster_increment",
+    "q199_shard_balance", "q210_release_e2e")
+
+  it("tranche 5: the remaining 23 e2e/index/media/mixture gates " +
+      "match their DuckDB oracles on the edge-case corpus") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    runTranche(gates5)
   }
 }
