@@ -82,19 +82,23 @@ object Stats {
     * discrete quantile, integer-exact (no interpolation, so engines
     * can't disagree in the last ulp). One partitioned sort with a
     * value-RANGE cumulative frame (ties pool), then one aggregation
-    * producing a `p_<ppm>` column per requested quantile. */
+    * producing a `p_<ppm>` column per requested quantile.
+    *
+    * PRECONDITION: `value` must be NON-NULL — a NULL sorts FIRST
+    * under Spark's window order and LAST under DuckDB's, silently
+    * shifting every cumulative count (fuzz finding). Callers with
+    * nullable inputs filter first ([[winsorize]] does); the exclusion
+    * is NOT built in here because both in-operator forms measured
+    * ~0.5 s slower on the q129 composition (a filter on the derived
+    * value pushes below the window into the shared input plan; a
+    * null-skipping count(col) frame loses the count(*) fast path). */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
       qsPpm: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val part = Window.partitionBy(groupCols.map(col): _*)
     val cumW = part.orderBy(col("__v"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    // NULL values are NOT part of the quantile domain: a NULL would
-    // sort FIRST under Spark's window order and LAST under DuckDB's,
-    // silently shifting every cumulative count by one (fuzz finding —
-    // a NaN-derived NULL moved p05 by a row).
     val base = df.select(groupCols.map(col) :+ value.as("__v"): _*)
-      .filter(col("__v").isNotNull)
       .withColumn("__cum", count(lit(1)).over(cumW))
       .withColumn("__tot", count(lit(1)).over(part))
     val exprs = qsPpm.map(q => min(when(
@@ -109,7 +113,11 @@ object Stats {
     * `clipped` column. */
   def winsorize(df: DataFrame, groupCols: Seq[String], value: Column,
       loPpm: Long = 50000L, hiPpm: Long = 950000L): DataFrame = {
-    val qs = exactQuantiles(df, groupCols, value, Seq(loPpm, hiPpm))
+    // nullable-input caller: null values must not shape the quantile
+    // thresholds (exactQuantiles' non-null precondition); the
+    // null-valued ROWS still pass through with clipped semantics
+    val qs = exactQuantiles(df.filter(value.isNotNull), groupCols,
+      value, Seq(loPpm, hiPpm))
     df.join(broadcast(qs), groupCols)
       .withColumn("clipped",
         least(greatest(value, col(s"p_$loPpm")), col(s"p_$hiPpm")))
