@@ -11,6 +11,39 @@ import graft.sources.Tables
   * second pass. `warmup_sec` is reported so total wall cost stays visible.
   */
 object Bench {
+  /** Environment-window probe gate: re-timed at suite start / middle /
+    * end; `bench_ratios.py` normalizes per-gate ratios by the MEDIAN of
+    * the three readings, so one GC spike on a single marker run cannot
+    * poison the whole suite's window estimate. */
+  val Marker = "q03_a1_unify_latest"
+
+  /** Gates flagged for standalone adjudication: present in
+    * BENCH_BASELINES.json, raw ratio vs first-recorded (preferring the
+    * row's `practical_sec` when an adjudication note re-based it) above
+    * 2.0, and current reading above the 0.3 s noise floor. Rows carrying
+    * a `note` but no `practical_sec` are already-adjudicated anomalies —
+    * not re-flagged. Mirrors scripts/bench_ratios.py's breach rule so the
+    * evidence the ratio tool wants is produced in the SAME run that
+    * trips the flag. Baselines unreadable → no flags (bench still runs). */
+  def flaggedVsBaselines(results: Seq[(String, Double)],
+      baselinesPath: String = "BENCH_BASELINES.json"): Seq[String] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(new java.io.File(baselinesPath))
+      val base = root.path("queries")
+      results.collect { case (q, now) if base.has(q) =>
+        val row = base.get(q)
+        val first =
+          if (row.has("practical_sec")) row.get("practical_sec").asDouble()
+          else row.path("sec").asDouble()
+        val adjudicatedOnly = row.has("note") && !row.has("practical_sec")
+        (q, now, first, adjudicatedOnly)
+      }.collect {
+        case (q, now, first, false)
+            if first > 0 && now / first > 2.0 && now >= 0.3 => q
+      }.sorted
+    } catch { case _: Throwable => Nil }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,14 +73,32 @@ object Bench {
     // a quiet heap skips the tax, a garbage-loaded one still gets
     // cleared before the next timed region. The barrier is untimed.
     val gcBarrier = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
-    def run(name: String): Double = {
+    // Per-run diagnostics for the suite-load spike class (single gates
+    // inflating 2-7x under full-suite load with zero code change,
+    // VERDICT r12 #2): every timed region also records the JVM's GC
+    // time spent INSIDE it (JMX collector deltas — local mode, so the
+    // one JVM holds driver and executors) and the pre-run used-heap.
+    // Appended to bench_diag.json so a spike in any run carries its
+    // own trigger evidence: spike with gc_sec ≈ the inflation = GC
+    // debt from preceding gates; spike with flat gc_sec = contention
+    // elsewhere (shuffle files, first-touch).
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val diag = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Double, Double, Double)]
+    def run(name: String, phase: String = "pass"): Double = {
       val rt = Runtime.getRuntime
       if (gcBarrier &&
           rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
+      val heapGb = (rt.totalMemory - rt.freeMemory) / 1e9
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      diag += ((name, phase, sec, (gcMillis - gc0) / 1e3, heapGb))
+      sec
     }
     // Warm only the ONE-TIME session costs: Hadoop FS init + parquet
     // footer reads (one count per base table) and the codegen/JIT
@@ -63,8 +114,8 @@ object Bench {
       .foreach(t =>
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () })
-    Seq("q01", "q17", "q25")
-      .foreach(p => names.find(_.startsWith(p)).foreach(run))
+    Seq("q01_", "q17_", "q25_")
+      .foreach(p => names.find(_.startsWith(p)).foreach(run(_, "warmup")))
     // Build the once-per-deployment on-disk artifacts (LSH/IVF/IVF-PQ
     // indexes, WARC container) OUTSIDE any timed region: an index is
     // written once and searched daily, so q54/q105/q114/q152 must
@@ -73,23 +124,66 @@ object Bench {
     try SparkEntry.prewarmArtifacts(spark, sfDir)
     catch { case _: Throwable => () }
     val warmup = (System.nanoTime() - t0) / 1e9
+    // three machine-window probes bracket the timed suite (start /
+    // between passes / end); bench_ratios.py normalizes by their
+    // MEDIAN, so a GC spike on any single probe — or on q03's own
+    // in-suite reading — cannot poison the window estimate. Skipped on
+    // dev subset runs (the artifact isn't written there anyway).
+    def probeMarker(): Option[Double] =
+      if (only.isEmpty) Some(run(Marker, "marker")) else None
     // two measured passes, min per query — damps the considerable
     // run-to-run noise of a 32-thread local JVM (GC, JIT recompiles)
-    val pass1 = names.map(n => n -> run(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), run(n)))
-    // REVERSE-sorted key order in the printed map: the driver's
-    // BENCH_r{N}.json keeps only the LAST ~62 entries of this line, so
-    // reverse order lands q01–q36 (the SURVEY §2-mapped gates) AND the
-    // q03 marker inside the kept tail window — ratios vs first-
-    // recorded stay computable from driver artifacts alone. JSON maps
-    // are order-insensitive, so consumers are unaffected; the full map
-    // is ALSO persisted to bench_full.json below.
-    val qs = results.sortBy(_._1)(Ordering[String].reverse)
+    val mStart = probeMarker()
+    val pass1 = names.map(n => n -> run(n, "pass1")).toMap
+    val mMid = probeMarker()
+    val results = names.map(n => n -> math.min(pass1(n), run(n, "pass2")))
+    val mEnd = probeMarker()
+    // STANDALONE ADJUDICATION (VERDICT r12 #1): any gate whose min-of-2
+    // reading breaches 2x vs its first-recorded baseline is re-run
+    // min-of-3 here — after the full suite, behind the GC barrier, on
+    // the same binary and session — and the readings ship INSIDE the
+    // bench artifact. bench_ratios.py clears a breach iff the
+    // standalone min, window-normalized, is back under the gate: the
+    // evidence that separates "suite-load/window spike" from "real plan
+    // regression" is now committed and machine-readable, not prose.
+    // SPARK_GRAFT_BENCH_STANDALONE=q22,q23 (or --standalone=...) forces
+    // a list (prefix match) for A/B work.
+    val forced = (args.collectFirst {
+        case a if a.startsWith("--standalone=") => a.stripPrefix("--standalone=")
+      }.orElse(sys.env.get("SPARK_GRAFT_BENCH_STANDALONE")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .flatMap(p => names.filter(_.startsWith(p))).distinct.sorted)
+    val flagged =
+      if (only.nonEmpty) Nil
+      else forced.getOrElse(flaggedVsBaselines(results))
+    val standalone =
+      flagged.map(n => n -> (1 to 3).map(_ => run(n, "standalone")).min)
+    // NUMERIC-descending key order in the printed map: the driver's
+    // BENCH_r{N}.json keeps only the tail (~2.5 KB ≈ last ~75 entries)
+    // of this line, so descending gate NUMBER lands q01–q36 (the
+    // SURVEY §2-mapped gates), the q03 marker, and the markers/
+    // standalone fields below inside the kept window — ratios and
+    // adjudications stay computable from driver artifacts alone.
+    // (Plain reverse-STRING order put q14–q36 above every q1xx/q2xx
+    // name and lost them from the tail — ADVICE r12.) JSON maps are
+    // order-insensitive, so consumers are unaffected; the full line is
+    // ALSO persisted to bench_full.json below.
+    def gateNum(n: String): Int =
+      n.drop(1).takeWhile(_.isDigit).toInt
+    val qs = results.sortBy { case (k, _) => (-gateNum(k), k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val markers = Seq(mStart.map("start" -> _), mMid.map("mid" -> _),
+      mEnd.map("end" -> _)).flatten
+    val extras = (if (markers.nonEmpty)
+        s""","markers":${jmap(markers)}""" else "") +
+      s""","standalone":${jmap(standalone)}"""
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extras,"warmup_sec":$warmup,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json artifact keeps only the tail of the
     // printed line, which truncates the per-query map to the last ~62
@@ -103,6 +197,19 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $out: ${e.getMessage}")
       }
+      // spike-trigger diagnostics (one JSON line per timed region, in
+      // execution order): gate, phase, wall sec, GC sec inside the
+      // region, used heap GiB at region start. Committed alongside a
+      // spiky bench_full.json, this is the evidence that names the
+      // trigger (SURVEY §8 "suite-load spike class").
+      val diagLines = diag.map { case (n, ph, sec, gcSec, heapGb) =>
+        s"""{"q":"$n","phase":"$ph","sec":$sec,"gc_sec":$gcSec,""" +
+          s""""heap_gb":$heapGb}"""
+      }.mkString("", "\n", "\n")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out.stripSuffix(".json") + "_diag.jsonl"),
+        diagLines)
+      catch { case _: Throwable => () }
     }
     spark.stop()
   }

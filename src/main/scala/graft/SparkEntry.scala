@@ -1519,6 +1519,33 @@ object SparkEntry {
             greatest(col("n_exact"), lit(1L))).as("recall_ppm"))
     }),
 
+    // q216 graded into the full recall/cost S-CURVE (VERDICT r12 #5):
+    // one row per nprobe in {1,2,4,8} — a single point can't tell a
+    // healthy dial from a flat (broken-probe) one; the driver pins all
+    // four. The exact brute-force denominator is computed ONCE
+    // (bruteTopK returns an eagerly-materialized ≤k·|Q|-row frame);
+    // the four probe budgets rescan its blocks, never its lineage —
+    // each curve point costs one extra probe-restricted IVF pass.
+    "q217_ivf_recall_curve" -> ((s, d) => {
+      import graft.time.Buckets.intDiv
+      val emb = Tables.embeddings(s, d)
+      val brute = graft.similarity.Similarity.bruteTopK(emb, k = 3,
+        maxQueryId = 500L)
+      val points = Seq(1, 2, 4, 8).map { np =>
+        val ivf = graft.similarity.Similarity.ivfTopK(emb, k = 3,
+          nprobe = np, maxQueryId = 500L)
+        graft.similarity.Similarity.topKRecall(ivf, brute)
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_exact")).as("n_exact"),
+            sum(col("n_hit")).as("n_hit"))
+          .select(lit(np.toLong).as("nprobe"),
+            col("n_queries"), col("n_exact"), col("n_hit"),
+            intDiv(col("n_hit") * 1000000L,
+              greatest(col("n_exact"), lit(1L))).as("recall_ppm"))
+      }
+      points.reduce(_ unionByName _)
+    }),
+
     // The SAME search through the ON-DISK partitioned IVF index: write
     // the centroid-partitioned layout, then probe-restricted search
     // reads only the probed partitions (PartitionFilters at the scan).
@@ -3770,8 +3797,10 @@ object SparkEntry {
          |JOIN sizes sa ON sa.s = source_a
          |JOIN sizes sb ON sb.s = source_b""".stripMargin
     // shared by q35 (in-memory IVF) and q54 (same search through the
-    // on-disk partitioned index) — identical semantics, one statement
-    val ivfTopkSql =
+    // on-disk partitioned index) — identical semantics, one statement.
+    // Parameterized by nprobe for the q217 recall CURVE (the S-curve
+    // the SemDeDup preset's cost/recall dial rides on).
+    def ivfTopkSqlAt(nprobe: Int): String =
       s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
              |unit AS (SELECT id, list_transform(range(1, 65), i ->
              |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
@@ -3790,7 +3819,7 @@ object SparkEntry {
              |    SELECT *, row_number() OVER (
              |      PARTITION BY id ORDER BY ccos DESC, cid ASC) AS cr
              |    FROM scored WHERE id < 500)
-             |  WHERE cr <= 2),
+             |  WHERE cr <= $nprobe),
              |pairs AS (SELECT p.qid, a.id AS nid,
              |    round(list_reduce(list_transform(range(1, 65),
              |      i -> q.u[i] * n.u[i]), (x, y) -> x + y), 6) AS cos
@@ -3802,8 +3831,9 @@ object SparkEntry {
              |  SELECT *, row_number() OVER (
              |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
              |WHERE rn <= 3""".stripMargin
-    // q25's exact brute-force cosine top-3 — shared with q216, where
-    // it is the recall denominator.
+    val ivfTopkSql = ivfTopkSqlAt(2)
+    // q25's exact brute-force cosine top-3 — shared with q216/q217,
+    // where it is the recall denominator.
     val bruteTopkSql =
       s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
          |unit AS (SELECT id, list_transform(range(1, 65), i ->
@@ -3823,8 +3853,8 @@ object SparkEntry {
     // q35 statement and the q25 statement verbatim as CTE subqueries,
     // recall@3 = |ivf ∩ brute| / |brute| per query, rolled up to one
     // integral-ppm row.
-    val ivfRecallSql =
-      s"""WITH ivf AS (SELECT * FROM ($ivfTopkSql) t1),
+    def ivfRecallSqlAt(nprobe: Int): String =
+      s"""WITH ivf AS (SELECT * FROM (${ivfTopkSqlAt(nprobe)}) t1),
          |ex AS (SELECT * FROM ($bruteTopkSql) t2),
          |per AS (SELECT e.qid, count(*) AS n_exact,
          |    sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
@@ -3837,6 +3867,14 @@ object SparkEntry {
          |    greatest(CAST(sum(n_exact) AS HUGEINT), 1) AS BIGINT)
          |    AS recall_ppm
          |FROM per""".stripMargin
+    val ivfRecallSql = ivfRecallSqlAt(2)
+    // q217: the whole recall/cost S-CURVE, one row per nprobe in
+    // {1,2,4,8} — the dial a SemDeDup/ANN deployment reads to pick its
+    // probe budget; the driver pins all four points, not one.
+    val ivfRecallCurveSql = Seq(1, 2, 4, 8).map(np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, n_queries, n_exact,
+         |  n_hit, recall_ppm FROM (${ivfRecallSqlAt(np)}) c$np""".stripMargin)
+      .mkString("\nUNION ALL\n")
     // q105: the identical IVF probe structure + PQ asymmetric distance.
     // States searchIvfPqIndex's exact math: stride-50 centroids (cosine
     // probe), stride-50 PQ seeds → per-sub codebooks (dense_rank code
@@ -4171,6 +4209,7 @@ object SparkEntry {
       // doubles before rounding).
       "q25_ann_topk" -> bruteTopkSql,
       "q216_ivf_recall" -> ivfRecallSql,
+      "q217_ivf_recall_curve" -> ivfRecallCurveSql,
 
       "q26_ann_lsh" ->
         s"""WITH b AS (SELECT vec_id AS id,

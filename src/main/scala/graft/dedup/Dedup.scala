@@ -355,16 +355,21 @@ object Dedup {
     // groupBy absorbs hot keys map-side; the join back is
     // AQE-skew-splittable (and broadcastable when the distinct-bigram
     // side is small). Same class of fix as ngramJaccardPairs above.
-    val sh = shingles(docs, 2, idCol, textCol)
+    // persisted: consumed by BOTH the df aggregate and the join back —
+    // without it the tokenize+explode corpus scan runs twice (the same
+    // shared-scan discipline as ngramJaccardPairs' `sh`).
+    val sh = shingles(docs, 2, idCol, textCol).persist()
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val withDf = sh.join(dfs, Seq("shingle"))
-    withDf.groupBy(col("id"))
+    val out = withDf.groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("df") >= minDf, 1)).as("n_covered"))
       .select(col("id"),
         col("n_bigrams"),
         round(col("n_covered").cast("double") / col("n_bigrams"), 6)
           .as("coverage"))
+    // per-doc result ≪ the shingle frame: materialize, release the scan
+    graft.util.Checkpoints.materialize(out, unpersistAfter = Seq(sh))
   }
 
   /** MinHash parameters: k permutations (a*x+b) mod P over 32-bit shingle

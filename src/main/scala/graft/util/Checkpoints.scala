@@ -45,14 +45,20 @@ object Checkpoints {
     * everything downstream still needs). Unlike `unpersist()` on the
     * frame (a no-op — localCheckpoint registers no CacheManager
     * entry), this frees the exact RDD backing the checkpoint, keyed
-    * off the plan's LogicalRDD leaf — no global persistent-RDD diff,
-    * so concurrent operators' blocks are never touched. CAUTION: the
+    * off the plan's ROOT LogicalRDD — no global persistent-RDD diff,
+    * so concurrent operators' blocks are never touched. A frame whose
+    * root is NOT a LogicalRDD (a projection/filter DERIVED from a
+    * checkpoint) is a no-op: the caller doesn't own the parent's
+    * storage, and reaching through the plan to the first leaf would
+    * silently free a still-live parent checkpoint. CAUTION: the
     * checkpointed lineage cannot recompute; only call on frames no
     * consumer will scan again. */
   def free(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(false))
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => () // derived frame: not the owner of any checkpoint
+    }
 
   @volatile private var configuredDir: Option[String] = None
 

@@ -45,7 +45,8 @@ class FuzzSpec extends SparkSpec {
     "q127_line_dedup_global", "q205_repeated_ngrams",
     "q201_auc", "q198_pr_curve", "q215_drift_buckets",
     "q25_ann_topk", "q195_gram_matrix", "q196_int8_quant",
-    "q216_ivf_recall", "q69_cms_registers", "q63_hll_registers",
+    "q216_ivf_recall", "q217_ivf_recall_curve",
+    "q69_cms_registers", "q63_hll_registers",
     "q211_csv_quarantine", "q112_chunk",
     "q200_dataset_card", "q71_pipeline_e2e")
 
@@ -434,7 +435,7 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
-  it("tranche 1: 33 text/dedup/stats/similarity gates match their " +
+  it("tranche 1: 34 text/dedup/stats/similarity gates match their " +
       "DuckDB oracles on the edge-case corpus") {
     if (!haveTool) cancel("python3/duckdb not available")
     runTranche(gates)

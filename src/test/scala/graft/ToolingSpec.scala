@@ -81,4 +81,99 @@ class ToolingSpec extends SparkSpec {
       Seq(s"$repo/scripts/bench_ratios.py", bench(0.6)), dir)
     rcOk shouldBe 0
   }
+
+  // ---- round-13 adjudication contract ----------------------------------
+
+  private def writeBaselines(dir: java.io.File, rows: String): Unit =
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_BASELINES.json").toPath,
+      s"""{"_doc": "t", "queries": {
+         |  "q03_a1_unify_latest": {"sec": 0.7, "round": 1, "marker_sec": 0.7},
+         |  $rows}}""".stripMargin)
+
+  private def writeBench(dir: java.io.File, name: String,
+      body: String): String = {
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.writeString(f.toPath, body)
+    f.toString
+  }
+
+  it("bench_ratios clears a 2x breach iff the artifact carries a " +
+      "standalone min-of-3 reading that window-normalizes under 2x") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    val dir = java.nio.file.Files.createTempDirectory("tooling_adj").toFile
+    writeBaselines(dir,
+      """"qx_slow": {"sec": 0.5, "round": 1, "marker_sec": 0.7}""")
+    // in-suite 1.2s = 2.4x raw breach; standalone 0.8s -> 1.6x: CLEARS
+    val ok = writeBench(dir, "b_ok.json",
+      """{"queries": {"q03_a1_unify_latest": 0.7, "qx_slow": 1.2},
+        | "markers": {"start": 0.7, "mid": 0.7, "end": 0.7},
+        | "standalone": {"qx_slow": 0.8}}""".stripMargin)
+    val (rcOk, logOk) = runPy(
+      Seq(s"$repo/scripts/bench_ratios.py", ok), dir)
+    withClue(logOk) { rcOk shouldBe 0 }
+    logOk should include ("CLEARED  qx_slow")
+    // standalone 1.3s -> 2.6x: the regression is REAL, breach stands
+    val bad = writeBench(dir, "b_bad.json",
+      """{"queries": {"q03_a1_unify_latest": 0.7, "qx_slow": 1.2},
+        | "markers": {"start": 0.7, "mid": 0.7, "end": 0.7},
+        | "standalone": {"qx_slow": 1.3}}""".stripMargin)
+    val (rcBad, logBad) = runPy(
+      Seq(s"$repo/scripts/bench_ratios.py", bad), dir)
+    rcBad should not be 0
+    logBad should include ("BREACH   qx_slow")
+    // a breach with NO standalone evidence in the artifact stands
+    val none = writeBench(dir, "b_none.json",
+      """{"queries": {"q03_a1_unify_latest": 0.7, "qx_slow": 1.2}}""")
+    val (rcNone, logNone) = runPy(
+      Seq(s"$repo/scripts/bench_ratios.py", none), dir)
+    rcNone should not be 0
+    logNone should include ("no standalone reading")
+  }
+
+  it("bench_ratios normalizes by the MEDIAN marker probe (one spiked " +
+      "probe cannot clear a real breach) and prefers practical_sec") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    val dir = java.nio.file.Files.createTempDirectory("tooling_med").toFile
+    writeBaselines(dir,
+      """"qx_slow": {"sec": 0.5, "round": 1, "marker_sec": 0.7},
+        |  "qx_noted": {"sec": 0.3, "round": 1, "marker_sec": 0.7,
+        |    "note": "anomalous fast first record",
+        |    "practical_sec": 0.9}""".stripMargin)
+    // markers {0.7, 0.7, 2.0}: median 0.7 (flat window). standalone
+    // 1.25s -> 2.5x normalized by the MEDIAN -> breach stands; a
+    // mean/max-window implementation would wrongly clear it.
+    // qx_noted at 1.0s is 3.3x vs sec but 1.1x vs practical_sec: clean.
+    val art = writeBench(dir, "b_med.json",
+      """{"queries": {"q03_a1_unify_latest": 0.7, "qx_slow": 1.3,
+        |   "qx_noted": 1.0},
+        | "markers": {"start": 0.7, "mid": 2.0, "end": 0.7},
+        | "standalone": {"qx_slow": 1.25}}""".stripMargin)
+    val (rc, log) = runPy(
+      Seq(s"$repo/scripts/bench_ratios.py", art), dir)
+    rc should not be 0
+    log should include ("BREACH   qx_slow")
+    log should include ("2x BREACHES (1): qx_slow")
+    // flat run: practical_sec keeps the noted row out of the output
+    val flat = writeBench(dir, "b_flat.json",
+      """{"queries": {"q03_a1_unify_latest": 0.7, "qx_slow": 0.5,
+        |   "qx_noted": 0.95},
+        | "markers": {"start": 0.7, "mid": 0.7, "end": 0.7},
+        | "standalone": {}}""".stripMargin)
+    val (rcF, logF) = runPy(
+      Seq(s"$repo/scripts/bench_ratios.py", flat), dir)
+    withClue(logF) { rcF shouldBe 0 }
+    (logF should not).include("adjudicated >2x rows")
+  }
+
+  it("the README record-of-truth section cites artifacts that exist") {
+    val readme = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$repo/README.md"))
+    readme should include ("How to read a bench artifact")
+    for (f <- Seq("BENCH_BASELINES.json", "scripts/bench_ratios.py",
+        "scripts/selfcheck.py")) {
+      readme should include (f.split("/").last)
+      new java.io.File(repo, f) should exist
+    }
+  }
 }
