@@ -85,19 +85,62 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    val diag = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Double, Double, Double)]
+    // Trigger discriminators beyond GC (the r12 diag run showed the
+    // spike class is a CONTIGUOUS slow machine window with flat GC —
+    // ~40 consecutive pass2 gates at 1.6-1.8x): process CPU seconds
+    // (flat cpu + inflated wall = the JVM was descheduled or stalled,
+    // not doing more work), JIT compilation seconds (deopt storms),
+    // /proc/self/io storage bytes (shuffle writeback), and the
+    // kernel's PSI stall totals for cpu/io (time runnable-but-waiting
+    // — CPU contention from outside the JVM shows here and nowhere
+    // else). All monotonic counters, delta'd per region; absent files
+    // (non-Linux) degrade to 0.
+    def cpuNanos: Long = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime
+        case _ => 0L
+      }
+    def jitMillis: Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
+    def procIoBytes: (Long, Long) =
+      try {
+        val m = scala.io.Source.fromFile("/proc/self/io").getLines()
+          .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }
+          .toMap
+        (m.getOrElse("read_bytes", 0L), m.getOrElse("write_bytes", 0L))
+      } catch { case _: Throwable => (0L, 0L) }
+    def psiMicros(kind: String): Long =
+      try {
+        scala.io.Source.fromFile(s"/proc/pressure/$kind").getLines()
+          .collectFirst { case l if l.startsWith("some") =>
+            l.split("total=")(1).trim.toLong }
+          .getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val diag = scala.collection.mutable.ArrayBuffer.empty[String]
     def run(name: String, phase: String = "pass"): Double = {
       val rt = Runtime.getRuntime
       if (gcBarrier &&
           rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
       val heapGb = (rt.totalMemory - rt.freeMemory) / 1e9
-      val gc0 = gcMillis
+      val gc0 = gcMillis; val cpu0 = cpuNanos; val jit0 = jitMillis
+      val (rd0, wr0) = procIoBytes
+      val psiCpu0 = psiMicros("cpu"); val psiIo0 = psiMicros("io")
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
-      diag += ((name, phase, sec, (gcMillis - gc0) / 1e3, heapGb))
+      val (rd1, wr1) = procIoBytes
+      diag += (s"""{"q":"$name","phase":"$phase","sec":$sec,""" +
+        s""""gc_sec":${(gcMillis - gc0) / 1e3},"heap_gb":$heapGb,""" +
+        s""""cpu_sec":${(cpuNanos - cpu0) / 1e9},""" +
+        s""""jit_sec":${(jitMillis - jit0) / 1e3},""" +
+        s""""rd_mb":${(rd1 - rd0) / 1e6},"wr_mb":${(wr1 - wr0) / 1e6},""" +
+        s""""psi_cpu_sec":${(psiMicros("cpu") - psiCpu0) / 1e6},""" +
+        s""""psi_io_sec":${(psiMicros("io") - psiIo0) / 1e6}}""")
       sec
     }
     // Warm only the ONE-TIME session costs: Hadoop FS init + parquet
@@ -202,10 +245,7 @@ object Bench {
       // region, used heap GiB at region start. Committed alongside a
       // spiky bench_full.json, this is the evidence that names the
       // trigger (SURVEY §8 "suite-load spike class").
-      val diagLines = diag.map { case (n, ph, sec, gcSec, heapGb) =>
-        s"""{"q":"$n","phase":"$ph","sec":$sec,"gc_sec":$gcSec,""" +
-          s""""heap_gb":$heapGb}"""
-      }.mkString("", "\n", "\n")
+      val diagLines = diag.mkString("", "\n", "\n")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(out.stripSuffix(".json") + "_diag.jsonl"),
         diagLines)

@@ -166,6 +166,33 @@ class ToolingSpec extends SparkSpec {
     (logF should not).include("adjudicated >2x rows")
   }
 
+  it("bench_diag classifies a GC-debt inflation apart from a " +
+      "descheduled machine window") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    val dir = java.nio.file.Files.createTempDirectory("tooling_diag").toFile
+    // qa: +1.0s wall, +0.9s GC inside the region -> GC_DEBT.
+    // qb: +1.0s wall, every counter flat -> DESCHED (the r12/r13
+    // "slow window" class — environment, not plan).
+    // qc: +2.0s wall, +1.9s process CPU -> EXTRA_CPU (first-run
+    // codegen/JIT compile; amortized by min-of-2).
+    def reg(q: String, ph: String, sec: Double, gc: Double, cpu: Double) =
+      s"""{"q":"$q","phase":"$ph","sec":$sec,"gc_sec":$gc,""" +
+        s""""heap_gb":1.0,"cpu_sec":$cpu,"jit_sec":0.0,"rd_mb":0.0,""" +
+        s""""wr_mb":0.0,"psi_cpu_sec":0.0,"psi_io_sec":0.0}"""
+    val art = new java.io.File(dir, "diag.jsonl")
+    java.nio.file.Files.writeString(art.toPath, Seq(
+      reg("qa", "pass1", 1.5, 0.95, 2.0), reg("qa", "pass2", 0.5, 0.02, 1.9),
+      reg("qb", "pass1", 0.5, 0.0, 1.5), reg("qb", "pass2", 1.5, 0.0, 1.6),
+      reg("qc", "pass1", 2.5, 0.0, 4.0), reg("qc", "pass2", 0.5, 0.0, 2.1)
+    ).mkString("", "\n", "\n"))
+    val (rc, log) = runPy(
+      Seq(s"$repo/scripts/bench_diag.py", art.toString), dir)
+    withClue(log) { rc shouldBe 0 }
+    log should include regex "qa.*GC_DEBT"
+    log should include regex "qb.*DESCHED"
+    log should include regex "qc.*EXTRA_CPU"
+  }
+
   it("the README record-of-truth section cites artifacts that exist") {
     val readme = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$repo/README.md"))
