@@ -762,14 +762,18 @@ object Dedup {
     // lazy cut: the labelSum aggregate below materializes it in one job
     var labels = cut(edges.select(col("id")).distinct()
       .withColumn("cluster", col("id")), checkpointDir, eager = false)
-    // Convergence check: labels only ever DECREASE, so the label sum
-    // strictly decreases on any change — one cheap aggregate per round
-    // instead of a join against the previous generation.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("cluster"))).collect()(0)
+    // Convergence check: one cheap TYPE-AGNOSTIC signature aggregate
+    // per round (sum of row hashes — sum(cluster) would ANSI-crash on
+    // STRING ids), then, only when the signature says "candidate
+    // fixpoint", one except() to guard against a hash-collision false
+    // stop — the clusterLabelsStar discipline; normally it runs once,
+    // at the true fixpoint.
+    def labelSig(df: DataFrame): Long = {
+      val r = df.agg(sum(hash(col("id"), col("cluster")).cast("long")))
+        .collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    var prevSum = labelSum(labels)
+    var prevSig = labelSig(labels)
     var changed = true
     while (changed) {
       val viaNeighbors = edges
@@ -779,9 +783,9 @@ object Dedup {
         .unionByName(viaNeighbors)
         .groupBy("id").agg(min(col("cluster")).as("cluster")),
         checkpointDir, eager = false)
-      val s = labelSum(next)
-      changed = s != prevSum
-      prevSum = s
+      val s = labelSig(next)
+      changed = s != prevSig || !next.except(labels).isEmpty
+      prevSig = s
       labels = next
     }
     edges.unpersist()

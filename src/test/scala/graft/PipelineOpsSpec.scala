@@ -63,6 +63,51 @@ class PipelineOpsSpec extends SparkSpec {
     got.map(_._1).sorted shouldBe (0L to 30L)
   }
 
+  it("the DISTRIBUTED star rounds (forced past the local fallback) " +
+      "equal min-label propagation on chains, cliques, random graphs " +
+      "and supplementary-plane string ids") {
+    // Every other CC test rides the adaptive small-tail union-find
+    // (edge sets far below the 1M-edge bound), so this is the ONLY
+    // exercise of the O(log n) shuffle rounds — the path a
+    // billion-edge dup graph takes at 100 TB. localFallbackEdges = 0
+    // forces it.
+    import spark.implicits._
+    def starDist(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.clusterLabelsStar(pairs, localFallbackEdges = 0L).collect()
+        .map(r => (r.get(0), r.get(1))).sortBy(_._1.toString).toSeq
+    def simple(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.clusterLabels(pairs).collect()
+        .map(r => (r.get(0), r.get(1))).sortBy(_._1.toString).toSeq
+    // diameter-30 chain: needs the full alternating-round contraction
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+    starDist(chain) shouldBe simple(chain)
+    // two cliques bridged by one edge + a far singleton pair
+    val cliques = (for {
+      a <- 0L until 6L; b <- 0L until 6L if a < b
+    } yield (a, b)).toSeq ++ (for {
+      a <- 100L until 106L; b <- 100L until 106L if a < b
+    } yield (a, b)) ++ Seq((5L, 100L), (900L, 901L))
+    val cdf = cliques.toDF("id1", "id2")
+    starDist(cdf) shouldBe simple(cdf)
+    // seeded random graphs — same equivalence the local path passes
+    val rnd = new scala.util.Random(7)
+    (0 until 2).foreach { _ =>
+      val pairs = (0 until 80)
+        .map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2).toDF("id1", "id2")
+      starDist(pairs) shouldBe simple(pairs)
+    }
+    // STRING ids incl. supplementary-plane chars: the distributed
+    // min() compares UTF8String bytes; must match clusterLabels AND
+    // the local fallback's explicit UTF-8 comparator
+    val sPairs = Seq(("b", "😀doc"), ("😀doc", "z"),
+      ("a", "b"), ("�rep", "z")).toDF("id1", "id2")
+    starDist(sPairs) shouldBe simple(sPairs)
+    starDist(sPairs) shouldBe
+      Dedup.clusterLabelsStar(sPairs).collect()
+        .map(r => (r.get(0), r.get(1))).sortBy(_._1.toString).toSeq
+  }
+
   it("iterative ops run with a RELIABLE checkpoint dir (fault-tolerant " +
       "lineage cuts) and produce identical results") {
     import spark.implicits._
