@@ -323,7 +323,23 @@ class FuzzSpec extends SparkSpec {
       val body = (0 until n).map(_ => words(nxt(12))).mkString(" ")
       (id, body, langs(nxt(4)), s"src${nxt(3)}")
     }
-    edge ++ dup ++ bulk
+    // near-dup CHAIN (adversarial structure): doc j = a 40-token
+    // window at stride 2 over one 50-token base — every consecutive
+    // pair is a deterministic LSH candidate (J ≈ .90; the fixed hash
+    // constants make bucketing reproducible — PipelineOpsSpec pins the
+    // exact pair set) while doc 65 reaches the rest ONLY through 66
+    // and the chain ends are never a direct pair. Any gate that
+    // clusters transitively (q36/q50/q125/q193 & the keep-best/overlap
+    // families) must propagate the min label across multiple hops;
+    // DuckDB states it as a recursive CTE, Spark runs the CC rounds —
+    // a premature-convergence bug on either side breaks the hash
+    // match.
+    val chain = (0 until 6).map { j =>
+      (65L + j,
+        (2 * j until 2 * j + 40).map(i => s"link_$i").mkString(" "),
+        "en", s"src${j % 3}")
+    }
+    edge ++ dup ++ bulk ++ chain
   }
 
   private def fuzzEmbeddings: Seq[(Long, Array[Float], Int)] = {
@@ -338,7 +354,20 @@ class FuzzSpec extends SparkSpec {
       (4L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f), 1))
     val bulk = (5L until 40L).map(id =>
       (id, Array.fill(64)(nxt), (id % 3).toInt))
-    edge ++ bulk
+    // cosine CHAIN at the q28 near-dup threshold (.999): unit vectors
+    // rotating 2° per step in the (e0, e1) plane — adjacent cos ≈
+    // .99939 (pair), distance-2 cos ≈ .99756 (NOT a pair). Without
+    // these the random bulk almost surely yields ZERO near-dup pairs,
+    // leaving the .999-threshold comparison fuzz-vacuous; the margin
+    // (4e-4 from the threshold) stays far outside float/decimal
+    // rounding drift so the gate decision is engine-stable.
+    val chain = (0 until 6).map { j =>
+      val th = math.toRadians(2.0 * j)
+      (40L + j, Array.tabulate(64)(i =>
+        if (i == 0) math.cos(th).toFloat
+        else if (i == 1) math.sin(th).toFloat else 0f), j % 3)
+    }
+    edge ++ bulk ++ chain
   }
 
   // corpus built once, shared by both tranches

@@ -108,6 +108,35 @@ class PipelineOpsSpec extends SparkSpec {
         .map(r => (r.get(0), r.get(1))).sortBy(_._1.toString).toSeq
   }
 
+  it("a sliding-window near-dup CHAIN unifies transitively: LSH links " +
+      "consecutive docs, clustering spans all six, dedup keeps one") {
+    // the FuzzSpec chain corpus (40-token window, stride 2 → adjacent
+    // Jaccard ≈ .90, ends ≈ .58): pins that the cross-engine fuzz rows
+    // exercise MULTI-HOP propagation, not a vacuous no-candidate set.
+    // MinHash banding is deterministic (fixed hash constants), so the
+    // candidate set is exact, not probabilistic.
+    import spark.implicits._
+    val docs = (0 until 6).map { j =>
+      (65L + j, (2 * j until 2 * j + 40).map(i => s"link_$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every consecutive pair is a candidate; the chain ends are not,
+    // and doc 65 reaches the component ONLY through 66 (>= 2 hops)
+    (0 until 5).foreach { j =>
+      pairs should contain ((65L + j, 66L + j))
+    }
+    (pairs should not).contain((65L, 70L))
+    pairs.filter(p => p._1 == 65L || p._2 == 65L) shouldBe Set((65L, 66L))
+    val labels = Dedup.clusterLabelsStar(
+      Dedup.minhashCandidatePairs(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    labels.keySet shouldBe (65L to 70L).toSet
+    labels.values.toSet shouldBe Set(65L)
+    Dedup.dedupCorpus(docs).select("doc_id").as[Long].collect()
+      .toSeq shouldBe Seq(65L)
+  }
+
   it("iterative ops run with a RELIABLE checkpoint dir (fault-tolerant " +
       "lineage cuts) and produce identical results") {
     import spark.implicits._

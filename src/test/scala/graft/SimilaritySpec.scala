@@ -481,4 +481,23 @@ class SimilaritySpec extends SparkSpec {
     // every (v, v+10000) duplicate pair must be a candidate
     (0L until n).foreach { i => pairs should contain((i, i + 10000)) }
   }
+
+  it("a 2-degree cosine chain near-dups ONLY adjacent vectors at the " +
+      ".999 threshold (the FuzzSpec embedding-chain contract)") {
+    // unit vectors rotating 2° per step: adjacent cos ≈ .99939 (pair),
+    // distance-2 cos ≈ .99756 (not). Pins that the fuzz corpus rows
+    // exercise the threshold comparison non-vacuously, through the
+    // BANDED path (fixed hyperplanes — deterministic buckets).
+    import spark.implicits._
+    val chain = (0 until 6).map { j =>
+      val th = math.toRadians(2.0 * j)
+      (40L + j, Array.tabulate(64)(i =>
+        if (i == 0) math.cos(th).toFloat
+        else if (i == 1) math.sin(th).toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(chain,
+      numBands = 4, planesPerBand = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe (0 until 5).map(j => (40L + j, 41L + j)).toSet
+  }
 }
