@@ -323,6 +323,34 @@ class FuzzSpec extends SparkSpec {
       val body = (0 until n).map(_ => words(nxt(12))).mkString(" ")
       (id, body, langs(nxt(4)), s"src${nxt(3)}")
     }
+    // targeted rows so the benchmark/search/e2e gates FIRE on this
+    // corpus (the vacuity audit's findings — every prior id is < 97,
+    // so the %97/%100 benchmark selectors only ever caught the empty
+    // doc 0, and the all-gibberish vocabulary langids to "und", which
+    // the q71 sampler drops):
+    //  - 98: a natural-English passage (>=30 tokens, en markers, no
+    //    digits) carrying the q148 BM25 terms (spark/vector/customer),
+    //    the q160 phrase "table table", and the q177 blocklist phrases
+    //    ("table table key", "data query") — and it survives the q71
+    //    quality gate, so the e2e emits rows;
+    //  - 99: exact duplicate of doc 11's token stream (a TRAIN doc);
+    //  - 100: the q38 benchmark (%100): same token stream -> exact
+    //    n-gram contamination against 11 and 99;
+    //  - 97 / 194: the %97 benchmarks (q111/q203/q206, buckets b1/b2):
+    //    97 shares doc 11's trigrams, 194 shares doc 8's "spam spam"
+    //    bigram.
+    val aimed = Seq(
+      (97L, "the quick brown fox jumps over the lazy dog twice", "en",
+        "src1"),
+      (98L, "the spark engine keeps a vector for every customer and " +
+        "the table table key layout makes a data query fast because " +
+        "the planner reads the table table twice while the customer " +
+        "vector stays warm for the next data query pass", "en", "src0"),
+      (99L, "The quick brown fox. Jumps over! The lazy dog? Twice.",
+        "en", "src2"),
+      (100L, "The quick brown fox. Jumps over! The lazy dog? Twice.",
+        "en", "src0"),
+      (194L, "spam spam detection notes", "en", "src1"))
     // near-dup CHAIN (adversarial structure): doc j = a 40-token
     // window at stride 2 over one 50-token base — every consecutive
     // pair is a deterministic LSH candidate (J ≈ .90; the fixed hash
@@ -339,7 +367,7 @@ class FuzzSpec extends SparkSpec {
         (2 * j until 2 * j + 40).map(i => s"link_$i").mkString(" "),
         "en", s"src${j % 3}")
     }
-    edge ++ dup ++ bulk ++ chain
+    edge ++ dup ++ bulk ++ aimed ++ chain
   }
 
   private def fuzzEmbeddings: Seq[(Long, Array[Float], Int)] = {
@@ -456,6 +484,13 @@ class FuzzSpec extends SparkSpec {
     val rc = p.waitFor()
     val failLines = log.linesIterator
       .filter(l => l.startsWith("FAIL") || l.contains("Error")).toSeq
+    // vacuity ledger: per-gate matched row counts ("OK   name: N rows
+    // x M cols"), consumed by the final zero-row audit
+    val OkRe = """OK\s+(\S+): (\d+) rows.*""".r
+    log.linesIterator.foreach {
+      case OkRe(n, r) => FuzzSpec.rowsSeen(n) = r.toLong
+      case _ => ()
+    }
     withClue((if (failLines.nonEmpty) failLines
         else log.linesIterator.toSeq.takeRight(15))
         .mkString("selfcheck output:\n", "\n", "\n")) {
@@ -507,4 +542,35 @@ class FuzzSpec extends SparkSpec {
     if (!haveTool) cancel("python3/duckdb not available")
     runTranche(gates5)
   }
+
+  it("vacuity audit: every fuzzed gate matched on at least one row, " +
+      "or is on the documented empty-by-construction list") {
+    // a 0-row match is parity-true but fuzz-VACUOUS: the gate's logic
+    // never fired on the edge corpus. Each allowlisted gate states why
+    // its EMPTY result is itself the meaningful contract here.
+    if (!haveTool) cancel("python3/duckdb not available")
+    if (FuzzSpec.rowsSeen.isEmpty) cancel("tranches did not run")
+    // currently EMPTY: the first audit found 8 vacuous gates (the
+    // benchmark %97/%100 selectors caught only the empty doc 0; the
+    // BM25/phrase/blocklist vocabularies were absent; every doc
+    // langid'd to "und" so the q71 sampler dropped the corpus) — all
+    // fixed by planting aimed rows rather than allowlisting.
+    val emptyByConstruction = Map.empty[String, String]
+    val zero = FuzzSpec.rowsSeen.filter(_._2 == 0L).keys.toSeq.sorted
+      .filterNot(emptyByConstruction.contains)
+    withClue(s"fuzz-vacuous gates (0 matched rows): $zero\n" +
+        "extend the corpus so the gate fires, or allowlist with a " +
+        "stated reason:\n") {
+      zero shouldBe empty
+    }
+    info(s"${FuzzSpec.rowsSeen.size} gates matched, " +
+      s"${FuzzSpec.rowsSeen.count(_._2 > 0L)} on >0 rows")
+  }
+}
+
+object FuzzSpec {
+  /** gate → matched row count, filled by every tranche's selfcheck
+    * log; read by the vacuity audit (same suite, ordered after). */
+  val rowsSeen: scala.collection.mutable.Map[String, Long] =
+    scala.collection.concurrent.TrieMap.empty
 }
