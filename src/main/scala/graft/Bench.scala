@@ -106,16 +106,22 @@ object Bench {
       if (c != null && c.isCompilationTimeMonitoringSupported)
         c.getTotalCompilationTime else 0L
     }
+    // procfs reads via Files.readString (no stream handle to leak —
+    // a Source.fromFile here would leave ~6 open FDs per timed region)
     def procIoBytes: (Long, Long) =
       try {
-        val m = scala.io.Source.fromFile("/proc/self/io").getLines()
+        val m = java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/self/io"))
+          .linesIterator
           .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }
           .toMap
         (m.getOrElse("read_bytes", 0L), m.getOrElse("write_bytes", 0L))
       } catch { case _: Throwable => (0L, 0L) }
     def psiMicros(kind: String): Long =
       try {
-        scala.io.Source.fromFile(s"/proc/pressure/$kind").getLines()
+        java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"/proc/pressure/$kind"))
+          .linesIterator
           .collectFirst { case l if l.startsWith("some") =>
             l.split("total=")(1).trim.toLong }
           .getOrElse(0L)
