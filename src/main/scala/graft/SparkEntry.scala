@@ -1531,10 +1531,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val brute = graft.similarity.Similarity.bruteTopK(emb, k = 3,
         maxQueryId = 500L)
+      // the whole curve from ONE scoring pass (ivfTopKCurve: score at
+      // max nprobe, slice per point — row-for-row equal to 4 separate
+      // ivfTopK calls, which re-scored the collection 4x; the oracle
+      // still states the per-nprobe composition verbatim)
+      val curve = graft.similarity.Similarity.ivfTopKCurve(emb, k = 3,
+        nprobes = Seq(1, 2, 4, 8), maxQueryId = 500L)
       val points = Seq(1, 2, 4, 8).map { np =>
-        val ivf = graft.similarity.Similarity.ivfTopK(emb, k = 3,
-          nprobe = np, maxQueryId = 500L)
-        graft.similarity.Similarity.topKRecall(ivf, brute)
+        graft.similarity.Similarity.topKRecall(
+            curve.filter(col("nprobe") === np.toLong), brute)
           .agg(count(lit(1)).as("n_queries"),
             sum(col("n_exact")).as("n_exact"),
             sum(col("n_hit")).as("n_hit"))

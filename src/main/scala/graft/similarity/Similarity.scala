@@ -256,6 +256,63 @@ object Similarity {
       unpersistAfter = Seq(unit))
   }
 
+  /** The whole IVF recall/cost S-CURVE in ONE scoring pass:
+    * [[ivfTopK]] results for EVERY `nprobes` entry, tagged by an
+    * `nprobe` column. A vector lives in exactly one IVF list, so the
+    * max-nprobe candidate set is a superset of every smaller one and
+    * each candidate carries the rank `cr` of the probe that reached
+    * it — slicing `cr <= np` reproduces nprobe = np exactly.
+    * Evaluating a 4-point curve as 4 [[ivfTopK]] calls re-scans,
+    * re-normalizes, re-assigns and re-scores the collection 4 times
+    * (q217 A/B standalone warm at sf0.1: 4.6–5.2 s → 3.0–3.3 s with
+    * the shared pass — the residual is the gate's brute-force recall
+    * denominator); this is also the shape a production recall sweep
+    * wants — score once at max nprobe, slice per point. Row-for-row
+    * equal to per-nprobe [[ivfTopK]] (spec-pinned; the q217 oracle is
+    * unchanged). */
+  def ivfTopKCurve(embeddings: DataFrame, k: Int = 3,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      centroidStride: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxQueryId: Long = Long.MaxValue,
+      maxCentroids: Option[Int] = Some(DefaultMaxCentroids)): DataFrame = {
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    val maxNp = nprobes.max
+    val assigned = ivfAssign(embeddings, centroidStride, idCol, vecCol,
+      maxCentroids)
+    val unit = unitVectors(embeddings, idCol, vecCol).persist()
+    val centroids = strideCentroids(unit, centroidStride, maxCentroids)
+    val lists = unit.join(assigned, Seq("id"))
+    import org.apache.spark.sql.expressions.Window
+    val probes = unit.filter(col("id") < maxQueryId)
+      .select(col("id").as("qid"), col("u").as("qu"))
+      .join(broadcast(centroids))
+      .select(col("qid"), col("qu"), col("cid"),
+        dot(col("qu"), col("cu")).as("ccos"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("ccos"), asc("cid"))))
+      .filter(col("cr") <= maxNp)
+      .select(col("qid"), col("qu"), col("cid").as("centroid"), col("cr"))
+    val scored = probes.join(lists, Seq("centroid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        round(dot(col("qu"), col("u")), 6).as("cos"), col("cr"))
+    // one curve-point tag per candidate row that the point's probe set
+    // reaches; a single (nprobe, qid) window ranks every point at once
+    val tagged = scored
+      .select(col("qid"), col("nid"), col("cos"), col("cr"),
+        explode(lit(nprobes.distinct.sorted.toArray)).as("nprobe"))
+      .filter(col("cr") <= col("nprobe"))
+    graft.util.Checkpoints.materialize(
+      tagged.withColumn("rank", row_number().over(
+          Window.partitionBy(col("nprobe"), col("qid"))
+            .orderBy(desc("cos"), asc("nid"))))
+        .filter(col("rank") <= k)
+        .select(col("nprobe").cast("long").as("nprobe"), col("qid"),
+          col("nid"), col("cos"), col("rank").cast("long").as("rank")),
+      unpersistAfter = Seq(unit))
+  }
+
   /** Cluster-balanced subsampling — the semantic-diversity curation
     * stage (the DataComp/SemDeDup-adjacent "don't let one dense topic
     * dominate the training mix" move): assign every vector to its

@@ -482,6 +482,26 @@ class SimilaritySpec extends SparkSpec {
     (0L until n).foreach { i => pairs should contain((i, i + 10000)) }
   }
 
+  it("ivfTopKCurve equals per-nprobe ivfTopK row-for-row at every " +
+      "curve point") {
+    if (!haveData) cancel("testdata missing")
+    val emb = Tables.embeddings(spark, dir)
+    val nps = Seq(1, 2, 4, 8)
+    val curve = Similarity.ivfTopKCurve(emb, k = 3, nprobes = nps,
+      maxQueryId = 200L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    nps.foreach { np =>
+      val single = Similarity.ivfTopK(emb, k = 3, nprobe = np,
+        maxQueryId = 200L).collect()
+        .map(r => (np.toLong, r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      withClue(s"nprobe=$np:") {
+        curve.filter(_._1 == np.toLong) shouldBe single
+      }
+    }
+  }
+
   it("a 2-degree cosine chain near-dups ONLY adjacent vectors at the " +
       ".999 threshold (the FuzzSpec embedding-chain contract)") {
     // unit vectors rotating 2° per step: adjacent cos ≈ .99939 (pair),
