@@ -1837,6 +1837,11 @@ object SparkEntry {
         col("doc_id").cast("string"))
       val html = concat(lit(HtmlShellPre), col("doc_id").cast("string"),
         lit(HtmlShellMid), col("text"), lit(HtmlShellPost))
+      // deliberately LAZY both times it is consumed (winner election +
+      // semi-join kept side): an r13 A/B of materializing this frame
+      // measured only 2.6-3.0 -> 2.3-2.7 s standalone warm — and the
+      // localCheckpoint would persist the wide `clean` column, a worse
+      // trade at scale than re-deriving with column pruning
       val staged = docs
         .withColumn("host",
           graft.text.Urls.host(graft.text.Urls.canonicalizeUrl(url)))
@@ -2313,10 +2318,17 @@ object SparkEntry {
       val withHost = docs.withColumn("host",
         concat(col("source"), lit("-"),
           (col("doc_id") % 7).cast("string"), lit(".example.com")))
-      val links = withHost.select(col("host").as("src"),
-          explode(graft.text.Html.links(html)).as("url"))
-        .select(col("src"), graft.text.Urls.host(col("url")).as("dst"))
-        .filter(col("dst").isNotNull && col("dst") =!= "")
+      // materialized once: the PPR recurrence stays lazy below
+      // CutEvery iterations (the measured-fast default for cheap edge
+      // inputs), but THIS edge frame is derived work (HTML synthesis +
+      // link explode + URL host parse) consumed by seeds, nodes, deg
+      // and every iteration — replaying it 5x costs more than one
+      // localCheckpoint (A/B standalone warm: 2.8-3.5 s -> 1.8-2.1 s)
+      val links = graft.util.Checkpoints.materialize(
+        withHost.select(col("host").as("src"),
+            explode(graft.text.Html.links(html)).as("url"))
+          .select(col("src"), graft.text.Urls.host(col("url")).as("dst"))
+          .filter(col("dst").isNotNull && col("dst") =!= ""))
       val seeds = links.select(col("src").as("id"))
         .unionByName(links.select(col("dst").as("id")))
         .filter(col("id").endsWith("-0.example.com"))
