@@ -104,7 +104,7 @@ def main():
         rows.append((ratio, q, slow, fast, cls, det))
     rows.sort(reverse=True, key=lambda r: r[0])
     for ratio, q, slow, fast, cls, det in rows:
-        dd = " ".join(f"{k}+{v:.2f}" for k, v in det.items()
+        dd = " ".join(f"{k}{v:+.2f}" for k, v in det.items()
                       if abs(v) >= 0.05)
         print(f"{q:<28} {slow['sec']:>6.2f} {fast['sec']:>6.2f} "
               f"{ratio:>6.2f}  {cls} (slow={slow['phase']}; {dd})")

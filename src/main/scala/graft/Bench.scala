@@ -127,6 +127,9 @@ object Bench {
           .getOrElse(0L)
       } catch { case _: Throwable => 0L }
     val diag = scala.collection.mutable.ArrayBuffer.empty[String]
+    // NaN/Infinity render unquoted and would make the JSONL line
+    // unparseable; counters can't legitimately produce them, so 0 it is
+    def fin(v: Double): Double = if (java.lang.Double.isFinite(v)) v else 0.0
     def run(name: String, phase: String = "pass"): Double = {
       val rt = Runtime.getRuntime
       if (gcBarrier &&
@@ -140,13 +143,13 @@ object Bench {
       catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
       val (rd1, wr1) = procIoBytes
-      diag += (s"""{"q":"$name","phase":"$phase","sec":$sec,""" +
-        s""""gc_sec":${(gcMillis - gc0) / 1e3},"heap_gb":$heapGb,""" +
-        s""""cpu_sec":${(cpuNanos - cpu0) / 1e9},""" +
-        s""""jit_sec":${(jitMillis - jit0) / 1e3},""" +
-        s""""rd_mb":${(rd1 - rd0) / 1e6},"wr_mb":${(wr1 - wr0) / 1e6},""" +
-        s""""psi_cpu_sec":${(psiMicros("cpu") - psiCpu0) / 1e6},""" +
-        s""""psi_io_sec":${(psiMicros("io") - psiIo0) / 1e6}}""")
+      diag += (s"""{"q":"$name","phase":"$phase","sec":${fin(sec)},""" +
+        s""""gc_sec":${fin((gcMillis - gc0) / 1e3)},"heap_gb":${fin(heapGb)},""" +
+        s""""cpu_sec":${fin((cpuNanos - cpu0) / 1e9)},""" +
+        s""""jit_sec":${fin((jitMillis - jit0) / 1e3)},""" +
+        s""""rd_mb":${fin((rd1 - rd0) / 1e6)},"wr_mb":${fin((wr1 - wr0) / 1e6)},""" +
+        s""""psi_cpu_sec":${fin((psiMicros("cpu") - psiCpu0) / 1e6)},""" +
+        s""""psi_io_sec":${fin((psiMicros("io") - psiIo0) / 1e6)}}""")
       sec
     }
     // Warm only the ONE-TIME session costs: Hadoop FS init + parquet

@@ -478,16 +478,21 @@ object Dedup {
         col("bb.bucket").as("bucket"))
   }
 
-  def minhashCandidatePairs(docs: DataFrame, k: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val banded = bandedBuckets(docs, k, idCol, textCol)
+  /** The band-bucket self-join over a pre-banded (id, band, bucket)
+    * frame — the ONE copy of the candidate-pair join shape, shared by
+    * [[minhashCandidatePairs]] and [[clusterIncrement]] (which feeds a
+    * persisted banded frame so the batch is scanned once). */
+  private def candidatePairsFromBanded(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-  }
+
+  def minhashCandidatePairs(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    candidatePairsFromBanded(bandedBuckets(docs, k, idCol, textCol))
 
   /** NEAR-DUP SEARCH — the asymmetric production shape: a SMALL query
     * set (a new batch, suspected benchmark contaminants, a takedown
@@ -591,17 +596,23 @@ object Dedup {
     * broadcast, bucket equi-join, distinct. */
   def lshIndexCandidates(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, k: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val qb = bandedBuckets(queries, k, idCol, textCol)
-    val buckets = spark.read.parquet(s"$indexDir/buckets")
-    buckets.as("c")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    indexCandidatesFromBanded(spark, indexDir,
+      bandedBuckets(queries, k, idCol, textCol))
+
+  /** The stored-bucket probe join over a pre-banded query frame — the
+    * ONE copy of the index-candidate join shape, shared by
+    * [[lshIndexCandidates]] and [[clusterIncrement]]. */
+  private def indexCandidatesFromBanded(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, qb: DataFrame): DataFrame =
+    spark.read.parquet(s"$indexDir/buckets").as("c")
       .join(broadcast(qb.as("q")),
         col("q.band") === col("c.band") &&
         col("q.bucket") === col("c.bucket") &&
         col("q.id") =!= col("c.id"))
       .select(col("q.id").as("qid"), col("c.id").as("did"))
       .distinct()
-  }
 
   /** [[nearDupSearch]] THROUGH a [[writeLshIndex]] layout: the query
     * batch is banded in memory (tiny) and broadcast against the stored
@@ -728,23 +739,11 @@ object Dedup {
       k: Int = 3, idCol: String = "doc_id", textCol: String = "text",
       checkpointDir: Option[String] = None): ClusterDelta = {
     val banded = bandedBuckets(batch, k, idCol, textCol).persist()
-    val bb = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    val buckets = spark.read.parquet(s"$indexDir/buckets")
-    val bc = buckets.as("c")
-      .join(broadcast(banded.as("q")),
-        col("q.band") === col("c.band") &&
-        col("q.bucket") === col("c.bucket") &&
-        col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("qid"), col("c.id").as("did"))
-      .distinct()
-    val delta = clusterIncrementFromPairs(bb, bc, existing, checkpointDir)
-    banded.unpersist() // delta frames are materialized by then
-    delta
+    try {
+      val bb = candidatePairsFromBanded(banded)
+      val bc = indexCandidatesFromBanded(spark, indexDir, banded)
+      clusterIncrementFromPairs(bb, bc, existing, checkpointDir)
+    } finally banded.unpersist() // delta frames are materialized by then
   }
 
   /** The full updated label table after a [[ClusterDelta]]: existing

@@ -497,6 +497,7 @@ class FuzzSpec extends SparkSpec {
       rc shouldBe 0
       log should include (s"== ${names.size}/${names.size} queries match ==")
     }
+    FuzzSpec.tranchesRun.incrementAndGet()
   }
 
   it("tranche 1: 34 text/dedup/stats/similarity gates match their " +
@@ -549,7 +550,14 @@ class FuzzSpec extends SparkSpec {
     // never fired on the edge corpus. Each allowlisted gate states why
     // its EMPTY result is itself the meaningful contract here.
     if (!haveTool) cancel("python3/duckdb not available")
-    if (FuzzSpec.rowsSeen.isEmpty) cancel("tranches did not run")
+    if (FuzzSpec.tranchesRun.get() == 0) cancel("tranches did not run")
+    // tranches ran green but the OK-line regex matched nothing: the
+    // selfcheck log format drifted — FAIL so the audit can't be
+    // silently disabled by a format change
+    withClue("tranches passed but no 'OK <name>: <N> rows' line " +
+        "matched — selfcheck log format drifted; update OkRe:\n") {
+      FuzzSpec.rowsSeen should not be empty
+    }
     // currently EMPTY: the first audit found 8 vacuous gates (the
     // benchmark %97/%100 selectors caught only the empty doc 0; the
     // BM25/phrase/blocklist vocabularies were absent; every doc
@@ -573,4 +581,9 @@ object FuzzSpec {
     * log; read by the vacuity audit (same suite, ordered after). */
   val rowsSeen: scala.collection.mutable.Map[String, Long] =
     scala.collection.concurrent.TrieMap.empty
+  /** Tranches that ran to a green finish — lets the vacuity audit
+    * distinguish "tranches skipped" (cancel) from "tranches passed but
+    * the OK-line regex matched nothing" (a log-format drift that must
+    * FAIL, not silently disable the audit). */
+  val tranchesRun = new java.util.concurrent.atomic.AtomicInteger(0)
 }
