@@ -53,8 +53,11 @@ object Hits {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale >= 1L, s"scale must be >= 1, got $scale")
     // The Hits plan QUADRUPLES per iteration (hRaw and aRaw each feed
-    // a score frame and a 1x1 total), so the cut period is half
-    // PageRank's: each boundary executes at most 4^2 = 16 subtrees.
+    // a score frame and a 1x1 total); cut-engaged runs cut BOTH score
+    // frames every iteration — interior laziness is re-executed by
+    // every per-iteration total broadcast (PageRank's lineage-policy
+    // scaladoc; the round-14 probe graph measured the segment policy
+    // at 43.8 s for 4 iterations on 1M edges).
     val cutEvery = 2
     val doCut = iterations > cutEvery
     val e0 = edges.select(col("src"), col("dst"))
@@ -79,13 +82,9 @@ object Hits {
     var auth = nodes.crossJoin(broadcast(eGuard))
       .selectExpr("id", s"ok * ${scale}L AS a")
     var hub: DataFrame = null
-    for (i <- 1 to iterations) {
-      // Lineage cuts on the segment policy (see PageRank's scaladoc:
-      // short runs stay fully lazy — eager checkpoints measured
-      // SLOWER than one deep action). At a boundary, hub is cut
-      // BEFORE auth's plan is built on it, so auth's cut job reads
-      // the materialized hub instead of re-executing its segment.
-      val boundary = doCut && i % cutEvery == 0
+    for (_ <- 1 to iterations) {
+      // hub is cut BEFORE auth's plan is built on it, so auth's cut
+      // job reads the materialized hub instead of re-executing it
       val hRaw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("hraw"))
       val hTot = hRaw.agg(
@@ -96,7 +95,7 @@ object Hits {
         .selectExpr("id",
           s"coalesce(hraw, 0L) div greatest(1L, htot div ${scale}L)" +
             " AS h")
-      if (boundary) hub = cut(hub, checkpointDir)
+      if (doCut) hub = cut(hub, checkpointDir)
       val aRaw = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("araw"))
       val aTot = aRaw.agg(
@@ -107,13 +106,7 @@ object Hits {
         .selectExpr("id",
           s"coalesce(araw, 0L) div greatest(1L, atot div ${scale}L)" +
             " AS a")
-      if (boundary) auth = cut(auth, checkpointDir)
-    }
-    // self-contained before the cache drops; skip when the last loop
-    // iteration already cut both
-    if (doCut && iterations % cutEvery != 0) {
-      hub = cut(hub, checkpointDir)
-      auth = cut(auth, checkpointDir)
+      if (doCut) auth = cut(auth, checkpointDir)
     }
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_micro"),

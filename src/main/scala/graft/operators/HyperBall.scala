@@ -28,14 +28,15 @@ import graft.sketch.Hll
   * register table (shuffle on the join key) + one (id, bucket)-keyed
   * hash aggregation with map-side partials; register rows per node
   * are bounded by min(m, |ball|), so state is at most n·m rows. The
-  * deduped edge list persists across hops; register frames are
-  * lineage-cut on the [[PageRank.CutEvery]] segment policy (regs
-  * feeds both the neighbor join and the union, so an uncut plan
-  * doubles per hop — but ReuseExchange dedupes within a segment, so
-  * small hop counts pay only the single final cut), except
-  * [[effectiveDiameter]], which cuts every hop because it runs an
-  * action per hop. `checkpointDir` switches the cuts to reliable
-  * checkpoints for preemptible clusters.
+  * deduped edge list persists across hops; runs of at most
+  * [[PageRank.CutEvery]] hops stay fully lazy (the small-graph fast
+  * path — regs feeds both the neighbor join and the union, and
+  * ReuseExchange dedupes the doubled subtrees inside one action),
+  * longer runs cut the register frame EVERY hop (interior laziness
+  * re-executes the multiplied plan — PageRank's lineage-policy
+  * scaladoc; the round-14 probe measured the segment policy at
+  * 48.6 s for 4 hops on the 1M-edge graph). `checkpointDir` switches
+  * the cuts to reliable checkpoints for preemptible clusters.
   */
 object HyperBall {
 
@@ -74,10 +75,8 @@ object HyperBall {
     * idempotent) but deduped anyway to shrink the join's left side.
     * Every endpoint appears (its own singleton sketch at minimum).
     * Lineage policy: runs of at most [[PageRank.CutEvery]] hops stay
-    * fully lazy; longer runs persist the edge list, cut every
-    * [[PageRank.CutEvery]] hops (ReuseExchange dedupes within a
-    * segment), and cut the final frame so it survives the cache
-    * release. */
+    * fully lazy; longer runs persist the edge list and cut every hop
+    * (the final hop's cut leaves the result self-contained). */
   def ballRegisters(edges: DataFrame, hops: Int = 2,
       m: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
     import graft.util.Checkpoints.cut
@@ -87,15 +86,13 @@ object HyperBall {
     val e = if (doCut) e0.persist() else e0
     try {
       var regs = seedRegs(nodes, m)
-      for (t <- 1 to hops) {
+      for (_ <- 1 to hops) {
         regs = hop(e, regs)
-        if (doCut && t % PageRank.CutEvery == 0)
-          regs = cut(regs, checkpointDir)
+        // regs feeds both the neighbor join and the union, so interior
+        // laziness multiplies the plan 2x per hop — cut-engaged runs
+        // cut every hop (PageRank's lineage-policy scaladoc)
+        if (doCut) regs = cut(regs, checkpointDir)
       }
-      // self-contained before the cache drops; skip when the last hop
-      // already cut it
-      if (doCut && hops % PageRank.CutEvery != 0)
-        regs = cut(regs, checkpointDir)
       regs
     } finally if (doCut) e.unpersist()
   }
@@ -127,7 +124,7 @@ object HyperBall {
     * it builds — the shared engine under [[harmonicCentralities]] and
     * [[closenessCentralities]]. Short runs (maxHops at most
     * [[PageRank.CutEvery]]) stay fully lazy; longer runs persist the
-    * edge list, cut registers each segment, and finish with ONE job
+    * edge list, cut registers each hop, and finish with ONE job
     * that materializes every per-hop estimate while the edge cache is
     * live, so the returned frame is self-contained. */
   private def withPerHopEstimates(edges: DataFrame, maxHops: Int,
@@ -144,8 +141,7 @@ object HyperBall {
         .withColumnRenamed("est", "est_0"))
       for (t <- 1 to maxHops) {
         regs = hop(e, regs)
-        if (doCut && t % PageRank.CutEvery == 0)
-          regs = cut(regs, checkpointDir)
+        if (doCut) regs = cut(regs, checkpointDir)
         perHop = perHop :+ estimates(regs, m)
           .withColumnRenamed("est", s"est_$t")
       }

@@ -35,27 +35,33 @@ import org.apache.spark.sql.functions._
   * and the node count are 1x1 scalar frames combined by broadcast
   * cross join (never a driver collect).
   *
-  * Lineage policy: pr feeds BOTH the share join and the dangling
-  * anti-join each step, so the uncut logical plan doubles per
-  * iteration — but ReuseExchange dedupes the repeated subtrees inside
-  * one action, and an eager checkpoint's `.rdd` materialization is
-  * measurably SLOWER than just executing the plan (A/B: q172 2.1 s
-  * uncut vs 11.4 s with a final eager cut at sf0.1). So runs of at
-  * most [[CutEvery]] iterations stay fully lazy and uncut (the fast
-  * path the gates use), and only longer runs engage the Bfs
-  * discipline: edge-list persist + a lineage cut every [[CutEvery]]
-  * iterations + a final cut so the result survives the cache
-  * release. `checkpointDir` switches those cuts from localCheckpoint
-  * to reliable checkpoints (see [[graft.util.Checkpoints]]).
+  * Lineage policy: pr feeds the share join, the dangling anti-join AND
+  * the next rank rebuild each step, so the uncut logical plan
+  * multiplies ~3x per iteration. Runs of at most [[CutEvery]]
+  * iterations stay fully lazy and uncut — on the small derived graphs
+  * the gates rank, an eager checkpoint's materialization is measurably
+  * SLOWER than just executing the plan (A/B: q172 2.1 s uncut vs
+  * 11.4 s with a final eager cut at sf0.1), and ReuseExchange dedupes
+  * the repeated subtrees inside one action. Longer runs cut EVERY
+  * iteration: each per-iteration broadcast (the dangling/total
+  * scalars) is its own job against the current plan, so segment-lazy
+  * laziness re-plans and re-executes the multiplied subtrees per
+  * broadcast — the round-14 1M-edge probe graph measured the old
+  * cut-every-4 policy at 106 s for 10 iterations vs 8.7 s for 3
+  * (should be ~3x, was ~12x); per-iteration cuts restore linear total
+  * work (one flat-plan materialization job per iteration).
+  * `checkpointDir` switches the cuts from localCheckpoint to reliable
+  * checkpoints (see [[graft.util.Checkpoints]]).
   */
 object PageRank {
 
-  /** Interior lineage-cut period for operators whose plan doubles per
-    * iteration (pr feeds two consumers): each cut boundary executes at
-    * most 2^4 = 16 duplicated tiny subtrees, and runs of at most this
-    * many iterations stay fully lazy. Operators with a higher plan
-    * branching factor must use a proportionally smaller period
-    * ([[Hits]] quadruples per iteration and cuts every 2). */
+  /** Longest run that stays fully lazy and uncut (the small-graph fast
+    * path the gates use). Runs past this cut their rank frame EVERY
+    * iteration — plan multiplication between cuts is re-executed by
+    * every per-iteration broadcast job, so any interior laziness
+    * multiplies real shuffles on a big graph (see the lineage-policy
+    * scaladoc above; GraphProbe A/B on the R-MAT corpora). Shared by
+    * the iterative rankers ([[Hits]], [[HyperBall]]). */
   val CutEvery = 4
 
   private def validate(iterations: Int, dampingPermille: Int,
@@ -107,11 +113,8 @@ object PageRank {
           s"(${1000L - dampingPermille} * ${scale}L) div (1000 * n)" +
             s" + ($dampingPermille * (coalesce(inc, 0L) + dang div n))" +
             " div 1000 AS pr")
-      if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
+      if (doCut) pr = cut(pr, checkpointDir)
     }
-    // self-contained before the cache drops; skip when the last
-    // loop iteration already cut it
-    if (doCut && iterations % CutEvery != 0) pr = cut(pr, checkpointDir)
     pr.select(col("id"), col("pr").as("pr_micro"))
     } finally if (doCut) e.unpersist()
   }
@@ -190,11 +193,8 @@ object PageRank {
             s" div (1000 * ns) + ($dampingPermille * (dang div ns))" +
             s" div 1000)" +
             s" + ($dampingPermille * coalesce(inc, 0L)) div 1000 AS pr")
-      if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
+      if (doCut) pr = cut(pr, checkpointDir)
     }
-    // self-contained before the cache drops; skip when the last
-    // loop iteration already cut it
-    if (doCut && iterations % CutEvery != 0) pr = cut(pr, checkpointDir)
     pr.select(col("id"), col("pr").as("pr_micro"))
     } finally if (doCut) e.unpersist()
   }
@@ -251,11 +251,8 @@ object PageRank {
           s"(${1000L - dampingPermille} * ${scale}L) div (1000 * n)" +
             s" + ($dampingPermille * (coalesce(inc, 0L) + dang div n))" +
             " div 1000 AS pr")
-      if (doCut && i % CutEvery == 0) pr = cut(pr, checkpointDir)
+      if (doCut) pr = cut(pr, checkpointDir)
     }
-    // self-contained before the cache drops; skip when the last
-    // loop iteration already cut it
-    if (doCut && iterations % CutEvery != 0) pr = cut(pr, checkpointDir)
     pr.select(col("id"), col("pr").as("pr_micro"))
     } finally if (doCut) e.unpersist()
   }

@@ -99,11 +99,18 @@ object History {
     * data only under the hidden `.compact_old_*` dir. Each run therefore
     * RECOVERS first: any orphaned `.compact_old_*` whose `day=` dir is
     * missing is renamed back before compaction proceeds. Single-writer
-    * assumption: no concurrent append/streaming sink may target the
-    * table during compact — a blind append landing in the day dir
-    * between the renames would be dropped with it. */
+    * assumption PER DAY PARTITION: a blind append landing in a day dir
+    * between its two renames would be dropped with it — so a table with
+    * a LIVE writer must compact only CLOSED days. That is what
+    * `beforeDay` is for (the daily-ops shape at 100 TB: the streaming
+    * sink appends to today's partition while yesterday-and-older
+    * compact): pass an ISO date and only `day=` partitions strictly
+    * BEFORE it are rewritten; appends to `beforeDay` or later never
+    * race the swap. HistoryLifecycleSpec drives exactly this interleave
+    * (live streaming writer + closed-day compaction) and asserts
+    * byte-identical query results and surviving partition pruning. */
   def compact(spark: SparkSession, tableDir: String,
-      filesPerDay: Int = 1): Unit = {
+      filesPerDay: Int = 1, beforeDay: Option[String] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val fs = root.getFileSystem(conf)
@@ -124,6 +131,10 @@ object History {
       .foreach(s => fs.delete(s.getPath, true))
     val days = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      // day= names are ISO dates, so the lexicographic compare IS the
+      // date compare; the open partition (>= beforeDay) is never swapped
+      .filter(s => beforeDay.forall(b =>
+        s.getPath.getName.stripPrefix("day=") < b))
       .map(_.getPath)
     days.foreach { dayPath =>
       val staged = new org.apache.hadoop.fs.Path(

@@ -434,15 +434,31 @@ object StreamingIngest {
 
   /** Append the findings stream to the parquet history table (S11 sink:
     * get-or-make vertex upserts become a plain append; the nodes view is
-    * derived). Returns the started query. */
+    * derived). Writes per micro-batch THROUGH
+    * [[graft.sources.History.append]] (foreachBatch), so the streaming
+    * and batch writers share one day-partitioned layout: interval reads
+    * partition-prune both, and [[graft.sources.History.compact]] with
+    * `beforeDay` consolidates CLOSED days while this sink keeps
+    * appending to the open one (HistoryLifecycleSpec).
+    *
+    * Deliberately NOT the built-in parquet streaming sink: that sink's
+    * `_spark_metadata` log makes every batch read of the dir
+    * metadata-log-only — batch appends and compaction rewrites become
+    * INVISIBLE to queries (the lifecycle spec caught exactly this).
+    * The trade is exactly-once → at-least-once on crash recovery (a
+    * replayed micro-batch appends twice); PolicyOverwrite/KeepN
+    * retention dedups replays at read (max_by keyed on (subject,
+    * epoch_ms, finding_seq) picks one row however often it repeats),
+    * the same tolerance the blind-append CLI path already relies on. */
   def appendToHistory(findings: Dataset[FoundNode], tableDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.model.Findings.toCanonical(findings)
       .writeStream
-      .format("parquet")
-      .option("path", tableDir)
-      .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.History.append(batch, tableDir)
+      }
       .start()
 
   /** Canonical input row for [[debounceStream]] (see [[debounceInput]]). */

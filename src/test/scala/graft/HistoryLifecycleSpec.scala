@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.{FoundLink, FoundNode, LinkState}
+import graft.operators.PolicyOverwrite
+import graft.sources.History
+import graft.streaming.StreamingIngest
+import graft.time.{Interval, IntervalEnd}
+
+/** History-table LIFECYCLE at the daily-ops shape (round-14 verdict
+  * item 3): a 100 TB findings table lives under a continuous writer —
+  * the streaming sink appends to today's partition while maintenance
+  * compacts yesterday-and-older. The round-13 spec surface proved
+  * append/read/compact in isolation; this spec drives the interleave:
+  *
+  *  1. batch-append three closed days (multiple small files per day);
+  *  2. snapshot the q01/q02-class answers (interval read + policy
+  *     retention) as the byte-identity baseline;
+  *  3. start a LIVE streaming appendToHistory writer on day 4;
+  *  4. compact(beforeDay = day4) WHILE the stream is running;
+  *  5. stream another batch after the compact;
+  *  6. assert: closed days hold exactly filesPerDay files, the
+  *     baseline answers are byte-identical, the streamed rows are all
+  *     present, and interval reads still PARTITION-PRUNE (inputFiles
+  *     confined to the matching day dirs);
+  *  7. crash-recovery: strand a day under `.compact_old_*` (the state
+  *     a kill between the two renames leaves) and assert the next
+  *     compact restores it with identical answers.
+  *
+  * Reference semantics anchor: interval-then-retention ordering,
+  * net-spider/test/ServerTest/Snapshot.hs:97-265.
+  */
+class HistoryLifecycleSpec extends SparkSpec {
+
+  private def fn(subject: String, epochMs: Long, seq: Long,
+      target: Option[String] = None) =
+    FoundNode(subject, epochMs, Map.empty,
+      target.map(t => FoundLink(t, LinkState.ToTarget, Map.empty)).toSeq,
+      seq)
+
+  private val d1 = ts("2024-03-01T10:00")
+  private val d2 = ts("2024-03-02T10:00")
+  private val d3 = ts("2024-03-03T10:00")
+  private val d4 = ts("2024-03-04T10:00")
+
+  private def closedInterval = Interval(
+    IntervalEnd(Some(d1 - 1000), true),
+    IntervalEnd(Some(d2 + 1000), true)) // days 1-2 only
+
+  private def answers(dir: String): (Seq[String], Seq[String]) = {
+    val q01 = History.read(spark, dir, closedInterval)
+      .select(col("subject"), col("epoch_ms"), col("finding_seq"))
+      .collect().map(_.toString).sorted.toSeq
+    val q02 = History.readRetained(spark, dir, closedInterval,
+        PolicyOverwrite)
+      .select(col("subject"), col("epoch_ms"))
+      .collect().map(_.toString).sorted.toSeq
+    (q01, q02)
+  }
+
+  private def filesIn(dir: String, day: String): Seq[String] = {
+    val d = new java.io.File(s"$dir/day=$day")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName).toSeq
+  }
+
+  it("queries stay byte-identical and partition-pruned across a " +
+      "closed-day compaction under a live streaming writer") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lc").toString
+    val dir = s"$root/table"
+
+    // 1. three closed days, two small files each (two appends per day)
+    for (seq <- 0 to 1) {
+      History.append(model.Findings.fromSeq(spark, Seq(
+        fn("a", d1 + seq, seq, Some("b")))), dir)
+      History.append(model.Findings.fromSeq(spark, Seq(
+        fn("b", d2 + seq, 10 + seq, Some("c")))), dir)
+      History.append(model.Findings.fromSeq(spark, Seq(
+        fn("c", d3 + seq, 20 + seq))), dir)
+    }
+    filesIn(dir, "2024-03-01").size shouldBe 2
+
+    // 2. the byte-identity baseline
+    val baseline = answers(dir)
+    baseline._1.size shouldBe 4 // a x2, b x2 within days 1-2
+    baseline._2 shouldBe Seq(s"[a,${d1 + 1}]", s"[b,${d2 + 1}]")
+
+    // 3. live streaming writer on day 4
+    val input = MemoryStream[FoundNode]
+    val q = StreamingIngest.appendToHistory(input.toDS(),
+      dir, s"$root/ckpt")
+    try {
+      input.addData(fn("d", d4, 30, Some("a")))
+      q.processAllAvailable()
+
+      // 4. compact CLOSED days only, stream still running
+      History.compact(spark, dir, filesPerDay = 1,
+        beforeDay = Some("2024-03-04"))
+
+      // 5. more stream data after the compact
+      input.addData(fn("d", d4 + 1000, 31))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // 6a. closed days consolidated; the open day untouched by compact
+    filesIn(dir, "2024-03-01").size shouldBe 1
+    filesIn(dir, "2024-03-02").size shouldBe 1
+    filesIn(dir, "2024-03-03").size shouldBe 1
+    filesIn(dir, "2024-03-04").size shouldBe 2 // one file per stream batch
+
+    // 6b. byte-identical closed-day answers; streamed rows all present
+    answers(dir) shouldBe baseline
+    History.read(spark, dir)
+      .filter(col("subject") === "d").count() shouldBe 2
+    History.readRetained(spark, dir, Interval.whole, PolicyOverwrite)
+      .filter(col("subject") === "d")
+      .select(col("epoch_ms")).collect()(0).getLong(0) shouldBe d4 + 1000
+
+    // 6c. pruning survives the rewrite: the interval read touches ONLY
+    // the matching day dirs (partition pruning at the file level)
+    val pruned = History.read(spark, dir, closedInterval)
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSeq
+    files should not be empty
+    all(files) should (include ("day=2024-03-01") or
+      include ("day=2024-03-02"))
+
+    // 7. crash-recovery: strand day 1 the way a kill between the two
+    // renames does, then compact again — it must recover first
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir, "day=2024-03-01"),
+      new org.apache.hadoop.fs.Path(dir, ".compact_old_day=2024-03-01"))
+    History.compact(spark, dir, filesPerDay = 1,
+      beforeDay = Some("2024-03-04"))
+    filesIn(dir, "2024-03-01").size shouldBe 1
+    answers(dir) shouldBe baseline
+  }
+}

@@ -216,8 +216,10 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.read.parquet(s"$dir/table")
       got.count() shouldBe 2
-      got.columns.toSet shouldBe
-        Set("subject", "epoch_ms", "finding_seq", "node_attrs", "links", "tz")
+      // day-partitioned like History.append — one shared layout for the
+      // streaming and batch writers
+      got.columns.toSet shouldBe Set("subject", "epoch_ms", "finding_seq",
+        "node_attrs", "links", "tz", "day")
     } finally q.stop()
   }
 
