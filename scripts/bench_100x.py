@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Produce the committed 100x-scale bench artifact (round-14 verdict
+item 5): the sf10 sweeps used to live as SURVEY prose; this writes
+BENCH_100x.json so a future superlinear regression fails a script
+(`bench_ratios.py --growth BENCH_100x.json`) instead of relying on
+builder diligence.
+
+Runs graft.Bench over the HEADLINE gates against the 100x corpus
+(testdata_sf10, built by scripts/scale_testdata.py 100 <dir> 1000000
+from the driver's sf0.1) — Bench's subset mode already times min-of-2
+warm passes per gate — then joins the committed sf0.1 readings from
+bench_full.json and records the growth factor per gate.
+
+Usage: python3 scripts/bench_100x.py [sf10dir] [--skip-run]
+  --skip-run reuses /tmp/bench_100x_run.log from a previous invocation
+  (artifact re-assembly after editing the gate list).
+"""
+import json
+import os
+import subprocess
+import sys
+
+# The headline set: the most expensive / most scale-sensitive gate per
+# family (dedup exact/ngram/minhash/spans, CC + increments, disk
+# indexes, ANN brute/IVF/PQ/recall, media, e2e compositions, sketches).
+GATES = [
+    "q20_dedup_exact", "q21_ngram_jaccard", "q23_minhash_lsh",
+    "q25_ann_topk", "q30_ivf_assign", "q36_neardup_clusters",
+    "q50_dedup_corpus", "q54_ivf_disk_search", "q84_span_dedup",
+    "q105_ivfpq_search", "q107_dedup_increment", "q109_neardup_search",
+    "q114_lsh_index_search", "q121_daily_ingest", "q124_image_neardup",
+    "q144_web_prep", "q171_curate_e2e", "q181_webrank_e2e",
+    "q193_cluster_increment", "q210_release_e2e", "q213_join_estimate",
+    "q216_ivf_recall", "q217_ivf_recall_curve",
+]
+RUN_LOG = "/tmp/bench_100x_run.log"
+
+
+def run_bench(sf10):
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": sf10,
+        "SPARK_GRAFT_CPUS": env.get("SPARK_GRAFT_CPUS", "32"),
+        "SPARK_DRIVER_MEM": env.get("SPARK_DRIVER_MEM", "48g"),
+        "SPARK_GRAFT_BENCH_ONLY": ",".join(GATES),
+    })
+    with open(RUN_LOG, "w") as log:
+        subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       env=env, stdout=log, stderr=subprocess.STDOUT,
+                       check=True)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf10 = args[0] if args else "/root/repo/testdata_sf10"
+    if "--skip-run" not in sys.argv:
+        run_bench(sf10)
+    line = None
+    for ln in open(RUN_LOG, errors="replace"):
+        if '"metric":"total"' in ln:
+            line = ln[ln.index('{"metric"'):]
+    if line is None:
+        print(f"FAIL: no bench JSON line in {RUN_LOG}")
+        return 1
+    sf10_res = json.loads(line)["queries"]
+    sf01_res = json.load(open("bench_full.json"))["queries"]
+    gates = {}
+    for q in GATES:
+        b, s = sf10_res.get(q), sf01_res.get(q)
+        gates[q] = {
+            "sf01_sec": round(s, 3) if s is not None else None,
+            "sf10_sec": round(b, 3) if b is not None else None,
+            "growth": round(b / s, 2) if b and s else None,
+        }
+    doc = {"sf10_dir": sf10, "data_growth": 100,
+           "note": "sf10_sec is Bench subset-mode min-of-2 warm at "
+                   "local[32]; sf01_sec from the committed bench_full"
+                   ".json of the same binary; gate with "
+                   "bench_ratios.py --growth",
+           "gates": gates}
+    json.dump(doc, open("BENCH_100x.json", "w"), indent=1)
+    for q, g in sorted(gates.items()):
+        print(f"{q:<24} sf0.1 {g['sf01_sec']}s -> sf10 {g['sf10_sec']}s"
+              f"  ({g['growth']}x)")
+    print("wrote BENCH_100x.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,8 +38,46 @@ MARKER = "q03_a1_unify_latest"
 GATE = 2.0
 FLOOR = 0.3
 
+# --growth mode: 100x data must not grow a gate's time past this factor
+# (linear work across 100x rows with both scales saturating the same 32
+# cores lands well under it; the committed r13/r14 sweeps peak at ~16x
+# for the PPJoin verify joins). Sub-floor sf0.1 bases are judged on the
+# absolute sf10 reading instead (scheduler noise dominates the ratio).
+GROWTH_GATE = 35.0
+GROWTH_FLOOR = 0.3
+
+
+def growth_mode(path):
+    """Gate BENCH_100x.json (scripts/bench_100x.py): per-gate sf0.1 ->
+    sf10 growth factors against GROWTH_GATE. Exit 1 on any breach."""
+    doc = json.load(open(path))
+    rc = 0
+    print(f"{'gate':<24} {'sf0.1':>8} {'sf10':>9} {'growth':>8}  verdict")
+    for q, g in sorted(doc["gates"].items()):
+        s, b = g.get("sf01_sec"), g.get("sf10_sec")
+        if s is None or b is None:
+            print(f"{q:<24} {'-':>8} {'-':>9} {'-':>8}  FAIL(missing)")
+            rc = 1
+            continue
+        if s < GROWTH_FLOOR:
+            ok = b <= GROWTH_FLOOR * GROWTH_GATE
+            verdict = "ok(floor)" if ok else "FAIL(floor)"
+        else:
+            ok = b / s <= GROWTH_GATE
+            verdict = "ok" if ok else "FAIL"
+        print(f"{q:<24} {s:>7.2f}s {b:>8.2f}s {b / s:>7.1f}x  {verdict}")
+        if not ok:
+            rc = 1
+    print("== 100x growth gate", "PASS ==" if rc == 0 else "FAIL ==")
+    return rc
+
 
 def main():
+    if "--growth" in sys.argv:
+        i = sys.argv.index("--growth")
+        path = sys.argv[i + 1] if i + 1 < len(sys.argv) \
+            else "BENCH_100x.json"
+        return growth_mode(path)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update-baselines" in sys.argv
     bench_path = args[0] if args else "bench_full.json"

@@ -40,6 +40,16 @@ import graft.sketch.Hll
   */
 object HyperBall {
 
+  /** Longest hop run that stays fully lazy. TWO, not PageRank's four:
+    * every per-hop estimate frame re-shuffles the register recurrence
+    * up to its hop (the (id, bucket) hop partitioning cannot serve the
+    * (id)-keyed estimate aggregation), so interior laziness multiplies
+    * real register shuffles per hop — the round-14 probe measured the
+    * lazy policy at 48.6 s for harmonicCentralities(maxHops = 4) on
+    * the 1M-edge graph. The q176 gate (hops = 2) keeps the lazy fast
+    * path. */
+  val LazyHops = 2
+
   /** Deduped, self-loop-free edge list + its endpoint set. */
   private def prep(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("src"), col("dst"))
@@ -74,14 +84,14 @@ object HyperBall {
     * `dst`). Self-loops drop, duplicate edges are harmless (max is
     * idempotent) but deduped anyway to shrink the join's left side.
     * Every endpoint appears (its own singleton sketch at minimum).
-    * Lineage policy: runs of at most [[PageRank.CutEvery]] hops stay
+    * Lineage policy: runs of at most [[LazyHops]] hops stay
     * fully lazy; longer runs persist the edge list and cut every hop
     * (the final hop's cut leaves the result self-contained). */
   def ballRegisters(edges: DataFrame, hops: Int = 2,
       m: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
     import graft.util.Checkpoints.cut
     require(hops >= 0, s"hops must be >= 0, got $hops")
-    val doCut = hops > PageRank.CutEvery
+    val doCut = hops > LazyHops
     val (e0, nodes) = prep(edges)
     val e = if (doCut) e0.persist() else e0
     try {
@@ -123,7 +133,7 @@ object HyperBall {
     * applies the segment lineage policy around whatever single frame
     * it builds — the shared engine under [[harmonicCentralities]] and
     * [[closenessCentralities]]. Short runs (maxHops at most
-    * [[PageRank.CutEvery]]) stay fully lazy; longer runs persist the
+    * [[LazyHops]]) stay fully lazy; longer runs persist the
     * edge list, cut registers each hop, and finish with ONE job
     * that materializes every per-hop estimate while the edge cache is
     * live, so the returned frame is self-contained. */
@@ -132,7 +142,7 @@ object HyperBall {
       finish: Vector[DataFrame] => DataFrame): DataFrame = {
     import graft.util.Checkpoints.cut
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val doCut = maxHops > PageRank.CutEvery
+    val doCut = maxHops > LazyHops
     val (e0, nodes) = prep(edges)
     val e = if (doCut) e0.persist() else e0
     try {

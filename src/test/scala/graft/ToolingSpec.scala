@@ -193,6 +193,55 @@ class ToolingSpec extends SparkSpec {
     log should include regex "qc.*EXTRA_CPU"
   }
 
+  it("bench_ratios --growth gates the 100x artifact: flat growth " +
+      "passes, a superlinear gate fails, a missing reading fails") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    val dir = java.nio.file.Files.createTempDirectory("tooling_gr").toFile
+    def art(name: String, rows: String): String = writeBench(dir, name,
+      s"""{"sf10_dir": "x", "data_growth": 100, "gates": {$rows}}""")
+    val ok = art("ok.json",
+      """"qa": {"sf01_sec": 1.0, "sf10_sec": 16.0, "growth": 16.0},
+        |"qb": {"sf01_sec": 0.1, "sf10_sec": 2.0, "growth": 20.0}"""
+        .stripMargin)
+    val (rcOk, logOk) = runPy(
+      Seq(s"$repo/scripts/bench_ratios.py", "--growth", ok), dir)
+    withClue(logOk) { rcOk shouldBe 0 }
+    val bad = art("bad.json",
+      """"qa": {"sf01_sec": 1.0, "sf10_sec": 40.0, "growth": 40.0}""")
+    val (rcBad, logBad) = runPy(
+      Seq(s"$repo/scripts/bench_ratios.py", "--growth", bad), dir)
+    rcBad should not be 0
+    logBad should include ("FAIL")
+    val missing = art("missing.json",
+      """"qa": {"sf01_sec": 1.0, "sf10_sec": null, "growth": null}""")
+    val (rcM, _) = runPy(
+      Seq(s"$repo/scripts/bench_ratios.py", "--growth", missing), dir)
+    rcM should not be 0
+  }
+
+  it("graph_check gates the graph corpus growth: within-bound ratios " +
+      "pass, a superlinear op fails") {
+    if (!haveTool) cancel("python3/duckdb not available")
+    val dir = java.nio.file.Files.createTempDirectory("tooling_gc").toFile
+    def rec(d: String, edges: Long, ops: String): String =
+      s"""{"dir":"$d","edges":$edges,"nodes":1,"runs":3,"ops":{$ops}}"""
+    def art(name: String, bigOps: String): String = writeBench(dir, name,
+      rec("t/graph_small", 1000000,
+        """"pr":{"min_sec":5.0,"runs":[5.0],"rows":1}""") + "\n" +
+        rec("t/graph_big", 10000000, bigOps) + "\n")
+    val ok = art("g_ok.jsonl",
+      """"pr":{"min_sec":50.0,"runs":[50.0],"rows":1}""")
+    val (rcOk, logOk) = runPy(
+      Seq(s"$repo/scripts/graph_check.py", ok), dir)
+    withClue(logOk) { rcOk shouldBe 0 }
+    val bad = art("g_bad.jsonl",
+      """"pr":{"min_sec":90.0,"runs":[90.0],"rows":1}""")
+    val (rcBad, logBad) = runPy(
+      Seq(s"$repo/scripts/graph_check.py", bad), dir)
+    rcBad should not be 0
+    logBad should include ("FAIL")
+  }
+
   it("the README record-of-truth section cites artifacts that exist") {
     val readme = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$repo/README.md"))
