@@ -10,7 +10,8 @@ not.
 
 BENCH_GRAPH.json is JSONL: one object per GraphProbe invocation
 ({"dir":..., "edges":N, "nodes":N, "ops": {op: {"min_sec":s, ...}}}).
-The newest line per dir wins.
+Records for the same dir MERGE per-op (newest op reading wins), so an
+op can be re-probed alone without discarding the rest of the record.
 
 Usage: python3 scripts/graph_check.py [BENCH_GRAPH.json] [--max-growth X]
 Exit 0 = every op present in both sizes and within the growth bound.
@@ -37,7 +38,12 @@ def main():
             if not line:
                 continue
             rec = json.loads(line)
-            by_dir[rec["dir"].rstrip("/").rsplit("/", 1)[-1]] = rec
+            key = rec["dir"].rstrip("/").rsplit("/", 1)[-1]
+            if key in by_dir:
+                by_dir[key]["ops"].update(rec["ops"])
+                by_dir[key]["edges"] = rec["edges"]
+            else:
+                by_dir[key] = rec
     small = by_dir.get("graph_small")
     big = by_dir.get("graph_big")
     if not small or not big:

@@ -16,41 +16,53 @@ import org.apache.spark.sql.functions._
   * hash aggregations — the (count, label) argmax is a single
   * `min(struct(-cnt, label))` with map-side partials, never a
   * per-node sort window. Rounds are a fixed parameter: LPA's quality
-  * plateaus in a handful of sweeps and a fixed budget keeps the plan
-  * finite — pass a `checkpointDir` upstream via
-  * [[graft.util.Checkpoints]] if lineage depth matters at high round
-  * counts.
+  * plateaus in a handful of sweeps. Runs past [[LazyRounds]] persist
+  * the symmetrized edge set and cut the label frame every round
+  * (PageRank's lineage policy: interior laziness multiplies the plan
+  * per round and gets re-executed); `checkpointDir` switches the cuts
+  * to reliable checkpoints.
   */
 object Communities {
+
+  /** Longest run that stays fully lazy and uncut — the gate fast path
+    * (q140 sweeps twice). */
+  val LazyRounds = 2
 
   /** (id, label) after `rounds` synchronous sweeps over a directed
     * edge frame (`src`, `dst`) — edges are symmetrized and
     * deduplicated first (LPA is an undirected-neighborhood notion;
     * self-loops drop). Every endpoint appears in the output. */
-  def labelPropagation(edges: DataFrame, rounds: Int = 2): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.util.Checkpoints.cut
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val doCut = rounds > LazyRounds
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    val sym = e.unionByName(
+    val sym0 = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val nodes = sym.select(col("src").as("id")).distinct()
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to rounds) {
-      val counts = sym
-        .join(labels.select(col("id").as("dst"),
-          col("label").as("nlabel")), "dst")
-        .groupBy(col("src"), col("nlabel"))
-        .agg(count(lit(1)).as("c"))
-      val best = counts
-        .groupBy(col("src"))
-        .agg(min(struct((-col("c")).as("nc"), col("nlabel").as("l")))
-          .as("m"))
-        .select(col("src").as("id"), col("m.l").as("label"))
-      labels = nodes.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-    }
-    labels
+    val sym = if (doCut) sym0.persist() else sym0
+    try {
+      val nodes = sym.select(col("src").as("id")).distinct()
+      var labels = nodes.select(col("id"), col("id").as("label"))
+      for (_ <- 1 to rounds) {
+        val counts = sym
+          .join(labels.select(col("id").as("dst"),
+            col("label").as("nlabel")), "dst")
+          .groupBy(col("src"), col("nlabel"))
+          .agg(count(lit(1)).as("c"))
+        val best = counts
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("nlabel").as("l")))
+            .as("m"))
+          .select(col("src").as("id"), col("m.l").as("label"))
+        labels = nodes.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        if (doCut) labels = cut(labels, checkpointDir)
+      }
+      labels
+    } finally if (doCut) sym.unpersist()
   }
 
   /** MODULARITY sufficient statistics of a labeling over an

@@ -115,6 +115,29 @@ class HyperBallSpec extends SparkSpec {
       h("leaf3") shouldBe 0.0
     }
 
+    it("harmonicCentralities past the LazyHops per-hop-cut boundary " +
+        "equals the value derived from independent per-hop registers") {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, greatest, lit}
+      val df = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+        ("d", "a")).toDF("src", "dst")
+      // est_0..est_3 from four INDEPENDENT ballRegisters calls (each
+      // simulation-pinned above); harmonic(maxHops = 3) — the cut
+      // path, 3 > LazyHops — must combine to the identical doubles
+      val perHop = (0 to 3).map(t =>
+        HyperBall.estimates(HyperBall.ballRegisters(df, t, 64), 64)
+          .withColumnRenamed("est", s"est_$t"))
+      val joined = perHop.reduce(_.join(_, Seq("id")))
+      val h = (1 to 3).map(t =>
+        greatest(col(s"est_$t") - col(s"est_${t - 1}"), lit(0.0)) / t)
+        .reduce(_ + _)
+      val expected = joined.select(col("id"), h.as("harmonic"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val got = HyperBall.harmonicCentralities(df, maxHops = 3, m = 64)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      got shouldBe expected
+    }
+
     it("effectiveDiameter finds the quantile hop on a path graph") {
       import spark.implicits._
       // a -> b -> c -> d: pairs-within-t totals are 4, 7, 9, 10;

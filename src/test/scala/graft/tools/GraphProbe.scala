@@ -26,10 +26,12 @@ object GraphProbe {
     val runs = if (args.length > 2) args(2).toInt else 3
     val outJson = if (args.length > 3) Some(args(3)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // heap note: spark.driver.memory is a NO-OP in an already-running
+    // local JVM — size the fork via SPARK_DRIVER_MEM (build.sbt -Xmx);
+    // 8g OOMs hyperball4 on graph_big (67M register rows), use 48g
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -52,7 +54,14 @@ object GraphProbe {
       "hits4" -> (() => Hits.hits(e, 4).count()),
       "hyperball4" -> (() => HyperBall.harmonicCentralities(e, 4).count()),
       "effdiam6" -> (() => HyperBall.effectiveDiameter(e, 6).toLong),
-      "lpa2" -> (() => Communities.labelPropagation(e, 2).count()),
+      // LPA's final frame is nodes LEFT JOIN best: a plain count()
+      // lets Catalyst ELIMINATE the left joins (row count is
+      // join-invariant) and the lazy run times nothing — materialize
+      // through the dataset's own physical plan instead
+      "lpa2" -> (() => Communities.labelPropagation(e, 2)
+        .queryExecution.toRdd.count()),
+      "lpa6" -> (() => Communities.labelPropagation(e, 6)
+        .queryExecution.toRdd.count()),
       "bfs_hub" -> (() => Bfs.reachable(
         e.select(col("src"), col("dst")),
         e.sparkSession.range(1).select(lit(hub).as("node_id")),
