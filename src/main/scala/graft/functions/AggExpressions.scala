@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, LongType}
 
 /** Bounded-memory grouped collection: `collect_capped(e, cap)` returns
   * `array_agg(e)` when the group has at most `cap` non-null elements and
@@ -113,4 +113,85 @@ object CollectCapped {
     * or NULL when the group has more than `cap` of them. */
   def collectCapped(e: Column, cap: Int): Column =
     Shim.column(CollectCapped(Shim.expression(e), cap).toAggregateExpression())
+}
+
+/** Element-wise max over fixed-width `array<tinyint>` register vectors —
+  * the grouped merge of PACKED HyperLogLog sketches
+  * ([[graft.operators.HyperBall]] carries each node's ball as ONE
+  * m-byte array instead of m (id, bucket, rho) rows, so the per-hop
+  * edge join emits one row per edge rather than m).
+  *
+  * Why a custom aggregate (SURVEY §7.3 preference order): Spark has
+  * `zip_with(a, b, greatest)` for two arrays in one row but no GROUPED
+  * element-wise reduction over an array column; `collect_list` + a
+  * fold would buffer every neighbor's vector per group — unbounded on
+  * a hub node. This buffer is a single m-byte array regardless of
+  * group size, partials merge map-side like any max, and serialization
+  * is the raw register bytes.
+  *
+  * Nulls are skipped (max semantics); input arrays must all have
+  * exactly `m` elements — enforced, because a silent length mismatch
+  * would mis-align every register after the short one. */
+case class RegisterMax(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(m > 0, s"register_max width must be positive, got $m")
+
+  override def prettyName: String = "register_max"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == m,
+        s"register_max($m) got a ${arr.numElements()}-element vector")
+      var i = 0
+      while (i < m) {
+        val x = arr.getByte(i)
+        if (x > b(i)) b(i) = x
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (o(i) > b(i)) b(i) = o(i)
+      i += 1
+    }
+    b
+  }
+
+  override def eval(b: Array[Byte]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(b)
+
+  // the buffer IS its wire form: m raw register bytes
+  override def serialize(b: Array[Byte]): Array[Byte] = b
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RegisterMax =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RegisterMax =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): RegisterMax =
+    copy(child = newChild)
+}
+
+object RegisterMax {
+  /** Column API: `registerMax(regs, m)` — the element-wise max of the
+    * group's m-byte register vectors. */
+  def registerMax(e: Column, m: Int): Column =
+    Shim.column(RegisterMax(Shim.expression(e), m).toAggregateExpression())
 }

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ConstraintBarrier.barrier
+import graft.functions.RegisterMax.registerMax
 import graft.sketch.Hll
 
 /** HyperBall (Boldi & Vigna, 2013): the approximate neighborhood
@@ -10,44 +12,51 @@ import graft.sketch.Hll
   * out-ball of radius t — computed by iterated register max-merge
   * along edges. This is the ONLY way centralities (harmonic,
   * closeness) are computable on a web-scale graph: exact per-node
-  * BFS is O(n·m), while each HyperBall hop is one shuffle over
-  * (node, bucket) rows — n·m_regs state, the same mergeable-integer-
-  * register discipline as the q63 HLL gate, so shards combine by
-  * groupBy max and the register table is hash-exact and
-  * engine-independent.
+  * BFS is O(n·m), while each HyperBall hop is one equi-join + one
+  * grouped merge. The register table is hash-exact and
+  * engine-independent — the q176 gate checks the integer registers;
+  * the floating-point estimates are spec-checked against exact BFS.
   *
   * Recurrence: `B(v, 0) = {v}`;
   * `B(v, t) = B(v, t-1) ∪ union of B(u, t-1) over edges v -> u`,
-  * each ball carried as its sparse HLL register table and the union
-  * as element-wise max. The floating-point size estimates and the
-  * derived harmonic centrality are consumer-side ([[estimates]],
-  * [[harmonicCentralities]]) and spec-checked against exact BFS —
-  * the gate checks the integer registers.
+  * each ball carried as its HLL register vector and the union as
+  * element-wise max.
+  *
+  * REPRESENTATION (round 14): registers travel PACKED — one m-byte
+  * `array<tinyint>` per node, merged by the
+  * [[graft.functions.RegisterMax]] aggregate — not as m sparse
+  * (id, bucket, max_rho) rows. On the 10 M-edge probe corpus the
+  * sparse form pushed ~m× the edge count (670 M rows/hop at m = 64)
+  * through the join→partial-agg pipeline and OOM'd an 8 GB driver;
+  * packed, the per-hop join emits ONE row per edge (~11 M) with a
+  * 64-byte payload, the grouped merge state is one vector per node
+  * regardless of degree (hub-safe), and the per-hop size estimate
+  * becomes a per-ROW expression ([[estimateCol]]) instead of an
+  * n·m-row aggregation. [[ballRegisters]] still RETURNS the sparse
+  * table (the persistence/oracle format — shards of it merge by
+  * groupBy max exactly like any Spark agg); the explode happens once
+  * at the boundary.
   *
   * Scale posture: per hop, ONE equi-join of the edge list against the
-  * register table (shuffle on the join key) + one (id, bucket)-keyed
-  * hash aggregation with map-side partials; register rows per node
-  * are bounded by min(m, |ball|), so state is at most n·m rows. The
-  * deduped edge list persists across hops; runs of at most
-  * [[PageRank.CutEvery]] hops stay fully lazy (the small-graph fast
-  * path — regs feeds both the neighbor join and the union, and
-  * ReuseExchange dedupes the doubled subtrees inside one action),
+  * n-row packed register table (shuffle on the join key) + one
+  * id-keyed object-hash merge with map-side partials. The deduped
+  * edge list persists across hops; runs of at most [[LazyHops]] hops
+  * stay fully lazy (regs feeds both the neighbor join and the union,
+  * and ReuseExchange dedupes the doubled subtrees inside one action),
   * longer runs cut the register frame EVERY hop (interior laziness
   * re-executes the multiplied plan — PageRank's lineage-policy
-  * scaladoc; the round-14 probe measured the segment policy at
-  * 48.6 s for 4 hops on the 1M-edge graph). `checkpointDir` switches
-  * the cuts to reliable checkpoints for preemptible clusters.
+  * scaladoc). `checkpointDir` switches the cuts to reliable
+  * checkpoints for preemptible clusters.
   */
 object HyperBall {
 
   /** Longest hop run that stays fully lazy. TWO, not PageRank's four:
-    * every per-hop estimate frame re-shuffles the register recurrence
-    * up to its hop (the (id, bucket) hop partitioning cannot serve the
-    * (id)-keyed estimate aggregation), so interior laziness multiplies
-    * real register shuffles per hop — the round-14 probe measured the
-    * lazy policy at 48.6 s for harmonicCentralities(maxHops = 4) on
-    * the 1M-edge graph. The q176 gate (hops = 2) keeps the lazy fast
-    * path. */
+    * every per-hop estimate frame re-executes the register recurrence
+    * up to its hop, so interior laziness multiplies real register
+    * shuffles per hop (the round-14 probe measured the lazy policy at
+    * 48.6 s for harmonicCentralities(maxHops = 4) on the 1M-edge
+    * graph, sparse form). The q176 gate (hops = 2) keeps the lazy
+    * fast path. */
   val LazyHops = 2
 
   /** Deduped, self-loop-free edge list + its endpoint set. */
@@ -61,30 +70,77 @@ object HyperBall {
     (e, nodes)
   }
 
-  /** Each node's singleton sketch — hop-0 registers. */
+  /** Each node's singleton sketch as a packed m-byte vector — hop-0
+    * registers: zero everywhere except the node's own (bucket, rho).
+    *
+    * The lambda is wrapped in [[graft.functions.ConstraintBarrier]]:
+    * a LambdaFunction inside a Project-alias constraint poisons
+    * Spark's InferFiltersFromConstraints — `localCheckpoint` preserves
+    * the alias constraint (`LogicalRDD.originConstraints`), and the
+    * first hop's rename+equi-join then infers a filter whose lambda
+    * body references the OTHER side's `dst`, which fails attribute
+    * binding at execution ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND],
+    * found by the round-14 graph probe on effectiveDiameter; the
+    * barrier's scaladoc has the full mechanism, HyperBallSpec the
+    * regression case). An alias-free plain form (m CASE slots) also
+    * fixes it but pays seconds of planning/codegen per query — the
+    * barrier keeps the tree small. */
   private def seedRegs(nodes: DataFrame, m: Int): DataFrame = {
     val (bucket, rho) = Hll.bucketRho(col("id").cast("string"), m)
-    nodes.select(col("id"), bucket.as("bucket"), rho.as("max_rho"))
+    nodes.select(col("id"), barrier(
+      transform(sequence(lit(0), lit(m - 1)),
+        i => when(i.cast("long") === bucket, rho)
+          .otherwise(lit(0L)).cast("byte"))).as("regs"))
   }
 
   /** One max-merge round: every node absorbs its out-neighbors'
-    * registers. The single place the recurrence lives — the q176 gate
-    * and the FP consumers all run THIS step. */
-  private def hop(e: DataFrame, regs: DataFrame): DataFrame = {
+    * register vectors. The single place the recurrence lives — the
+    * q176 gate and the FP consumers all run THIS step. */
+  private def hop(e: DataFrame, regs: DataFrame, m: Int): DataFrame = {
     val fromNbrs = e.join(regs.withColumnRenamed("id", "dst"),
         Seq("dst"))
-      .select(col("src").as("id"), col("bucket"), col("max_rho"))
+      .select(col("src").as("id"), col("regs"))
     regs.unionByName(fromNbrs)
-      .groupBy(col("id"), col("bucket"))
-      .agg(max(col("max_rho")).as("max_rho"))
+      .groupBy(col("id"))
+      .agg(registerMax(col("regs"), m).as("regs"))
+  }
+
+  /** The HLL size estimate of ONE packed register vector, as a pure
+    * per-row column expression (no aggregation): the standard
+    * estimator with linear-counting small-range correction. Slot
+    * order is fixed (bucket 0..m-1), so the FP sum is deterministic —
+    * unlike the sparse-row form, whose shuffle order makes the last
+    * few ulps plan-dependent (HyperBallSpec pins the two forms equal
+    * to 1e-9). No [[graft.functions.ConstraintBarrier]] needed here,
+    * unlike [[seedRegs]]: an alias constraint only becomes a
+    * poisoned inferred filter when BOTH its attribute and its
+    * referenced inputs survive into the frame's output ­— est
+    * projections output (id, est_t) while the lambda references
+    * `regs`, so `QueryPlan.validConstraints` drops them at the
+    * source (and a probe A/B showed a barrier here costs ~4× on the
+    * 1M-edge hyperball4 probe by blocking downstream optimization). */
+  def estimateCol(regs: Column, m: Int): Column = {
+    val alpha =
+      if (m == 16) 0.673 else if (m == 32) 0.697
+      else if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    val hit = size(filter(regs, x => x > lit(0))).cast("double")
+    val s = aggregate(regs, lit(0.0), (acc, x) =>
+      acc + when(x > lit(0), pow(lit(2.0), -x.cast("double")))
+        .otherwise(lit(0.0)))
+    val zeros = lit(m.toDouble) - hit
+    val raw = lit(alpha * m * m) / (s + zeros)
+    when(raw <= lit(2.5 * m) && zeros > lit(0.0),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+      .otherwise(raw)
   }
 
   /** Sparse per-node ball registers (id, bucket, max_rho) after
     * `hops` max-merge rounds over a directed edge frame (`src`,
-    * `dst`). Self-loops drop, duplicate edges are harmless (max is
-    * idempotent) but deduped anyway to shrink the join's left side.
-    * Every endpoint appears (its own singleton sketch at minimum).
-    * Lineage policy: runs of at most [[LazyHops]] hops stay
+    * `dst`) — the persistence/oracle format, exploded once from the
+    * packed recurrence. Self-loops drop, duplicate edges are harmless
+    * (max is idempotent) but deduped anyway to shrink the join's left
+    * side. Every endpoint appears (its own singleton sketch at
+    * minimum). Lineage policy: runs of at most [[LazyHops]] hops stay
     * fully lazy; longer runs persist the edge list and cut every hop
     * (the final hop's cut leaves the result self-contained). */
   def ballRegisters(edges: DataFrame, hops: Int = 2,
@@ -97,20 +153,26 @@ object HyperBall {
     try {
       var regs = seedRegs(nodes, m)
       for (_ <- 1 to hops) {
-        regs = hop(e, regs)
+        regs = hop(e, regs, m)
         // regs feeds both the neighbor join and the union, so interior
         // laziness multiplies the plan 2x per hop — cut-engaged runs
         // cut every hop (PageRank's lineage-policy scaladoc)
         if (doCut) regs = cut(regs, checkpointDir)
       }
-      regs
+      regs.select(col("id"),
+          posexplode(col("regs")).as(Seq("bucket", "max_rho")))
+        .filter(col("max_rho") > 0)
+        .select(col("id"), col("bucket").cast("long").as("bucket"),
+          col("max_rho").cast("long").as("max_rho"))
     } finally if (doCut) e.unpersist()
   }
 
-  /** Per-node HLL size estimate from a [[ballRegisters]] frame — the
-    * standard estimator with linear-counting small-range correction,
-    * as ONE grouped aggregation (no driver collect; the FP math is
-    * per-group scalar arithmetic on two integer sums). */
+  /** Per-node HLL size estimate from a SPARSE [[ballRegisters]] frame
+    * — the standard estimator with linear-counting small-range
+    * correction, as ONE grouped aggregation (no driver collect; the
+    * FP math is per-group scalar arithmetic on two integer sums).
+    * The read-side twin of [[estimateCol]] for register tables that
+    * live on disk in the mergeable sparse format. */
   def estimates(regs: DataFrame, m: Int = 64): DataFrame = {
     val alpha =
       if (m == 16) 0.673 else if (m == 32) 0.697
@@ -129,14 +191,15 @@ object HyperBall {
   }
 
   /** Runs the hop recurrence once, hands `finish` the per-hop
-    * estimate frames (est_0 .. est_maxHops, each (id, est_t)), and
-    * applies the segment lineage policy around whatever single frame
-    * it builds — the shared engine under [[harmonicCentralities]] and
-    * [[closenessCentralities]]. Short runs (maxHops at most
-    * [[LazyHops]]) stay fully lazy; longer runs persist the
-    * edge list, cut registers each hop, and finish with ONE job
-    * that materializes every per-hop estimate while the edge cache is
-    * live, so the returned frame is self-contained. */
+    * estimate frames (est_0 .. est_maxHops, each (id, est_t) — a
+    * per-row [[estimateCol]] projection of the packed registers, not
+    * an aggregation), and applies the segment lineage policy around
+    * whatever single frame it builds — the shared engine under
+    * [[harmonicCentralities]] and [[closenessCentralities]]. Short
+    * runs (maxHops at most [[LazyHops]]) stay fully lazy; longer runs
+    * persist the edge list, cut registers each hop, and finish with
+    * ONE job that materializes every per-hop estimate while the edge
+    * cache is live, so the returned frame is self-contained. */
   private def withPerHopEstimates(edges: DataFrame, maxHops: Int,
       m: Int, checkpointDir: Option[String])(
       finish: Vector[DataFrame] => DataFrame): DataFrame = {
@@ -147,13 +210,13 @@ object HyperBall {
     val e = if (doCut) e0.persist() else e0
     try {
       var regs = seedRegs(nodes, m)
-      var perHop = Vector(estimates(regs, m)
-        .withColumnRenamed("est", "est_0"))
+      var perHop = Vector(regs.select(col("id"),
+        estimateCol(col("regs"), m).as("est_0")))
       for (t <- 1 to maxHops) {
-        regs = hop(e, regs)
+        regs = hop(e, regs, m)
         if (doCut) regs = cut(regs, checkpointDir)
-        perHop = perHop :+ estimates(regs, m)
-          .withColumnRenamed("est", s"est_$t")
+        perHop = perHop :+ regs.select(col("id"),
+          estimateCol(col("regs"), m).as(s"est_$t"))
       }
       val out0 = finish(perHop)
       if (doCut) cut(out0, checkpointDir) else out0
@@ -200,7 +263,7 @@ object HyperBall {
     * the smallest hop count t such that the estimated number of
     * reachable pairs within t is >= q * (pairs reachable within
     * `maxHops`). Runs the register recurrence once; each hop
-    * contributes ONE scalar (the global sum of per-node ball
+    * contributes ONE scalar (the global sum of per-row ball
     * estimates), so the driver holds maxHops+1 doubles — never node
     * data. Returns maxHops if the quantile isn't reached (graph wider
     * than the horizon); 0 for an empty/self-loop-only edge frame. */
@@ -217,13 +280,14 @@ object HyperBall {
       // every hop, and cross-job plans don't share shuffles — uncut,
       // hop t's total() would re-execute all t-1 previous rounds.
       var regs = cut(seedRegs(nodes, m), checkpointDir)
-      def total(): Double = estimates(regs, m)
+      def total(): Double = regs
+        .select(estimateCol(col("regs"), m).as("est"))
         .agg(coalesce(sum(col("est")), lit(0.0)))
         .collect()(0).getDouble(0) // 1 scalar; 0.0 on an empty graph
       val totals = Array.newBuilder[Double]
       totals += total()
       for (_ <- 1 to maxHops) {
-        regs = cut(hop(e, regs), checkpointDir)
+        regs = cut(hop(e, regs, m), checkpointDir)
         totals += total()
       }
       totals.result()

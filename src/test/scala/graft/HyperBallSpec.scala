@@ -123,7 +123,10 @@ class HyperBallSpec extends SparkSpec {
         ("d", "a")).toDF("src", "dst")
       // est_0..est_3 from four INDEPENDENT ballRegisters calls (each
       // simulation-pinned above); harmonic(maxHops = 3) — the cut
-      // path, 3 > LazyHops — must combine to the identical doubles
+      // path, 3 > LazyHops — must combine to the same values.
+      // Tolerance, not bit-equality: the expected side sums 2^-rho in
+      // sparse-row shuffle order, the packed path in bucket order —
+      // the registers are identical, the FP sum order is not.
       val perHop = (0 to 3).map(t =>
         HyperBall.estimates(HyperBall.ballRegisters(df, t, 64), 64)
           .withColumnRenamed("est", s"est_$t"))
@@ -135,7 +138,43 @@ class HyperBallSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
       val got = HyperBall.harmonicCentralities(df, maxHops = 3, m = 64)
         .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
-      got shouldBe expected
+      got.keySet shouldBe expected.keySet
+      for ((id, v) <- got) v shouldBe expected(id) +- 1e-9
+    }
+
+    it("estimateCol on packed registers equals the sparse-table " +
+        "estimator to 1e-9 on a seeded random graph") {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val rnd = new scala.util.Random(91)
+      val edges = (1 to 60).map(_ =>
+        (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+      val df = edges.toDF("src", "dst")
+      // sparse lane: explode-format registers -> grouped estimator
+      val sparse = HyperBall.estimates(
+          HyperBall.ballRegisters(df, 2, 64), 64)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      // packed lane: rebuild the packed vectors from the sparse rows
+      // (array fill), then the per-row expression
+      val packed = HyperBall.ballRegisters(df, 2, 64)
+        .groupBy(col("id"))
+        .agg(org.apache.spark.sql.functions.map_from_arrays(
+          org.apache.spark.sql.functions.collect_list(col("bucket")),
+          org.apache.spark.sql.functions.collect_list(col("max_rho")))
+          .as("mm"))
+        .select(col("id"), org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(0),
+            org.apache.spark.sql.functions.lit(63)),
+          i => org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.element_at(
+              col("mm"), i.cast("long")),
+            org.apache.spark.sql.functions.lit(0L)).cast("byte"))
+          .as("regs"))
+        .select(col("id"), HyperBall.estimateCol(col("regs"), 64).as("est"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      packed.keySet shouldBe sparse.keySet
+      for ((id, v) <- packed) v shouldBe sparse(id) +- 1e-9
     }
 
     it("effectiveDiameter finds the quantile hop on a path graph") {
@@ -160,6 +199,30 @@ class HyperBallSpec extends SparkSpec {
       // exact: 10 reachable, all at distance 1 -> closeness 1.0
       c("hub") shouldBe 1.0 +- 0.15
       c("leaf7") shouldBe 0.0 // reaches nothing: exactly 0
+    }
+
+    it("effectiveDiameter survives a checkpointed seed joined under " +
+        "sort-merge (the InferFiltersFromConstraints lambda regression)") {
+      // The round-14 graph probe crashed here: effectiveDiameter cuts
+      // the SEED frame, and the first hop's rename+equi-join then hit
+      // [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] — localCheckpoint keeps
+      // alias constraints (LogicalRDD.originConstraints), and a
+      // LambdaFunction inside one made constraint inference emit a
+      // filter referencing the other join side. Long ids + forced SMJ
+      // reproduce the probe's plan shape; seedRegs/estimateCol are
+      // lambda-free now, so this must run clean.
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val edges = (1 to 2000).map(_ =>
+        (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "-1")
+        val d = HyperBall.effectiveDiameter(
+          edges.toDF("src", "dst"), maxHops = 3, m = 64)
+        d should (be >= 1 and be <= 3)
+      } finally spark.conf.set(key, prev)
     }
 
     it("effectiveDiameter is 0 on an empty / self-loop-only edge frame") {

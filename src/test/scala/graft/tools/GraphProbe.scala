@@ -28,7 +28,9 @@ object GraphProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // heap note: spark.driver.memory is a NO-OP in an already-running
     // local JVM — size the fork via SPARK_DRIVER_MEM (build.sbt -Xmx);
-    // 8g OOMs hyperball4 on graph_big (67M register rows), use 48g
+    // 48g documented floor for graph_big: sparse-register hyperball4
+    // OOM'd 8g (67M register rows; the packed rebuild shrank that
+    // 64x, but pagerank10/hits4 checkpoint sets still want headroom)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
