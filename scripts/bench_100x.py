@@ -33,6 +33,22 @@ GATES = [
     "q193_cluster_increment", "q210_release_e2e", "q213_join_estimate",
     "q216_ivf_recall", "q217_ivf_recall_curve",
 ]
+# Gates whose wall time legitimately scales WITH the data (bounded at
+# ~1.5x the data growth by bench_ratios.py --growth, instead of the
+# 35x bound that assumes an overhead-dominated sf0.1 base). Labeled in
+# the artifact so nothing is silently exempted:
+#  - brute_audit: O(Q*N) BY DESIGN — the exact brute-force audit lanes
+#    (q25 brute top-k; q216/q217 compare IVF against brute ground
+#    truth). 100x data with a fixed query budget is ~100x work.
+#  - cpu_dense: linear CPU-bound work that already saturates 32 cores
+#    at sf0.1 (q144's HTML-extract pipeline: 14.7 ms/doc CPU at sf0.1
+#    vs 9.9 at sf10 — sublinear PER UNIT), so wall tracks data growth.
+CLASSES = {
+    "q25_ann_topk": "brute_audit",
+    "q216_ivf_recall": "brute_audit",
+    "q217_ivf_recall_curve": "brute_audit",
+    "q144_web_prep": "cpu_dense",
+}
 RUN_LOG = "/tmp/bench_100x_run.log"
 
 
@@ -72,6 +88,8 @@ def main():
             "sf10_sec": round(b, 3) if b is not None else None,
             "growth": round(b / s, 2) if b and s else None,
         }
+        if q in CLASSES:
+            gates[q]["class"] = CLASSES[q]
     doc = {"sf10_dir": sf10, "data_growth": 100,
            "note": "sf10_sec is Bench subset-mode min-of-2 warm at "
                    "local[32]; sf01_sec from the committed bench_full"

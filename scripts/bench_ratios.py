@@ -45,6 +45,12 @@ FLOOR = 0.3
 # absolute sf10 reading instead (scheduler noise dominates the ratio).
 GROWTH_GATE = 35.0
 GROWTH_FLOOR = 0.3
+# Gates the artifact labels with a class (brute_audit: O(Q*N) by
+# design; cpu_dense: linear CPU already saturating the cores at sf0.1)
+# legitimately scale WITH the data: their bound is "scales like the
+# data, no worse" — a regression past ~1.5x the data growth still
+# fails. scripts/bench_100x.py documents each class.
+DATA_SCALED_GROWTH_GATE = 150.0
 
 
 def growth_mode(path):
@@ -59,13 +65,18 @@ def growth_mode(path):
             print(f"{q:<24} {'-':>8} {'-':>9} {'-':>8}  FAIL(missing)")
             rc = 1
             continue
+        ratio = b / s if s > 0 else float("inf")
+        cls = g.get("class")
+        gate = DATA_SCALED_GROWTH_GATE if cls else GROWTH_GATE
         if s < GROWTH_FLOOR:
-            ok = b <= GROWTH_FLOOR * GROWTH_GATE
+            ok = b <= GROWTH_FLOOR * gate
             verdict = "ok(floor)" if ok else "FAIL(floor)"
         else:
-            ok = b / s <= GROWTH_GATE
+            ok = ratio <= gate
             verdict = "ok" if ok else "FAIL"
-        print(f"{q:<24} {s:>7.2f}s {b:>8.2f}s {b / s:>7.1f}x  {verdict}")
+        if cls:
+            verdict += f"({cls})"
+        print(f"{q:<24} {s:>7.2f}s {b:>8.2f}s {ratio:>7.1f}x  {verdict}")
         if not ok:
             rc = 1
     print("== 100x growth gate", "PASS ==" if rc == 0 else "FAIL ==")

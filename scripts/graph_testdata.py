@@ -63,7 +63,12 @@ def build(scale, nedges, outdir):
     seen[dst] = True
     missing = np.nonzero(~seen)[0].astype(np.int64)
     src = np.concatenate([src, missing])
-    dst = np.concatenate([dst, missing % 1024])
+    # attach target i % 1024 would self-loop for a missing i < 1024
+    # (operators drop self-loops, un-pinning the node count) — bump
+    # those onto the next core id instead
+    attach = missing % 1024
+    attach = np.where(attach == missing, (missing + 1) % 1024, attach)
+    dst = np.concatenate([dst, attach])
     w = 1 + (src + 2 * dst) % 3
     os.makedirs(outdir, exist_ok=True)
     t = pa.table({"src": src, "dst": dst, "w": w})

@@ -1837,11 +1837,6 @@ object SparkEntry {
         col("doc_id").cast("string"))
       val html = concat(lit(HtmlShellPre), col("doc_id").cast("string"),
         lit(HtmlShellMid), col("text"), lit(HtmlShellPost))
-      // deliberately LAZY both times it is consumed (winner election +
-      // semi-join kept side): an r13 A/B of materializing this frame
-      // measured only 2.6-3.0 -> 2.3-2.7 s standalone warm — and the
-      // localCheckpoint would persist the wide `clean` column, a worse
-      // trade at scale than re-deriving with column pruning
       val staged = docs
         .withColumn("host",
           graft.text.Urls.host(graft.text.Urls.canonicalizeUrl(url)))
@@ -1852,11 +1847,21 @@ object SparkEntry {
           graft.text.Scripts.dominantScript(col("clean")))
         .filter(col("dominant") === "latin" && col("n_tokens") >= 8 &&
           col("host").isNotNull)
-      val winners = staged
-        .select(col("doc_id"), md5(col("clean").cast("binary")).as("__h"))
-        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-      staged.join(winners.select(col("doc_id")), Seq("doc_id"),
-          "left_semi")
+      // winner election as ONE window pass over the narrow projection:
+      // the r13 groupBy(min)+semi-join shape consumed `staged` twice,
+      // re-running the HTML extract + script detect end to end (lazy
+      // twins share no subtree across different shuffle keys) — at
+      // sf0.1 that hid inside fixed overhead (A/B 2.6->2.3 s), but the
+      // r14 100x artifact read 296 s / 72x growth. A single window
+      // consumer computes the expensive columns once and shuffles only
+      // (doc_id, host, n_tokens, hash); the kept rows are identical
+      // (doc_id is unique, so min-per-hash names the same winners).
+      staged
+        .select(col("doc_id"), col("host"), col("n_tokens"),
+          md5(col("clean").cast("binary")).as("__h"))
+        .withColumn("__min", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+        .filter(col("doc_id") === col("__min"))
         .select(col("doc_id"), col("host"), col("n_tokens"))
     }),
 

@@ -207,7 +207,20 @@ object ImageDedup {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val h = hashes.select(col("media_id").as("id"), col("dhash"))
-    val cands =
+    // VERIFY INLINE, DEDUP LAST (round 14): both sides carry the full
+    // 64-bit hash into the candidate join, hamming is computed on the
+    // join output and filtered IN the same stage, and only verified
+    // pairs (≈ the true near-dup count) reach the closing distinct.
+    // The previous shape — distinct() on raw candidates, then two
+    // hash-joins back to fetch the hashes — shuffled the candidate
+    // set three times; on random stub codes candidates are ~n²·17/2¹⁶
+    // (the pigeonhole coefficient, NOT skew: buckets stay uniform at
+    // n/2¹⁶ each, so hot-key caps don't apply), which the 100× growth
+    // artifact caught as q124 687 s / 166× growth. Inline verification
+    // leaves that set as a codegen-stage stream that is never
+    // exchanged; only the ~17× probe fan-out (linear in n) and the
+    // verified pairs shuffle.
+    val verified =
       if (maxHamming <= 7) {
         // MULTI-INDEX HASHING (Norouzi et al. 2012, "Fast Search in
         // Hamming Space with Multi-Index Hashing"): 4 tables of 16-bit
@@ -215,24 +228,23 @@ object ImageDedup {
         // (pigeonhole over 4 chunks), so the probe side joins its
         // substring plus its 16 single-bit flips against unflipped
         // table entries. vs the (maxHamming+1)-band equi-join: buckets
-        // go 2⁹ → 2¹⁶ per table while probe fan-out rises only 17×,
-        // turning the bucket-saturation pair blowup (candidates ~
-        // n²/2⁹ on random codes — q124 45.8 s at 10× sf0.1) into
-        // linear-in-n keyed rows. The verify stage below is unchanged,
-        // so reported pairs are identical.
+        // go 2⁹ → 2¹⁶ per table while probe fan-out rises only 17×
+        // (q124 45.8 s at 10× sf0.1 on the 2⁹ banding).
         val chunks = (0 until 4).map { cix =>
-          h.select(col("id"), lit(cix).as("cix"),
+          h.select(col("id"), col("dhash"), lit(cix).as("cix"),
             shiftright(col("dhash"), cix * 16)
               .bitwiseAND(lit(0xFFFFL)).as("chunk"))
         }.reduce(_ unionByName _)
-        val probes = chunks.select(col("id"), col("cix"),
+        val probes = chunks.select(col("id"), col("dhash"), col("cix"),
           explode(array(col("chunk") +:
             (0 until 16).map(b =>
               col("chunk").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
         probes.as("a").join(chunks.as("b"),
             col("a.cix") === col("b.cix") &&
             col("a.probe") === col("b.chunk") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+          .select(col("a.id").as("id1"), col("b.id").as("id2"),
+            bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+              .cast("long").as("hamming"))
       } else {
         // past hamming 7 the 1-flip guarantee breaks (4 chunks cover
         // ≤ 4·(1+1)−1 = 7); keep the classic pigeonhole banding
@@ -243,21 +255,21 @@ object ImageDedup {
           val lo = b * base + math.min(b, extra)
           val width = base + (if (b < extra) 1 else 0)
           val mask = if (width == 64) -1L else (1L << width) - 1L
-          h.select(col("id"), lit(b).as("band"),
+          h.select(col("id"), col("dhash"), lit(b).as("band"),
             shiftright(col("dhash"), lo).bitwiseAND(lit(mask)).as("chunk"))
         }.reduce(_ unionByName _)
         banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") &&
             col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+          .select(col("a.id").as("id1"), col("b.id").as("id2"),
+            bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+              .cast("long").as("hamming"))
       }
-    cands
-      .join(h.select(col("id").as("id1"), col("dhash").as("h1")), "id1")
-      .join(h.select(col("id").as("id2"), col("dhash").as("h2")), "id2")
-      .withColumn("hamming",
-        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+    // hamming is a function of the pair, so the distinct collapses
+    // multi-table/multi-probe hits exactly as the old candidate
+    // distinct did — but on the verified set, orders of magnitude
+    // smaller than the candidate set
+    verified.filter(col("hamming") <= maxHamming).distinct()
   }
 
   /** END-TO-END image near-dup clustering: decode → dHash → banded

@@ -94,20 +94,41 @@ object History {
     * readers never see a partially-compacted partition directory.
     * Content is unchanged (byte-for-byte row multiset).
     *
-    * Crash safety: the two renames are not atomic TOGETHER — a failure
-    * between rename(day, old) and rename(staged, day) leaves the day's
-    * data only under the hidden `.compact_old_*` dir. Each run therefore
-    * RECOVERS first: any orphaned `.compact_old_*` whose `day=` dir is
-    * missing is renamed back before compaction proceeds. Single-writer
-    * assumption PER DAY PARTITION: a blind append landing in a day dir
-    * between its two renames would be dropped with it — so a table with
-    * a LIVE writer must compact only CLOSED days. That is what
-    * `beforeDay` is for (the daily-ops shape at 100 TB: the streaming
-    * sink appends to today's partition while yesterday-and-older
-    * compact): pass an ISO date and only `day=` partitions strictly
-    * BEFORE it are rewritten; appends to `beforeDay` or later never
-    * race the swap. HistoryLifecycleSpec drives exactly this interleave
-    * (live streaming writer + closed-day compaction) and asserts
+    * Crash safety AND late-arrival safety: the swap is a
+    * manifest-reconciled exchange, not a blind delete. Each day is
+    * compacted from an explicit SNAPSHOT of its data files (captured
+    * in one listing, read by explicit path); immediately after the
+    * partition is claimed (rename(day, old)) the snapshot's file
+    * names are persisted as a `_compact_inputs` manifest INSIDE the
+    * old dir. When the staged rewrite is swapped in, any file found
+    * under `old` that is NOT in the manifest — an at-least-once
+    * replay or a late event-time append that landed between the
+    * snapshot and the claim (History.append partitions by EVENT day,
+    * so a closed day can still legally receive data) — is MOVED BACK
+    * into the day dir instead of being deleted with the rewritten
+    * originals. The manifest's position makes every crash state
+    * unambiguous for the recovery phase that opens each run:
+    *  - `old` without a manifest: crash before the manifest write ⇒
+    *    the staged data was never swapped in ⇒ restore (day missing:
+    *    rename back wholesale; day recreated by a racing append:
+    *    move `old`'s files into it — a union, never a duplicate);
+    *  - `old` with a manifest: the swap was claimed ⇒ finish it
+    *    (complete any partial per-file staged move, then reconcile
+    *    non-manifest files back and clear `old`).
+    * An append that recreates the day dir INSIDE the swap window is
+    * handled by falling back to per-file moves when the directory
+    * rename refuses (rename-into-existing semantics differ per
+    * FileSystem; return values are checked, never assumed).
+    *
+    * `beforeDay` remains the operational contract for a LIVE writer
+    * (the daily-ops shape at 100 TB: the streaming sink appends while
+    * yesterday-and-older compact): pass an ISO date and only `day=`
+    * partitions strictly BEFORE it are rewritten. With the reconcile,
+    * a replayed or late finding racing a closed-day compact is
+    * preserved rather than silently dropped — the manifest converts
+    * the race from data loss to an extra small file that the next
+    * compact folds in. HistoryLifecycleSpec drives the live-writer
+    * interleave plus the crash/late-file states and asserts
     * byte-identical query results and surviving partition pruning. */
   def compact(spark: SparkSession, tableDir: String,
       filesPerDay: Int = 1, beforeDay: Option[String] = None): Unit = {
@@ -115,20 +136,7 @@ object History {
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
-    // recover any day partition stranded by a previous crashed compact
-    fs.listStatus(root)
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(".compact_old_day="))
-      .foreach { s =>
-        val day = new org.apache.hadoop.fs.Path(root,
-          s.getPath.getName.stripPrefix(".compact_old_"))
-        if (!fs.exists(day)) { fs.rename(s.getPath, day); () }
-      }
-    // drop stale staging dirs from crashed runs (their day dir is intact)
-    fs.listStatus(root)
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(".compact_staging_"))
-      .foreach(s => fs.delete(s.getPath, true))
+    recoverCrashedCompacts(fs, root)
     val days = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
       // day= names are ISO dates, so the lexicographic compare IS the
@@ -137,22 +145,150 @@ object History {
         s.getPath.getName.stripPrefix("day=") < b))
       .map(_.getPath)
     days.foreach { dayPath =>
-      val staged = new org.apache.hadoop.fs.Path(
-        root, s".compact_staging_${dayPath.getName}")
-      spark.read.parquet(dayPath.toString)
-        .repartition(filesPerDay)
-        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-      val old = new org.apache.hadoop.fs.Path(
-        root, s".compact_old_${dayPath.getName}")
-      if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(dayPath, old)
-      fs.rename(staged, dayPath)
-      fs.delete(old, true)
-      // drop the _SUCCESS marker so the partition dir holds data only
-      val marker = new org.apache.hadoop.fs.Path(dayPath, "_SUCCESS")
-      if (fs.exists(marker)) fs.delete(marker, false)
-      ()
+      // ONE listing is the snapshot: exactly these files are read into
+      // the staged rewrite, and exactly these names may be deleted
+      val snapshot = dataFiles(fs, dayPath)
+      if (snapshot.nonEmpty) {
+        val staged = new org.apache.hadoop.fs.Path(
+          root, s".compact_staging_${dayPath.getName}")
+        spark.read.parquet(snapshot.map(_.toString): _*)
+          .repartition(filesPerDay)
+          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        val old = new org.apache.hadoop.fs.Path(
+          root, s".compact_old_${dayPath.getName}")
+        if (!fs.rename(dayPath, old)) {
+          // couldn't claim the partition (concurrent actor): abandon
+          fs.delete(staged, true)
+        } else {
+          // the manifest marks the swap as claimed; from here recovery
+          // completes FORWARD (underscore-prefixed: parquet ignores it)
+          writeTextFile(fs, new org.apache.hadoop.fs.Path(old, ManifestName),
+            snapshot.map(_.getName).mkString("\n"))
+          // a racing append may have recreated dayPath: local FS then
+          // returns false, HDFS returns true but NESTS staged inside
+          // it — both land in the per-file fallback
+          val renamed = fs.rename(staged, dayPath)
+          if (!renamed || fs.exists(
+              new org.apache.hadoop.fs.Path(dayPath, staged.getName)))
+            stagedFilesIn(fs, staged, dayPath)
+          reconcileOld(fs, old, dayPath)
+        }
+        // drop the _SUCCESS marker so the partition dir holds data only
+        val marker = new org.apache.hadoop.fs.Path(dayPath, "_SUCCESS")
+        if (fs.exists(marker)) fs.delete(marker, false)
+        ()
+      }
     }
+  }
+
+  private val ManifestName = "_compact_inputs"
+
+  /** The data files of a partition dir: skips subdirs and `_`/`.`
+    * markers (the same names a parquet directory scan ignores). */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+
+  private def writeTextFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    ()
+  }
+
+  /** Move a staged rewrite's files into the day dir one by one — the
+    * fallback when the directory rename refuses (an append recreated
+    * the day dir mid-swap) or the FileSystem moved staged INSIDE it
+    * (HDFS rename-into-existing semantics). Part-file names are
+    * UUID-unique per write, so file moves never collide; idempotent
+    * (already-moved files are simply absent from the source). */
+  private def stagedFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path,
+      dayPath: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(dayPath)
+    val nested = new org.apache.hadoop.fs.Path(dayPath, staged.getName)
+    Seq(staged, nested).filter(fs.exists(_)).foreach { src =>
+      fs.listStatus(src).filter(_.isFile)
+        .filterNot(_.getPath.getName == "_SUCCESS")
+        .foreach(f => fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(dayPath, f.getPath.getName)))
+      fs.delete(src, true)
+    }
+    ()
+  }
+
+  /** Clear a claimed `.compact_old_*` dir against its swapped-in day
+    * dir: any data file in `old` NOT named by its `_compact_inputs`
+    * manifest arrived after the compact snapshot (late event-time
+    * append / at-least-once replay) and is moved into the day dir; the
+    * manifest-named originals — whose rows the staged rewrite already
+    * carries — are deleted with the dir. Idempotent: safe to re-run
+    * after a crash at any point inside it. Callers guarantee the
+    * manifest exists (it is what marks the swap as claimed). */
+  private def reconcileOld(fs: org.apache.hadoop.fs.FileSystem,
+      old: org.apache.hadoop.fs.Path,
+      dayPath: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(old, ManifestName)
+    val listed = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    dataFiles(fs, old).filterNot(p => listed.contains(p.getName))
+      .foreach { p =>
+        fs.rename(p, new org.apache.hadoop.fs.Path(dayPath, p.getName)); ()
+      }
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Recovery phase run at the start of every [[compact]]: finish or
+    * roll back whatever a previous crashed run left, using the
+    * manifest's presence in each `.compact_old_*` dir as the commit
+    * point (scaladoc on [[compact]] enumerates the states). */
+  private def recoverCrashedCompacts(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".compact_old_day="))
+      .foreach { s =>
+        val old = s.getPath
+        val day = new org.apache.hadoop.fs.Path(root,
+          old.getName.stripPrefix(".compact_old_"))
+        val staged = new org.apache.hadoop.fs.Path(root,
+          s".compact_staging_${day.getName}")
+        if (fs.exists(new org.apache.hadoop.fs.Path(old, ManifestName))) {
+          // swap claimed: complete forward — finish any partial staged
+          // move, then reconcile late files back and clear old
+          if (fs.exists(staged) ||
+              fs.exists(new org.apache.hadoop.fs.Path(day, staged.getName)))
+            stagedFilesIn(fs, staged, day)
+          reconcileOld(fs, old, day)
+        } else if (!fs.exists(day)) {
+          // crash before the claim marker: the staged data never swapped
+          // in — restore the partition wholesale
+          fs.rename(old, day)
+          ()
+        } else {
+          // day recreated by a racing append before the claim marker:
+          // union old's files into it (never a duplicate — the staged
+          // rewrite was not swapped in)
+          dataFiles(fs, old).foreach { p =>
+            fs.rename(p, new org.apache.hadoop.fs.Path(day, p.getName)); ()
+          }
+          fs.delete(old, true)
+          ()
+        }
+      }
+    // staging dirs left without a claimed old are pre-swap leftovers
+    // (their day dir is intact): drop them
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".compact_staging_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    ()
   }
 
   /** Subject-bucketed layout (optional refinement for subject-heavy

@@ -141,4 +141,57 @@ class HistoryLifecycleSpec extends SparkSpec {
     filesIn(dir, "2024-03-01").size shouldBe 1
     answers(dir) shouldBe baseline
   }
+
+  it("a late append racing a closed-day compact is preserved, not " +
+      "deleted with the rewritten originals (manifest reconcile)") {
+    // History.append partitions by EVENT day, so a crash-replayed or
+    // late finding can legally land in a day that compact is rewriting.
+    // The pre-r14 swap deleted the whole old dir — silent data loss.
+    // This drives both manifest states the recovery phase decides on.
+    val root = java.nio.file.Files.createTempDirectory("graft_lcl").toString
+    val dir = s"$root/table"
+    val day = "2024-03-02"
+    for (seq <- 0 to 1)
+      History.append(model.Findings.fromSeq(spark, Seq(
+        fn("b", d2 + seq, 10 + seq, Some("c")))), dir)
+    History.compact(spark, dir, filesPerDay = 1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    // STATE A — claimed swap killed before the reconcile: day holds the
+    // staged rewrite, .compact_old_ holds the originals + manifest + a
+    // LATE file that landed after the snapshot
+    val dayFile = filesIn(dir, day).head
+    fs.mkdirs(p(s".compact_old_day=$day"))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, p(s"day=$day/$dayFile"),
+      fs, p(s".compact_old_day=$day/$dayFile"), false, hconf)
+    val out = fs.create(p(s".compact_old_day=$day/_compact_inputs"), true)
+    out.write(dayFile.getBytes("UTF-8")); out.close()
+    // the late row, written through the real append path then relocated
+    History.append(model.Findings.fromSeq(spark, Seq(
+      fn("late", d2 + 999, 99))), s"$root/late")
+    val lateFile = new java.io.File(s"$root/late/day=$day")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head.getName
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/late/day=$day/$lateFile"),
+      p(s".compact_old_day=$day/$lateFile"))
+
+    History.compact(spark, dir, filesPerDay = 1)
+    fs.exists(p(s".compact_old_day=$day")) shouldBe false
+    val subjects = History.read(spark, dir)
+      .select(col("subject")).collect().map(_.getString(0)).toSeq.sorted
+    subjects shouldBe Seq("b", "b", "late") // late survived, b NOT doubled
+
+    // STATE B — killed before the claim marker while an append had
+    // already recreated the day dir: old (no manifest) must UNION back
+    fs.rename(p(s"day=$day"), p(s".compact_old_day=$day"))
+    History.append(model.Findings.fromSeq(spark, Seq(
+      fn("later", d2 + 1500, 100))), dir)
+    History.compact(spark, dir, filesPerDay = 1)
+    fs.exists(p(s".compact_old_day=$day")) shouldBe false
+    History.read(spark, dir).select(col("subject"))
+      .collect().map(_.getString(0)).toSeq.sorted shouldBe
+      Seq("b", "b", "late", "later")
+  }
 }

@@ -247,7 +247,8 @@ class ToolingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$repo/README.md"))
     readme should include ("How to read a bench artifact")
     for (f <- Seq("BENCH_BASELINES.json", "scripts/bench_ratios.py",
-        "scripts/selfcheck.py")) {
+        "scripts/selfcheck.py", "BENCH_GRAPH.json", "BENCH_100x.json",
+        "scripts/graph_check.py", "scripts/bench_100x.py")) {
       readme should include (f.split("/").last)
       new java.io.File(repo, f) should exist
     }
