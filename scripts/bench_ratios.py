@@ -48,15 +48,21 @@ GROWTH_FLOOR = 0.3
 # Gates the artifact labels with a class (brute_audit: O(Q*N) by
 # design; cpu_dense: linear CPU already saturating the cores at sf0.1)
 # legitimately scale WITH the data: their bound is "scales like the
-# data, no worse" — a regression past ~1.5x the data growth still
-# fails. scripts/bench_100x.py documents each class.
-DATA_SCALED_GROWTH_GATE = 150.0
+# data, no worse" — 1.5x the artifact's recorded data_growth (derived
+# per artifact so a rerun at a different scale factor keeps meaning
+# "scales like the data"; 150 only as a legacy fallback).
+# scripts/bench_100x.py documents each class.
+DATA_SCALED_GROWTH_FACTOR = 1.5
+DATA_SCALED_GROWTH_FALLBACK = 150.0
 
 
 def growth_mode(path):
     """Gate BENCH_100x.json (scripts/bench_100x.py): per-gate sf0.1 ->
     sf10 growth factors against GROWTH_GATE. Exit 1 on any breach."""
     doc = json.load(open(path))
+    data_growth = doc.get("data_growth")
+    data_scaled_gate = (DATA_SCALED_GROWTH_FACTOR * data_growth
+                        if data_growth else DATA_SCALED_GROWTH_FALLBACK)
     rc = 0
     print(f"{'gate':<24} {'sf0.1':>8} {'sf10':>9} {'growth':>8}  verdict")
     for q, g in sorted(doc["gates"].items()):
@@ -67,7 +73,7 @@ def growth_mode(path):
             continue
         ratio = b / s if s > 0 else float("inf")
         cls = g.get("class")
-        gate = DATA_SCALED_GROWTH_GATE if cls else GROWTH_GATE
+        gate = data_scaled_gate if cls else GROWTH_GATE
         if s < GROWTH_FLOOR:
             ok = b <= GROWTH_FLOOR * gate
             verdict = "ok(floor)" if ok else "FAIL(floor)"

@@ -142,6 +142,22 @@ case class RegisterMax(
 
   require(m > 0, s"register_max width must be positive, got $m")
 
+  // analysis-time type check: a non-byte array child (the natural
+  // array<int> from an un-cast transform) must fail with a clear
+  // error, not a runtime ClassCastException or a silent getByte misread
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(ByteType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"register_max expects array<tinyint> registers, got " +
+              other.sql)
+    }
+
   override def prettyName: String = "register_max"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)

@@ -15,28 +15,61 @@ import org.apache.spark.sql.functions._
   * set against the label table (shuffle on the neighbor key) + two
   * hash aggregations — the (count, label) argmax is a single
   * `min(struct(-cnt, label))` with map-side partials, never a
-  * per-node sort window. Rounds are a fixed parameter: LPA's quality
-  * plateaus in a handful of sweeps. Runs past [[LazyRounds]] persist
-  * the symmetrized edge set and cut the label frame every round
-  * (PageRank's lineage policy: interior laziness multiplies the plan
-  * per round and gets re-executed); `checkpointDir` switches the cuts
-  * to reliable checkpoints.
+  * per-node sort window. Rounds are a fixed parameter by default
+  * (LPA's quality plateaus in a handful of sweeps); `tolChanges`
+  * switches to convergence-based termination on the label-change
+  * count. Runs past [[LazyRounds]] — or over [[CutEdgeThreshold]]
+  * edges, whichever trips first — persist the symmetrized edge set
+  * and cut the label frame every round (PageRank's lineage policy:
+  * interior laziness multiplies the plan per round and gets
+  * re-executed); `checkpointDir` switches the cuts to reliable
+  * checkpoints.
   */
 object Communities {
 
   /** Longest run that stays fully lazy and uncut — the gate fast path
-    * (q140 sweeps twice). */
+    * (q140 sweeps twice). Applies only UNDER the edge-count bound:
+    * past [[CutEdgeThreshold]] even a 1-round run persists + cuts. */
   val LazyRounds = 2
+
+  /** Edge-count bound past which every run persists the symmetrized
+    * edge set and cuts the label frame from round 1, regardless of the
+    * round count. The round-count-only trigger was inverted at scale:
+    * a fully-lazy 2-round sweep on the 10.5 M-edge probe graph
+    * re-executed the symmetrize+distinct shuffle per downstream job
+    * and read SLOWER than six cut rounds (BENCH_GRAPH r14: lazy lpa2
+    * 19.8 s vs cut lpa6 16.0 s). Sized like the local-fallback probes
+    * (the `localEdgeThreshold` discipline): under 2²⁰ raw edges the
+    * lazy plan is the measured winner, above it the per-round
+    * materialization is. The probe is a limit-bounded count — it stops
+    * scanning at the bound + 1, so small inputs pay one cheap pass. */
+  val CutEdgeThreshold: Int = 1 << 20
 
   /** (id, label) after `rounds` synchronous sweeps over a directed
     * edge frame (`src`, `dst`) — edges are symmetrized and
     * deduplicated first (LPA is an undirected-neighborhood notion;
-    * self-loops drop). Every endpoint appears in the output. */
+    * self-loops drop). Every endpoint appears in the output.
+    *
+    * `tolChanges >= 0` adds convergence-based termination: stop at the
+    * first round where the number of nodes that CHANGED label is
+    * ≤ `tolChanges` (0 = fully stable), capped at `rounds`. The count
+    * is exact and deterministic, so `labelPropagation(e, cap, tol=t)`
+    * ≡ `labelPropagation(e, k)` at the stop round k (spec-pinned).
+    * Tol runs cut every round (the stability count executes each
+    * round eagerly anyway).
+    *
+    * `cutEdgeThreshold` sizes the [[CutEdgeThreshold]] probe; ≤ 0
+    * disables the probe (round-count trigger only). */
   def labelPropagation(edges: DataFrame, rounds: Int = 2,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      cutEdgeThreshold: Int = CutEdgeThreshold,
+      tolChanges: Long = -1L): DataFrame = {
     import graft.util.Checkpoints.cut
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val doCut = rounds > LazyRounds
+    val doCut = rounds > LazyRounds || tolChanges >= 0L ||
+      (cutEdgeThreshold > 0 && rounds > 0 &&
+        edges.select(col("src")).limit(cutEdgeThreshold + 1).count()
+          > cutEdgeThreshold)
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val sym0 = e.unionByName(
@@ -46,7 +79,9 @@ object Communities {
     try {
       val nodes = sym.select(col("src").as("id")).distinct()
       var labels = nodes.select(col("id"), col("id").as("label"))
-      for (_ <- 1 to rounds) {
+      var round = 1
+      var stable = false
+      while (round <= rounds && !stable) {
         val counts = sym
           .join(labels.select(col("id").as("dst"),
             col("label").as("nlabel")), "dst")
@@ -57,9 +92,19 @@ object Communities {
           .agg(min(struct((-col("c")).as("nc"), col("nlabel").as("l")))
             .as("m"))
           .select(col("src").as("id"), col("m.l").as("label"))
-        labels = nodes.join(best, Seq("id"), "left")
+        var next = nodes.join(best, Seq("id"), "left")
           .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-        if (doCut) labels = cut(labels, checkpointDir)
+        if (doCut) next = cut(next, checkpointDir)
+        if (tolChanges >= 0L) {
+          val changed = next
+            .join(labels.select(col("id"), col("label").as("prev")),
+              Seq("id"))
+            .filter(col("label") =!= col("prev"))
+            .count() // 1x1 convergence read
+          if (changed <= tolChanges) stable = true
+        }
+        labels = next
+        round += 1
       }
       labels
     } finally if (doCut) sym.unpersist()

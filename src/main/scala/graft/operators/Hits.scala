@@ -45,10 +45,20 @@ object Hits {
 
   /** (id, hub_micro, auth_micro) after `iterations` mutual steps over
     * a directed edge frame (`src`, `dst`). Self-loops drop, duplicate
-    * edges count once. */
+    * edges count once.
+    *
+    * `tolMicro > 0` adds convergence-based termination: stop at the
+    * first iteration whose exact-integer Σ|Δauth| ≤ `tolMicro`, capped
+    * at `iterations`. The authority delta alone decides — hub is a
+    * pure function of the previous authority vector (h_i = f(a_{i-1})),
+    * so a stationary authority vector fixes hub too. One extra
+    * equi-join + 1×1 scalar read per iteration; deterministic, so
+    * `hits(e, cap, tol)` ≡ `hits(e, k)` at the stop iteration k
+    * (spec-pinned). Tol runs cut every iteration. */
   def hits(edges: DataFrame, iterations: Int = 2,
       scale: Long = 1000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      tolMicro: Long = 0L): DataFrame = {
     import graft.util.Checkpoints.cut
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale >= 1L, s"scale must be >= 1, got $scale")
@@ -59,7 +69,7 @@ object Hits {
     // scaladoc; the round-14 probe graph measured the segment policy
     // at 43.8 s for 4 iterations on 1M edges).
     val cutEvery = 2
-    val doCut = iterations > cutEvery
+    val doCut = iterations > cutEvery || tolMicro > 0L
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -82,7 +92,9 @@ object Hits {
     var auth = nodes.crossJoin(broadcast(eGuard))
       .selectExpr("id", s"ok * ${scale}L AS a")
     var hub: DataFrame = null
-    for (_ <- 1 to iterations) {
+    var i = 1
+    var converged = false
+    while (i <= iterations && !converged) {
       // hub is cut BEFORE auth's plan is built on it, so auth's cut
       // job reads the materialized hub instead of re-executing it
       val hRaw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -100,13 +112,22 @@ object Hits {
         .groupBy(col("dst")).agg(sum(col("h")).as("araw"))
       val aTot = aRaw.agg(
         coalesce(sum(col("araw")), lit(0L)).as("atot")) // 1x1
-      auth = nodes
+      var nextAuth = nodes
         .join(aRaw.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(aTot))
         .selectExpr("id",
           s"coalesce(araw, 0L) div greatest(1L, atot div ${scale}L)" +
             " AS a")
-      if (doCut) auth = cut(auth, checkpointDir)
+      if (doCut) nextAuth = cut(nextAuth, checkpointDir)
+      if (tolMicro > 0L) {
+        val d = nextAuth.select(col("id"), col("a").as("na"))
+          .join(auth.select(col("id"), col("a").as("pa")), Seq("id"))
+          .agg(coalesce(sum(abs(col("na") - col("pa"))), lit(0L)).as("d"))
+          .collect()(0).getLong(0) // 1x1 convergence read
+        if (d <= tolMicro) converged = true
+      }
+      auth = nextAuth
+      i += 1
     }
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_micro"),

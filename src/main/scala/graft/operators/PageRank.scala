@@ -72,16 +72,39 @@ object PageRank {
     require(scale >= 1L, s"scale must be >= 1, got $scale")
   }
 
+  /** Exact-integer L1 step distance Σ|pr'(v) − pr(v)| between two rank
+    * frames over the same node set — the convergence statistic. One
+    * equi-join + one 1×1 scalar read per call; deterministic (integer
+    * sums are shuffle-order-independent), so the STOP ITERATION of a
+    * tol run is a pure function of the graph and the tolerance —
+    * early-stopped results stay hash-checkable. */
+  private def l1Delta(next: DataFrame, prev: DataFrame): Long =
+    next.select(col("id"), col("pr").as("npr"))
+      .join(prev.select(col("id"), col("pr").as("ppr")), Seq("id"))
+      .agg(coalesce(sum(abs(col("npr") - col("ppr"))), lit(0L)).as("d"))
+      .collect()(0).getLong(0) // 1x1 convergence read
+
   /** (id, pr_micro) after `iterations` synchronous steps over a
     * directed edge frame (`src`, `dst`). Self-loops drop, duplicate
-    * edges count once; every endpoint appears in the output. */
+    * edges count once; every endpoint appears in the output.
+    *
+    * `tolMicro > 0` adds CONVERGENCE-BASED termination: the run stops
+    * at the first iteration whose exact-integer L1 step distance
+    * Σ|Δpr| (same `scale` units as the ranks) is ≤ `tolMicro`, with
+    * `iterations` as the cap — the production shape, where a ranking
+    * runs to a tolerance rather than a guessed count. The check is one
+    * extra equi-join + 1×1 scalar read per iteration, deterministic,
+    * so `pageRank(e, cap, tol)` ≡ `pageRank(e, k)` at the stop
+    * iteration k (spec-pinned). Tol runs cut every iteration (the
+    * convergence read executes each step eagerly anyway). */
   def pageRank(edges: DataFrame, iterations: Int = 3,
       dampingPermille: Int = 850,
       scale: Long = 1000000000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      tolMicro: Long = 0L): DataFrame = {
     import graft.util.Checkpoints.cut
     validate(iterations, dampingPermille, scale)
-    val doCut = iterations > CutEvery
+    val doCut = iterations > CutEvery || tolMicro > 0L
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -94,7 +117,9 @@ object PageRank {
     val nScalar = nodes.agg(count(lit(1)).as("n")) // 1x1
     var pr = nodes.crossJoin(broadcast(nScalar))
       .selectExpr("id", s"${scale}L div n AS pr")
-    for (i <- 1 to iterations) {
+    var i = 1
+    var converged = false
+    while (i <= iterations && !converged) {
       // using-column joins throughout: pr, deg and e share lineage
       // (all derive from the edge frame), so df("col") references
       // would trip DetectAmbiguousSelfJoin
@@ -106,14 +131,17 @@ object PageRank {
       val dang = pr.join(deg.select(col("src").as("id")),
           Seq("id"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0L)).as("dang")) // 1x1
-      pr = nodes
+      var next = nodes
         .join(inc.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(dang.crossJoin(nScalar)))
         .selectExpr("id",
           s"(${1000L - dampingPermille} * ${scale}L) div (1000 * n)" +
             s" + ($dampingPermille * (coalesce(inc, 0L) + dang div n))" +
             " div 1000 AS pr")
-      if (doCut) pr = cut(pr, checkpointDir)
+      if (doCut) next = cut(next, checkpointDir)
+      if (tolMicro > 0L && l1Delta(next, pr) <= tolMicro) converged = true
+      pr = next
+      i += 1
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
     } finally if (doCut) e.unpersist()
@@ -148,10 +176,11 @@ object PageRank {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int = 3, dampingPermille: Int = 850,
       scale: Long = 1000000000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      tolMicro: Long = 0L): DataFrame = {
     import graft.util.Checkpoints.cut
     validate(iterations, dampingPermille, scale)
-    val doCut = iterations > CutEvery
+    val doCut = iterations > CutEvery || tolMicro > 0L
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -176,7 +205,9 @@ object PageRank {
       .selectExpr("id", "coalesce(seedflag, 0L) AS seed",
         s"CASE WHEN coalesce(seedflag, 0L) = 1" +
           s" THEN ${scale}L div ns ELSE 0L END AS pr")
-    for (i <- 1 to iterations) {
+    var i = 1
+    var converged = false
+    while (i <= iterations && !converged) {
       val shares = pr.withColumnRenamed("id", "src")
         .join(deg, Seq("src"))
         .selectExpr("src", "pr div od AS share")
@@ -185,7 +216,7 @@ object PageRank {
       val dang = pr.join(deg.select(col("src").as("id")),
           Seq("id"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0L)).as("dang")) // 1x1
-      pr = pr.select(col("id"), col("seed"))
+      var next = pr.select(col("id"), col("seed"))
         .join(inc.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(dang.crossJoin(nS)))
         .selectExpr("id", "seed",
@@ -193,7 +224,10 @@ object PageRank {
             s" div (1000 * ns) + ($dampingPermille * (dang div ns))" +
             s" div 1000)" +
             s" + ($dampingPermille * coalesce(inc, 0L)) div 1000 AS pr")
-      if (doCut) pr = cut(pr, checkpointDir)
+      if (doCut) next = cut(next, checkpointDir)
+      if (tolMicro > 0L && l1Delta(next, pr) <= tolMicro) converged = true
+      pr = next
+      i += 1
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
     } finally if (doCut) e.unpersist()
@@ -214,10 +248,11 @@ object PageRank {
   def pageRankWeighted(edges: DataFrame, iterations: Int = 3,
       dampingPermille: Int = 850,
       scale: Long = 1000000000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      tolMicro: Long = 0L): DataFrame = {
     import graft.util.Checkpoints.cut
     validate(iterations, dampingPermille, scale)
-    val doCut = iterations > CutEvery
+    val doCut = iterations > CutEvery || tolMicro > 0L
     val e0 = edges.select(col("src"), col("dst"),
         col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst") && col("w") > 0)
@@ -236,7 +271,9 @@ object PageRank {
     var pr = nodes.crossJoin(broadcast(nScalar))
       .crossJoin(broadcast(wGuard))
       .selectExpr("id", s"ok * (${scale}L div n) AS pr")
-    for (i <- 1 to iterations) {
+    var i = 1
+    var converged = false
+    while (i <= iterations && !converged) {
       val inc = e.join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .join(wdeg, Seq("src"))
         .selectExpr("dst", "(pr * w) div wd AS share")
@@ -244,14 +281,17 @@ object PageRank {
       val dang = pr.join(wdeg.select(col("src").as("id")),
           Seq("id"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0L)).as("dang")) // 1x1
-      pr = nodes
+      var next = nodes
         .join(inc.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(dang.crossJoin(nScalar)))
         .selectExpr("id",
           s"(${1000L - dampingPermille} * ${scale}L) div (1000 * n)" +
             s" + ($dampingPermille * (coalesce(inc, 0L) + dang div n))" +
             " div 1000 AS pr")
-      if (doCut) pr = cut(pr, checkpointDir)
+      if (doCut) next = cut(next, checkpointDir)
+      if (tolMicro > 0L && l1Delta(next, pr) <= tolMicro) converged = true
+      pr = next
+      i += 1
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
     } finally if (doCut) e.unpersist()

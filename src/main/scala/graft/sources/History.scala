@@ -190,11 +190,34 @@ object History {
     fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
 
+  /** Write `content` so that the file's EXISTENCE at `path` is atomic
+    * with its full content: create under a dot-prefixed temp name (both
+    * `dataFiles` and parquet scans ignore it), then rename into place.
+    * A crash mid-write leaves only the temp — never a partial file at
+    * the real name. This matters because the `_compact_inputs`
+    * manifest's presence is the swap's commit point: a partial manifest
+    * read as claimed would make [[reconcileOld]] move unlisted snapshot
+    * originals back beside the staged rewrite, duplicating rows. */
   private def writeTextFile(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path, content: String): Unit = {
-    val out = fs.create(path, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(
+        s"atomic publish of $path failed: rename from $tmp refused")
     ()
+  }
+
+  /** A `.compact_old_*` dir counts as CLAIMED only when its manifest
+    * is present with content — a zero-length file (a crash artifact
+    * from a non-atomic writer, or FS weirdness) is treated as
+    * unclaimed, so recovery restores rather than reconciles. */
+  private def manifestClaimed(fs: org.apache.hadoop.fs.FileSystem,
+      old: org.apache.hadoop.fs.Path): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(old, ManifestName)
+    fs.exists(m) && fs.getFileStatus(m).getLen > 0
   }
 
   /** Move a staged rewrite's files into the day dir one by one — the
@@ -211,8 +234,14 @@ object History {
     Seq(staged, nested).filter(fs.exists(_)).foreach { src =>
       fs.listStatus(src).filter(_.isFile)
         .filterNot(_.getPath.getName == "_SUCCESS")
-        .foreach(f => fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(dayPath, f.getPath.getName)))
+        .foreach { f =>
+          // throw rather than let the delete below drop staged data a
+          // move left behind; re-running stagedFilesIn is safe
+          if (!fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dayPath, f.getPath.getName)))
+            throw new java.io.IOException(
+              s"failed to move staged file ${f.getPath} into $dayPath")
+        }
       fs.delete(src, true)
     }
     ()
@@ -238,7 +267,14 @@ object History {
     }
     dataFiles(fs, old).filterNot(p => listed.contains(p.getName))
       .foreach { p =>
-        fs.rename(p, new org.apache.hadoop.fs.Path(dayPath, p.getName)); ()
+        // a failed move must NOT fall through to the delete below —
+        // that would silently drop the late file the manifest exists
+        // to protect; throwing leaves `old` intact for the next
+        // recovery pass (reconcileOld is idempotent)
+        if (!fs.rename(p, new org.apache.hadoop.fs.Path(dayPath, p.getName)))
+          throw new java.io.IOException(
+            s"failed to move late file $p back into $dayPath; " +
+              s"leaving $old for the next recovery pass")
       }
     fs.delete(old, true)
     ()
@@ -259,7 +295,7 @@ object History {
           old.getName.stripPrefix(".compact_old_"))
         val staged = new org.apache.hadoop.fs.Path(root,
           s".compact_staging_${day.getName}")
-        if (fs.exists(new org.apache.hadoop.fs.Path(old, ManifestName))) {
+        if (manifestClaimed(fs, old)) {
           // swap claimed: complete forward — finish any partial staged
           // move, then reconcile late files back and clear old
           if (fs.exists(staged) ||
@@ -269,14 +305,20 @@ object History {
         } else if (!fs.exists(day)) {
           // crash before the claim marker: the staged data never swapped
           // in — restore the partition wholesale
-          fs.rename(old, day)
+          if (!fs.rename(old, day))
+            throw new java.io.IOException(
+              s"failed to restore unclaimed partition $old to $day")
           ()
         } else {
           // day recreated by a racing append before the claim marker:
           // union old's files into it (never a duplicate — the staged
-          // rewrite was not swapped in)
+          // rewrite was not swapped in). A failed move throws BEFORE
+          // the delete — old survives for the next recovery pass.
           dataFiles(fs, old).foreach { p =>
-            fs.rename(p, new org.apache.hadoop.fs.Path(day, p.getName)); ()
+            if (!fs.rename(p, new org.apache.hadoop.fs.Path(day, p.getName)))
+              throw new java.io.IOException(
+                s"failed to union $p back into $day; " +
+                  s"leaving $old for the next recovery pass")
           }
           fs.delete(old, true)
           ()

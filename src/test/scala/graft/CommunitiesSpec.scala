@@ -37,6 +37,36 @@ class CommunitiesSpec extends SparkSpec {
     l1("z") shouldBe "m"
   }
 
+  it("tolChanges stops when the labeling is stable — identical to the " +
+      "fixed run at the stop round") {
+    import spark.implicits._
+    // complete triangle: r1 = 3 label changes, r2 = 1, r3 = 0 → the
+    // tol run stops at round 3 with the settled per-clique min label
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val got = Communities.labelPropagation(e, rounds = 10, tolChanges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    got shouldBe Map("a" -> "a", "b" -> "a", "c" -> "a")
+    val fixed = Communities.labelPropagation(e, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    got shouldBe fixed
+  }
+
+  it("the size-aware cut trigger changes the lineage policy, never " +
+      "the labels") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("b", "d")).toDF("src", "dst")
+    // probe disabled → the lazy fast path; threshold 1 → 5 raw edges
+    // exceed it, cut from round 1
+    val lazyRun = Communities.labelPropagation(e, rounds = 2,
+        cutEdgeThreshold = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val cutRun = Communities.labelPropagation(e, rounds = 2,
+        cutEdgeThreshold = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    lazyRun shouldBe cutRun
+  }
+
   it("is deterministic across partitionings and zero rounds is the " +
       "identity labeling") {
     import spark.implicits._

@@ -77,6 +77,30 @@ class HitsSpec extends SparkSpec {
       }
     }
 
+    it("tolMicro stops at the first iteration whose Σ|Δauth| crosses " +
+        "the bound — identical to the fixed run at that iteration") {
+      import spark.implicits._
+      val e = graph.filter { case (s, t) => s != t }.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val scale = 1000000L
+      // authority vectors per iteration (a_0 = scale everywhere, the
+      // operator's init), driver-simulated
+      val auths = (0 to 8).map { i =>
+        if (i == 0) nodes.map(v => (v, scale)).toMap
+        else simulate(graph, i).map { case (k, (_, a)) => (k, a) }
+      }
+      val deltas = (1 to 8).map(i =>
+        nodes.map(v => math.abs(auths(i)(v) - auths(i - 1)(v))).sum)
+      val tol = math.max(deltas(2), 1L) // iteration 3's step distance
+      val k = deltas.indexWhere(_ <= tol) + 1
+      k should be < 8 // genuinely early-stops under the cap
+      val got = Hits.hits(graph.toDF("src", "dst"),
+          iterations = 8, tolMicro = tol)
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+      got shouldBe run(graph, k)
+    }
+
     it("renormalizes each vector into the (scale - n, 2*scale) L1 band") {
       // floor division by floor(total/scale) keeps the new total in
       // [total/q - n, total/q] with total/q in [scale, 2*scale): the

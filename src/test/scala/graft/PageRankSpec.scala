@@ -75,6 +75,27 @@ class PageRankSpec extends SparkSpec {
       pr("a") shouldBe pr("b")
       pr shouldBe simulate(star, 3)
     }
+
+    it("tolMicro stops at the FIRST iteration whose exact L1 step " +
+        "distance crosses the bound — identical to the fixed run there") {
+      import spark.implicits._
+      // step distances of the documented recurrence, driver-simulated
+      def delta(i: Int): Long = {
+        val a = simulate(graph, i - 1)
+        val b = simulate(graph, i)
+        b.map { case (k, v) => math.abs(v - a(k)) }.sum
+      }
+      val deltas = (1 to 12).map(delta)
+      val tol = math.max(deltas(5), 1L) // iteration 6's step distance
+      val k = deltas.indexWhere(_ <= tol) + 1
+      k should be >= 1
+      k should be < 12 // genuinely early-stops under the cap
+      val got = PageRank.pageRank(graph.toDF("src", "dst"),
+          iterations = 12, tolMicro = tol)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      got shouldBe simulate(graph, k)
+      got shouldBe run(graph, k) // ≡ the fixed run at the stop iteration
+    }
   }
 
   /** The personalized recurrence, simulated locally: teleport and
@@ -149,6 +170,15 @@ class PageRankSpec extends SparkSpec {
       val pr = runSeeded(Seq(("a", "b")), Seq("z"), 2)
       pr("z") should be > 0L
       pr shouldBe simulateSeeded(Seq(("a", "b")), Set("z"), 2)
+    }
+
+    it("tolMicro wiring: an immediately-satisfied tolerance stops " +
+        "after exactly one iteration") {
+      import spark.implicits._
+      val got = PageRank.personalizedPageRank(graph.toDF("src", "dst"),
+          Seq("a").toDF("id"), iterations = 5, tolMicro = Long.MaxValue)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      got shouldBe simulateSeeded(graph, Set("a"), 1)
     }
 
     it("fails loudly on an empty seed set instead of returning NULLs") {
@@ -245,6 +275,15 @@ class PageRankSpec extends SparkSpec {
         iterations = 3).collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
       weighted shouldBe unweighted
+    }
+
+    it("tolMicro wiring: an immediately-satisfied tolerance stops " +
+        "after exactly one iteration") {
+      import spark.implicits._
+      val got = PageRank.pageRankWeighted(graph.toDF("src", "dst", "w"),
+          iterations = 5, tolMicro = Long.MaxValue)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      got shouldBe simulateWeighted(graph, 1)
     }
 
     it("shifts rank toward the heavily-weighted target") {
