@@ -2618,14 +2618,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val results = graft.similarity.Similarity.bruteTopK(
         emb, k = 10, maxQueryId = 500)
-      val ids = emb.select(col("vec_id").cast("long").as("id"),
-        col("label"))
-      val rels = ids.select(col("id").as("qid"), col("label"))
-        .filter(col("qid") < 500)
-        .join(ids.select(col("id").as("nid"), col("label")), Seq("label"))
-        .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"))
-      graft.similarity.RetrievalEval.perQuery(results, rels, k = 10)
+      graft.similarity.RetrievalEval.perQuery(results,
+        labelQrels(emb), k = 10)
+    }),
+
+    // RETRIEVAL EVAL, IVF LANE (RetrievalEval.perQueryIvf): q212's
+    // metrics with the ranking from the probe-pruned IVF search
+    // instead of the brute O(Q·N) scan — the lane a production eval
+    // runs when the corpus outgrows the exact audit (brute q212
+    // measured 246 s at 100×; this scales with the probed lists).
+    "q218_retrieval_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val results = graft.similarity.Similarity.ivfTopK(
+        emb, k = 10, nprobe = 2, maxQueryId = 500L)
+      graft.similarity.RetrievalEval.perQuery(results,
+        labelQrels(emb), k = 10)
     }),
 
     // SAFE-RELEASE PREP E2E (the round-11 composition flagship): ONE
@@ -3140,6 +3147,19 @@ object SparkEntry {
     * synthetic corpus has none): emails on %2, IPv4s on %3, phones on
     * %5. Shared by q110 and q121; `piiDecorationSql` is its oracle
     * twin. */
+  /** Label-derived qrels for the retrieval-eval gates (q212/q218): a
+    * (qid, nid) pair is relevant iff the two vectors share a label,
+    * query side capped like the searches. */
+  private def labelQrels(emb: DataFrame): DataFrame = {
+    val ids = emb.select(col("vec_id").cast("long").as("id"),
+      col("label"))
+    ids.select(col("id").as("qid"), col("label"))
+      .filter(col("qid") < 500)
+      .join(ids.select(col("id").as("nid"), col("label")), Seq("label"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+  }
+
   private def piiDecorated(docs: DataFrame): DataFrame =
     docs.withColumn("text", concat(
       col("text"),
@@ -3822,7 +3842,7 @@ object SparkEntry {
     // on-disk partitioned index) — identical semantics, one statement.
     // Parameterized by nprobe for the q217 recall CURVE (the S-curve
     // the SemDeDup preset's cost/recall dial rides on).
-    def ivfTopkSqlAt(nprobe: Int): String =
+    def ivfTopkSqlAt(nprobe: Int, k: Int = 3): String =
       s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
              |unit AS (SELECT id, list_transform(range(1, 65), i ->
              |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
@@ -3852,7 +3872,7 @@ object SparkEntry {
              |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rank FROM (
              |  SELECT *, row_number() OVER (
              |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
-             |WHERE rn <= 3""".stripMargin
+             |WHERE rn <= $k""".stripMargin
     val ivfTopkSql = ivfTopkSqlAt(2)
     // q25's exact brute-force cosine top-3 — shared with q216/q217,
     // where it is the recall denominator.
@@ -5330,6 +5350,35 @@ object SparkEntry {
            |    SELECT *, row_number() OVER (
            |      PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
            |  WHERE rn <= 10),
+           |rels AS (SELECT a.id AS qid, b.id AS nid FROM base a
+           |  JOIN base b ON a.label = b.label AND a.id <> b.id
+           |  WHERE a.id < 500),
+           |tot AS (SELECT qid, count(*) AS n_rel_total FROM rels
+           |  GROUP BY qid),
+           |hit AS (SELECT r.qid,
+           |    sum(CASE WHEN rel.nid IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS n_rel_topk,
+           |    min(CASE WHEN rel.nid IS NOT NULL THEN r.rank END) AS frr
+           |  FROM res r LEFT JOIN rels rel
+           |    ON r.qid = rel.qid AND r.nid = rel.nid
+           |  GROUP BY r.qid)
+           |SELECT h.qid, CAST(h.n_rel_topk AS BIGINT) AS n_rel_topk,
+           |  CAST(coalesce(t.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+           |  CAST(coalesce(h.frr, 0) AS BIGINT) AS first_rel_rank,
+           |  CAST(CASE WHEN h.frr IS NOT NULL THEN 1000000 // h.frr
+           |    ELSE 0 END AS BIGINT) AS rr_micro,
+           |  CAST(h.n_rel_topk * 1000000 // 10 AS BIGINT) AS precision_ppm,
+           |  CAST(CASE WHEN coalesce(t.n_rel_total, 0) > 0
+           |    THEN h.n_rel_topk * 1000000 // t.n_rel_total
+           |    ELSE 0 END AS BIGINT) AS recall_ppm
+           |FROM hit h LEFT JOIN tot t USING (qid)""".stripMargin,
+
+      // q218: the q35 IVF ranking SQL at k = 10 / nprobe = 2 + the
+      // q212 metric tail verbatim (the IVF lane of the retrieval eval).
+      "q218_retrieval_ivf" ->
+        s"""WITH res AS (SELECT qid, nid, rank
+           |    FROM (${ivfTopkSqlAt(2, 10)}) t1),
+           |base AS (SELECT vec_id AS id, label FROM embeddings),
            |rels AS (SELECT a.id AS qid, b.id AS nid FROM base a
            |  JOIN base b ON a.label = b.label AND a.id <> b.id
            |  WHERE a.id < 500),

@@ -51,6 +51,22 @@ object RetrievalEval {
           .otherwise(lit(0L)).as("recall_ppm"))
   }
 
+  /** The SCALE lane of the eval's RESULTS side: rank with
+    * [[Similarity.ivfTopK]]'s probe-pruned search instead of the brute
+    * O(Q·N) scan and feed the same [[perQuery]] metrics. The brute
+    * lane is the exact audit (linear in the collection by
+    * construction — the r14 100× sweep measured it at 246 s); this
+    * lane's cost follows the `nprobe` probed-list size, not the
+    * corpus, and its metrics equal the brute lane's whenever the
+    * probed lists contain the true top-k (spec-pinned on clustered
+    * data — SimilaritySpec). */
+  def perQueryIvf(embeddings: DataFrame, rels: DataFrame, k: Int,
+      nprobe: Int = 2, centroidStride: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueryId: Long = Long.MaxValue): DataFrame =
+    perQuery(Similarity.ivfTopK(embeddings, k, nprobe, centroidStride,
+      idCol, vecCol, maxQueryId), rels, k)
+
   /** One-row rollup of [[perQuery]]: exact integer means (truncating)
     * of rr/precision/recall micros plus query and hit counts — the
     * number an index release publishes as "MRR@k". An EMPTY perQuery

@@ -32,6 +32,96 @@ object History {
       .withColumn("day", to_date(timestamp_millis(col("epoch_ms"))))
       .write.partitionBy("day").mode(SaveMode.Append).parquet(tableDir)
 
+  /** Batch-id ledger directory (underscore-prefixed: parquet directory
+    * scans ignore the whole subtree). One tiny marker file per applied
+    * micro-batch; its EXISTENCE is the commit point of
+    * [[appendBatch]]. */
+  private val AppliedBatchesDir = "_applied_batches"
+
+  /** Data files written by [[appendBatch]] carry a `b<batchId>-` name
+    * prefix; returns the id when `name` is such a file. */
+  private def batchIdOf(name: String): Option[Long] =
+    if (name.startsWith("b")) {
+      val dash = name.indexOf('-')
+      if (dash > 1) name.substring(1, dash).toLongOption else None
+    } else None
+
+  /** IDEMPOTENT per-epoch append — the exactly-once commit for the
+    * streaming history sink. Structured Streaming's foreachBatch
+    * replays an uncommitted epoch with the SAME batchId and the same
+    * rows after a crash; a blind [[append]] then double-counts the
+    * replay, which PolicyOverwrite/KeepN dedup at read but
+    * PolicyAppend (Query.hs:82-101 semantics — every finding
+    * contributes) cannot. This commit makes the replay a no-op:
+    *
+    *  1. marker `_applied_batches/<batchId>` exists → the epoch is
+    *     fully applied; drop any stale staging and return;
+    *  2. stage the batch day-partitioned under
+    *     `.batch_staging_<batchId>` (Overwrite: a crashed attempt's
+    *     partial staging is replaced wholesale);
+    *  3. scrub `b<batchId>-*` data files from exactly the day
+    *     partitions the staging touches — the leftovers of a crashed
+    *     attempt that died mid-move (the replayed epoch stages
+    *     identical rows, so the touched-day set is identical);
+    *  4. move staged files in under `b<batchId>-`-prefixed names
+    *     (rename results checked — a failed move throws before the
+    *     marker could claim the epoch);
+    *  5. publish the marker (temp write + rename, atomic with
+    *     content), then drop the staging dir.
+    *
+    * Any crash point replays to the same multiset: before the marker
+    * the whole epoch redoes (scrub makes the redo exact); after it the
+    * epoch is skipped. [[compact]] excludes data files of UNapplied
+    * batch ids from its rewrite snapshot, so a compaction racing a
+    * crashed writer can never fold half an epoch into a compacted file
+    * the scrub can no longer see. The ledger grows one ~empty file per
+    * epoch — prune it alongside checkpoint retention if it ever
+    * matters. */
+  def appendBatch(findings: DataFrame, tableDir: String,
+      batchId: Long): Unit = {
+    val spark = findings.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerDir = new org.apache.hadoop.fs.Path(root, AppliedBatchesDir)
+    val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
+    val staging = new org.apache.hadoop.fs.Path(
+      root, s".batch_staging_$batchId")
+    if (fs.exists(marker)) {
+      if (fs.exists(staging)) fs.delete(staging, true)
+      return
+    }
+    findings
+      .withColumn("day", to_date(timestamp_millis(col("epoch_ms"))))
+      .write.partitionBy("day").mode(SaveMode.Overwrite)
+      .parquet(staging.toString)
+    val stagedDays = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+    stagedDays.foreach { d =>
+      val target = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+      if (fs.exists(target))
+        fs.listStatus(target).filter(_.isFile)
+          .filter(f => batchIdOf(f.getPath.getName).contains(batchId))
+          .foreach(f => fs.delete(f.getPath, false))
+    }
+    stagedDays.foreach { d =>
+      val target = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+      fs.mkdirs(target)
+      dataFiles(fs, d.getPath).foreach { f =>
+        val dest = new org.apache.hadoop.fs.Path(
+          target, s"b$batchId-${f.getName}")
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(
+            s"failed to move staged batch file $f into $target; " +
+              "the epoch stays unclaimed and will replay")
+      }
+    }
+    fs.mkdirs(markerDir)
+    writeTextFile(fs, marker,
+      stagedDays.map(_.getPath.getName).sorted.mkString("\n") + "\n")
+    fs.delete(staging, true)
+    ()
+  }
+
   /** S12 clearAll. */
   def clear(spark: SparkSession, tableDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(tableDir)
@@ -144,10 +234,22 @@ object History {
       .filter(s => beforeDay.forall(b =>
         s.getPath.getName.stripPrefix("day=") < b))
       .map(_.getPath)
+    // batch files of an UNapplied epoch (a crashed streaming writer's
+    // partial move) are invisible to compaction: folding them into a
+    // rewrite would put rows where the replay's scrub can't remove
+    // them — the replay redoes the epoch, duplicating. They stay as
+    // loose files until their epoch commits or its writer scrubs them.
+    val appliedIds: Set[Long] = {
+      val md = new org.apache.hadoop.fs.Path(root, AppliedBatchesDir)
+      if (fs.exists(md))
+        fs.listStatus(md).flatMap(_.getPath.getName.toLongOption).toSet
+      else Set.empty
+    }
     days.foreach { dayPath =>
       // ONE listing is the snapshot: exactly these files are read into
       // the staged rewrite, and exactly these names may be deleted
-      val snapshot = dataFiles(fs, dayPath)
+      val snapshot = dataFiles(fs, dayPath).filterNot(p =>
+        batchIdOf(p.getName).exists(id => !appliedIds.contains(id)))
       if (snapshot.nonEmpty) {
         val staged = new org.apache.hadoop.fs.Path(
           root, s".compact_staging_${dayPath.getName}")

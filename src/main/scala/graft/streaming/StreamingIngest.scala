@@ -445,19 +445,22 @@ object StreamingIngest {
     * `_spark_metadata` log makes every batch read of the dir
     * metadata-log-only — batch appends and compaction rewrites become
     * INVISIBLE to queries (the lifecycle spec caught exactly this).
-    * The trade is exactly-once → at-least-once on crash recovery (a
-    * replayed micro-batch appends twice); PolicyOverwrite/KeepN
-    * retention dedups replays at read (max_by keyed on (subject,
-    * epoch_ms, finding_seq) picks one row however often it repeats),
-    * the same tolerance the blind-append CLI path already relies on. */
+    * Writes are EXACTLY-ONCE per epoch: each micro-batch commits via
+    * [[graft.sources.History.appendBatch]]'s batch-id manifest, so a
+    * crash-replayed epoch (same batchId, same rows) is skipped or
+    * redone exactly, never doubled — which is what PolicyAppend
+    * (Query.hs:82-101: every finding contributes, no retention dedup
+    * at read) requires; PolicyOverwrite/KeepN would also dedup
+    * replays at read, but no longer need to. */
   def appendToHistory(findings: Dataset[FoundNode], tableDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.model.Findings.toCanonical(findings)
       .writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.sources.History.append(batch, tableDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        graft.sources.History.appendBatch(batch, tableDir, batchId)
       }
       .start()
 

@@ -60,8 +60,22 @@ object Html {
 
   /** Extracted visible text: blocks stripped, tags dropped, entities
     * decoded, whitespace collapsed to single spaces, trimmed. Null
-    * HTML → null. */
-  def extractText(html: Column): Column = {
+    * HTML → null.
+    *
+    * Runs as the FUSED single-pass scanner
+    * ([[graft.functions.HtmlExtractText]]) — one JIT-compiled walk per
+    * document instead of ~11 chained regexp passes (the r14 100×
+    * artifact's cpu-dense hot loop). Byte-identical to
+    * [[extractTextChained]] (HtmlSpec pins the parity on adversarial
+    * and randomized inputs; the q132/q144 oracles state the chained
+    * passes verbatim in DuckDB SQL and still hash-match). */
+  def extractText(html: Column): Column =
+    graft.functions.HtmlExpressions.htmlExtractText(html)
+
+  /** The chained-regexp form of [[extractText]] — the semantic
+    * definition (these passes ARE what the oracle states); kept as the
+    * parity twin the fused scanner is spec-checked against. */
+  def extractTextChained(html: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(
         regexp_replace(html, ScriptRe, " "), StyleRe, " "),
@@ -124,6 +138,16 @@ object Html {
     * operators clean REPEATED chrome corpus-wide; this drops
     * structural chrome per page, before any corpus-level look. */
   def mainContent(html: Column, minChars: Int = 20,
+      maxLinkDenom: Int = 3): Column =
+    graft.functions.HtmlExpressions.htmlMainContent(html, minChars,
+      maxLinkDenom)
+
+  /** The chained column form of [[mainContent]] — the semantic
+    * definition (the q166 oracle states these expressions verbatim);
+    * kept as the parity twin the fused scanner is spec-checked
+    * against. [[mainContent]] runs the fused
+    * [[graft.functions.HtmlMainContent]] single-walk scanner. */
+  def mainContentChained(html: Column, minChars: Int = 20,
       maxLinkDenom: Int = 3): Column = {
     val segs = split(html, BlockTagRe)
     def cleanOf(seg: Column): Column = {

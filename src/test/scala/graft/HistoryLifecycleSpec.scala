@@ -142,6 +142,61 @@ class HistoryLifecycleSpec extends SparkSpec {
     answers(dir) shouldBe baseline
   }
 
+  it("exactly-once under crash replay: a replayed epoch never doubles " +
+      "PolicyAppend counts (batch-id manifest commit)") {
+    import graft.operators.PolicyAppend
+    val root = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val dir = s"$root/table"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    def appendCount: Long = History.readRetained(spark, dir,
+      Interval.whole, PolicyAppend).count()
+
+    val epoch0 = model.Findings.fromSeq(spark,
+      Seq(fn("a", d1, 0, Some("b")), fn("a", d1 + 500, 1)))
+    History.appendBatch(epoch0, dir, 0L)
+    val base = History.read(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    base.size shouldBe 2
+
+    // replay of a COMMITTED epoch (crash after the marker): skipped
+    History.appendBatch(epoch0, dir, 0L)
+    History.read(spark, dir)
+      .collect().map(_.toString).sorted.toSeq shouldBe base
+
+    // crash AFTER the data moves, BEFORE the marker: the replay must
+    // scrub its own half-applied files and redo, not double
+    fs.delete(p("_applied_batches/0"), false) shouldBe true
+    History.appendBatch(epoch0, dir, 0L)
+    History.read(spark, dir)
+      .collect().map(_.toString).sorted.toSeq shouldBe base
+
+    // crash MID-STAGING: a stale partial staging dir is replaced
+    // wholesale by the replay's Overwrite
+    fs.mkdirs(p(".batch_staging_1"))
+    History.appendBatch(model.Findings.fromSeq(spark,
+      Seq(fn("c", d1 + 900, 2))), dir, 1L)
+    fs.exists(p(".batch_staging_1")) shouldBe false
+    appendCount shouldBe 3 // every finding contributes exactly once
+
+    // compaction must NOT fold an uncommitted epoch's files into a
+    // rewrite (the replay's scrub could no longer remove them): strand
+    // epoch 2 as committed-minus-marker, compact, then replay
+    val epoch2 = model.Findings.fromSeq(spark, Seq(fn("d", d1 + 950, 3)))
+    History.appendBatch(epoch2, dir, 2L)
+    fs.delete(p("_applied_batches/2"), false) shouldBe true
+    History.compact(spark, dir, filesPerDay = 1,
+      beforeDay = Some("2024-03-04"))
+    // the unapplied epoch's file survives as a LOOSE batch-tagged file
+    filesIn(dir, "2024-03-01")
+      .count(_.startsWith("b2-")) shouldBe 1
+    History.appendBatch(epoch2, dir, 2L) // replay: scrub + redo + commit
+    appendCount shouldBe 4
+    History.read(spark, dir).filter(col("subject") === "d")
+      .count() shouldBe 1
+  }
+
   it("a late append racing a closed-day compact is preserved, not " +
       "deleted with the rewritten originals (manifest reconcile)") {
     // History.append partitions by EVENT day, so a crash-replayed or

@@ -482,6 +482,37 @@ class SimilaritySpec extends SparkSpec {
     (0L until n).foreach { i => pairs should contain((i, i + 10000)) }
   }
 
+  it("RetrievalEval.perQueryIvf equals the brute-lane metrics on " +
+      "clustered data (the q212 scale path)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two clearly-separated clusters, 30 vectors each (the
+    // knnLabelAgreementIvf corpus): stride 10 seeds centroids in both
+    // clusters, so nprobe=2 probed lists contain the true top-k
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 60).map { i =>
+      val base = if (i < 30) Array(1.0f, 0.0f, 0.0f)
+        else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.05f), (i / 30).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val ids = df.select(col("vec_id").as("id"), col("label"))
+    val rels = ids.select(col("id").as("qid"), col("label"))
+      .join(ids.select(col("id").as("nid"), col("label")), Seq("label"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.toString)).toMap
+    val brute = canon(graft.similarity.RetrievalEval.perQuery(
+      Similarity.bruteTopK(df, k = 5, maxQueryId = 1000L), rels, k = 5))
+    val ivf = canon(graft.similarity.RetrievalEval.perQueryIvf(
+      df, rels, k = 5, nprobe = 2, centroidStride = 10,
+      maxQueryId = 1000L))
+    brute.size shouldBe 60
+    ivf shouldBe brute
+    // within a tight cluster every top-5 neighbor shares the label
+    brute.values.foreach(_ should include(",5,29,1,1000000,1000000,"))
+  }
+
   it("ivfTopKCurve equals per-nprobe ivfTopK row-for-row at every " +
       "curve point") {
     if (!haveData) cancel("testdata missing")
