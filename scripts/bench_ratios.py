@@ -63,6 +63,9 @@ def growth_mode(path):
     data_growth = doc.get("data_growth")
     data_scaled_gate = (DATA_SCALED_GROWTH_FACTOR * data_growth
                         if data_growth else DATA_SCALED_GROWTH_FALLBACK)
+    # a full-suite 10x artifact states its own unclassed bound (15x for
+    # 10x data, the r8-r11 sweep rule); the 100x artifact keeps 35
+    unclassed_gate = doc.get("unclassed_gate", GROWTH_GATE)
     rc = 0
     print(f"{'gate':<24} {'sf0.1':>8} {'sf10':>9} {'growth':>8}  verdict")
     for q, g in sorted(doc["gates"].items()):
@@ -73,7 +76,7 @@ def growth_mode(path):
             continue
         ratio = b / s if s > 0 else float("inf")
         cls = g.get("class")
-        gate = data_scaled_gate if cls else GROWTH_GATE
+        gate = data_scaled_gate if cls else unclassed_gate
         if s < GROWTH_FLOOR:
             ok = b <= GROWTH_FLOOR * gate
             verdict = "ok(floor)" if ok else "FAIL(floor)"

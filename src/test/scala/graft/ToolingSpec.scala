@@ -248,7 +248,8 @@ class ToolingSpec extends SparkSpec {
     readme should include ("How to read a bench artifact")
     for (f <- Seq("BENCH_BASELINES.json", "scripts/bench_ratios.py",
         "scripts/selfcheck.py", "BENCH_GRAPH.json", "BENCH_100x.json",
-        "scripts/graph_check.py", "scripts/bench_100x.py")) {
+        "scripts/graph_check.py", "scripts/bench_100x.py",
+        "BENCH_10x_full.json", "scripts/bench_10x_full.py")) {
       readme should include (f.split("/").last)
       new java.io.File(repo, f) should exist
     }

@@ -50,6 +50,12 @@ object GraphProbe {
     val ops: Seq[(String, () => Long)] = Seq(
       "pagerank3" -> (() => PageRank.pageRank(e, 3).count()),
       "pagerank10" -> (() => PageRank.pageRank(e, 10).count()),
+      // convergence-terminated run (r15): cap 50, stop when the exact
+      // Σ|Δpr| falls under scale/20 — the production to-tolerance
+      // shape; the row records what a real ranking run costs vs the
+      // caller-fixed counts above
+      "pagerank_tol" -> (() => PageRank.pageRank(e, 50,
+        tolMicro = 1000000000000L / 20).count()),
       "trustrank5" -> (() => PageRank.personalizedPageRank(
         e, e.sparkSession.range(64).select(col("id")), 5).count()),
       "prweighted3" -> (() => PageRank.pageRankWeighted(e, 3).count()),
