@@ -185,10 +185,80 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Static helper for [[AsciiTokens]]. */
+object TokensUtil {
+  private def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** `filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")` as ONE
+    * byte walk. Exactness: the lowercase step is the same
+    * `UTF8String.toLowerCase` the `lower()` expression calls; after
+    * it, the kept content is exactly the maximal `[a-z0-9]` BYTE runs
+    * — every UTF-8 lead/continuation byte is ≥ 0x80 and never in the
+    * class, so byte scanning cannot split or join a multi-byte
+    * character differently than the regex does (non-ASCII characters
+    * are separators in both forms, INCLUDING ones whose lowercase
+    * maps into ASCII, e.g. Kelvin K → k, which the lowercase step has
+    * already rewritten before either form splits). Leading/trailing/
+    * empty fields the regex split emits are exactly the non-run
+    * regions this walk never materializes. */
+  def tokens(in: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = in.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      if (isTok(bytes(i))) {
+        var j = i + 1
+        while (j < n && isTok(bytes(j))) j += 1
+        out.add(UTF8String.fromBytes(bytes, i, j - i))
+        i = j
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray())
+  }
+}
+
+/** The corpus tokenizer (lowercase → split on non-alphanumeric → drop
+  * empties) as a native Catalyst expression.
+  *
+  * The chained form pays, PER ROW: a `Pattern.compile` + regex scan
+  * inside `UTF8String.split`, a full String round-trip, and an
+  * INTERPRETED higher-order `filter` (Spark does not codegen HOF
+  * lambdas). This is the shared substrate of every text gate (vocab,
+  * PMI, n-gram dedup, sketches, quality, BPE, decontamination) — the
+  * r15 drift adjudication measured the whole family moving together
+  * on it. One static call per row into a JIT byte walk instead;
+  * parity with the chained form is TextOpsSpec-pinned including the
+  * unicode-lowercase corners. */
+case class AsciiTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override val nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ascii_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokensUtil.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokensUtil.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiTokens =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API for [[NfcNormalize]]. */
   def nfcNormalize(c: Column): Column =
     Shim.column(NfcNormalize(Shim.expression(c)))
+
+  /** Column API for [[AsciiTokens]]. */
+  def asciiTokens(c: Column): Column =
+    Shim.column(AsciiTokens(Shim.expression(c)))
 
   /** Column API for [[SimHash60]] (input: array&lt;string&gt; tokens). */
   def simhash60(tokens: Column): Column =

@@ -16,6 +16,14 @@ object TextOps {
   /** Normalized token array: lowercase, split on non-alphanumeric, empties
     * dropped. */
   def tokens(text: Column): Column =
+    graft.functions.TextExpressions.asciiTokens(text)
+
+  /** The chained column form of [[tokens]] — the semantic definition
+    * (the oracles state lower + regexp split + empty-drop verbatim);
+    * kept as the parity twin the fused byte-walk expression is
+    * spec-checked against (TextOpsSpec, incl. unicode-lowercase
+    * corners like Kelvin K → ASCII k). */
+  def tokensChained(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
   /** Whitespace-ish token count + a BPE-ish regex token count (letter

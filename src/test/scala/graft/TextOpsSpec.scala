@@ -11,6 +11,38 @@ class TextOpsSpec extends SparkSpec {
     spark.createDataFrame(rows).toDF("doc_id", "text")
   }
 
+  it("fused asciiTokens is element- and schema-identical to the " +
+      "chained lower/split/filter form (incl. unicode-lowercase corners)") {
+    import spark.implicits._
+    // corpus parity
+    val docs = graft.sources.Tables.documents(spark,
+      "/root/testdata/sf0.01").select(col("text"))
+    docs.select(TextOps.tokens(col("text")).as("a"),
+        TextOps.tokensChained(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count() shouldBe 0L
+    // adversarial: Kelvin sign lowercases to ASCII k, dotted İ emits
+    // an ASCII i + combining dot, multi-byte separators, digits-only,
+    // empty, all-separator, emoji, null
+    val edge = Seq("Hello, WORLD!42", "KELVIN degrees",
+      "İstanbul", "café naïve", "漢字123漢字",
+      "", "!!! --- ???", "a", "9", "😀x😀", "MiXeD_case-2024",
+      "  spaces  tabs\t\tnewlines\n\n", null.asInstanceOf[String])
+      .toDF("text")
+    val cmp = edge.select(TextOps.tokens(col("text")).as("a"),
+      TextOps.tokensChained(col("text")).as("b"))
+    cmp.schema("a").dataType shouldBe cmp.schema("b").dataType
+    cmp.collect().foreach { r =>
+      val a = if (r.isNullAt(0)) null else r.getSeq[String](0)
+      val b = if (r.isNullAt(1)) null else r.getSeq[String](1)
+      a shouldBe b
+    }
+    // the Kelvin corner specifically: the fused walk must see the
+    // POST-lowercase bytes (k is a token char; the raw sign is not)
+    Seq("K9").toDF("text")
+      .select(TextOps.tokens(col("text")))
+      .collect()(0).getSeq[String](0) shouldBe Seq("k9")
+  }
+
   it("predictedLangCodegen matches the column-form parity oracle on the corpus") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark,
