@@ -32,6 +32,17 @@ GATES = [
     "q144_web_prep", "q171_curate_e2e", "q181_webrank_e2e",
     "q193_cluster_increment", "q210_release_e2e", "q213_join_estimate",
     "q216_ivf_recall", "q217_ivf_recall_curve",
+    # r16 widening (VERDICT r15 item 4): one representative per
+    # post-r11 family that previously had only 10x records — sketch
+    # overlap/KMV, Gram matrix, int8 quantization, k-anonymity,
+    # repeated-ngrams, bloom decontamination, z-order write, takedown
+    # propagation, CSV quarantine, drift buckets, retrieval-eval IVF
+    # lane — plus the r16 IVF twins of the classed brute gates.
+    "q195_gram_matrix", "q196_int8_quant", "q204_kanonymity",
+    "q205_repeated_ngrams", "q206_bloom_decontam", "q207_kmv_overlap",
+    "q208_zorder", "q209_takedown", "q211_csv_quarantine",
+    "q215_drift_buckets", "q218_retrieval_ivf",
+    "q219_matryoshka_ivf", "q220_rrf_fusion_ivf", "q221_knn_noise_ivf",
 ]
 # Gates whose wall time legitimately scales WITH the data (bounded at
 # ~1.5x the data growth by bench_ratios.py --growth, instead of the
@@ -43,11 +54,30 @@ GATES = [
 #  - cpu_dense: linear CPU-bound work that already saturates 32 cores
 #    at sf0.1 (q144's HTML-extract pipeline: 14.7 ms/doc CPU at sf0.1
 #    vs 9.9 at sf10 — sublinear PER UNIT), so wall tracks data growth.
+#  - r16: q155/q156/q197 joined the brute_audit class — each rides the
+#    O(Q*N) bruteTopK exact scan BY DESIGN and each now has a committed
+#    probe-pruned IVF twin gate as its sublinear scale lane
+#    (q155->q219_matryoshka_ivf, q156->q220_rrf_fusion_ivf,
+#    q197->q221_knn_noise_ivf); q212's twin is q218 (r15).
+#  - r16 cpu_dense additions, each Theta(data) per-row CPU saturating
+#    the 32 cores at sf0.1 (10x growth 5.6-7.4x = sublinear per unit):
+#    q52/q128 broadcast-centroid assignment dots (N x 1024 x 64),
+#    q69/q83 full-token-stream sketch register hashing,
+#    q126 hashed-bigram importance statistics over every token.
 CLASSES = {
     "q25_ann_topk": "brute_audit",
+    "q155_matryoshka_topk": "brute_audit",
+    "q156_rrf_fusion": "brute_audit",
+    "q197_knn_label_noise": "brute_audit",
+    "q212_retrieval_metrics": "brute_audit",
     "q216_ivf_recall": "brute_audit",
     "q217_ivf_recall_curve": "brute_audit",
     "q144_web_prep": "cpu_dense",
+    "q52_kmeans_partial": "cpu_dense",
+    "q69_cms_registers": "cpu_dense",
+    "q83_heavy_hitters": "cpu_dense",
+    "q126_dsir_components": "cpu_dense",
+    "q128_cluster_balance": "cpu_dense",
 }
 RUN_LOG = "/tmp/bench_100x_run.log"
 
@@ -86,7 +116,8 @@ def main():
         gates[q] = {
             "sf01_sec": round(s, 3) if s is not None else None,
             "sf10_sec": round(b, 3) if b is not None else None,
-            "growth": round(b / s, 2) if b and s else None,
+            "growth": round(b / s, 2)
+                if b is not None and s else None,
         }
         if q in CLASSES:
             gates[q]["class"] = CLASSES[q]

@@ -26,10 +26,18 @@ import sys
 # its probe-pruned scale twin and carries no class).
 CLASSES = {
     "q25_ann_topk": "brute_audit",
+    "q155_matryoshka_topk": "brute_audit",
+    "q156_rrf_fusion": "brute_audit",
+    "q197_knn_label_noise": "brute_audit",
     "q212_retrieval_metrics": "brute_audit",
     "q216_ivf_recall": "brute_audit",
     "q217_ivf_recall_curve": "brute_audit",
     "q144_web_prep": "cpu_dense",
+    "q52_kmeans_partial": "cpu_dense",
+    "q69_cms_registers": "cpu_dense",
+    "q83_heavy_hitters": "cpu_dense",
+    "q126_dsir_components": "cpu_dense",
+    "q128_cluster_balance": "cpu_dense",
 }
 RUN_LOG = "/tmp/bench_10x_run.log"
 
@@ -69,7 +77,8 @@ def main():
         gates[q] = {
             "sf01_sec": round(s, 3) if s is not None else None,
             "sf10_sec": round(b, 3) if b is not None else None,
-            "growth": round(b / s, 2) if b and s else None,
+            "growth": round(b / s, 2)
+                if b is not None and s else None,
         }
         if q in CLASSES:
             gates[q]["class"] = CLASSES[q]

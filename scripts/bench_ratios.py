@@ -110,6 +110,15 @@ def main():
     markers = bench.get("markers", {}) if "queries" in bench else {}
     marker_now = (statistics.median(markers.values()) if markers
                   else now.get(MARKER))
+    # FROZEN marker (r16 on): a plan-frozen range->hash->sum probe in
+    # Bench whose time can only move with the MACHINE window, never
+    # with engine improvements (the q03 marker's own plan got faster
+    # over rounds, inflating normalized ratios). Reported here each
+    # round; normalization switches to it once two rounds of history
+    # exist (its per-round medians accumulate in BENCH_BASELINES.json's
+    # frozen_marker_history).
+    frozen = bench.get("frozen_markers", {}) if "queries" in bench else {}
+    frozen_now = statistics.median(frozen.values()) if frozen else None
     rows, breaches, adjudicated = [], [], []
     for q in sorted(now):
         if q not in base:
@@ -187,8 +196,10 @@ def main():
               + ", ".join(q for q, _, _ in uncleared))
         return 1
     msg = f" ({len(cleared)} cleared by standalone)" if cleared else ""
+    fz = (f", frozen marker = {frozen_now:.3f}s"
+          if frozen_now is not None else "")
     print(f"\nno unadjudicated 2x breach across {len(rows)} gated "
-          f"queries{msg} (marker now = {marker_now}s)")
+          f"queries{msg} (marker now = {marker_now}s{fz})")
     return 0
 
 

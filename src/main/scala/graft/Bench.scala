@@ -183,13 +183,31 @@ object Bench {
     // dev subset runs (the artifact isn't written there anyway).
     def probeMarker(): Option[Double] =
       if (only.isEmpty) Some(run(Marker, "marker")) else None
+    // FROZEN machine-window probe (r15 "what's wrong" #3): the q03
+    // marker's OWN plan kept getting faster across rounds (max_by
+    // rule, fused-tokenizer substrate), so marker-normalized ratios
+    // inflated on gates that were raw-faster than first-recorded.
+    // This probe has no tables and no graft operators — a fixed-size
+    // range → hash → sum, saturating the same 32 cores — and its plan
+    // is FROZEN BY CONTRACT: never change rows, expression, or
+    // partitioning. Recorded as frozen_markers alongside the q03
+    // markers from r16 on; bench_ratios.py switches normalization to
+    // the frozen median once two rounds of history exist.
+    def probeFrozen(): Option[Double] =
+      if (only.nonEmpty) None
+      else Some {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1500000000L, 1L, 32)
+          .selectExpr("sum(hash(id)) AS h").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
     // two measured passes, min per query — damps the considerable
     // run-to-run noise of a 32-thread local JVM (GC, JIT recompiles)
-    val mStart = probeMarker()
+    val mStart = probeMarker(); val fStart = probeFrozen()
     val pass1 = names.map(n => n -> run(n, "pass1")).toMap
-    val mMid = probeMarker()
+    val mMid = probeMarker(); val fMid = probeFrozen()
     val results = names.map(n => n -> math.min(pass1(n), run(n, "pass2")))
-    val mEnd = probeMarker()
+    val mEnd = probeMarker(); val fEnd = probeFrozen()
     // STANDALONE ADJUDICATION (VERDICT r12 #1): any gate whose min-of-2
     // reading breaches 2x vs its first-recorded baseline is re-run
     // min-of-3 here — after the full suite, behind the GC barrier, on
@@ -230,8 +248,12 @@ object Bench {
         .mkString("{", ",", "}")
     val markers = Seq(mStart.map("start" -> _), mMid.map("mid" -> _),
       mEnd.map("end" -> _)).flatten
+    val frozen = Seq(fStart.map("start" -> _), fMid.map("mid" -> _),
+      fEnd.map("end" -> _)).flatten
     val extras = (if (markers.nonEmpty)
         s""","markers":${jmap(markers)}""" else "") +
+      (if (frozen.nonEmpty)
+        s""","frozen_markers":${jmap(frozen)}""" else "") +
       s""","standalone":${jmap(standalone)}"""
     val total = results.map(_._2).sum
     val line =

@@ -2635,6 +2635,40 @@ object SparkEntry {
         labelQrels(emb), k = 10)
     }),
 
+    // MATRYOSHKA-PREFIX, IVF LANE (scale twin of q155): the 32-of-64
+    // truncated-embedding search through ivfTopK's probe-pruned
+    // inverted lists instead of the brute O(Q·N) scan — prefix vectors
+    // cluster like their parents, so the same centroid/nprobe dial
+    // applies; q155 keeps the exact-audit role (brute_audit class).
+    "q219_matryoshka_ivf" -> ((s, d) =>
+      graft.similarity.Similarity.ivfTopK(
+        Tables.embeddings(s, d).select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding")),
+        k = 3, nprobe = 2, maxQueryId = 500L)),
+
+    // RRF FUSION, IVF LANE (scale twin of q156): both rankers ride
+    // probe-pruned IVF searches (full-dim + 32-prefix — genuinely
+    // different rankings); the fusion itself is rank-only and shuffles
+    // nothing wider than the two top-3 candidate frames, so swapping
+    // the rankers' substrate is the ENTIRE scale story.
+    "q220_rrf_fusion_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val full = graft.similarity.Similarity.ivfTopK(emb, k = 3,
+        nprobe = 2, maxQueryId = 500L)
+      val prefix = graft.similarity.Similarity.ivfTopK(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding")),
+        k = 3, nprobe = 2, maxQueryId = 500L)
+      graft.similarity.Fusion.rrfFuse(Seq(full, prefix))
+    }),
+
+    // k-NN LABEL-NOISE, IVF LANE (scale twin of q197): neighbors from
+    // knnLabelAgreementIvf's probe-pruned search; the agreement tail
+    // (labelAgreementFrom) is shared with the brute audit verbatim.
+    "q221_knn_noise_ivf" -> ((s, d) =>
+      graft.similarity.Similarity.knnLabelAgreementIvf(
+        Tables.embeddings(s, d), k = 5, nprobe = 2, maxQueryId = 500L)),
+
     // SAFE-RELEASE PREP E2E (the round-11 composition flagship): ONE
     // Catalyst plan chaining four release gates — (1) metadata
     // k-anonymity suppression on (lang, source), (2) exact-dup
@@ -3841,16 +3875,19 @@ object SparkEntry {
     // shared by q35 (in-memory IVF) and q54 (same search through the
     // on-disk partitioned index) — identical semantics, one statement.
     // Parameterized by nprobe for the q217 recall CURVE (the S-curve
-    // the SemDeDup preset's cost/recall dial rides on).
-    def ivfTopkSqlAt(nprobe: Int, k: Int = 3): String =
+    // the SemDeDup preset's cost/recall dial rides on) and by dims for
+    // the Matryoshka-prefix IVF twins (q219/q220: the same search over
+    // the first `dims` components).
+    def ivfTopkSqlAt(nprobe: Int, k: Int = 3, dims: Int = 64): String = {
+      val dp = dims + 1
       s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
-             |unit AS (SELECT id, list_transform(range(1, 65), i ->
-             |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, 65),
+             |unit AS (SELECT id, list_transform(range(1, $dp), i ->
+             |    embedding[i]::DOUBLE / sqrt(list_reduce(list_transform(range(1, $dp),
              |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE), (x, y) -> x + y))) AS u
              |  FROM base),
              |cent AS (SELECT id AS cid, u AS cu FROM unit WHERE id % 50 = 0 ORDER BY cid LIMIT 1024),
              |scored AS (SELECT v.id, c.cid,
-             |    list_reduce(list_transform(range(1, 65), i -> v.u[i] * c.cu[i]),
+             |    list_reduce(list_transform(range(1, $dp), i -> v.u[i] * c.cu[i]),
              |      (x, y) -> x + y) AS ccos
              |  FROM unit v CROSS JOIN cent c),
              |assigned AS (SELECT id, cid AS centroid FROM (
@@ -3863,7 +3900,7 @@ object SparkEntry {
              |    FROM scored WHERE id < 500)
              |  WHERE cr <= $nprobe),
              |pairs AS (SELECT p.qid, a.id AS nid,
-             |    round(list_reduce(list_transform(range(1, 65),
+             |    round(list_reduce(list_transform(range(1, $dp),
              |      i -> q.u[i] * n.u[i]), (x, y) -> x + y), 6) AS cos
              |  FROM probes p
              |  JOIN assigned a ON a.centroid = p.centroid AND a.id <> p.qid
@@ -3873,6 +3910,7 @@ object SparkEntry {
              |  SELECT *, row_number() OVER (
              |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
              |WHERE rn <= $k""".stripMargin
+    }
     val ivfTopkSql = ivfTopkSqlAt(2)
     // q25's exact brute-force cosine top-3 — shared with q216/q217,
     // where it is the recall denominator.
@@ -5401,6 +5439,43 @@ object SparkEntry {
            |    THEN h.n_rel_topk * 1000000 // t.n_rel_total
            |    ELSE 0 END AS BIGINT) AS recall_ppm
            |FROM hit h LEFT JOIN tot t USING (qid)""".stripMargin,
+
+      // q219: the q35 IVF statement over the 32-component prefix
+      // (dims-parameterized — same centroids-from-prefix, same probe
+      // rule; q155's exact twin at scale).
+      "q219_matryoshka_ivf" -> ivfTopkSqlAt(2, 3, 32),
+
+      // q220: both IVF rankings (full-dim + 32-prefix) as CTE
+      // subqueries fused by q156's integer RRF formula.
+      "q220_rrf_fusion_ivf" ->
+        s"""WITH r64 AS (SELECT qid, nid, rank
+           |    FROM (${ivfTopkSqlAt(2, 3, 64)}) t64),
+           |r32 AS (SELECT qid, nid, rank
+           |    FROM (${ivfTopkSqlAt(2, 3, 32)}) t32),
+           |parts AS (SELECT qid, nid, 1000000 // (60 + rank) AS part
+           |  FROM (SELECT * FROM r64 UNION ALL SELECT * FROM r32)),
+           |f AS (SELECT qid, nid, CAST(sum(part) AS BIGINT) AS rrf_ppm
+           |  FROM parts GROUP BY 1, 2)
+           |SELECT qid, nid, rrf_ppm,
+           |  CAST(row_number() OVER (PARTITION BY qid
+           |    ORDER BY rrf_ppm DESC, nid) AS BIGINT) AS rank
+           |FROM f""".stripMargin,
+
+      // q221: the q35 IVF ranking at k = 5 + q197's label-agreement
+      // tail (neighbor and query labels joined in, integral ppm).
+      "q221_knn_noise_ivf" ->
+        s"""WITH t AS (SELECT qid, nid
+           |    FROM (${ivfTopkSqlAt(2, 5)}) tk),
+           |lbl AS (SELECT vec_id AS id, label FROM embeddings)
+           |SELECT t.qid, ql.label,
+           |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_agree,
+           |  CAST(5 AS BIGINT) AS k,
+           |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+           |    * 1000000 // 5 AS BIGINT) AS agree_ppm
+           |FROM t JOIN lbl nl ON nl.id = t.nid
+           |  JOIN lbl ql ON ql.id = t.qid
+           |GROUP BY t.qid, ql.label""".stripMargin,
 
       // q210: the four release stages stated relationally — QUALIFY
       // window count (suppression), hash NOT IN (takedown), the q111

@@ -443,8 +443,13 @@ case class HtmlExtractText(child: Expression)
   * identical output including the struct-of-NULLs-for-NULL-html
   * convention. */
 case class HtmlMainContent(child: Expression, minChars: Int,
-    maxLinkDenom: Int) extends UnaryExpression {
+    maxLinkDenom: Int) extends UnaryExpression with ExpectsInputTypes {
 
+  // analysis-time type contract (ADVICE r15): a non-string child is an
+  // AnalysisException, not a runtime ClassCastException; NULL handling
+  // stays the custom mainContentOrNull path (struct of NULLs), so the
+  // expression itself is never null
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("content", StringType, nullable = true),

@@ -66,12 +66,19 @@ object Communities {
       tolChanges: Long = -1L): DataFrame = {
     import graft.util.Checkpoints.cut
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val doCut = rounds > LazyRounds || tolChanges >= 0L ||
-      (cutEdgeThreshold > 0 && rounds > 0 &&
-        edges.select(col("src")).limit(cutEdgeThreshold + 1).count()
-          > cutEdgeThreshold)
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // the size probe (short-circuited: only 0 < rounds <= LazyRounds
+    // reaches it) counts POST self-loop filter (ADVICE r15 — a
+    // loop-heavy frame must not trip persistence on rows LPA drops);
+    // pre-dedup duplicates still count, an accepted overestimate — an
+    // exact distinct() here would cost the very shuffle the probe
+    // exists to avoid. One upstream re-execution per call, limit-
+    // bounded at the threshold + 1.
+    val doCut = rounds > LazyRounds || tolChanges >= 0L ||
+      (cutEdgeThreshold > 0 && rounds > 0 &&
+        e.select(col("src")).limit(cutEdgeThreshold + 1).count()
+          > cutEdgeThreshold)
     val sym0 = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

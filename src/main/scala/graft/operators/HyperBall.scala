@@ -263,13 +263,29 @@ object HyperBall {
     * the smallest hop count t such that the estimated number of
     * reachable pairs within t is >= q * (pairs reachable within
     * `maxHops`). Runs the register recurrence once; each hop
-    * contributes ONE scalar (the global sum of per-row ball
-    * estimates), so the driver holds maxHops+1 doubles — never node
-    * data. Returns maxHops if the quantile isn't reached (graph wider
-    * than the horizon); 0 for an empty/self-loop-only edge frame. */
+    * contributes ONE scalar row (the global sum of per-row ball
+    * estimates plus the exact integer register total), so the driver
+    * holds maxHops+1 doubles — never node data. Returns maxHops if
+    * the quantile isn't reached (graph wider than the horizon); 0 for
+    * an empty/self-loop-only edge frame.
+    *
+    * RUN-TO-STABILITY (`toStability = true`): HyperANF's own stop
+    * rule — registers are elementwise MONOTONE nondecreasing under
+    * the max-merge, so the global integer register sum is strictly
+    * increasing exactly while some ball is still growing; an
+    * unchanged sum means NO register changed this hop and every later
+    * hop is a no-op (the recurrence has reached its fixed point = the
+    * true neighborhood function). The check is exact integer
+    * arithmetic riding the SAME per-hop scalar aggregation the
+    * estimate sum already runs — zero extra jobs — and `maxHops`
+    * becomes a safety cap instead of the answer's horizon. With the
+    * fixed point reached, `ts.last` is N̂(∞) and the reported
+    * diameter is the true one, not the cap-truncated one (spec-pinned
+    * ≡ a fixed run with a sufficient horizon). */
   def effectiveDiameter(edges: DataFrame, maxHops: Int = 8,
       q: Double = 0.9, m: Int = 64,
-      checkpointDir: Option[String] = None): Int = {
+      checkpointDir: Option[String] = None,
+      toStability: Boolean = false): Int = {
     import graft.util.Checkpoints.cut
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
@@ -280,15 +296,34 @@ object HyperBall {
       // every hop, and cross-job plans don't share shuffles — uncut,
       // hop t's total() would re-execute all t-1 previous rounds.
       var regs = cut(seedRegs(nodes, m), checkpointDir)
-      def total(): Double = regs
-        .select(estimateCol(col("regs"), m).as("est"))
-        .agg(coalesce(sum(col("est")), lit(0.0)))
-        .collect()(0).getDouble(0) // 1 scalar; 0.0 on an empty graph
+      // (Σ estimates, Σ registers) in ONE scalar read. The integer
+      // sum stays exact: ≤ n·m·max_rho ≲ 2^40 per-node, far under
+      // Long range. The est/rsum projection drops `regs` from its
+      // output, so the HOF-alias constraint cannot poison later plans
+      // (estimateCol's scaladoc; ConstraintBarrier memo).
+      def total(): (Double, Long) = {
+        val row = regs
+          .select(estimateCol(col("regs"), m).as("est"),
+            aggregate(col("regs"), lit(0L),
+              (acc, x) => acc + x.cast("long")).as("rsum"))
+          .agg(coalesce(sum(col("est")), lit(0.0)),
+            coalesce(sum(col("rsum")), lit(0L)))
+          .collect()(0) // 1 scalar row; zeros on an empty graph
+        (row.getDouble(0), row.getLong(1))
+      }
       val totals = Array.newBuilder[Double]
-      totals += total()
-      for (_ <- 1 to maxHops) {
+      val (est0, rsum0) = total()
+      totals += est0
+      var lastSum = rsum0
+      var t = 0
+      var stable = false
+      while (t < maxHops && !(toStability && stable)) {
         regs = cut(hop(e, regs, m), checkpointDir)
-        totals += total()
+        val (est, rsum) = total()
+        totals += est
+        stable = rsum == lastSum
+        lastSum = rsum
+        t += 1
       }
       totals.result()
     } finally e.unpersist()

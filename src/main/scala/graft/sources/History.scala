@@ -137,7 +137,7 @@ object History {
     * row-group pruning replaces partition pruning. */
   def read(spark: SparkSession, tableDir: String,
       interval: Interval = Interval.whole): DataFrame = {
-    val df = spark.read.parquet(tableDir)
+    val df = committedBase(spark, tableDir)
     val hasDay = df.columns.contains("day")
     val withMs =
       if (interval.isWhole) df
@@ -155,6 +155,62 @@ object History {
         pruned.filter(interval.predicate(col("epoch_ms")))
       }
     if (hasDay) withMs.drop("day") else withMs
+  }
+
+  /** Base frame for [[read]] — READ COMMITTED w.r.t. the
+    * [[appendBatch]] epoch protocol. A torn epoch (a streaming writer
+    * crashed — or still mid-move — between staging and marker publish)
+    * always leaves its `.batch_staging_<id>` dir in place: the dir is
+    * deleted only AFTER the marker commits. So ONE root listing decides
+    * whether any filtering is needed; the common no-torn-epoch case
+    * stays the plain directory scan. When torn ids exist, data files
+    * are enumerated explicitly and the torn epochs' `b<id>-` files
+    * excluded (basePath keeps the `day` partition column), so a batch
+    * reader never observes a partially-moved epoch — previously the
+    * scrub made the replay exact but the pre-replay window was
+    * read-uncommitted. The listing cost is paid only while a torn or
+    * in-flight epoch exists, and equals the listing the scan's own
+    * file index performs anyway. */
+  private def committedBase(spark: SparkSession,
+      tableDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tornIds: Set[Long] =
+      if (!fs.exists(root)) Set.empty
+      else {
+        val stagingIds = fs.listStatus(root).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith(".batch_staging_"))
+          .flatMap(_.stripPrefix(".batch_staging_").toLongOption).toSet
+        if (stagingIds.isEmpty) Set.empty
+        else {
+          val md = new org.apache.hadoop.fs.Path(root, AppliedBatchesDir)
+          val applied =
+            if (fs.exists(md))
+              fs.listStatus(md).toSeq
+                .flatMap(_.getPath.getName.toLongOption).toSet
+            else Set.empty[Long]
+          stagingIds -- applied
+        }
+      }
+    if (tornIds.isEmpty) spark.read.parquet(tableDir)
+    else {
+      val entries = fs.listStatus(root).toSeq
+      val dayFiles = entries
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .flatMap(s => dataFiles(fs, s.getPath))
+      val rootFiles = entries.filter(_.isFile).map(_.getPath)
+        .filterNot(p =>
+          p.getName.startsWith("_") || p.getName.startsWith("."))
+      val keep = (rootFiles ++ dayFiles)
+        .filterNot(p => batchIdOf(p.getName).exists(tornIds.contains))
+      if (keep.isEmpty)
+        // only torn files exist: keep their schema, show no rows
+        spark.read.parquet(tableDir).where(lit(false))
+      else
+        spark.read.option("basePath", tableDir)
+          .parquet(keep.map(_.toString): _*)
+    }
   }
 
   /** True iff `name` resolves to a catalog table whose bucketing spec
@@ -248,9 +304,16 @@ object History {
     days.foreach { dayPath =>
       // ONE listing is the snapshot: exactly these files are read into
       // the staged rewrite, and exactly these names may be deleted
-      val snapshot = dataFiles(fs, dayPath).filterNot(p =>
+      val listed = dataFiles(fs, dayPath)
+      val snapshot = listed.filterNot(p =>
         batchIdOf(p.getName).exists(id => !appliedIds.contains(id)))
-      if (snapshot.nonEmpty) {
+      // a day holding an UNapplied epoch's loose files is skipped
+      // WHOLE, not just filtered: claiming it (rename(day, old)) would
+      // hide those files from a concurrently replaying writer's scrub,
+      // and reconcileOld would later move them back beside the
+      // replay's re-written copies — a duplicate. The day folds on the
+      // next compact after its epoch commits.
+      if (snapshot.nonEmpty && snapshot.size == listed.size) {
         val staged = new org.apache.hadoop.fs.Path(
           root, s".compact_staging_${dayPath.getName}")
         spark.read.parquet(snapshot.map(_.toString): _*)

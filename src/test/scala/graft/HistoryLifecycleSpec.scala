@@ -197,6 +197,66 @@ class HistoryLifecycleSpec extends SparkSpec {
       .count() shouldBe 1
   }
 
+  it("a torn epoch is INVISIBLE to batch readers before the replay " +
+      "(read committed), then lands exactly once on replay") {
+    import graft.operators.PolicyAppend
+    // VERDICT r15 item 2: the scrub made the replay exact, but between
+    // a mid-move crash and the replay a reader saw the partially-moved
+    // epoch's b<id>- files. History.read now detects the torn epoch by
+    // its surviving .batch_staging_<id> dir (deleted only after the
+    // marker commits) and excludes exactly those files.
+    val root = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val dir = s"$root/table"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    val epoch0 = model.Findings.fromSeq(spark,
+      Seq(fn("a", d1, 0, Some("b")), fn("a", d1 + 500, 1)))
+    History.appendBatch(epoch0, dir, 0L)
+
+    // crash MID-MOVE of epoch 1: day dir holds its b1- files, the
+    // marker never published, the staging dir survives (it is dropped
+    // only AFTER the marker) — rebuilt here as an empty dir, exactly
+    // what a fully-moved-then-crashed attempt leaves
+    val epoch1 = model.Findings.fromSeq(spark,
+      Seq(fn("t", d1 + 700, 2), fn("t", d2 + 100, 3)))
+    History.appendBatch(epoch1, dir, 1L)
+    fs.delete(p("_applied_batches/1"), false) shouldBe true
+    fs.mkdirs(p(".batch_staging_1"))
+    filesIn(dir, "2024-03-01").count(_.startsWith("b1-")) shouldBe 1
+
+    // read BEFORE the replay: zero rows of the torn epoch, committed
+    // rows untouched — through read, interval read, and retention
+    History.read(spark, dir).filter(col("subject") === "t")
+      .count() shouldBe 0
+    History.read(spark, dir).count() shouldBe 2
+    History.read(spark, dir, closedInterval).count() shouldBe 2
+    History.readRetained(spark, dir, Interval.whole, PolicyAppend)
+      .count() shouldBe 2
+
+    // replay: the epoch lands exactly once, staging is gone, and the
+    // fast path (no staging dirs -> plain directory scan) is back
+    History.appendBatch(epoch1, dir, 1L)
+    fs.exists(p(".batch_staging_1")) shouldBe false
+    History.read(spark, dir).count() shouldBe 4
+    History.readRetained(spark, dir, Interval.whole, PolicyAppend)
+      .count() shouldBe 4
+    History.read(spark, dir).filter(col("subject") === "t")
+      .count() shouldBe 2
+
+    // degenerate: a table whose ONLY content is a torn epoch reads as
+    // zero rows with the schema intact
+    val dir2 = s"$root/only_torn"
+    History.appendBatch(epoch1, dir2, 5L)
+    val fs2 = new org.apache.hadoop.fs.Path(dir2).getFileSystem(hconf)
+    fs2.delete(new org.apache.hadoop.fs.Path(
+      s"$dir2/_applied_batches/5"), false) shouldBe true
+    fs2.mkdirs(new org.apache.hadoop.fs.Path(s"$dir2/.batch_staging_5"))
+    History.read(spark, dir2).count() shouldBe 0
+    History.read(spark, dir2).columns should contain("subject")
+  }
+
   it("a late append racing a closed-day compact is preserved, not " +
       "deleted with the rewritten originals (manifest reconcile)") {
     // History.append partitions by EVENT day, so a crash-replayed or

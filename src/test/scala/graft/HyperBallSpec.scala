@@ -225,6 +225,31 @@ class HyperBallSpec extends SparkSpec {
       } finally spark.conf.set(key, prev)
     }
 
+    it("run-to-stability stops at the register fixed point and equals " +
+        "the fixed-horizon run (r16: the HyperANF stop rule)") {
+      import spark.implicits._
+      // path a->b->c->d: registers stabilize after hop 3 (the true
+      // diameter); the stability run under a generous cap must return
+      // exactly what a sufficient fixed run returns, for every q
+      val path = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+      for (q <- Seq(0.8, 0.9, 1.0))
+        HyperBall.effectiveDiameter(path.toDF("src", "dst"),
+          maxHops = 32, q = q, m = 64, toStability = true) shouldBe
+          HyperBall.effectiveDiameter(path.toDF("src", "dst"),
+            maxHops = 5, q = q, m = 64)
+      // random digraph: stability ≡ fixed horizon (cap ample for both)
+      val rnd = new scala.util.Random(11)
+      val edges = (1 to 600).map(_ =>
+        (rnd.nextInt(120).toString, rnd.nextInt(120).toString))
+      HyperBall.effectiveDiameter(edges.toDF("src", "dst"),
+        maxHops = 32, m = 64, toStability = true) shouldBe
+        HyperBall.effectiveDiameter(edges.toDF("src", "dst"),
+          maxHops = 20, m = 64)
+      // a cap SMALLER than the diameter still respects the cap
+      HyperBall.effectiveDiameter(path.toDF("src", "dst"),
+        maxHops = 1, q = 1.0, m = 64, toStability = true) shouldBe 1
+    }
+
     it("effectiveDiameter is 0 on an empty / self-loop-only edge frame") {
       import spark.implicits._
       HyperBall.effectiveDiameter(

@@ -513,6 +513,42 @@ class SimilaritySpec extends SparkSpec {
     brute.values.foreach(_ should include(",5,29,1,1000000,1000000,"))
   }
 
+  it("the r16 IVF twins equal their brute lanes on clustered data: " +
+      "prefix-slice search (q219) and RRF-over-IVF fusion (q220)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the perQueryIvf corpus shape: two separated clusters in the
+    // FIRST TWO dims (so the 2-of-4 Matryoshka prefix still separates
+    // them), stride 10 seeds centroids in both clusters — the probed
+    // lists contain the true top-k and IVF ≡ brute exactly (nprobe=3
+    // covers ALL THREE same-cluster centroid lists — with 2, a true
+    // neighbor assigned to the unprobed third list breaks equality)
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 60).map { i =>
+      val base = if (i < 30) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val prefix = df.select(col("vec_id"),
+      slice(col("embedding"), 1, 2).as("embedding"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    // q219 shape: IVF over the sliced prefix ≡ brute over the prefix
+    canon(Similarity.ivfTopK(prefix, k = 3, nprobe = 3,
+      centroidStride = 10, maxQueryId = 1000L)) shouldBe
+      canon(Similarity.bruteTopK(prefix, k = 3, maxQueryId = 1000L))
+    // q220 shape: RRF over the two IVF rankings ≡ RRF over the two
+    // brute rankings (rank-only fusion — substrate equality carries)
+    val fullB = Similarity.bruteTopK(df, k = 3, maxQueryId = 1000L)
+    val prefB = Similarity.bruteTopK(prefix, k = 3, maxQueryId = 1000L)
+    val fullI = Similarity.ivfTopK(df, k = 3, nprobe = 3,
+      centroidStride = 10, maxQueryId = 1000L)
+    val prefI = Similarity.ivfTopK(prefix, k = 3, nprobe = 3,
+      centroidStride = 10, maxQueryId = 1000L)
+    canon(graft.similarity.Fusion.rrfFuse(Seq(fullI, prefI))) shouldBe
+      canon(graft.similarity.Fusion.rrfFuse(Seq(fullB, prefB)))
+  }
+
   it("ivfTopKCurve equals per-nprobe ivfTopK row-for-row at every " +
       "curve point") {
     if (!haveData) cancel("testdata missing")

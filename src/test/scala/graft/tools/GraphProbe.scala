@@ -62,6 +62,11 @@ object GraphProbe {
       "hits4" -> (() => Hits.hits(e, 4).count()),
       "hyperball4" -> (() => HyperBall.harmonicCentralities(e, 4).count()),
       "effdiam6" -> (() => HyperBall.effectiveDiameter(e, 6).toLong),
+      // run-to-stability (r16): cap 32, stop when the exact integer
+      // register sum is unchanged (no ball grew — HyperANF's fixed
+      // point) — the true-diameter run vs the fixed-horizon row above
+      "effdiam_tol" -> (() => HyperBall.effectiveDiameter(e, 32,
+        toStability = true).toLong),
       // LPA's final frame is nodes LEFT JOIN best: a plain count()
       // lets Catalyst ELIMINATE the left joins (row count is
       // join-invariant) and the lazy run times nothing — materialize
