@@ -249,7 +249,8 @@ class ToolingSpec extends SparkSpec {
     for (f <- Seq("BENCH_BASELINES.json", "scripts/bench_ratios.py",
         "scripts/selfcheck.py", "BENCH_GRAPH.json", "BENCH_100x.json",
         "scripts/graph_check.py", "scripts/bench_100x.py",
-        "BENCH_10x_full.json", "scripts/bench_10x_full.py")) {
+        "BENCH_10x_full.json", "scripts/bench_10x_full.py",
+        "BENCH_STREAM.json")) {
       readme should include (f.split("/").last)
       new java.io.File(repo, f) should exist
     }

@@ -162,7 +162,7 @@ object StreamProbe {
     val json = s"""{"batches":$batches,"per_batch":$perBatch,""" +
       s""""note":"per-batch state-store telemetry from """ +
       s"""StreamingQueryProgress.stateOperators at local[$cpus]; """ +
-      s""""bounded" computed by StreamProbe.verdict (exit 1 on fail)",""" +
+      s"""'bounded' computed by StreamProbe.verdict (exit 1 on fail)",""" +
       s""""ops":{${results.map { case (k, v) => s""""$k":$v""" }
         .mkString(",")}}}"""
     println("RESULT " + json)
