@@ -1506,10 +1506,12 @@ object SparkEntry {
     "q216_ivf_recall" -> ((s, d) => {
       import graft.time.Buckets.intDiv
       val emb = Tables.embeddings(s, d)
-      val brute = graft.similarity.Similarity.bruteTopK(emb, k = 3,
-        maxQueryId = 500L)
-      val ivf = graft.similarity.Similarity.ivfTopK(emb, k = 3,
-        nprobe = 2, maxQueryId = 500L)
+      // brute truth and IVF lane are independent eager lanes (§2.6)
+      val (brute, ivf) = par2(
+        graft.similarity.Similarity.bruteTopK(emb, k = 3,
+          maxQueryId = 500L),
+        graft.similarity.Similarity.ivfTopK(emb, k = 3,
+          nprobe = 2, maxQueryId = 500L))
       graft.similarity.Similarity.topKRecall(ivf, brute)
         .agg(count(lit(1)).as("n_queries"),
           sum(col("n_exact")).as("n_exact"),
@@ -1529,14 +1531,16 @@ object SparkEntry {
     "q217_ivf_recall_curve" -> ((s, d) => {
       import graft.time.Buckets.intDiv
       val emb = Tables.embeddings(s, d)
-      val brute = graft.similarity.Similarity.bruteTopK(emb, k = 3,
-        maxQueryId = 500L)
       // the whole curve from ONE scoring pass (ivfTopKCurve: score at
       // max nprobe, slice per point — row-for-row equal to 4 separate
       // ivfTopK calls, which re-scored the collection 4x; the oracle
-      // still states the per-nprobe composition verbatim)
-      val curve = graft.similarity.Similarity.ivfTopKCurve(emb, k = 3,
-        nprobes = Seq(1, 2, 4, 8), maxQueryId = 500L)
+      // still states the per-nprobe composition verbatim). Brute truth
+      // and the curve are independent eager lanes — overlap them (§2.6)
+      val (brute, curve) = par2(
+        graft.similarity.Similarity.bruteTopK(emb, k = 3,
+          maxQueryId = 500L),
+        graft.similarity.Similarity.ivfTopKCurve(emb, k = 3,
+          nprobes = Seq(1, 2, 4, 8), maxQueryId = 500L))
       val points = Seq(1, 2, 4, 8).map { np =>
         graft.similarity.Similarity.topKRecall(
             curve.filter(col("nprobe") === np.toLong), brute)
@@ -2040,12 +2044,15 @@ object SparkEntry {
     // calibration — Σ⌊1e6/(60+rank)⌋ ppm, integer-exact.
     "q156_rrf_fusion" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val full = graft.similarity.Similarity.bruteTopK(emb, k = 3,
-        maxQueryId = 500L)
-      val prefix = graft.similarity.Similarity.bruteTopK(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), 1, 32).as("embedding")),
-        k = 3, maxQueryId = 500L)
+      // the two rankers are independent eager lanes — overlap them
+      // (§2.6); rrfFuse reads only their materialized results
+      val (full, prefix) = par2(
+        graft.similarity.Similarity.bruteTopK(emb, k = 3,
+          maxQueryId = 500L),
+        graft.similarity.Similarity.bruteTopK(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), 1, 32).as("embedding")),
+          k = 3, maxQueryId = 500L))
       graft.similarity.Fusion.rrfFuse(Seq(full, prefix))
     }),
 
@@ -2653,12 +2660,14 @@ object SparkEntry {
     // the rankers' substrate is the ENTIRE scale story.
     "q220_rrf_fusion_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val full = graft.similarity.Similarity.ivfTopK(emb, k = 3,
-        nprobe = 2, maxQueryId = 500L)
-      val prefix = graft.similarity.Similarity.ivfTopK(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), 1, 32).as("embedding")),
-        k = 3, nprobe = 2, maxQueryId = 500L)
+      // the two IVF rankers are independent eager lanes (§2.6)
+      val (full, prefix) = par2(
+        graft.similarity.Similarity.ivfTopK(emb, k = 3,
+          nprobe = 2, maxQueryId = 500L),
+        graft.similarity.Similarity.ivfTopK(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), 1, 32).as("embedding")),
+          k = 3, nprobe = 2, maxQueryId = 500L))
       graft.similarity.Fusion.rrfFuse(Seq(full, prefix))
     }),
 
@@ -3260,6 +3269,23 @@ object SparkEntry {
     df.withColumn(idCol,
       when(col(idCol) < bound, col(idCol)).otherwise(raise_error(
         lit(s"$idCol must stay below the twin shift $bound"))))
+
+  /** Run two INDEPENDENT eager lane builders concurrently (guide §2.6
+    * overlap-independent-jobs): each lane materializes (localCheckpoint)
+    * inside its builder, so calling them sequentially serializes their
+    * jobs while most cores idle in each lane's straggler tail; FIFO
+    * scheduling backfills the second lane's tasks into the first's.
+    * Only for lanes with no data dependency; exceptions from the async
+    * lane propagate unwrapped. */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    val fa = java.util.concurrent.CompletableFuture.supplyAsync(() => a)
+    val vb = b
+    val va = try fa.join() catch {
+      case e: java.util.concurrent.CompletionException
+          if e.getCause != null => throw e.getCause
+    }
+    (va, vb)
+  }
 
   private def doubledDocs(s: SparkSession, d: String): DataFrame = {
     val docs = guardIdBelow(

@@ -1101,9 +1101,14 @@ object Dedup {
     val tokenized = graft.util.Spread.spread(docs)
       .select(col(idCol).as("id"),
         TextOps.tokens(col(textCol)).as("toks"))
-    val sh = transform(
-      sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
-      i => array_join(slice(col("toks"), i + 1, lit(k)), " "))
+    // codegen'd all-shingles expression (r16): the HOF form
+    // `transform(sequence(0, greatest(n−k, 0)), i → array_join(slice(
+    // toks, i+1, k), ' '))` ran in the interpreter per position with
+    // slice/join allocations; AllWordShingles is one static call per
+    // row into a JIT loop with identical edge semantics (spec-pinned,
+    // PipelineOpsSpec), and posexplode keeps the same 0-based offsets.
+    val sh = graft.functions.TextExpressions
+      .allWordShingles(col("toks"), k)
     tokenized.select(col("id"), posexplode(sh).as(Seq("pos", "shingle")))
       .filter(col("shingle") =!= "")
   }

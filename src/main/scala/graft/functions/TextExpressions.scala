@@ -154,6 +154,69 @@ object ShinglesUtil {
   }
 }
 
+/** Static helper for [[AllWordShingles]]. */
+object AllShinglesUtil {
+  /** EVERY word k-gram shingle of a token array in POSITION ORDER —
+    * duplicates and empty strings kept, so element i is exactly
+    * `array_join(slice(toks, i+1, k), ' ')` for i in 0..max(n−k, 0)
+    * and positions survive `posexplode`. Edge cases mirror the HOF
+    * form verbatim: fewer than k tokens yield ONE short shingle of
+    * the available tokens; an empty array yields `[""]`; null tokens
+    * are skipped by the join. The non-distinct positioned twin of
+    * [[ShinglesUtil.shingles]]. */
+  def allShingles(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val m = math.max(n - k, 0) + 1
+    val out = new Array[Any](m)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) {
+        parts(j - i) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Every word k-gram shingle (non-distinct, position order) as a native
+  * Catalyst expression — the generator input for POSITIONED shingles
+  * (span dedup) and for occurrence-true gram counting (repetition
+  * stats, n-gram LMs, memorization audits). The HOF form
+  * `transform(sequence(0, greatest(n−k, 0)), i → array_join(slice(
+  * toks, i+1, k), ' '))` runs in the interpreter (Spark does not
+  * codegen higher-order lambdas) and allocates slice/join
+  * intermediates per position; this is one static call per row into a
+  * JIT loop. Exactness vs the HOF form is spec-pinned (TextOpsSpec). */
+case class AllWordShingles(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override val nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "all_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AllShinglesUtil.allShingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AllShinglesUtil.allShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): AllWordShingles =
+    copy(child = newChild)
+}
+
 /** Distinct word k-gram shingles as a native Catalyst expression.
   *
   * The HOF form (sequence → transform → slice → array_join →
@@ -267,4 +330,9 @@ object TextExpressions {
   /** Column API for [[WordShingles]] (input: array&lt;string&gt; tokens). */
   def wordShingles(tokens: Column, k: Int): Column =
     Shim.column(WordShingles(Shim.expression(tokens), k))
+
+  /** Column API for [[AllWordShingles]] (input: array&lt;string&gt;
+    * tokens) — every shingle, position order, duplicates kept. */
+  def allWordShingles(tokens: Column, k: Int): Column =
+    Shim.column(AllWordShingles(Shim.expression(tokens), k))
 }

@@ -50,8 +50,17 @@ object Similarity {
     val unit = base.select(col("id"),
       transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
       .persist()
-    val queries = unit.filter(col("id") < maxQueryId)
-      .select(col("id").as("qid"), col("u").as("qu"))
+    // the scoring join broadcasts the collection and STREAMS the query
+    // side — on a single-row-group layout the stream side is ONE
+    // partition and the Q×N dot products serialize on one core
+    // (plan-audited r16: BroadcastNestedLoopJoin BuildRight over a
+    // 1-partition InMemoryTableScan). Spread the query side to default
+    // parallelism so scoring and the partial top-k (WindowGroupLimit)
+    // run on every core; the Q-row exchange is bounded by the
+    // operator's query cap.
+    val queries = graft.util.Spread.spreadAmplified(
+      unit.filter(col("id") < maxQueryId)
+        .select(col("id").as("qid"), col("u").as("qu")))
     val scored = queries.join(unit, col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
         round(dot(col("qu"), col("u")), 6).as("cos"))

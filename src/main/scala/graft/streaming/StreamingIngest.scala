@@ -168,10 +168,11 @@ object StreamingIngest {
       if (benchGrams.isEmpty) deduped
       else {
         val toks = graft.text.TextOps.tokens(col("text"))
-        // guard: sequence(0, -1) would infer step -1, not emit empty
+        // codegen'd all-shingles (r16); the size ≥ benchN guard keeps
+        // the short-doc edge (< benchN tokens → no grams) identical to
+        // the sequence-HOF form it replaces
         val grams = when(size(toks) >= benchN,
-          transform(sequence(lit(0), size(toks) - benchN),
-            i => array_join(slice(toks, i + 1, lit(benchN)), " ")))
+          graft.functions.TextExpressions.allWordShingles(toks, benchN))
           .otherwise(array().cast("array<string>"))
         deduped.filter(!exists(grams,
           g => array_contains(lit(benchGrams.toArray), g)))

@@ -20,11 +20,16 @@ object Decontaminate {
   private[graft] def grams(docs: DataFrame, n: Int, idCol: String,
       textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
+    // codegen'd WordShingles (r16) replaces the interpreted
+    // array_distinct∘transform HOF: with the size ≥ n guard and
+    // non-empty tokens the distinct gram SET is identical (the
+    // expression's short-shingle/empty-string edge cases only arise
+    // below the guard), and consumers treat grams as an unordered set.
     docs.select(col(idCol).as("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => array_join(slice(col("t"), i + 1, lit(n)), " ")))).as("gram"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.wordShingles(col("t"), n))
+        .as("gram"))
   }
 
   /** Contaminated-doc report: for every corpus doc sharing ≥1 word
@@ -91,9 +96,8 @@ object Decontaminate {
     val bg = broadcast(benches
       .select(col(benchCol).as("bench"), toks.as("t"))
       .filter(size(col("t")) >= n)
-      .select(col("bench"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => array_join(slice(col("t"), i + 1, lit(n)), " "))))
+      .select(col("bench"), explode(
+        graft.functions.TextExpressions.wordShingles(col("t"), n))
         .as("gram"))
       .distinct())
     grams(corpus, n, idCol, textCol)

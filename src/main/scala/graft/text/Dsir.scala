@@ -56,10 +56,11 @@ object Dsir {
     docs.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
+      // codegen'd all-shingles (r16): ≡ the concat_ws∘element_at HOF
+      // for non-null tokens under the size ≥ 2 guard
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => concat_ws(" ", element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("gram"))
+        explode(graft.functions.TextExpressions
+          .allWordShingles(col("t"), 2)).as("gram"))
       .select(col("doc_id"),
         featureBucket(col("gram"), numBuckets).as("bucket"))
 

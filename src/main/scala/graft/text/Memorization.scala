@@ -27,9 +27,12 @@ object Memorization {
     val toks = TextOps.tokens(col(textCol))
     docs.select(col(idCol).as("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= n)
+      // codegen'd all-shingles (r16): occurrence-true grams; identical
+      // to the interpreted transform∘sequence HOF under the size ≥ n
+      // guard (spec-pinned, PipelineOpsSpec).
       .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => array_join(slice(col("t"), i + 1, lit(n)), " "))).as("gram"))
+        graft.functions.TextExpressions.allWordShingles(col("t"), n))
+        .as("gram"))
   }
 
   /** Corpus-repeated n-grams: every gram appearing in ≥ `minDocs`

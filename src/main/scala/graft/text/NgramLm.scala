@@ -23,9 +23,11 @@ object NgramLm {
   def bigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(TextOps.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
-        i => concat_ws(" ", element_at(col("t"), i + 1),
-          element_at(col("t"), i + 2)))).as("gram"))
+      // codegen'd all-shingles (r16): ≡ the concat_ws∘element_at HOF
+      // for non-null tokens under the size ≥ 2 guard
+      .select(explode(
+        graft.functions.TextExpressions.allWordShingles(col("t"), 2))
+        .as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
 
   /** CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020
@@ -77,9 +79,8 @@ object NgramLm {
       TextOps.tokens(col(textCol)).as("t"))
     val grams = base.filter(size(col("t")) >= 2)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => concat_ws(" ", element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("gram"))
+        explode(graft.functions.TextExpressions
+          .allWordShingles(col("t"), 2)).as("gram"))
     val scored = grams.join(model, Seq("gram"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy(col("doc_id"))

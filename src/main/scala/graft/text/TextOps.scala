@@ -46,9 +46,11 @@ object TextOps {
     val base = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("t"))
     def grams(n: Int) =
+      // codegen'd all-shingles (r16); the size ≥ n guard keeps the
+      // short-token edge (< n tokens → no grams) identical to the
+      // sequence-HOF form it replaces.
       when(size(col("t")) >= n,
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => array_join(slice(col("t"), i + 1, lit(n)), " ")))
+        graft.functions.TextExpressions.allWordShingles(col("t"), n))
         .otherwise(array().cast("array<string>"))
     def gramCounts(n: Int) = base
       .select(col("doc_id"), explode(grams(n)).as("g"))
@@ -420,17 +422,21 @@ object TextOps {
     // array once per row; the phrase filter is a cheap string equality
     // on the GENERATED attribute (nothing to inline), and the final
     // per-doc aggregation shuffles matching positions only.
+    // codegen'd all-shingles (r16): posexplode supplies the SAME
+    // 0-based position the struct-building HOF carried, without the
+    // per-position slice/join/struct interpreter allocations; the
+    // generator shape (and its filter-inlining protection) is
+    // unchanged — the phrase filter still tests a GENERATED attribute.
     val t = col("__t")
-    val grams = transform(sequence(lit(0), greatest(size(t) - l, lit(0))),
-      i => struct(i.as("pos"),
-        array_join(slice(t, i + 1, lit(l)), " ").as("gram")))
     docs.select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"), explode(grams).as("pg"))
-      .filter(col("pg.gram") === pJoined)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.allWordShingles(t, l))
+        .as(Seq("pos", "gram")))
+      .filter(col("gram") === pJoined)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"),
-        min(col("pg.pos")).cast("long").as("first_pos"))
+        min(col("pos")).cast("long").as("first_pos"))
   }
 
   /** Winnowing-style selected-hash fingerprints: min rolling k-gram hash

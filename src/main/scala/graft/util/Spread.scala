@@ -30,6 +30,20 @@ object Spread {
     * point where even a 1000× amplifier is worth a shuffle. */
   val MinSpreadBytes: Long = 8L << 20
 
+  /** [[spread]] WITHOUT the byte floor, for operators whose per-row
+    * amplification is KNOWN to be collection-sized rather than merely
+    * large-constant — a brute-force scoring join streams Q query rows
+    * against a broadcast N-row collection, so a single-partition query
+    * side serializes Q×N work no matter how few bytes it holds (the
+    * q25 family: 1 M dot products in one task while 31 cores idled).
+    * The n-row exchange is bounded by the (operator-contract-bounded)
+    * query side; on a layout already at ≥ default parallelism it is a
+    * no-op. */
+  def spreadAmplified[T](ds: Dataset[T]): Dataset[T] = {
+    val want = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions >= want) ds else ds.repartition(want)
+  }
+
   def spread[T](ds: Dataset[T]): Dataset[T] = {
     val want = ds.sparkSession.sparkContext.defaultParallelism
     if (ds.rdd.getNumPartitions >= want) ds

@@ -204,6 +204,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  it("codegen AllWordShingles matches the interpreted HOF form — every " +
+      "position, duplicates and empties kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "two words"),          // fewer than k → one short shingle
+      (3L, "one"), (4L, ""), (5L, "   "),  // empty tokens → [""]
+      (6L, "dup dup dup dup"),    // repeated shingles KEPT here
+      (7L, "ünï çødé 漢字 mixed tokens here")).toDF("doc_id", "text")
+    val toks = graft.text.TextOps.tokens(col("text"))
+    (2 to 4).foreach { k =>
+      val fast = docs.select(col("doc_id"), posexplode(
+          graft.functions.TextExpressions.allWordShingles(toks, k)))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sorted.toSeq
+      val slow = docs.select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), greatest(
+              org.apache.spark.sql.functions.size(toks) - k, lit(0))),
+            i => array_join(slice(toks, i + 1, lit(k)), " "))))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sorted.toSeq
+      fast shouldBe slow
+    }
+  }
+
   it("codegen SimHash60 matches the interpreted HOF form bit-for-bit") {
     import spark.implicits._
     val docs = Seq(

@@ -70,6 +70,27 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "q124") {
+      import graft.multimodal.ImageDedup
+      val doubled = docs.unionByName(docs.select(
+        (col("doc_id") + 10000).as("doc_id"), col("text")))
+      val hashes = ImageDedup.stubImageHashesSql(doubled)
+      time("stub-hashes")(hashes.count())
+      val h = graft.util.Checkpoints.materialize(
+        ImageDedup.stubImageHashesSql(doubled))
+      time("pairs")(ImageDedup.nearDupPairs(h).count())
+      val pairs = ImageDedup.nearDupPairs(h)
+      time("cluster-star")(graft.dedup.Dedup.clusterLabelsStar(
+        pairs.select(col("id1"), col("id2"))).count())
+      time("full-op") {
+        val (hh, cc) = ImageDedup.nearDupClustersAndHashes(
+          ImageDedup.stubImageHashesSql(doubled))
+        hh.join(cc, "media_id")
+          .select(col("media_id"), col("ahash"), col("dhash"),
+            col("cluster")).count()
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "q84") {
       import graft.dedup.Dedup
       import graft.functions.CollectCapped.collectCapped
