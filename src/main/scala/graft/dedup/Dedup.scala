@@ -55,10 +55,14 @@ object Dedup {
     * parity twin). */
   def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    // spread: tokenize+explode multiplies per-row work; a byte-small
-    // single-row-group corpus must not shingle in one task (see
-    // graft.util.Spread — 100x sweep finding)
-    graft.util.Spread.spread(docs).select(col(idCol).as("id"),
+    // spreadAmplified (r16): tokenize+shingle+explode+partial-agg
+    // multiply per-row work by ~tokens-per-doc — plan-audited at sf0.1,
+    // the whole map stage of every shingle consumer ran in the scan's
+    // 1-2 partitions (byte-floored spread() never fires on a MB-scale
+    // doc table) while 30 cores idled; the doc-row exchange is trivial
+    // next to the work it parallelizes and a no-op on layouts already
+    // at ≥ default parallelism
+    graft.util.Spread.spreadAmplified(docs).select(col(idCol).as("id"),
         explode(graft.functions.TextExpressions.wordShingles(
           TextOps.tokens(col(textCol)), k)).as("shingle"))
       .filter(col("shingle") =!= "")
@@ -716,9 +720,13 @@ object Dedup {
     val touched = labels
       .join(batchIds, Seq("id"), "left_anti")
       .join(oldLabels, Seq("id"), "left_anti")
-    import graft.util.Checkpoints.materialize
-    ClusterDelta(materialize(batchLabels), materialize(relabels),
-      materialize(touched, unpersistAfter = Seq(bb, bcp)))
+    // the three delta frames are independent consumers of the same
+    // persisted inputs — checkpoint them concurrently (§2.6) instead
+    // of three serial jobs
+    val Seq(mBatch, mRelabels, mTouched) = graft.util.Checkpoints
+      .materializeAll(Seq(batchLabels, relabels, touched),
+        unpersistAfter = Seq(bb, bcp))
+    ClusterDelta(mBatch, mRelabels, mTouched)
   }
 
   /** [[clusterIncrementFromPairs]] wired to the persistent-index daily
@@ -1098,7 +1106,8 @@ object Dedup {
     * shingle). The building block for substring-level span detection. */
   def positionedShingles(docs: DataFrame, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tokenized = graft.util.Spread.spread(docs)
+    // spreadAmplified: see [[shingles]] (r16 map-stage parallelism)
+    val tokenized = graft.util.Spread.spreadAmplified(docs)
       .select(col(idCol).as("id"),
         TextOps.tokens(col(textCol)).as("toks"))
     // codegen'd all-shingles expression (r16): the HOF form

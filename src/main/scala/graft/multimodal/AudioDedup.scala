@@ -97,7 +97,19 @@ object AudioDedup {
     * a verbatim ANSI-SQL form the DuckDB oracle states. Same 5-digest
     * md5 expansion as [[ImageDedup.stubImageHashesSql]]; null texts are
     * undecodable → dropped. */
-  def stubAudioHashesSql(docs: DataFrame): DataFrame = {
+  def stubAudioHashesSql(docs: DataFrame): DataFrame =
+    // fused codegen fingerprint (r16) — one digest-byte loop per row;
+    // the column chain below is the spec-pinned parity twin
+    // ([[stubAudioHashesChained]], MediaSpec bit-equality).
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.StubHashExpressions.audioStubFhash(col("text"))
+          .as("fhash"))
+
+  /** The column-chain form of [[stubAudioHashesSql]] — the semantic
+    * definition, kept as the parity twin of the fused
+    * [[graft.functions.AudioStubFhash]] expression. */
+  def stubAudioHashesChained(docs: DataFrame): DataFrame = {
     val digests = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id").as("media_id") +:

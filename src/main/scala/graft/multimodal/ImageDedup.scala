@@ -121,6 +121,22 @@ object ImageDedup {
     * extraction + threshold sums, all inside whole-stage codegen. Null
     * texts are undecodable → dropped, matching the decoder contract. */
   def stubImageHashesSql(docs: DataFrame): DataFrame = {
+    // fused codegen fingerprint (r16): ONE digest-byte loop per row
+    // replaces the ~350-node md5-hex/conv/substring column chain below
+    // (kept as [[stubImageHashesChained]], the spec-pinned parity twin
+    // the oracle states verbatim — MediaSpec checks bit-equality).
+    val h = graft.functions.StubHashExpressions
+      .imageStubHashes(col("text"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"), h.getItem(0).as("ahash"),
+        h.getItem(1).as("dhash"))
+  }
+
+  /** The column-chain form of [[stubImageHashesSql]] — the semantic
+    * definition (5 md5 hex digests sliced per pixel), kept as the
+    * parity twin of the fused [[graft.functions.ImageStubHashes]]
+    * expression. */
+  def stubImageHashesChained(docs: DataFrame): DataFrame = {
     val digests = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id").as("media_id") +:

@@ -545,7 +545,13 @@ object Similarity {
     // partition-dir inference may read centroid= back as INT; normalize
     val probedIds = probes.select(col("centroid").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val lists = readIvfLists(spark, indexDir, probedIds)
+    // the pruned scan reads only nprobe-union partition dirs — a
+    // handful of small files, so a handful of tasks; spread it before
+    // the per-candidate normalization + scoring fan-out so the ADC
+    // work uses every core (r16; the row exchange is the probed lists
+    // only, bounded by nprobe·list size)
+    val lists = graft.util.Spread.spreadAmplified(
+        readIvfLists(spark, indexDir, probedIds))
       .select(col("id"), col("centroid"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .select(col("id"), col("centroid"),
@@ -1032,10 +1038,13 @@ object Similarity {
     // partition-pruned scan: only the union of probed code lists is read
     val probedIds = probes.select(col("centroid")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(s"$indexDir/codes")
-      .filter(col("centroid").isin(probedIds: _*))
-      .select(col("id"), col("centroid").cast("long").as("centroid"),
-        col("codes"))
+    // spread the pruned code scan before the ×m posexplode + LUT join
+    // (same rationale as searchIvfIndex — few probed files, few tasks)
+    val codes = graft.util.Spread.spreadAmplified(
+      spark.read.parquet(s"$indexDir/codes")
+        .filter(col("centroid").isin(probedIds: _*))
+        .select(col("id"), col("centroid").cast("long").as("centroid"),
+          col("codes")))
     // ADC lookup table: |Q| × m × codebook-size small rows, broadcast
     val qPieces = q.select(col("qid"),
       explode(transform(sequence(lit(0), lit(m - 1)), i =>

@@ -25,6 +25,10 @@ object Memorization {
   private def gramOccurrences(docs: DataFrame, n: Int, idCol: String,
       textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
+    // NOT spread: A/B at sf0.1 (r16) — the added exchange cost more
+    // than the 1-wide tokenize+gram map it parallelized (q205 0.74 →
+    // 0.89 s); the gram volume here is doc-linear, unlike the shingle
+    // self-join substrates where spreadAmplified won
     docs.select(col(idCol).as("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= n)
       // codegen'd all-shingles (r16): occurrence-true grams; identical

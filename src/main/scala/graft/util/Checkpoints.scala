@@ -40,6 +40,30 @@ object Checkpoints {
       out
     } else df
 
+  /** [[materialize]] for SEVERAL independent frames at once: the eager
+    * localCheckpoints run CONCURRENTLY (guide §2.6 — each checkpoint is
+    * one job whose straggler tail otherwise idles the cluster while the
+    * next frame waits), then the upstream caches are released. Returns
+    * the checkpointed frames in input order. No-op passthrough when
+    * [[MaterializeConf]] is `false`. */
+  def materializeAll(dfs: Seq[DataFrame],
+      unpersistAfter: Seq[DataFrame] = Nil): Seq[DataFrame] =
+    if (dfs.isEmpty) dfs
+    else if (dfs.head.sparkSession.conf
+        .get(MaterializeConf, "true").toBoolean) {
+      import java.util.concurrent.{CompletableFuture, CompletionException}
+      val futs = dfs.map(df => CompletableFuture.supplyAsync(
+        () => df.localCheckpoint(true)))
+      val out = futs.map(f =>
+        try f.join()
+        catch {
+          case e: CompletionException if e.getCause != null =>
+            throw e.getCause
+        })
+      unpersistAfter.foreach(_.unpersist())
+      out
+    } else dfs
+
   /** Release the block-manager storage of a frame produced by
     * `localCheckpoint` once it is SUPERSEDED (a newer checkpoint holds
     * everything downstream still needs). Unlike `unpersist()` on the

@@ -209,6 +209,12 @@ class MediaSpec extends SparkSpec {
       val withNull = docs.unionByName(
         Seq((6L, null: String)).toDF("doc_id", "text"))
       ImageDedup.stubImageHashesSql(withNull).count() shouldBe 5L
+      // fused codegen expression ≡ the md5-hex column chain (the form
+      // the oracle states), bit for bit
+      val viaChain = ImageDedup.stubImageHashesChained(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      viaSql shouldBe viaChain
     }
 
     it("stub decoder keeps the whole stack deterministic without codecs") {
@@ -312,6 +318,11 @@ class MediaSpec extends SparkSpec {
       val withNull = docs.unionByName(
         Seq((6L, null: String)).toDF("doc_id", "text"))
       AudioDedup.stubAudioHashesSql(withNull).count() shouldBe 5L
+      // fused codegen expression ≡ the md5-hex column chain (the form
+      // the oracle states), bit for bit
+      val viaChain = AudioDedup.stubAudioHashesChained(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      viaSql shouldBe viaChain
     }
   }
 
