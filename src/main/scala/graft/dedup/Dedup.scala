@@ -55,14 +55,17 @@ object Dedup {
     * parity twin). */
   def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    // spreadAmplified (r16): tokenize+shingle+explode+partial-agg
-    // multiply per-row work by ~tokens-per-doc — plan-audited at sf0.1,
-    // the whole map stage of every shingle consumer ran in the scan's
-    // 1-2 partitions (byte-floored spread() never fires on a MB-scale
-    // doc table) while 30 cores idled; the doc-row exchange is trivial
-    // next to the work it parallelizes and a no-op on layouts already
-    // at ≥ default parallelism
-    graft.util.Spread.spreadAmplified(docs).select(col(idCol).as("id"),
+    // spread: tokenize+explode multiplies per-row work; a byte-small
+    // single-row-group corpus must not shingle in one task (see
+    // graft.util.Spread — 100x sweep finding). Kept BYTE-FLOORED, not
+    // spreadAmplified: r16 standalone A/B showed the unconditional
+    // exchange is a net LOSS for this family's consumers (q109 builds
+    // four shingle frames per run, 1.42 → 1.88 s; q22 0.47 → 0.55;
+    // q136/q21/q193 flat) — per-doc distinct shingles aggregate after
+    // their own exchange anyway. positionedShingles differs (no dedup,
+    // 50x row fan-out into a capped-collect partial agg in the map
+    // stage) and IS spreadAmplified.
+    graft.util.Spread.spread(docs).select(col(idCol).as("id"),
         explode(graft.functions.TextExpressions.wordShingles(
           TextOps.tokens(col(textCol)), k)).as("shingle"))
       .filter(col("shingle") =!= "")
