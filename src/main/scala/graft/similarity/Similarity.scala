@@ -50,18 +50,25 @@ object Similarity {
     val unit = base.select(col("id"),
       transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
       .persist()
-    // the scoring join broadcasts the collection and STREAMS the query
-    // side — on a single-row-group layout the stream side is ONE
-    // partition and the Q×N dot products serialize on one core
-    // (plan-audited r16: BroadcastNestedLoopJoin BuildRight over a
-    // 1-partition InMemoryTableScan). Spread the query side to default
-    // parallelism so scoring and the partial top-k (WindowGroupLimit)
-    // run on every core; the Q-row exchange is bounded by the
-    // operator's query cap.
-    val queries = graft.util.Spread.spreadAmplified(
-      unit.filter(col("id") < maxQueryId)
-        .select(col("id").as("qid"), col("u").as("qu")))
-    val scored = queries.join(unit, col("qid") =!= col("id"))
+    // Scoring-join shape (r16, plan-audited at sf0.1 AND 10×): the
+    // planner's own choice was broadcast-the-collection below the
+    // 10 MB estimate (BNLJ streaming the 1-partition query side — the
+    // Q×N dots serialized on one core) and CartesianProduct above it
+    // (where spreading the stream side multiplies the per-task rebuild
+    // of the other side: q25 at 10× went 12 → 24 s with a spread query
+    // side). The scale-right shape at EVERY size: broadcast the QUERY
+    // side — bounded by the operator's contract (maxQueryId) — and
+    // stream the COLLECTION spread to default parallelism, so the
+    // partial top-k (WindowGroupLimit) reduces each collection slice
+    // to ≤ |Q|·k rows before the one small exchange. A/B: sf0.1
+    // 1.6 → 0.9 s, 10× 12 → 5 s vs the planner's shapes.
+    val queries = unit.filter(col("id") < maxQueryId)
+      .select(col("id").as("qid"), col("u").as("qu"))
+    val scored =
+      (if (maxQueryId != Long.MaxValue)
+        graft.util.Spread.spreadAmplified(unit)
+          .join(broadcast(queries), col("qid") =!= col("id"))
+      else queries.join(unit, col("qid") =!= col("id")))
       .select(col("qid"), col("id").as("nid"),
         round(dot(col("qu"), col("u")), 6).as("cos"))
     import org.apache.spark.sql.expressions.Window

@@ -70,6 +70,60 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "q25x") {
+      import org.apache.spark.sql.expressions.Window
+      import graft.similarity.Similarity.dot
+      val emb = Tables.embeddings(spark, d)
+      val base = emb.select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val unit = base.select(col("id"),
+        transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
+        .persist()
+      def lane(spreadQ: Boolean): Long = {
+        val q0 = unit.filter(col("id") < 500L)
+          .select(col("id").as("qid"), col("u").as("qu"))
+        val q = if (spreadQ) graft.util.Spread.spreadAmplified(q0) else q0
+        val scored = q.join(unit, col("qid") =!= col("id"))
+          .select(col("qid"), col("id").as("nid"),
+            round(dot(col("qu"), col("u")), 6).as("cos"))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+          .filter(col("rank") <= 3).count()
+      }
+      time("no-spread")(lane(false))
+      time("spread")(lane(true))
+      time("no-spread2")(lane(false))
+      time("spread2")(lane(true))
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "q25p") {
+      import org.apache.spark.sql.expressions.Window
+      import graft.similarity.Similarity.dot
+      val emb = Tables.embeddings(spark, d)
+      val base = emb.select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val unit = base.select(col("id"),
+        transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
+        .persist()
+      def lane(spreadQ: Boolean): org.apache.spark.sql.DataFrame = {
+        val q0 = unit.filter(col("id") < 500L)
+          .select(col("id").as("qid"), col("u").as("qu"))
+        val q = if (spreadQ) graft.util.Spread.spreadAmplified(q0) else q0
+        val scored = q.join(unit, col("qid") =!= col("id"))
+          .select(col("qid"), col("id").as("nid"),
+            round(dot(col("qu"), col("u")), 6).as("cos"))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))))
+          .filter(col("rank") <= 3)
+      }
+      val a = lane(false); a.count()
+      println("===== FINAL PLAN no-spread =====")
+      println(a.queryExecution.executedPlan.toString.take(4000))
+      val b = lane(true); b.count()
+      println("===== FINAL PLAN spread =====")
+      println(b.queryExecution.executedPlan.toString.take(4000))
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "q124") {
       import graft.multimodal.ImageDedup
       val doubled = docs.unionByName(docs.select(
